@@ -1,0 +1,43 @@
+"""Catalog operations (D1–D4 in SURVEY §2.11).
+
+The reference registers its refined table in the Glue Hive metastore with
+schema/partition auto-update (reference ETL_glue_pregao_B3.json:253-261)
+and creates SQLite tables with ``CREATE TABLE IF NOT EXISTS`` (reference
+src/bitoin_coin_gecko_api.py:23-30). Spark-native equivalents: the
+session catalog + ``saveAsTable``, which updates schema and partitions
+automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def create_database(spark: SparkSession, name: str) -> None:
+    """D2: storage container ≙ catalog database."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def save_as_table(
+    df: DataFrame,
+    table: str,
+    partition_by: list[str] | None = None,
+    mode: str = "append",
+    compression: str = "snappy",
+) -> None:
+    """K3/D4: partitioned catalog write with automatic schema/partition
+    update (the ``enableUpdateCatalog``/``UPDATE_IN_DATABASE`` behavior)."""
+    writer = df.write.option("compression", compression).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(table)
+
+
+def create_table_if_not_exists(
+    spark: SparkSession, table: str, ddl_columns: str, partition_by: str | None = None
+) -> None:
+    """D1: ``CREATE TABLE IF NOT EXISTS`` on the session catalog."""
+    part = f" PARTITIONED BY ({partition_by})" if partition_by else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({ddl_columns}) USING parquet{part}"
+    )

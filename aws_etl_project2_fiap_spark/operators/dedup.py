@@ -1,0 +1,214 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, each with a distinct scale profile:
+
+- **exact**: hash-groupBy on a 64-bit content fingerprint — one shuffle
+  keyed on the hash, no skew (hashes are uniform).
+- **n-gram Jaccard**: exact set-similarity via token explode + self-join.
+  Quadratic in the worst case — correct at test SF, superseded by LSH at
+  scale (kept as the oracle-checkable ground truth).
+- **MinHash + LSH banding**: shingle → K minhashes → B bands; candidate
+  pairs only form inside a band bucket. Near-linear: the only join is on
+  (band, bucket-signature), never all-pairs.
+- **SimHash**: 64-bit bit-vote fingerprint; near-dups differ in few bits.
+
+All token/hash work is JVM built-ins (split/explode/hash/xxhash64) —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per content fingerprint.
+    Returns (fp, keeper, n_copies)."""
+    return (
+        df.groupBy(fingerprint(text_col).alias("fp"))
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def keep_latest(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Dedup-keep-latest (SURVEY §2.8): row_number over a per-key window,
+    descending order column, keep rank 1. One shuffle on ``keys``."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Distinct whitespace tokens per doc: (id, tok)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .select("id", F.explode(F.split(F.trim("__text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact token-set Jaccard over all pairs sharing ≥1 token.
+
+    Ground-truth operator: the token self-join is quadratic under heavy
+    token sharing, so at 100 TB use :func:`minhash_lsh_pairs` and keep
+    this for verification samples. Returns (id1, id2, jaccard).
+    """
+    tok = tokens(df, text_col, id_col).cache()
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    common = (
+        tok.alias("a")
+        .join(tok.alias("b"), on="tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n_tok").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n_tok").alias("n2"))
+    return (
+        common.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("n_common")
+                / (F.col("n1") + F.col("n2") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Word n-gram shingles per doc: (id, shingle_hash). Uses a sliding
+    window over the token array — JVM-side via transform/slice."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    sh = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """K minhash values per doc from one shingle table: min over K
+    independent cheap hash mixes of the shingle hash. One groupBy(id) —
+    a single shuffle regardless of K."""
+    mixes = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    return shingled.groupBy("id").agg(*mixes)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified with exact Jaccard on
+    shingle sets.
+
+    Pipeline: shingle → K minhashes → B bands of K/B rows → join docs on
+    (band_id, band_signature) → exact-verify candidates. The only
+    all-pairs work happens inside buckets, so cost tracks the number of
+    true near-dups, not n². Returns (id1, id2, jaccard).
+    """
+    rows = num_hashes // bands
+    sh = shingles(df, text_col, id_col, shingle_n).cache()
+    sig = minhash_signatures(sh, num_hashes)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    cand = (
+        stacked.alias("a")
+        .join(stacked.alias("b"), on=["band", "sig"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    # exact verification on shingle sets
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(sh.select(F.col("id").alias("id1"), "shingle"), "id1")
+        .join(sh.select(F.col("id").alias("id2"), "shingle"), ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint per doc: per-token 64-bit hash, bit-vote
+    (+1 if bit set, −1 otherwise), sign per bit → fingerprint.
+
+    Implemented as explode → groupBy(id) with 64 conditional sums —
+    one shuffle, all JVM expressions. Returns (id, simhash).
+    """
+    def bit_mask(b: int):
+        # bit 63 is the sign bit: use min-long's two's-complement pattern
+        return F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+
+    tok = tokens(df, text_col, id_col)
+    hashed = tok.select("id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(bit_mask(b)) != 0, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(64)
+    ]
+    agg = hashed.groupBy("id").agg(*votes)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"v_{b}") > 0, bit_mask(b)).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select("id", fp.alias("simhash"))

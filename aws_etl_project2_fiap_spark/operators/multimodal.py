@@ -1,0 +1,106 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design (the part that matters at 100 TB):
+
+- payloads live in a ``content: binary`` column next to a
+  ``media: struct<kind, mime, width, height, duration_ms>`` metadata
+  struct — metadata predicates prune parquet row groups WITHOUT touching
+  payload bytes (parquet column projection keeps the binary column
+  unread until a decode stage needs it);
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages — batch shape and schema are real and tested;
+  the codec calls themselves are stubbed (image/audio libs are not in
+  this container) behind ``DecodeUnavailable`` or a deterministic fake.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised by real-codec paths: decode libs are stubbed in this
+    environment (SURVEY north-star: plumbing real, codecs faked)."""
+
+
+def attach_binary(df: DataFrame, src_col: str, kind: str = "image") -> DataFrame:
+    """Wrap an existing column as a multimodal payload: binary content +
+    metadata struct (deterministic fake dimensions derived from size)."""
+    content = F.col(src_col).cast("binary")
+    nbytes = F.octet_length(content)
+    return df.select(
+        *df.columns,
+        content.alias("content"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(f"{kind}/fake").alias("mime"),
+            (nbytes % 1920).cast("int").alias("width"),
+            (nbytes % 1080).cast("int").alias("height"),
+            (nbytes * 10).cast("long").alias("duration_ms"),
+        ).alias("media"),
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The per-batch pandas function is the real plumbing (schema, batch
+    iteration, zero driver collects); the "decoder" is a deterministic
+    fake: byte-histogram-ish 8-dim feature + additive checksum. Swap the
+    body for a real codec (PIL/ffmpeg) outside this container.
+    """
+
+    def fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["content"]
+            n_bytes = payload.map(len).astype("int64")
+            checksum = payload.map(lambda b: sum(b) % (1 << 31)).astype("int64")
+            feature = payload.map(
+                lambda b: [float(sum(b[i::8]) % 256) for i in range(8)]
+                if len(b)
+                else [0.0] * 8
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": n_bytes,
+                    "checksum": checksum,
+                    "feature": feature,
+                }
+            )
+
+    return df.select(id_col, "content").mapInPandas(fake_decode, FEATURE_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage: real signature/schema, stubbed codec."""
+    raise DecodeUnavailable(
+        "image resize requires a codec library not present in this container; "
+        "the mapInPandas plumbing mirrors extract_features()"
+    )

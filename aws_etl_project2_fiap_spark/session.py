@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for the engine.
+
+The reference delegates tuning to Glue (``etlAutoTuning: true``,
+``flexExecution: true`` — ETL_glue_pregao_B3.json:31,36 in the reference);
+the Spark-native equivalent is AQE plus sensible shuffle/Arrow defaults,
+set once here so every entry point (batch pipelines, streaming, tests,
+bench) shares the same posture.
+
+Scale posture (100 TB target, tested on local[*]):
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  dynamic join-strategy switching replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
+  coalesces down on small data and the advisory partition size governs
+  the real fan-out on big data.
+- Arrow on: any pandas-interop (createDataFrame from driver extracts,
+  pandas UDFs for similarity/multimodal operators) is batch-columnar.
+- Dynamic partition overwrite: the reference's overwrite-by-day parquet
+  layout (K1) must replace only the partitions being written, never the
+  whole table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    app_name: str = "aws-etl-project2-fiap-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's default tuning."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- adaptive execution: the 100 TB safety net ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # --- columnar interop ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- partitioned-write semantics (K1: overwrite-by-day) ---
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # --- keep parquet scans tight ---
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # quiet progress bars in test logs
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,1152 @@
+"""The engine's query workload catalog.
+
+Every operator from SURVEY §2 (plus the LLM-data-pipeline extensions) is
+exposed here as a named query: a PySpark DataFrame-API callable
+``(spark, sf_dir) -> DataFrame`` paired with an equivalent ANSI-SQL
+oracle string that DuckDB runs on the same parquet tables. The driver
+hash-compares both at sf0.01 (``CORRECTNESS_r{N}.json``).
+
+Conventions (driver contract):
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- aggregates over doubles are ``round``-ed in BOTH engines so
+  summation-order float noise can't flip the value hash;
+- every ORDER BY ... LIMIT has a unique-key tie-breaker so top-k picks
+  the same rows in both engines;
+- queries whose semantics are not SQL-expressible (LSH, SimHash,
+  streaming) carry ``oracle=None`` → the driver records a rows-only
+  check.
+
+Scale notes are in each query's docstring: what shuffles, what
+broadcasts, what prunes — the plan we want at 100 TB, not just the one
+that passes at sf0.01.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import asof as asof_op
+from .operators import dedup as dedup_op
+from .operators import similarity as sim_op
+from .operators import text as text_op
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    spark: SparkQuery
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+
+
+CATALOG: dict[str, QueryDef] = {}
+
+
+def defquery(name: str, oracle: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        CATALOG[name] = QueryDef(fn, oracle)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects. Read nanos as long (legacy conf), keep the exact
+        # value as ts_ns for ordering/comparisons (matches DuckDB's
+        # ns-native ordering bit-for-bit), and derive a micros TimestampType
+        # ts for formatting/windowing. `div` keeps the division integral —
+        # a double roundtrip would wobble by ±256 ns at 2024 epochs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Reference surface — A1 (the one analytical query) and the P/U/O/A ops
+# =====================================================================
+
+
+@defquery(
+    "a1_top5_7day_sum",
+    """
+    SELECT l_partkey AS cod,
+           SUM(l_quantity) AS total_qtde_7d
+    FROM lineitem
+    WHERE l_shipdate >= (SELECT max(l_shipdate) - INTERVAL 7 DAY FROM lineitem)
+    GROUP BY l_partkey
+    ORDER BY total_qtde_7d DESC, cod ASC
+    LIMIT 5
+    """,
+)
+def a1_top5_7day_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (reference ETL_glue_pregao_B3.json:164): GROUP BY + SUM over the
+    last 7 days, ORDER BY DESC LIMIT 5 — mapped onto lineitem with the
+    data's own max date as the injectable clock (intended semantics,
+    SURVEY §3.2).
+
+    Scale: the date predicate pushes into the parquet scan (min/max row-
+    group skipping); the agg is partial+final hash-agg; LIMIT 5 plans as
+    TakeOrderedAndProject — no global sort. The single-row max() side is
+    broadcast.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    cutoff = li.agg(
+        (F.max("l_shipdate") - F.expr("INTERVAL 7 DAY")).alias("cutoff")
+    )
+    return (
+        li.join(F.broadcast(cutoff), F.col("l_shipdate") >= F.col("cutoff"))
+        .groupBy(F.col("l_partkey").alias("cod"))
+        .agg(F.sum("l_quantity").alias("total_qtde_7d"))
+        .orderBy(F.desc("total_qtde_7d"), F.asc("cod"))
+        .limit(5)
+    )
+
+
+@defquery(
+    "p1_filter_neq",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus <> 'O' AND o_orderpriority <> '1-URGENT'
+    """,
+)
+def p1_filter_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (reference src/etl.py:163-164): string-inequality filters — the
+    footer-row drop pattern. Both predicates push down to parquet."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") != "O") & (F.col("o_orderpriority") != "1-URGENT"))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@defquery(
+    "p2_null_filter",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE NULLIF(event_type, 'error') IS NULL
+    """,
+)
+def p2_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 (reference src/query_db.py:39): IS NULL predicate, exercised via
+    NULLIF since the driver tables are dense."""
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(F.nullif(F.col("event_type"), F.lit("error")).isNull()).select(
+        "event_id", "event_type", "value"
+    )
+
+
+@defquery(
+    "p3_date_between",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    """,
+)
+def p3_date_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (reference ETL_glue_pregao_B3.json:164): TO_DATE + BETWEEN date
+    range. The cast-to-date predicate still prunes parquet row groups."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        F.to_date("o_orderdate").between(F.lit("1996-01-01"), F.lit("1996-12-31"))
+    ).select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"))
+
+
+@defquery(
+    "p4_regexp_replace",
+    """
+    SELECT c_custkey, regexp_replace(c_name, '[0-9]', '', 'g') AS name_nodigits
+    FROM customer
+    """,
+)
+def p4_regexp_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (reference src/etl.py:169): separator-strip via regexp_replace
+    (Spark replaces all occurrences; oracle uses the 'g' flag)."""
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.regexp_replace(F.col("c_name"), "[0-9]", "").alias("name_nodigits"),
+    )
+
+
+@defquery(
+    "p5_try_cast",
+    """
+    SELECT c_custkey,
+           TRY_CAST(replace(c_name, 'Customer#', '') AS BIGINT) AS parsed_id,
+           TRY_CAST(c_mktsegment AS BIGINT) AS not_a_number
+    FROM customer
+    """,
+)
+def p5_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (reference src/etl.py:170): cast with null-on-error — pandas
+    ``to_numeric(errors='coerce')`` ≙ try_cast (ANSI-safe on Spark 4)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit(""))
+        .try_cast("bigint")
+        .alias("parsed_id"),
+        F.col("c_mktsegment").try_cast("bigint").alias("not_a_number"),
+    )
+
+
+@defquery(
+    "p6_arith_projection",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           l_quantity / 1000 AS qty_milli
+    FROM lineitem
+    """,
+)
+def p6_arith_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (reference src/scrapping_b3.py:109): arithmetic projections incl.
+    the /1000 rescale. Row-level IEEE arithmetic is bit-identical across
+    engines, so no rounding is needed here."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        (F.col("l_quantity") / 1000).alias("qty_milli"),
+    )
+
+
+@defquery(
+    "p7_bulk_rename",
+    """
+    SELECT c_custkey AS id, c_name AS nome, c_mktsegment AS segmento,
+           c_acctbal AS saldo
+    FROM customer
+    """,
+)
+def p7_bulk_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 (reference src/etl.py:176-183): bulk rename via
+    withColumnsRenamed."""
+    return (
+        t(spark, sf_dir, "customer")
+        .withColumnsRenamed(
+            {
+                "c_custkey": "id",
+                "c_name": "nome",
+                "c_mktsegment": "segmento",
+                "c_acctbal": "saldo",
+            }
+        )
+        .select("id", "nome", "segmento", "saldo")
+    )
+
+
+@defquery(
+    "p9_stamp_run_date",
+    """
+    SELECT o_orderkey, strftime(TIMESTAMP '2026-08-13 00:00:00', '%Y-%m-%d') AS created_at
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def p9_stamp_run_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 (reference gs_now, ETL_glue_pregao_B3.json:43-121): stamp a
+    formatted clock column. The clock is injected as a literal so tests
+    are reproducible (SURVEY §7.4 item 3)."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        F.date_format(F.lit("2026-08-13").cast("timestamp"), "yyyy-MM-dd").alias(
+            "created_at"
+        ),
+    )
+
+
+@defquery(
+    "p13_date_arith",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           strftime(CAST(o_orderdate AS DATE) - 7, '%Y-%m-%d') AS week_before
+    FROM orders
+    """,
+)
+def p13_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 (reference src/query_db.py:25-28, DATE_SUB in the Glue SQL):
+    interval add and date_sub."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"), "yyyy-MM-dd"
+        ).alias("due_date"),
+        F.date_format(F.date_sub(F.to_date("o_orderdate"), 7), "yyyy-MM-dd").alias(
+            "week_before"
+        ),
+    )
+
+
+@defquery(
+    "p14_ts_format",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM events
+    """,
+)
+def p14_ts_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 (reference src/scrapping_b3.py:113): timestamp → formatted
+    string at the presentation edge."""
+    return t(spark, sf_dir, "events").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str")
+    )
+
+
+@defquery(
+    "p15_ptbr_currency",
+    """
+    WITH r AS (SELECT o_orderkey, round(o_totalprice, 2) AS y FROM orders)
+    SELECT o_orderkey,
+           'R$ ' || translate(format('{:,}', CAST(floor(y) AS BIGINT)), ',', '.')
+                 || ',' || lpad(CAST(CAST(round((y - floor(y)) * 100) AS INT) AS VARCHAR), 2, '0')
+             AS total_ptbr
+    FROM r
+    """,
+)
+def p15_ptbr_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 (reference src/bitoin_coin_gecko_api.py:66): pt-BR currency
+    rendering — en-US grouping then swap ','/'.' via translate."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("R$ "),
+            F.translate(F.format_number(F.round("o_totalprice", 2), 2), ",.", ".,"),
+        ).alias("total_ptbr"),
+    )
+
+
+@defquery(
+    "p16_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def p16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 (reference src/bitoin_coin_gecko_api.py:42-43): JSON field
+    extraction from the props payload."""
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
+    )
+
+
+@defquery(
+    "u1_union_all",
+    """
+    SELECT c_name AS name, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_name AS name, 'supplier' AS src FROM supplier
+    """,
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 (reference src/etl.py:144): vertical concat, no dedup."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("src")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    return c.unionByName(s)
+
+
+@defquery(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op beyond the reference (SURVEY §2.4 notes none exist there):
+    nations having both customers and suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@defquery(
+    "set_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@defquery("a2_count", "SELECT count(*) AS n_rows FROM lineitem")
+def a2_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (reference src/etl.py:145): diagnostic row count."""
+    return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@defquery(
+    "o1_topk",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def o1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 (reference ETL_glue_pregao_B3.json:164): ORDER BY DESC LIMIT k.
+    Catalyst plans TakeOrderedAndProject — per-partition top-k then a
+    single merge, never a global sort. Tie-broken on the unique key."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@defquery(
+    "o2_ordered_scan",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    ORDER BY event_id DESC
+    """,
+)
+def o2_ordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 (reference src/bitoin_coin_gecko_api.py:59): full ordered
+    read-back, newest first."""
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .orderBy(F.desc("event_id"))
+    )
+
+
+# =====================================================================
+# Joins + aggregations (parity-completing surface, SURVEY §2.5/§2.7)
+# =====================================================================
+
+
+@defquery(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(l_quantity), 2)                                   AS sum_qty,
+           round(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(AVG(l_quantity), 4)                                   AS avg_qty,
+           round(AVG(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: multi-aggregate hash aggregation.
+    Partial (map-side) agg runs before the single shuffle on the two
+    low-cardinality group keys; AQE coalesces the 6-group exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@defquery(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg in Spark)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@defquery(
+    "agg_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total, null-marked)."""
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@defquery(
+    "agg_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@defquery(
+    "join_star_revenue",
+    """
+    SELECT r_name, n_name,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship star join (TPC-H Q5 shape): fact⋈fact shuffle join on
+    l_orderkey, then broadcast joins for every dimension — customer,
+    nation, region never shuffle the fact side. At 100 TB: bucket
+    lineitem+orders on orderkey to delete the one big shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@defquery(
+    "join_left_count",
+    """
+    SELECT n_name, count(s_suppkey) AS n_suppliers
+    FROM nation
+    LEFT JOIN supplier ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_left_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving unmatched dimension rows (zero counts)."""
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        n.join(s, n.n_nationkey == s.s_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@defquery(
+    "join_full_outer",
+    """
+    SELECT n.n_nationkey AS nationkey, n.n_name, s.s_suppkey
+    FROM nation n
+    FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (null-extended on both sides)."""
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full_outer").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name", "s_suppkey"
+    )
+
+
+@defquery(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers with at least one big order — never
+    duplicates the left side, right side reduced before the join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@defquery(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no orders at all."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# =====================================================================
+# Window functions (SURVEY §2.8) + sessionization + event-time windows
+# =====================================================================
+
+
+@defquery(
+    "window_lag_delta",
+    """
+    SELECT event_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-over-tick delta per user (lag). One shuffle on user_id;
+    order tie-broken by the unique event_id."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return ev.select(
+        "event_id", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+
+
+@defquery(
+    "window_keep_latest",
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS rn
+      FROM events) x
+    WHERE rn = 1
+    """,
+)
+def window_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-keep-latest: newest event per user (row_number desc = 1)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_ns"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+@defquery(
+    "window_running_sum",
+    """
+    SELECT event_id,
+           round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS rsum
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per user (cumulative frame)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select("event_id", F.round(F.sum("value").over(w), 4).alias("rsum"))
+
+
+@defquery(
+    "window_top3_per_cust",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) x
+    WHERE rn <= 3
+    """,
+)
+def window_top3_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-n: each customer's 3 biggest orders."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@defquery(
+    "sessionize_30m",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id,
+           event_id
+    FROM flagged
+    """,
+)
+def sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): two stacked windows
+    over one shuffle — the batch equivalent of a session window."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    flagged = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800 * 1_000_000_000), 1).otherwise(0)
+    )
+    return flagged.select(
+        "user_id",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+        "event_id",
+    )
+
+
+@defquery(
+    "event_time_tumbling_1h",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           round(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def event_time_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (batch form of the T2 streaming agg —
+    the same groupBy(window) plan Structured Streaming runs
+    incrementally; see streaming.pipelines for the watermarked variant)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@defquery(
+    "asof_join_ticks",
+    """
+    SELECT p.event_id, v.value AS last_view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_join_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §7.3): each purchase gets the user's most recent
+    prior-or-equal view value. Spark side uses the union-sort-window
+    operator (operators/asof.py) — one shuffle, no range explosion;
+    oracle uses DuckDB's native ASOF JOIN."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    joined = asof_op.asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts_ns",
+        right_ts="ts_ns",
+        value_cols=["value"],
+    )
+    return joined.select("event_id", F.col("value_asof").alias("last_view_value"))
+
+
+# =====================================================================
+# LLM-data-pipeline operators: dedup, text analysis, similarity,
+# multimodal (BASELINE.json north star)
+# =====================================================================
+
+
+@defquery(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one shuffle keyed on the
+    hash (uniform → no skew). md5 here for oracle parity; the production
+    path uses the cheaper 64-bit xxhash64 (operators/dedup.exact_dedup)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("fp")).agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@defquery(
+    "dedup_keep_latest",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id DESC) AS rn
+      FROM documents) x
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-keep-latest over exact content: newest doc_id wins."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy(F.desc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@defquery(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+    common AS (
+      SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           n_common / (s1.n + s2.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes s1 ON id1 = s1.id
+    JOIN sizes s2 ON id2 = s2.id
+    WHERE n_common / (s1.n + s2.n - n_common) >= 0.9
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (threshold 0.9). The
+    jaccard value is a ratio of integers → bit-identical across engines,
+    no rounding needed. Ground truth for the LSH variant below; at 100 TB
+    only the LSH path runs (this one is quadratic under token sharing)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_op.ngram_jaccard_pairs(d, threshold=0.9)
+
+
+@defquery("dedup_minhash_lsh", None)  # LSH banding: not SQL-expressible
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (shingle→minhash→band→bucket-join→verify).
+    Near-linear scale path for fuzzy dedup; candidates only form inside
+    band buckets. Rows-only check (band hashing isn't ANSI SQL);
+    correctness is cross-checked against dedup_ngram_jaccard in tests."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_op.minhash_lsh_pairs(
+        d, shingle_n=3, num_hashes=32, bands=8, threshold=0.9
+    )
+
+
+@defquery("dedup_simhash", None)  # 64-bit bit-vote fingerprint
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (explode→hash→bit-vote→sign). Near-dup
+    docs land within small Hamming distance; one shuffle on doc id."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_op.simhash(d)
+
+
+@defquery(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS n_bpe_tok
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens, all
+    JVM-side (codegen) — the per-document hot path at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_op.token_count("text").alias("n_tok"),
+        text_op.bpe_token_count("text").alias("n_bpe_tok"),
+    )
+
+
+@defquery(
+    "text_quality",
+    r"""
+    SELECT doc_id,
+           len(text) AS n_char,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+           len(text) / greatest(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END, 1)
+             AS mean_tok_len,
+           (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))
+             / greatest(len(text), 1) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (length / punctuation ratios); integer-
+    derived doubles → deterministic cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    n_char = F.length(c)
+    n_tok = text_op.token_count(c)
+    n_punct = n_char - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return d.select(
+        "doc_id",
+        n_char.alias("n_char"),
+        n_tok.alias("n_tok"),
+        (n_char / F.greatest(n_tok, F.lit(1))).alias("mean_tok_len"),
+        (n_punct / F.greatest(n_char, F.lit(1))).alias("punct_ratio"),
+    )
+
+
+def _langid_oracle() -> str:
+    """Generate the DuckDB argmax CASE mirroring operators.text.predict_lang
+    (kept programmatic so the two stay in lockstep)."""
+    score_exprs = []
+    for lang, words in text_op.LANG_MARKERS.items():
+        parts = [
+            f"CAST((len(' ' || text || ' ') - len(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+            for w in words
+        ]
+        score_exprs.append("(" + " + ".join(parts) + f") AS score_{lang}")
+    langs = sorted(text_op.LANG_MARKERS)
+    total = " + ".join(f"score_{lang}" for lang in langs)
+    greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + total + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN score_{lang} >= {greatest} THEN '{lang}' "
+    case += "END"
+    return f"""
+    WITH s AS (SELECT doc_id, lang, {", ".join(score_exprs)} FROM documents)
+    SELECT doc_id, lang AS lang_label, {case} AS pred_lang,
+           {", ".join("score_" + lang for lang in langs)}
+    FROM s
+    """
+
+
+@defquery("text_langid", _langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword-marker hit counts,
+    argmax with deterministic tie order (first language code wins)."""
+    d = t(spark, sf_dir, "documents")
+    scores = text_op.lang_scores(F.col("text"))
+    langs = sorted(scores)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        text_op.predict_lang(F.col("text")).alias("pred_lang"),
+        *[scores[lang] for lang in langs],
+    )
+
+
+@defquery(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized content fingerprint (md5 for oracle parity;
+    production uses 64-bit xxhash64 — cheaper to shuffle)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").cast("binary")
+        ).alias("fp"),
+    )
+
+
+@defquery(
+    "similarity_knn",
+    """
+    SELECT vec_id AS id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                  WHERE vec_id = 0)), 6) AS sim
+    FROM embeddings
+    ORDER BY sim DESC, id ASC
+    LIMIT 10
+    """,
+)
+def similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector.
+    The query vector rides as a broadcast single-row frame (no collect);
+    the scan is one pass, LIMIT 10 → TakeOrderedAndProject. This exact
+    path stays viable at 100 TB for single-query lookups."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(sim_op.cosine(F.col("embedding"), F.col("__qv")), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("id"))
+        .limit(10)
+    )
+
+
+@defquery(
+    "similarity_pairs_exact",
+    """
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
+)
+def similarity_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dup (threshold 0.4 — the synthetic
+    embeddings top out ≈0.51). Quadratic ground truth; the LSH-bucketed
+    variant below is the 100 TB path."""
+    e = t(spark, sf_dir, "embeddings")
+    out = sim_op.near_dup_pairs_exact(e, threshold=0.4)
+    return out
+
+
+@defquery("similarity_pairs_lsh", None)  # hyperplane sketch: not ANSI SQL
+def similarity_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup pairs via random-hyperplane LSH buckets +
+    in-bucket exact verify. Rows-only check; recall vs the exact variant
+    is asserted in tests."""
+    e = t(spark, sf_dir, "embeddings")
+    return sim_op.near_dup_pairs_bucketed(e, threshold=0.4, planes=4)
+
+
+@defquery(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS checksum,
+           octet_length(CAST(text AS BLOB)) % 1920 AS width
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checkable slice: binary payload column
+    + typed metadata (sizes/checksums/derived dims) computed without
+    decoding. Payload bytes stay unread until a decode stage projects
+    them (parquet column pruning)."""
+    d = t(spark, sf_dir, "documents")
+    content = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(content).alias("n_bytes"),
+        F.md5(content).alias("checksum"),
+        (F.octet_length(content) % 1920).alias("width"),
+    )
+
+
+@defquery("multimodal_features", None)  # Arrow-batched fake decode
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (Arrow batch
+    plumbing real, codec deterministic-fake — see operators/multimodal)."""
+    from .operators import multimodal as mm
+
+    d = t(spark, sf_dir, "documents")
+    return mm.extract_features(mm.attach_binary(d, "text"), id_col="doc_id").select(
+        "doc_id", "n_bytes", "checksum"
+    )
+
+
+# =====================================================================
+# Entry-point accessors (driver contract)
+# =====================================================================
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: qd.spark for name, qd in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in CATALOG.items() if qd.oracle is not None}

@@ -1,0 +1,83 @@
+"""t2 correctness: differential testing against the DuckDB oracle.
+
+Mimics the driver's comparison: for every workload query with an oracle,
+run the Spark DataFrame plan AND the ANSI SQL on the same parquet
+tables, then compare row count, column names, and an order-insensitive
+canonical form of all values (columns sorted by name, rows sorted,
+floats rounded) — the same contract as CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from aws_etl_project2_fiap_spark.io.parquet import STAR_TABLES
+from aws_etl_project2_fiap_spark.workload import CATALOG
+
+SF_DIR = "/root/testdata/sf0.001"  # small SF keeps the suite fast
+
+
+def canon(rows, columns):
+    """Order-insensitive canonical form: sort columns by name, normalize
+    floats (round 6, NaN→'nan'), sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{round(v, 6):.6f}"
+        return repr(v)
+
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for name in STAR_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+ORACLE_QUERIES = sorted(n for n, qd in CATALOG.items() if qd.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, qd in CATALOG.items() if qd.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    qd = CATALOG[name]
+    sdf = qd.spark(spark, SF_DIR)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(qd.oracle)
+    duck_cols = [c.lower() for c in rel.columns]
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s = canon(spark_rows, spark_cols)
+    d = canon(duck_rows, duck_cols)
+    if s != d:
+        diff = [(a, b) for a, b in zip(s, d) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_run(spark, name):
+    """Non-SQL-expressible ops: assert they run and have a stable schema."""
+    qd = CATALOG[name]
+    sdf = qd.spark(spark, SF_DIR)
+    assert sdf.columns
+    assert sdf.count() >= 0
