@@ -63,6 +63,27 @@ def knn_brute_force(
     )
 
 
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mix (public splitmix64 constants) — gives
+    reproducible hyperplane weights with no RNG state."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def hyperplane_weights(planes: int, dim: int) -> list[list[float]]:
+    """planes×dim weight matrix in [-1, 1), derived from splitmix64 of the
+    (plane, dim) index — constants, computed once on the driver."""
+    return [
+        [
+            (_splitmix64(p * 1_000_003 + j) / float(1 << 63)) - 1.0
+            for j in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
 def hyperplane_sketch(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -71,18 +92,16 @@ def hyperplane_sketch(
     dim: int = 64,
 ) -> DataFrame:
     """Sign-bit sketch over ``planes`` deterministic pseudo-random
-    hyperplanes. Plane weights come from a hash of (plane, dim-index) —
-    reproducible with no RNG state, computed entirely JVM-side."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    hyperplanes. The weight matrix is a plan-time literal (planes×dim
+    doubles), so each row costs `planes` dot products in codegen —
+    no per-row hashing."""
+    weights = hyperplane_weights(planes, dim)
+    v = F.col(vec_col)
 
     def plane_bit(p: int) -> Column:
-        # weight_j = hash(p, j) scaled to [-1, 1); deterministic
+        w = F.array(*[F.lit(x) for x in weights[p]])
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, j: x * (F.xxhash64(F.lit(p), j) / F.lit(float(1 << 63))),
-            ),
+            F.zip_with(v, w, lambda x, wj: x.cast("double") * wj),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -95,27 +114,88 @@ def hyperplane_sketch(
     return df.select(F.col(id_col).alias("id"), F.col(vec_col), sketch.alias("bucket"))
 
 
+def cosine_pandas(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine for candidate *pairs*: one numpy matmul per
+    batch instead of an interpreted higher-order function per row —
+    ~100× cheaper when verifying many candidates. (Single-vector queries
+    keep the pure-JVM :func:`cosine`.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos_fn(x, y):
+        ax = np.stack(x.values).astype(np.float64)
+        by = np.stack(y.values).astype(np.float64)
+        num = (ax * by).sum(axis=1)
+        den = np.linalg.norm(ax, axis=1) * np.linalg.norm(by, axis=1)
+        return pd.Series(num / den)
+
+    # plain-function form: `from __future__ import annotations` stringifies
+    # type hints, which pandas_udf can't resolve for locally-imported pd
+    _cos = pandas_udf(_cos_fn, "double")
+
+    return _cos(a, b)
+
+
 def near_dup_pairs_bucketed(
     df: DataFrame,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     planes: int = 8,
+    tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate cosine near-dup pairs: bucket by hyperplane sketch,
-    exact-verify within buckets. Returns (id1, id2, sim)."""
-    sk = hyperplane_sketch(df, vec_col, id_col, planes, dim)
+    """Approximate cosine near-dup pairs: multi-table hyperplane LSH
+    (OR-amplification across ``tables`` independent sketches of
+    ``planes`` bits) + Arrow-vectorized exact verify on candidates.
+
+    Recall at cos≈0.9 with 8×8: 1-(1-0.857^8)^8 ≈ 0.94, while distant
+    pairs are pruned per-table at 0.63^8 ≈ 2.5%. Candidates only form
+    inside (table, bucket) groups — never all-pairs.
+
+    All tables' sketches come from ONE Arrow-batched matmul
+    ((batch×dim) @ (dim×planes·tables) → sign bits → per-table bucket
+    ints) — interpreted per-row higher-order functions are ~100× slower
+    here. Returns (id1, id2, sim)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w_t = np.array(hyperplane_weights(planes * tables, dim)).T  # dim × (p·t)
+    pow2 = (1 << np.arange(planes)).astype(np.int64)
+
+    def _buckets_fn(vecs):
+        mat = np.stack(vecs.values).astype(np.float64)  # batch × dim
+        bits = (mat @ w_t) >= 0  # batch × (planes·tables)
+        by_table = bits.reshape(len(mat), tables, planes)
+        out = (by_table * pow2).sum(axis=2)  # batch × tables
+        return pd.Series(list(out))
+
+    _buckets = pandas_udf(_buckets_fn, "array<long>")
+
+    sk = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col),
+        F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"),
+    )
     a, b = sk.alias("a"), sk.alias("b")
-    return (
-        a.join(b, on="bucket")
+    cand = (
+        a.join(b, on=["table", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
-                "sim"
-            ),
+            F.col(f"a.{vec_col}").alias("__v1"),
+            F.col(f"b.{vec_col}").alias("__v2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.select(
+            "id1",
+            "id2",
+            F.round(cosine_pandas(F.col("__v1"), F.col("__v2")), 6).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -137,7 +217,7 @@ def near_dup_pairs_exact(
         .select(
             "id1",
             "id2",
-            F.round(cosine(F.col("__v1"), F.col("__v2")), 6).alias("sim"),
+            F.round(cosine_pandas(F.col("__v1"), F.col("__v2")), 6).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

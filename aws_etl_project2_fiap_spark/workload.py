@@ -916,7 +916,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness is cross-checked against dedup_ngram_jaccard in tests."""
     d = t(spark, sf_dir, "documents")
     return dedup_op.minhash_lsh_pairs(
-        d, shingle_n=3, num_hashes=32, bands=8, threshold=0.9
+        d, shingle_n=3, num_hashes=16, bands=4, threshold=0.9
     )
 
 

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline workload queries and prints ONE
+JSON line — {"metric", "value", "unit", "queries", "sf"}.
+
+Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+parallelism from $SPARK_GRAFT_CPUS (default 32). Each query is executed
+to completion (count() forces every exchange and the final projection);
+wall time per query is recorded, total is the headline value.
+
+The headline set is chosen to cover every execution shape: scan+filter,
+hash-agg, star join, window, as-of, sort/top-k, dedup (hash + LSH),
+similarity, text analysis, sessionization — so a regression anywhere in
+the engine shows up here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_etl_project2_fiap_spark.session import build_session
+from aws_etl_project2_fiap_spark.workload import CATALOG
+
+HEADLINE = [
+    "a1_top5_7day_sum",
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "join_star_revenue",
+    "join_semi",
+    "window_top3_per_cust",
+    "window_lag_delta",
+    "sessionize_30m",
+    "asof_join_ticks",
+    "event_time_tumbling_1h",
+    "o1_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_langid",
+    "text_quality",
+    "similarity_knn",
+    "similarity_pairs_lsh",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(app_name="bench")
+
+    # warm the JVM, parquet footers, and Python/Arrow UDF workers once so
+    # per-query numbers measure the queries, not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    warm_udf = pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(warm_udf(F.col("id"))).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = CATALOG[name].spark
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_workload_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
