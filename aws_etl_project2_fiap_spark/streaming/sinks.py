@@ -1,0 +1,73 @@
+"""Streaming sinks (T2/T3).
+
+The reference's delivery path is Firehose DirectPut buffered 64 MB / 60 s
+into S3 objects (reference src/create_firehose_stream.py:27-39) —
+at-least-once, no replay protection. The Spark-first equivalent is a
+checkpointed file sink: the trigger interval plays the buffering-hint
+role, the checkpoint + write-ahead commit log make delivery exactly-once,
+and ``partitionBy`` gives the Hive layout the batch side already uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def buffered_parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_seconds: int = 60,
+    partition_by: list[str] | None = None,
+    query_name: str = "tick_sink",
+) -> StreamingQuery:
+    """T2: micro-batch parquet delivery ≙ Firehose buffering.
+
+    ``processingTime=60s`` mirrors the reference's ``IntervalInSeconds:
+    60``; the size-based half of the buffering hint (64 MB) is governed
+    by the source's rows-per-trigger options instead of the sink. Files
+    land under ``path`` atomically per batch via the sink's commit log.
+    """
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer.start()
+
+
+def process_available_files(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    query_name: str = "landing_batch",
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """T3: drain everything currently in the source, then stop.
+
+    ``trigger(availableNow=True)`` is the batch-per-drop semantics of
+    the reference's S3-event → Lambda → Glue chain: each invocation
+    processes exactly the files that have landed since the last
+    checkpointed offset. One named query ≙ ``maxConcurrentRuns: 1``
+    (Structured Streaming enforces single-instance per checkpoint).
+    Call ``.awaitTermination()`` on the result for the synchronous
+    batch-job feel.
+    """
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .outputMode(output_mode)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer.start()

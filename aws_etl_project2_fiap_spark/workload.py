@@ -33,6 +33,7 @@ from .operators import asof as asof_op
 from .operators import dedup as dedup_op
 from .operators import similarity as sim_op
 from .operators import text as text_op
+from .streaming import pipelines as stream_op
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -830,6 +831,89 @@ def asof_join_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["value"],
     )
     return joined.select("event_id", F.col("value_asof").alias("last_view_value"))
+
+
+@defquery(
+    "session_window_native",
+    """
+    WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS u FROM events),
+    f AS (SELECT user_id, u,
+                 CASE WHEN u - lag(u) OVER (PARTITION BY user_id ORDER BY u)
+                           <= 1800000000
+                      THEN 0 ELSE 1 END AS is_new
+          FROM e),
+    s AS (SELECT user_id, u,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY u
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f)
+    SELECT user_id,
+           min(u) AS session_start_us,
+           max(u) + 1800000000 AS session_end_us,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` (batch form of the streaming session
+    op in streaming.pipelines): 30-min-gap activity sessions per user.
+    Spark merges events whose gap is <= the gap (verified empirically);
+    session end = last event + gap. The oracle re-derives the same
+    islands with lag + running sum over epoch-micros.
+
+    Scale: one shuffle on user_id; state in streaming mode is bounded by
+    the watermark, and in batch mode the window merge is a sort within
+    the user partition.
+    """
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@defquery(
+    "stream_stats_by_key",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY epoch_ns(ts) DESC, value DESC) AS rn
+      FROM events),
+    lastv AS (SELECT event_type, value FROM ranked WHERE rn = 1),
+    agg AS (
+      SELECT event_type, count(*) AS n,
+             round(avg(value), 4) AS mean,
+             round(var_pop(value), 4) AS variance
+      FROM events GROUP BY event_type)
+    SELECT a.event_type, a.n, a.mean, a.variance,
+           round(l.value, 4) AS last_value
+    FROM agg a JOIN lastv l ON a.event_type = l.event_type
+    """,
+)
+def stream_stats_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the custom stateful streaming operator
+    (streaming.pipelines.stateful_running_stats): per-key count / mean /
+    exact single-pass variance / latest value. The streaming variant
+    keeps one Welford struct per key via applyInPandasWithState; this
+    batch form is the same result as one hash aggregate."""
+    ev = t(spark, sf_dir, "events")
+    stats = stream_op.stateful_running_stats(
+        ev, key_col="event_type", value_col="value", ts_col="ts_ns"
+    )
+    return stats.select(
+        F.col("key").alias("event_type"),
+        "n",
+        F.round("mean", 4).alias("mean"),
+        F.round("variance", 4).alias("variance"),
+        F.round("last_price", 4).alias("last_value"),
+    )
 
 
 # =====================================================================

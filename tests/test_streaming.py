@@ -1,0 +1,205 @@
+"""Phase-3 streaming tests (SURVEY §2.9 T1–T3 + event-time upgrades).
+
+Strategy: drive every pipeline through a real Structured Streaming query
+using the file source + ``availableNow`` (deterministic, no sleeps), and
+check results against the same transformation run in batch mode —
+Spark's unified semantics make the batch plan the oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_etl_project2_fiap_spark.streaming import (
+    dedup_ticks,
+    file_source,
+    parse_firehose_records,
+    process_available_files,
+    stateful_running_stats,
+    tumbling_window_agg,
+)
+from aws_etl_project2_fiap_spark.streaming.sources import TICK_SCHEMA, tick_source
+
+
+def _write_ticks(spark, path: str, rows: list[tuple[str, float]]) -> None:
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], ["data_hora_s", "preco_brl"]
+    ).select(
+        F.to_timestamp("data_hora_s").alias("data_hora"),
+        F.col("preco_brl").cast("double"),
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+TICKS = [
+    ("2025-08-01 10:00:00", 100.0),
+    ("2025-08-01 10:20:00", 110.0),
+    ("2025-08-01 10:40:00", 120.0),
+    ("2025-08-01 11:05:00", 130.0),
+    ("2025-08-01 11:30:00", 90.0),
+    ("2025-08-01 12:10:00", 95.0),
+]
+
+
+def test_t3_available_now_exactly_once(spark, tmp_path):
+    """File-arrival batch-per-drop: each invocation drains only new files."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_ticks(spark, landing, TICKS[:4])
+    src = file_source(spark, landing, TICK_SCHEMA)
+    assert src.isStreaming
+    process_available_files(src, out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == 4
+
+    # re-run with no new files: checkpoint prevents reprocessing
+    process_available_files(
+        file_source(spark, landing, TICK_SCHEMA), out, ckpt
+    ).awaitTermination()
+    assert spark.read.parquet(out).count() == 4
+
+    # drop two more files → only they are processed
+    _write_ticks(spark, landing, TICKS[4:])
+    process_available_files(
+        file_source(spark, landing, TICK_SCHEMA), out, ckpt
+    ).awaitTermination()
+    assert spark.read.parquet(out).count() == 6
+
+
+def test_t2_partitioned_sink_layout(spark, tmp_path):
+    """The streaming sink writes the same Hive layout as the batch side."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    _write_ticks(spark, landing, TICKS)
+    src = file_source(spark, landing, TICK_SCHEMA).select(
+        "*",
+        F.year("data_hora").alias("ano"),
+        F.month("data_hora").alias("mes"),
+        F.dayofmonth("data_hora").alias("dia"),
+    )
+    process_available_files(
+        src, out, str(tmp_path / "ckpt"), partition_by=["ano", "mes", "dia"]
+    ).awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == len(TICKS)
+    assert {"ano", "mes", "dia"} <= set(got.columns)
+    assert (tmp_path / "out" / "ano=2025" / "mes=8" / "dia=1").exists()
+
+
+def test_tumbling_window_stream_matches_batch(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    _write_ticks(spark, landing, TICKS)
+
+    agg = tumbling_window_agg(file_source(spark, landing, TICK_SCHEMA))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.window_start.isoformat(), r.low, r.high, r.n_ticks)
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    batch = {
+        (r.window_start.isoformat(), r.low, r.high, r.n_ticks)
+        for r in tumbling_window_agg(spark.read.parquet(landing)).collect()
+    }
+    assert streamed == batch
+    assert len(batch) == 3  # 10:00, 11:00, 12:00 windows
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    """At-least-once landing (same file content twice) → effectively-once."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    _write_ticks(spark, landing, TICKS)
+    _write_ticks(spark, landing, TICKS)  # replay: second copy of every tick
+    assert spark.read.parquet(landing).count() == 12
+
+    src = dedup_ticks(file_source(spark, landing, TICK_SCHEMA))
+    process_available_files(src, out, str(tmp_path / "ckpt")).awaitTermination()
+    assert spark.read.parquet(out).count() == len(TICKS)
+
+
+def test_stateful_running_stats_stream_matches_batch(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    rows = [
+        ("2025-08-01 10:00:00", "BTC", 100.0),
+        ("2025-08-01 10:01:00", "BTC", 110.0),
+        ("2025-08-01 10:02:00", "BTC", 120.0),
+        ("2025-08-01 10:00:30", "ETH", 10.0),
+        ("2025-08-01 10:01:30", "ETH", 30.0),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("data_hora", T.TimestampType()),
+            T.StructField("symbol", T.StringType()),
+            T.StructField("preco_brl", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows], ["ts_s", "symbol", "preco_brl"]
+    ).select(
+        F.to_timestamp("ts_s").alias("data_hora"), "symbol", "preco_brl"
+    ).coalesce(1).write.parquet(landing)
+
+    stats = stateful_running_stats(file_source(spark, landing, schema))
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("stats_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r.key: (r.n, round(r.mean, 6), round(r.variance, 6), r.last_price)
+        for r in spark.sql(
+            "SELECT key, n, mean, variance, last_price FROM stats_test"
+        ).collect()
+    }
+    batch = {
+        r.key: (r.n, round(r.mean, 6), round(r.variance, 6), r.last_price)
+        for r in stateful_running_stats(spark.read.parquet(landing)).collect()
+    }
+    assert streamed == batch
+    assert streamed["BTC"][0] == 3 and streamed["ETH"][0] == 2
+
+
+def test_parse_firehose_records(spark):
+    raw = spark.createDataFrame(
+        [
+            ('{"timestamp": "2025-08-01 10:00:00", "price": 600000.5}',),
+            ('{"timestamp": "2025-08-01 10:00:01", "price": 600001.0}',),
+            ("not json at all",),
+        ],
+        ["value"],
+    )
+    got = parse_firehose_records(raw).collect()
+    assert len(got) == 3
+    parsed = [r for r in got if r.preco_brl is not None]
+    assert len(parsed) == 2
+    assert parsed[0].data_hora.isoformat() == "2025-08-01T10:00:00"
+
+
+def test_t1_tick_source_shape(spark):
+    """Rate-paced tick source: streaming, correct schema, deterministic
+    price expression (checked via the batch form of the same column)."""
+    src = tick_source(spark, rows_per_second=5)
+    assert src.isStreaming
+    assert [f.name for f in src.schema.fields] == ["data_hora", "preco_brl"]
+    assert isinstance(src.schema["preco_brl"].dataType, T.DoubleType)
+
+    from aws_etl_project2_fiap_spark.streaming.sources import synthetic_price
+
+    a = spark.range(100).select(synthetic_price(F.col("id")).alias("p")).collect()
+    b = spark.range(100).select(synthetic_price(F.col("id")).alias("p")).collect()
+    assert a == b  # reproducible
+    prices = [r.p for r in a]
+    assert all(590_000 < p < 610_000 for p in prices)
