@@ -136,32 +136,57 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-dup candidates, verified with exact Jaccard on
     shingle sets.
 
-    Pipeline: shingle → K minhashes → B bands of K/B rows → join docs on
-    (band_id, band_signature) → exact-verify candidates. The only
-    all-pairs work happens inside buckets, so cost tracks the number of
-    true near-dups, not n². Returns (id1, id2, jaccard).
+    Pipeline: shingle-set array + K minhashes + B band signatures — ALL
+    in one shuffle-free projection (shingles stay an ``array<long>`` per
+    doc; minhash = ``array_min`` over a hash transform; no
+    explode/distinct/groupBy) → explode only the B band keys → self-join
+    on (band, signature) → candidates → exact Jaccard via JVM
+    ``array_intersect`` on the two shingle arrays.
+
+    Shuffles: candidate self-join on narrow (band, sig) keys + two id
+    joins to re-attach shingle arrays. The per-doc array approach holds
+    to ~10⁵ shingles/doc (array must fit a row); beyond that, fall back
+    to the exploded :func:`shingles`/:func:`minhash_signatures` path.
+    Returns (id1, id2, jaccard).
     """
     rows = num_hashes // bands
-    sh = shingles(df, text_col, id_col, shingle_n).cache()
-    sig = minhash_signatures(sh, num_hashes)
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
-            f"band_{b}"
+    parts = ", ".join(f"tk[i-1+{j}]" for j in range(shingle_n))
+    sh_arr = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(tk)-{shingle_n - 1}, 0)),"
+        f" i -> xxhash64(concat_ws(' ', {parts}))))"
+    )
+    docs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("tk"),
         )
-        for b in range(bands)
-    ]
-    banded = sig.select("id", *band_cols)
-    stacked = banded.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("sig"))
-                    for b in range(bands)
-                ]
+        # docs too short to shingle all hash to the SAME null-minhash band
+        # signature — one mega-bucket whose self-join is quadratic. They
+        # can't be near-dups by shingle Jaccard, so drop them up front
+        # (cheap token-count predicate, BEFORE the shingle/minhash exprs,
+        # so predicate pushdown duplicates only the split)
+        .filter(F.size("tk") >= shingle_n)
+        .select("id", sh_arr.alias("sh"))
+    )
+
+    def _minhash(seed: int):
+        # single-arg lambda only: F.transform passes the array index to a
+        # second parameter, which would silently shadow the seed
+        return F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(seed))))
+
+    mh = [_minhash(seed) for seed in range(num_hashes)]
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*mh[b * rows : (b + 1) * rows]).alias("sig"),
             )
-        ).alias("bs"),
-    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+            for b in range(bands)
+        ]
+    )
+    stacked = docs.select("id", F.explode(band_keys).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
     cand = (
         stacked.alias("a")
         .join(stacked.alias("b"), on=["band", "sig"])
@@ -169,27 +194,14 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    # exact verification on shingle sets; the candidate list is tiny
-    # relative to the shingle table, so broadcast it to avoid shuffling
-    # the shingles twice
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (
-        sh.select(F.col("id").alias("id1"), "shingle")
-        .join(F.broadcast(cand), "id1")
-        .join(sh.select(F.col("id").alias("id2"), "shingle"), ["id2", "shingle"])
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    s1 = docs.select(F.col("id").alias("id1"), F.col("sh").alias("__sh1"))
+    s2 = docs.select(F.col("id").alias("id2"), F.col("sh").alias("__sh2"))
+    n_common = F.size(F.array_intersect("__sh1", "__sh2"))
+    jac = n_common / (F.size("__sh1") + F.size("__sh2") - n_common)
     return (
-        common.join(sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1")), "id1")
-        .join(sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2")), "id2")
-        .select(
-            "id1",
-            "id2",
-            (F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))).alias(
-                "jaccard"
-            ),
-        )
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

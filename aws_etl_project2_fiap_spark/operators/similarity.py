@@ -156,8 +156,13 @@ def near_dup_pairs_bucketed(
 
     All tables' sketches come from ONE Arrow-batched matmul
     ((batch×dim) @ (dim×planes·tables) → sign bits → per-table bucket
-    ints) — interpreted per-row higher-order functions are ~100× slower
-    here. Returns (id1, id2, sim)."""
+    ints). Verification happens INSIDE each (table, bucket) group with a
+    single normalized gram matmul (``applyInPandas``) — candidate pairs
+    never materialize as shuffled rows, only survivors above the
+    threshold do. The one shuffle moves ``tables``× the input vectors on
+    narrow (table, bucket) keys; at 100 TB the guard to add is a bucket-
+    size cap (split oversized buckets on extra sketch bits) so one hot
+    bucket can't skew the stage. Returns (id1, id2, sim)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -179,25 +184,31 @@ def near_dup_pairs_bucketed(
         F.col(vec_col),
         F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"),
     )
-    a, b = sk.alias("a"), sk.alias("b")
-    cand = (
-        a.join(b, on=["table", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col(f"a.{vec_col}").alias("__v1"),
-            F.col(f"b.{vec_col}").alias("__v2"),
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].values
+        if len(ids) < 2:
+            return pd.DataFrame({"id1": [], "id2": [], "sim": []})
+        mat = np.stack(pdf[vec_col].values).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.divide(mat, norms, out=mat, where=norms > 0)
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = np.round(sims[iu, ju], 6) >= threshold
+        i1, i2 = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "id1": np.minimum(i1, i2),
+                "id2": np.maximum(i1, i2),
+                "sim": np.round(sims[iu, ju][keep], 6),
+            }
         )
-        .dropDuplicates(["id1", "id2"])
-    )
+
     return (
-        cand.select(
-            "id1",
-            "id2",
-            F.round(cosine_pandas(F.col("__v1"), F.col("__v2")), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
+        sk.groupBy("table", "bucket")
+        .applyInPandas(_score_bucket, f"id1 {id_type}, id2 {id_type}, sim double")
+        .dropDuplicates(["id1", "id2"])
     )
 
 

@@ -59,7 +59,9 @@ def main() -> None:
     from pyspark.sql.functions import pandas_udf
 
     warm_udf = pandas_udf(lambda s: s, "long")
-    spark.range(1000).select(warm_udf(F.col("id"))).count()
+    # 32 partitions → every Python worker process forks + Arrow-inits now,
+    # not inside the first UDF query's timing
+    spark.range(0, 32_000, 1, 32).select(warm_udf(F.col("id"))).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
