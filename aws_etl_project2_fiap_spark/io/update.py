@@ -1,0 +1,76 @@
+"""K6 — in-place UPDATE semantics without mutable storage.
+
+The reference mutates SQLite directly: ``UPDATE pregao_b3 SET data_hora =
+datetime('now','-1 day') WHERE data_hora IS NULL`` (reference
+src/query_db.py:36-43). Parquet has no UPDATE, so the engine implements
+the snapshot-rewrite pattern (SURVEY §7.4 item 6): read → conditional
+projection → write to a staging dir → atomic directory swap. Readers see
+either the old snapshot or the new one, never a half-written mix.
+
+At 100 TB: rewrite only the partitions the predicate touches (pass
+``partition_by`` — untouched partitions are never read or written,
+mirroring dynamic partition overwrite), or adopt a table format with
+row-level deletes (Delta/Iceberg) — same API, different sink.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def apply_update(df: DataFrame, set_cols: dict[str, Column], where: Column) -> DataFrame:
+    """The UPDATE as a pure projection: rows matching ``where`` get the
+    new column values, everything else passes through unchanged."""
+    return df.withColumns(
+        {name: F.when(where, new).otherwise(F.col(name)) for name, new in set_cols.items()}
+    )
+
+
+def update_table(
+    spark: SparkSession,
+    path: str,
+    set_cols: dict[str, Column],
+    where: Column,
+    partition_by: list[str] | None = None,
+) -> int:
+    """UPDATE ... SET ... WHERE over a parquet table path, atomically.
+
+    Returns the number of rows the predicate matched. Without
+    ``partition_by`` the whole snapshot is rewritten and swapped; with
+    it, only partitions containing matched rows are rewritten in place
+    via dynamic partition overwrite (already session-default).
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    n_matched = df.filter(where).count()
+    if n_matched == 0:
+        return 0
+    updated = apply_update(df, set_cols, where)
+
+    if partition_by:
+        # rewrite ONLY the partitions that contain matched rows
+        touched = updated.join(
+            df.filter(where).select(*partition_by).distinct(), partition_by, "semi"
+        )
+        (
+            touched.write.partitionBy(*partition_by)
+            .mode("overwrite")
+            .parquet(path)
+        )
+        return n_matched
+
+    staging = f"{path.rstrip('/')}.__staging_{uuid.uuid4().hex[:8]}"
+    updated.write.mode("overwrite").parquet(staging)
+    backup = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        os.rename(backup, path)  # roll back
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
+    return n_matched

@@ -15,7 +15,15 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = build_session(app_name="tests", shuffle_partitions=8)
+    import tempfile
+
+    spark = build_session(
+        app_name="tests",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-warehouse-")
+        },
+    )
     yield spark
     spark.stop()
 

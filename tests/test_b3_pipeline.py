@@ -1,0 +1,236 @@
+"""Golden-pipeline tests (SURVEY §5.3): replay the reference's pipelines
+on FIXTURES.md-shaped synthetic data, including the real irregularities —
+per-partition schema drift (F1/F2), the leaked ``valor_limpo`` temp
+column (F4), pt-BR number parsing (F3), and both A1 semantics (F7).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_project2_fiap_spark.io.catalog import (
+    create_database,
+    create_table_if_not_exists,
+    save_as_table,
+)
+from aws_etl_project2_fiap_spark.io.update import update_table
+from aws_etl_project2_fiap_spark.operators.cleaning import clean_b3
+from aws_etl_project2_fiap_spark.plans import b3, btc
+
+TICKERS = [("AAAA3", "ALPHA SA", "ON NM"), ("BBBB4", "BETA S/A", "PN N1"),
+           ("CCCC3", "GAMMA 2154", "ON ED NM"), ("DDDD11", "DELTA UNT", "UNT N2"),
+           ("EEEE3", "EPSILON", "ON"), ("FFFF4", "ZETA PART", "PN")]
+
+
+def _qt(day: int, i: int) -> int:
+    # deterministic per (day, ticker) theoretical quantity
+    return 1_000_000_000 + day * 1_000_000 + i * 111_111
+
+
+@pytest.fixture(scope="module")
+def raw_zone(spark, tmp_path_factory) -> str:
+    """F1+F2+F4: 10 consecutive days under ano=/mes=/dia=; days 1-2 lack
+    data_hora (v0 writer), day 3 leaks valor_limpo (Glue source schema),
+    the rest are v1-shaped."""
+    root = tmp_path_factory.mktemp("b3_raw")
+    base = dt.date(2025, 8, 1)
+    for day in range(10):
+        d = base + dt.timedelta(days=day)
+        rows = []
+        for i, (cod, acao, tipo) in enumerate(TICKERS):
+            row = {
+                "cod": cod, "acao": acao, "tipo": tipo,
+                "qtde_teorica": _qt(day, i),
+                "part_teorica_porc": round(0.1 + i * 0.5, 3),
+            }
+            if day >= 2:  # v1 writer adds the string timestamp
+                row["data_hora"] = f"{d} 18:00:00"
+            if day == 2:  # Glue source leaks the temp column
+                row["valor_limpo"] = str(_qt(day, i))
+            rows.append(row)
+        pdf = spark.createDataFrame(rows)
+        path = root / f"ano={d.year}" / f"mes={d.month:02d}" / f"dia={d.day:02d}"
+        pdf.coalesce(1).write.mode("overwrite").parquet(str(path))
+    return str(root)
+
+
+def test_read_raw_canonicalizes_drift(spark, raw_zone):
+    df = b3.read_raw(spark, raw_zone)
+    assert df.count() == 60  # 10 days × 6 tickers
+    assert "valor_limpo" not in df.columns
+    assert dict(df.dtypes)["data_hora"] == "timestamp"
+    # v0 partitions (days 1-2) → null data_hora; v1 partitions → parsed
+    assert df.filter(F.col("data_hora").isNull()).count() == 12
+    assert df.filter(F.col("dia") == 5).select("data_hora").first()[0] is not None
+
+
+def test_a1_intended_semantics_golden(spark, raw_zone):
+    """Intended semantics with injected clock: only the last 8 calendar
+    days (BETWEEN run_date-7 AND run_date) contribute to the sum."""
+    run_date = dt.date(2025, 8, 10)  # day index 9
+    out = b3.top5_7day_sum(
+        b3.read_raw(spark, raw_zone), run_date=run_date, semantics="intended"
+    ).collect()
+    assert len(out) == 5
+    # golden: days 2..9 are in [run_date-7, run_date] → 8 days
+    days_in = range(2, 10)
+    expect = {
+        cod: sum(_qt(day, i) for day in days_in)
+        for i, (cod, _, _) in enumerate(TICKERS)
+    }
+    got = {r.cod: r[b3.TOTAL_COL] for r in out}
+    for cod, total in got.items():
+        assert total == expect[cod], cod
+    # top-5 by total DESC: ticker index 5 has the highest per-day qt
+    ranked = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(got) == [cod for cod, _ in ranked] or set(got) == {c for c, _ in ranked}
+
+
+def test_a1_reference_semantics_sums_everything(spark, raw_zone):
+    """Reference semantics: read-time stamp makes the 7-day filter
+    vacuous — the sum covers ALL landed partitions (SURVEY §3.2)."""
+    out = b3.top5_7day_sum(
+        b3.read_raw(spark, raw_zone), semantics="reference"
+    ).collect()
+    expect_all = {
+        cod: sum(_qt(day, i) for day in range(10))
+        for i, (cod, _, _) in enumerate(TICKERS)
+    }
+    for r in out:
+        assert r[b3.TOTAL_COL] == expect_all[r.cod]
+
+
+def test_refined_write_layout_and_catalog(spark, raw_zone, tmp_path):
+    refined_path = str(tmp_path / "refined")
+    out = b3.run(
+        spark, raw_zone, refined_path, run_date=dt.date(2025, 8, 10)
+    )
+    assert out.columns == ["cod", "acao", b3.TOTAL_COL, "created_at"]
+    back = spark.read.parquet(refined_path)
+    assert back.count() == 5
+    assert {"acao", "created_at"} <= set(back.columns)
+    # Hive layout: partition dirs by acao then created_at
+    acao_dirs = [p.name for p in (tmp_path / "refined").iterdir() if p.is_dir()]
+    assert all(p.startswith("acao=") for p in acao_dirs)
+
+    # K3/D4: same frame registered as a catalog table
+    create_database(spark, "tech_fiap")
+    save_as_table(out, "tech_fiap.b3_fiap", partition_by=["acao", "created_at"],
+                  mode="overwrite")
+    assert spark.table("tech_fiap.b3_fiap").count() == 5
+
+
+def test_clean_chain_f3(spark):
+    """F3 → F1: footer filter, ptBR separator strip, null-on-cast,
+    /1000 rescale, bulk rename."""
+    rows = [
+        ("AAAA3", "ALPHA SA", "ON NM", "4.394.835.131", 494),
+        ("BBBB4", "BETA S/A", "PN N1", "1.234.567", 2795),
+        ("Redutor", "—", "—", "nao numerico", 0),
+        ("Quantidade Teórica Total", "—", "—", "99.999.999.999", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["Código", "Ação", "Tipo", "Qtde. Teórica", "Part. (%)"]
+    )
+    got = clean_b3(df).orderBy("cod").collect()
+    assert [r.cod for r in got] == ["AAAA3", "BBBB4"]
+    assert got[0].qtde_teorica == 4394835131
+    assert got[0].part_teorica_porc == 0.494
+    assert got[1].qtde_teorica == 1234567
+    assert got[1].part_teorica_porc == 2.795
+    assert got[0].acao == "ALPHA SA" and got[1].tipo == "PN N1"
+
+
+def test_clean_chain_null_on_bad_cast(spark):
+    df = spark.createDataFrame(
+        [("XXXX3", "X", "ON", "not-a-number", 100)],
+        ["Código", "Ação", "Tipo", "Qtde. Teórica", "Part. (%)"],
+    )
+    assert clean_b3(df).first().qtde_teorica is None
+
+
+def test_btc_batch_pipeline(spark, tmp_path):
+    """F5: autoincrement-id emulation, daily partitioned write, ordered
+    read-back (S6/O2/K2)."""
+    rows = [
+        ("2025-07-31 23:52:19.088260", 649034.0),
+        ("2025-08-01 00:10:00.000000", 650000.5),
+        ("2025-08-01 08:00:00.500000", 648500.25),
+    ]
+    ticks = spark.createDataFrame(rows, ["data_hora", "preco_brl"])
+    with_ids = btc.assign_ids(ticks)
+    got = with_ids.orderBy("id").collect()
+    assert [r.id for r in got] == [1, 2, 3]
+    assert got[0].preco_brl == 649034.0  # id follows ingestion-time order
+
+    out = str(tmp_path / "ticks")
+    btc.write_ticks(with_ids, out)
+    assert (tmp_path / "ticks" / "ano=2025" / "mes=7" / "dia=31").exists()
+    assert (tmp_path / "ticks" / "ano=2025" / "mes=8" / "dia=1").exists()
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+
+    latest = btc.latest_price(with_ids).first()
+    assert latest.id == 3 and latest.preco_brl == 648500.25
+
+
+def test_update_table_k6(spark, tmp_path):
+    """K6: UPDATE ... SET data_hora = <yesterday> WHERE data_hora IS NULL
+    as an atomic snapshot rewrite (reference src/query_db.py:36-43)."""
+    path = str(tmp_path / "pregao")
+    spark.createDataFrame(
+        [("AAAA3", "2025-08-01 18:00:00"), ("BBBB4", None), ("CCCC3", None)],
+        ["cod", "data_hora"],
+    ).write.parquet(path)
+
+    n = update_table(
+        spark,
+        path,
+        {"data_hora": F.lit("2025-08-09 00:00:00")},
+        F.col("data_hora").isNull(),
+    )
+    assert n == 2
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("data_hora").isNull()).count() == 0
+    assert back.filter(F.col("data_hora") == "2025-08-09 00:00:00").count() == 2
+    assert back.filter(F.col("cod") == "AAAA3").first().data_hora == "2025-08-01 18:00:00"
+
+    # no-op predicate → nothing rewritten
+    assert update_table(spark, path, {"data_hora": F.lit("x")}, F.lit(False)) == 0
+
+
+def test_update_table_partitioned(spark, tmp_path):
+    """Partition-scoped K6: only partitions containing matched rows are
+    rewritten (the 100 TB-safe path)."""
+    path = str(tmp_path / "part_tbl")
+    spark.createDataFrame(
+        [("a", 1, None), ("a", 2, "x"), ("b", 3, "y")],
+        ["grp", "id", "val"],
+    ).write.partitionBy("grp").parquet(path)
+
+    n = update_table(
+        spark, path, {"val": F.lit("filled")}, F.col("val").isNull(),
+        partition_by=["grp"],
+    )
+    assert n == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    assert back.filter(F.col("val") == "filled").count() == 1
+    assert back.filter(F.col("grp") == "b").first().val == "y"
+
+
+def test_create_table_if_not_exists(spark):
+    create_database(spark, "tech_fiap")
+    create_table_if_not_exists(
+        spark, "tech_fiap.preco_bitcoin",
+        "id BIGINT, data_hora STRING, preco_brl DOUBLE",
+    )
+    # idempotent (IF NOT EXISTS)
+    create_table_if_not_exists(
+        spark, "tech_fiap.preco_bitcoin",
+        "id BIGINT, data_hora STRING, preco_brl DOUBLE",
+    )
+    assert spark.catalog.tableExists("tech_fiap.preco_bitcoin")
