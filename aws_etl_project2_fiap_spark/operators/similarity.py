@@ -232,3 +232,122 @@ def near_dup_pairs_exact(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index: k-means coarse quantizer + cluster-probed search
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 5,
+):
+    """Deterministic Lloyd k-means over an embedding column.
+
+    - init: the k vectors with the smallest ``xxhash64(id)`` — a
+      reproducible pseudo-random sample, no RNG state;
+    - assignment: Arrow-batched argmin over one (batch×dim)@(dim×k)
+      matmul per batch;
+    - update: ``mapInPandas`` emits per-batch partial (cluster, sum, n)
+      rows — only k×num_batches tiny rows ever reach the driver, the
+      vectors themselves are never shuffled or collected.
+
+    Returns a k×dim list-of-lists (centroids). Cost per iteration is one
+    scan; at 100 TB fit on a sampled fraction, assign the full table once.
+    """
+    import numpy as np
+    import pandas as pd
+
+    seed_rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(k)
+        .collect()
+    )
+    cent = np.stack([np.asarray(r.v, dtype=np.float64) for r in seed_rows])
+
+    part_schema = "cluster int, vsum array<double>, n long"
+    for _ in range(iters):
+        c = cent  # bind current centroids into the closure
+
+        def _partials(batches):
+            for pdf in batches:
+                mat = np.stack(pdf[vec_col].values).astype(np.float64)
+                d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                out = {"cluster": [], "vsum": [], "n": []}
+                for cl in np.unique(assign):
+                    sel = mat[assign == cl]
+                    out["cluster"].append(int(cl))
+                    out["vsum"].append(sel.sum(axis=0).tolist())
+                    out["n"].append(int(len(sel)))
+                yield pd.DataFrame(out)
+
+        parts = df.select(vec_col).mapInPandas(_partials, part_schema).collect()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent))
+        for r in parts:
+            sums[r.cluster] += np.asarray(r.vsum)
+            counts[r.cluster] += r.n
+        nonzero = counts > 0
+        cent[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return [row.tolist() for row in cent]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Attach the nearest-centroid id as a ``cluster`` column (the IVF
+    inverted list key — partition or Z-order by it when materializing
+    the index so a probe reads only its clusters' files)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)
+
+    def _assign_fn(vecs):
+        mat = np.stack(vecs.values).astype(np.float64)
+        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    _assign = pandas_udf(_assign_fn, "int")
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col), _assign(F.col(vec_col)).alias("cluster")
+    )
+
+
+def ivf_search(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe the ``nprobe`` clusters nearest the query, exact
+    cosine inside them. ``nprobe=len(centroids)`` degrades gracefully to
+    exact search. The cluster filter is a plain predicate — with the
+    index partitioned by ``cluster`` it becomes partition pruning, so a
+    probe touches nprobe/k of the data."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(((c - q) ** 2).sum(axis=1), kind="stable")
+    probe = [int(x) for x in order[:nprobe]]
+
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        indexed.filter(F.col("cluster").isin(probe))
+        .select("id", F.round(cosine(F.col(vec_col), qcol), 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("id"))
+        .limit(k)
+    )

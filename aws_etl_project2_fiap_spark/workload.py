@@ -1156,6 +1156,20 @@ def similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery("similarity_ivf_knn", None)  # k-means ANN: not ANSI SQL
+def similarity_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic k-means coarse quantizer
+    (16 cells), probe the 4 cells nearest the query, exact cosine
+    inside. Rows-only check; nprobe=all ≡ brute force and recall@10 are
+    asserted in tests/test_ivf.py. At scale the index is materialized
+    partitioned by cluster, so a probe prunes to nprobe/k of the files."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = sim_op.kmeans_fit(e, k=16, iters=3)
+    q = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    idx = sim_op.ivf_assign(e, cents)
+    return sim_op.ivf_search(idx, cents, list(q), k=10, nprobe=4)
+
+
 @defquery(
     "similarity_pairs_exact",
     """
