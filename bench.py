@@ -34,6 +34,8 @@ HEADLINE = [
     "window_top3_per_cust",
     "window_lag_delta",
     "sessionize_30m",
+    "session_window_native",
+    "stream_stats_by_key",
     "asof_join_ticks",
     "event_time_tumbling_1h",
     "o1_topk",
@@ -43,6 +45,7 @@ HEADLINE = [
     "text_quality",
     "similarity_knn",
     "similarity_pairs_lsh",
+    "similarity_ivf_knn",
     "multimodal_meta",
 ]
 
