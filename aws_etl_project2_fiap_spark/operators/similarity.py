@@ -245,56 +245,41 @@ def kmeans_fit(
     id_col: str = "vec_id",
     k: int = 16,
     iters: int = 5,
+    sample_limit: int = 10_000,
 ):
-    """Deterministic Lloyd k-means over an embedding column.
+    """Deterministic Lloyd k-means trained on a bounded sample.
 
-    - init: the k vectors with the smallest ``xxhash64(id)`` — a
-      reproducible pseudo-random sample, no RNG state;
-    - assignment: Arrow-batched argmin over one (batch×dim)@(dim×k)
-      matmul per batch;
-    - update: ``mapInPandas`` emits per-batch partial (cluster, sum, n)
-      rows — only k×num_batches tiny rows ever reach the driver, the
-      vectors themselves are never shuffled or collected.
+    Standard IVF practice (what FAISS does): the coarse quantizer is
+    trained on a sample — centroid quality converges long before the
+    sample does, so training cost is O(sample), independent of table
+    size, and the expensive distributed passes are reserved for
+    :func:`ivf_assign`/:func:`ivf_search`.
 
-    Returns a k×dim list-of-lists (centroids). Cost per iteration is one
-    scan; at 100 TB fit on a sampled fraction, assign the full table once.
+    - sample: the ``sample_limit`` rows with smallest ``xxhash64(id)`` —
+      a reproducible pseudo-random sample (no RNG state), fetched in ONE
+      Spark job (TakeOrderedAndProject, never a full collect);
+    - init: first k sample vectors (already hash-shuffled → unbiased);
+    - Lloyd iterations run in numpy on the driver.
+
+    Returns a k×dim list-of-lists (centroids).
     """
     import numpy as np
-    import pandas as pd
 
-    seed_rows = (
+    sample_rows = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy(F.xxhash64(F.col("id")), F.col("id"))
-        .limit(k)
+        .limit(sample_limit)
         .collect()
     )
-    cent = np.stack([np.asarray(r.v, dtype=np.float64) for r in seed_rows])
-
-    part_schema = "cluster int, vsum array<double>, n long"
+    mat = np.stack([np.asarray(r.v, dtype=np.float64) for r in sample_rows])
+    cent = mat[:k].copy()
     for _ in range(iters):
-        c = cent  # bind current centroids into the closure
-
-        def _partials(batches):
-            for pdf in batches:
-                mat = np.stack(pdf[vec_col].values).astype(np.float64)
-                d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-                assign = d2.argmin(axis=1)
-                out = {"cluster": [], "vsum": [], "n": []}
-                for cl in np.unique(assign):
-                    sel = mat[assign == cl]
-                    out["cluster"].append(int(cl))
-                    out["vsum"].append(sel.sum(axis=0).tolist())
-                    out["n"].append(int(len(sel)))
-                yield pd.DataFrame(out)
-
-        parts = df.select(vec_col).mapInPandas(_partials, part_schema).collect()
-        sums = np.zeros_like(cent)
-        counts = np.zeros(len(cent))
-        for r in parts:
-            sums[r.cluster] += np.asarray(r.vsum)
-            counts[r.cluster] += r.n
-        nonzero = counts > 0
-        cent[nonzero] = sums[nonzero] / counts[nonzero, None]
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for cl in range(len(cent)):
+            sel = mat[assign == cl]
+            if len(sel):
+                cent[cl] = sel.mean(axis=0)
     return [row.tolist() for row in cent]
 
 
