@@ -33,6 +33,27 @@ def save_as_table(
     writer.saveAsTable(table)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) catalog table — the 100 TB co-location
+    primitive. Two tables bucketed on the same key with the same bucket
+    count join with ZERO exchanges: the shuffle is paid once at write
+    time and amortized over every subsequent join/aggregation on that
+    key (the fact⋈fact case broadcast can't help with).
+    ``sort_by`` additionally pre-sorts within buckets, removing the
+    sort from sort-merge joins."""
+    writer = df.write.bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.mode(mode).format("parquet").saveAsTable(table)
+
+
 def create_table_if_not_exists(
     spark: SparkSession, table: str, ddl_columns: str, partition_by: str | None = None
 ) -> None:

@@ -127,3 +127,37 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     pf = [ln for ln in s.splitlines() if "PartitionFilters" in ln]
     assert pf and "bucket" in pf[0], s
     assert df.count() == 100
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-located fact⋈fact: lineitem and orders bucketed on the join
+    key must sort-merge-join with NO Exchange in the plan — the shuffle
+    was paid at write time (this is the 100 TB answer to the star
+    join's one remaining shuffle)."""
+    from aws_etl_project2_fiap_spark.io.catalog import write_bucketed
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, sort_by=["l_orderkey"])
+    write_bucketed(o, "b_orders", ["o_orderkey"], 8, sort_by=["o_orderkey"])
+
+    conf = spark.conf
+    old_thresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        p = plan(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p
+        assert joined.count() == spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

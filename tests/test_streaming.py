@@ -203,3 +203,57 @@ def test_t1_tick_source_shape(spark):
     assert a == b  # reproducible
     prices = [r.p for r in a]
     assert all(590_000 < p < 610_000 for p in prices)
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    from aws_etl_project2_fiap_spark.streaming import sliding_window_agg
+
+    landing = str(tmp_path / "landing")
+    _write_ticks(spark, landing, TICKS)
+    agg = sliding_window_agg(
+        file_source(spark, landing, TICK_SCHEMA), window="40 minutes", slide="20 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.window_start.isoformat(), round(r.moving_avg, 6), r.n_ticks)
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    batch = {
+        (r.window_start.isoformat(), round(r.moving_avg, 6), r.n_ticks)
+        for r in sliding_window_agg(
+            spark.read.parquet(landing), window="40 minutes", slide="20 minutes"
+        ).collect()
+    }
+    assert streamed == batch
+    # overlapping windows: every tick appears in window/slide = 2 windows
+    total_ticks = sum(n for _, _, n in batch)
+    assert total_ticks == 2 * len(TICKS)
+
+
+def test_t2_processing_time_trigger_sink(spark, tmp_path):
+    """buffered_parquet_sink: the 60s-buffer semantics on a 1s trigger —
+    drain all available input, then stop (processAllAvailable makes the
+    test deterministic, no sleeps)."""
+    from aws_etl_project2_fiap_spark.streaming import buffered_parquet_sink
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    _write_ticks(spark, landing, TICKS)
+    q = buffered_parquet_sink(
+        file_source(spark, landing, TICK_SCHEMA),
+        out,
+        str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == len(TICKS)
