@@ -257,3 +257,61 @@ def test_t2_processing_time_trigger_sink(spark, tmp_path):
     finally:
         q.stop()
     assert spark.read.parquet(out).count() == len(TICKS)
+
+
+def test_custom_tick_datasource_batch(spark):
+    """Spark-4 Python DataSource, batch form: format('b3_ticks')."""
+    from aws_etl_project2_fiap_spark.streaming.datasource import TickDataSource
+
+    spark.dataSource.register(TickDataSource)
+    df = spark.read.format("b3_ticks").option("n_ticks", "500").load()
+    assert df.count() == 500
+    rows = df.orderBy("data_hora").limit(2).collect()
+    assert rows[0].data_hora.isoformat() == "2025-08-01T00:00:00"
+    assert rows[1].data_hora.isoformat() == "2025-08-01T00:00:01"
+    # deterministic: same read twice
+    again = spark.read.format("b3_ticks").option("n_ticks", "500").load()
+    assert df.exceptAll(again).count() == 0
+
+
+def test_custom_tick_datasource_stream(spark, tmp_path):
+    """Streaming form: offsets advance per micro-batch; a second run from
+    the same checkpoint resumes at the committed offset (exactly-once)."""
+    from aws_etl_project2_fiap_spark.streaming.datasource import TickDataSource
+
+    spark.dataSource.register(TickDataSource)
+    src = (
+        spark.readStream.format("b3_ticks")
+        .option("ticks_per_batch", "25")
+        .load()
+    )
+    assert src.isStreaming
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        src.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    assert n1 >= 25 and n1 % 25 == 0
+
+    # resume: offsets continue, no tick is re-emitted
+    q2 = (
+        spark.readStream.format("b3_ticks")
+        .option("ticks_per_batch", "25")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    back = spark.read.parquet(out)
+    assert back.count() > n1
+    assert back.groupBy("data_hora").count().filter("count > 1").count() == 0
