@@ -539,6 +539,97 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass (Expand node →
+    one shuffle, not 4 separate aggregations)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@defquery(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(SUM(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of cube/rollup) via the
+    SQL surface over a temp view — per-flag totals, per-status totals,
+    and the grand total, one Expand+shuffle."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(SUM(l_extendedprice), 4) AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@defquery(
+    "agg_pivot",
+    """
+    SELECT l_returnflag,
+           round(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4)
+               AS qty_f,
+           round(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4)
+               AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (never inferred — inference
+    needs an extra distinct scan and breaks at 100 TB)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+        .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
+    )
+
+
+@defquery(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL PERCENTILE_CONT semantics).
+    At 100 TB swap for percentile_approx(col, p, accuracy) — same plan
+    shape, bounded memory, documented error; exact here so the oracle
+    can hash-match."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@defquery(
     "join_star_revenue",
     """
     SELECT r_name, n_name,
