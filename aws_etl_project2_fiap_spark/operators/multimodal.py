@@ -104,3 +104,44 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
         "image resize requires a codec library not present in this container; "
         "the mapInPandas plumbing mirrors extract_features()"
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame, every_ms: int = 1000, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video frame sampling: one row per sampled frame per payload.
+
+    Real plumbing — ``mapInPandas`` fan-out (1 input row → N frame
+    rows), binary column untouched until this stage, deterministic
+    frame count from the metadata duration; the "decoder" slices the
+    payload bytes instead of calling a codec (stubbed per north-star
+    rules: swap the slice for ffmpeg outside this container).
+    """
+
+    def fake_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_ms": [], "frame_bytes": []}
+            for _, row in pdf.iterrows():
+                payload = row["content"] or b""
+                duration = int(row["duration_ms"])
+                n_frames = max(1, duration // every_ms)
+                step = max(1, len(payload) // n_frames) if payload else 1
+                for k in range(n_frames):
+                    out["doc_id"].append(row[id_col])
+                    out["frame_idx"].append(k)
+                    out["frame_ms"].append(k * every_ms)
+                    out["frame_bytes"].append(bytes(payload[k * step : (k + 1) * step]))
+            yield pd.DataFrame(out)
+
+    flat = df.select(id_col, "content", F.col("media.duration_ms").alias("duration_ms"))
+    return flat.mapInPandas(fake_frames, FRAME_SCHEMA)

@@ -215,3 +215,33 @@ def stateful_running_stats(
             timeoutConf="NoTimeout",
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    lookback: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream⋈stream equi-join bounded by an event-time interval: each
+    left event matches right events of the same key within
+    ``[left_ts - lookback, left_ts]``.
+
+    Both sides carry watermarks and the join condition carries the time
+    bound — together they let the engine EXPIRE join state (a right row
+    older than watermark+lookback can never match again and is dropped).
+    An unbounded stream-stream join would accumulate state forever; this
+    is the shape that runs indefinitely. Right-side columns must already
+    be named apart from left's (``right_ts`` default reflects that).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[f"{key}_r"])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (rw[right_ts] <= lw[left_ts])
+    )
+    return lw.join(rw, cond, "inner")

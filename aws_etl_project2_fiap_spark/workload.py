@@ -808,6 +808,81 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "window_range_1h",
+    """
+    SELECT event_id,
+           round(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts)
+             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW
+           ), 4) AS rolling_1h
+    FROM events
+    """,
+)
+def window_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: each event's trailing-1-hour sum per
+    user. RANGE (value-based) vs ROWS (count-based) matters whenever
+    events cluster — the frame is defined by the timestamp distance, not
+    the row count. One shuffle on user_id; ns longs keep both engines'
+    frame boundaries bit-identical."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rangeBetween(-3_600_000_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", F.round(F.sum("value").over(w), 4).alias("rolling_1h")
+    )
+
+
+@defquery(
+    "subquery_exists",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst decorrelates it into a left-semi
+    join (asserted in the plan gates), so it scales like any other
+    shuffle join instead of per-row re-execution."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_sq
+        WHERE EXISTS (SELECT 1 FROM orders_sq
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        """
+    )
+
+
+@defquery(
+    "subquery_scalar_agg",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (threshold = 2× global average):
+    plans as an independent single-row subquery broadcast into the
+    filter — the table is scanned twice but shuffled never."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders_ssq
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_ssq)
+        """
+    )
+
+
+@defquery(
     "window_top3_per_cust",
     """
     SELECT o_custkey, o_orderkey, o_totalprice FROM (

@@ -234,3 +234,29 @@ def test_create_table_if_not_exists(spark):
         "id BIGINT, data_hora STRING, preco_brl DOUBLE",
     )
     assert spark.catalog.tableExists("tech_fiap.preco_bitcoin")
+
+
+def test_multimodal_frame_sample(spark):
+    """Frame sampling fans 1 payload row out to duration/step frame rows
+    with non-overlapping byte slices (multimodal mapInPandas plumbing)."""
+    from aws_etl_project2_fiap_spark.operators.multimodal import (
+        attach_binary,
+        frame_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 10)], ["doc_id", "payload"]
+    )
+    media = attach_binary(docs, "payload", kind="video")
+    # duration_ms = n_bytes * 10 → doc1: 1000ms → 1 frame at default 1000ms;
+    # sample every 100ms → doc1: 10 frames, doc2: 1 frame
+    frames = frame_sample(media, every_ms=100)
+    rows = frames.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 10
+    assert len(by_doc[2]) == 1
+    f0 = sorted(by_doc[1], key=lambda r: r.frame_idx)
+    assert [r.frame_ms for r in f0] == [i * 100 for i in range(10)]
+    assert b"".join(bytes(r.frame_bytes) for r in f0) == b"x" * 100

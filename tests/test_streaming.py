@@ -315,3 +315,61 @@ def test_custom_tick_datasource_stream(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() > n1
     assert back.groupBy("data_hora").count().filter("count > 1").count() == 0
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream⋈stream interval join == the batch interval
+    join on the same data (purchases matched to same-user views within
+    the preceding hour)."""
+    from aws_etl_project2_fiap_spark.streaming.pipelines import (
+        stream_stream_interval_join,
+    )
+
+    p_dir, v_dir = str(tmp_path / "purchases"), str(tmp_path / "views")
+    purchases = [
+        ("u1", "2025-08-01 10:30:00", 100.0),
+        ("u1", "2025-08-01 12:00:00", 200.0),
+        ("u2", "2025-08-01 10:45:00", 300.0),
+    ]
+    views = [
+        ("u1", "2025-08-01 10:00:00", 1.0),   # in window of p1 only
+        ("u1", "2025-08-01 10:29:00", 2.0),   # in window of p1 only
+        ("u1", "2025-08-01 11:30:00", 3.0),   # in window of p2 only
+        ("u2", "2025-08-01 09:00:00", 4.0),   # too old for p3
+    ]
+    schema_l = T.StructType(
+        [T.StructField("user_id", T.StringType()),
+         T.StructField("ts", T.TimestampType()),
+         T.StructField("amount", T.DoubleType())]
+    )
+    schema_r = T.StructType(
+        [T.StructField("user_id_r", T.StringType()),
+         T.StructField("ts_r", T.TimestampType()),
+         T.StructField("vval", T.DoubleType())]
+    )
+    spark.createDataFrame(purchases, ["user_id", "s", "amount"]).select(
+        "user_id", F.to_timestamp("s").alias("ts"), "amount"
+    ).coalesce(1).write.parquet(p_dir)
+    spark.createDataFrame(views, ["user_id_r", "s", "vval"]).select(
+        "user_id_r", F.to_timestamp("s").alias("ts_r"), "vval"
+    ).coalesce(1).write.parquet(v_dir)
+
+    joined = stream_stream_interval_join(
+        file_source(spark, p_dir, schema_l),
+        file_source(spark, v_dir, schema_r),
+        key="user_id",
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.amount, r.vval)
+        for r in spark.sql("SELECT user_id, amount, vval FROM ssj_test").collect()
+    }
+    assert got == {("u1", 100.0, 1.0), ("u1", 100.0, 2.0), ("u1", 200.0, 3.0)}
