@@ -104,3 +104,67 @@ def fingerprint(col: Column | str) -> Column:
     than md5 strings)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.xxhash64(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def rolling_chunk_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    mask_bits: int = 5,
+) -> DataFrame:
+    """Content-defined chunking via a Rabin-style rolling hash:
+    (id, chunk_hash) rows, one per chunk.
+
+    A fixed-width polynomial rolling hash slides over the bytes; byte
+    positions where ``hash % 2^mask_bits == 0`` become chunk boundaries,
+    so boundaries follow CONTENT, not offsets — insert one word at the
+    front of a doc and every fixed-size shingle shifts, but rolling
+    chunks realign after one boundary. Chunk hashes therefore support
+    shift-tolerant dedup/delta detection (rsync/LBFS lineage).
+
+    Arrow-batched numpy (vectorized polynomial evaluation per doc);
+    output is a narrow (id, hash) table — groupBy/join it like any
+    fingerprint table. Expected chunk length = 2^mask_bits bytes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # modulus small enough that a window-dot-product fits int64:
+    # window * 255 * mod ~ 2^43 << 2^63
+    base, mod = 257, (1 << 31) - 1
+    mask = (1 << mask_bits) - 1
+
+    def _chunks(batches):
+        # kernel[j] = base^(window-1-j) mod m -> hash_i = window_i . kernel
+        kernel = np.array(
+            [pow(base, window - 1 - j, mod) for j in range(window)], dtype=np.int64
+        )
+        for pdf in batches:
+            out_id, out_hash = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                data = np.frombuffer(
+                    (text or "").encode("utf-8", "ignore"), dtype=np.uint8
+                ).astype(np.int64)
+                if len(data) < window:
+                    if len(data):
+                        out_id.append(doc_id)
+                        out_hash.append(int(data.sum()))
+                    continue
+                # all positions' rolling hashes in one matmul
+                sw = np.lib.stride_tricks.sliding_window_view(data, window)
+                hashes = (sw @ kernel) % mod
+                bounds = np.nonzero((hashes & mask) == 0)[0].tolist()
+                prev = 0
+                for b in [*bounds, len(data)]:
+                    if b <= prev:
+                        continue
+                    seg = data[prev:b]
+                    out_id.append(doc_id)
+                    out_hash.append(int((seg * (np.arange(len(seg)) + 1)).sum() % mod))
+                    prev = b
+            yield pd.DataFrame({"id": out_id, "chunk_hash": out_hash})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _chunks, "id long, chunk_hash long"
+    )

@@ -1322,6 +1322,15 @@ def similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery("text_rolling_chunks", None)  # content-defined chunking: not ANSI SQL
+def text_rolling_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-style content-defined chunk fingerprints per doc — the
+    shift-tolerant dedup/delta primitive (rsync/LBFS lineage). Rows-only
+    check; shift-tolerance is asserted in tests."""
+    d = t(spark, sf_dir, "documents")
+    return text_op.rolling_chunk_hashes(d)
+
+
 @defquery("similarity_ivf_knn", None)  # k-means ANN: not ANSI SQL
 def similarity_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: deterministic k-means coarse quantizer

@@ -260,3 +260,29 @@ def test_multimodal_frame_sample(spark):
     f0 = sorted(by_doc[1], key=lambda r: r.frame_idx)
     assert [r.frame_ms for r in f0] == [i * 100 for i in range(10)]
     assert b"".join(bytes(r.frame_bytes) for r in f0) == b"x" * 100
+
+
+def test_rolling_chunks_shift_tolerant(spark):
+    """Content-defined chunking realigns after an insertion: a doc with
+    a prepended sentence shares most chunk hashes with the original
+    (fixed-offset shingles would share none)."""
+    from aws_etl_project2_fiap_spark.operators.text import rolling_chunk_hashes
+
+    body = (
+        "the quick brown fox jumps over the lazy dog while the analytics "
+        "engine shuffles partitions and broadcasts dimensions across the "
+        "cluster every single micro batch window interval "
+    ) * 4
+    docs = spark.createDataFrame(
+        [(1, body), (2, "INSERTED PREFIX CHANGES OFFSETS " + body)],
+        ["doc_id", "text"],
+    )
+    rows = rolling_chunk_hashes(docs).collect()
+    h1 = {r.chunk_hash for r in rows if r.id == 1}
+    h2 = {r.chunk_hash for r in rows if r.id == 2}
+    assert len(h1) > 3  # actually chunked, not one blob
+    overlap = len(h1 & h2) / len(h1)
+    assert overlap >= 0.7, (overlap, len(h1), len(h2))
+    # determinism
+    again = {r.chunk_hash for r in rolling_chunk_hashes(docs).collect() if r.id == 1}
+    assert again == h1

@@ -161,3 +161,11 @@ def test_bucketed_join_has_no_exchange(spark):
         conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    """Correlated EXISTS must decorrelate into a semi join — per-row
+    subquery re-execution would be quadratic at scale."""
+    p = plan(CATALOG["subquery_exists"].spark(spark, SF))
+    assert "Semi" in p, p
+    assert "CartesianProduct" not in p
