@@ -74,3 +74,78 @@ def update_table(
         raise
     shutil.rmtree(backup, ignore_errors=True)
     return n_matched
+
+
+def merge_into(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str = "update",
+) -> dict:
+    """MERGE INTO over a parquet snapshot: upsert ``source`` into the
+    table at ``target_path`` by ``keys``.
+
+    - matched rows: replaced by the source row (``update``) or kept
+      (``ignore``);
+    - unmatched source rows: inserted.
+
+    Plan: one full-outer join on the keys + coalesce projection, then the
+    same atomic snapshot swap as :func:`update_table`. One shuffle on the
+    merge keys; at 100 TB pre-bucket the target on the keys so the join
+    is exchange-free, or adopt Delta/Iceberg for file-level merge-on-read
+    — the API stays the same. Returns {"updated": n, "inserted": n}.
+    """
+    import os
+    import shutil
+    import uuid
+
+    target = spark.read.parquet(target_path)
+    t_cols = target.columns
+    if sorted(source.columns) != sorted(t_cols):
+        raise ValueError(f"source columns {source.columns} != target {t_cols}")
+
+    tgt = target.alias("t")
+    src = source.alias("s")
+    joined = tgt.join(src, keys, "full_outer")
+    matched = F.lit(True)
+    for k in keys:
+        matched = matched & F.col(f"s.{k}").isNotNull() & F.col(f"t.{k}").isNotNull()
+    n_updated = joined.filter(matched).count()
+    n_inserted = source.join(target.select(*keys), keys, "anti").count()
+
+    cols = []
+    for c in t_cols:
+        if c in keys:
+            cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
+        elif when_matched == "update":
+            # source wins when present, else keep target
+            s_present = F.col(f"s.{keys[0]}").isNotNull()
+            cols.append(
+                F.when(s_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            )
+        else:
+            t_present = F.col(f"t.{keys[0]}").isNotNull()
+            cols.append(
+                F.when(t_present, F.col(f"t.{c}")).otherwise(F.col(f"s.{c}")).alias(c)
+            )
+    merged = joined.select(*cols)
+
+    staging = f"{target_path.rstrip('/')}.__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    backup = f"{target_path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, backup)
+    try:
+        os.rename(staging, target_path)
+    except OSError:
+        os.rename(backup, target_path)
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
+    return {"updated": n_updated, "inserted": n_inserted}
+
+
+def _first_nonkey(cols: list[str], keys: list[str]) -> str:
+    for c in cols:
+        if c not in keys:
+            return c
+    return keys[0]

@@ -71,3 +71,40 @@ def process_available_files(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     return writer.start()
+
+
+def upsert_sink(
+    df,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+    query_name: str = "upsert_sink",
+) -> StreamingQuery:
+    """Streaming MERGE: each micro-batch upserts into a parquet snapshot
+    via ``foreachBatch`` + :func:`~aws_etl_project2_fiap_spark.io.update.
+    merge_into` (insert-if-new, replace-if-matched by key).
+
+    This is the streaming K6: the reference's "UPDATE the row for today"
+    pattern applied continuously. foreachBatch gives the batch-API
+    escape hatch; exactly-once comes from the checkpoint + the merge's
+    atomic snapshot swap (a replayed batch re-merges idempotently)."""
+    import os
+
+    from ..io.update import merge_into
+
+    def _merge(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not os.path.exists(target_path):
+            batch_df.write.mode("overwrite").parquet(target_path)
+            return
+        # keep-latest within the batch so the merge source is unique per key
+        deduped = batch_df.dropDuplicates(keys)
+        merge_into(spark, target_path, deduped, keys)
+
+    return (
+        df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -286,3 +286,72 @@ def test_rolling_chunks_shift_tolerant(spark):
     # determinism
     again = {r.chunk_hash for r in rolling_chunk_hashes(docs).collect() if r.id == 1}
     assert again == h1
+
+
+def test_merge_into_upsert(spark, tmp_path):
+    """MERGE INTO: matched keys update, new keys insert, others persist."""
+    from aws_etl_project2_fiap_spark.io.update import merge_into
+
+    path = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [("AAAA3", 100, "old"), ("BBBB4", 200, "old")],
+        ["cod", "qt", "tag"],
+    ).write.parquet(path)
+    source = spark.createDataFrame(
+        [("BBBB4", 999, "new"), ("CCCC3", 300, "new")],
+        ["cod", "qt", "tag"],
+    )
+    stats = merge_into(spark, path, source, ["cod"])
+    assert stats == {"updated": 1, "inserted": 1}
+    back = {r.cod: (r.qt, r.tag) for r in spark.read.parquet(path).collect()}
+    assert back == {
+        "AAAA3": (100, "old"),
+        "BBBB4": (999, "new"),
+        "CCCC3": (300, "new"),
+    }
+
+    # when_matched="ignore": existing rows win
+    source2 = spark.createDataFrame([("AAAA3", 555, "x")], ["cod", "qt", "tag"])
+    stats2 = merge_into(spark, path, source2, ["cod"], when_matched="ignore")
+    assert stats2["updated"] == 1  # matched, but kept
+    assert spark.read.parquet(path).filter(F.col("cod") == "AAAA3").first().qt == 100
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    """foreachBatch upsert: late tick replaces the same-key row instead
+    of appending a duplicate."""
+    from aws_etl_project2_fiap_spark.streaming.sinks import upsert_sink
+    from aws_etl_project2_fiap_spark.streaming.sources import TICK_SCHEMA
+    from aws_etl_project2_fiap_spark.streaming import file_source
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [("2025-08-01 10:00:00", 100.0), ("2025-08-01 11:00:00", 110.0)],
+        ["s", "preco_brl"],
+    ).select(F.to_timestamp("s").alias("data_hora"), "preco_brl").coalesce(
+        1
+    ).write.mode("append").parquet(landing)
+    upsert_sink(
+        file_source(spark, landing, TICK_SCHEMA), target, ["data_hora"], ckpt
+    ).awaitTermination()
+    assert spark.read.parquet(target).count() == 2
+
+    # correction arrives for 10:00 + one new tick
+    spark.createDataFrame(
+        [("2025-08-01 10:00:00", 999.0), ("2025-08-01 12:00:00", 120.0)],
+        ["s", "preco_brl"],
+    ).select(F.to_timestamp("s").alias("data_hora"), "preco_brl").coalesce(
+        1
+    ).write.mode("append").parquet(landing)
+    upsert_sink(
+        file_source(spark, landing, TICK_SCHEMA), target, ["data_hora"], ckpt
+    ).awaitTermination()
+    back = spark.read.parquet(target)
+    assert back.count() == 3  # upsert, not append
+    assert (
+        back.filter(F.col("data_hora") == "2025-08-01 10:00:00").first().preco_brl
+        == 999.0
+    )
