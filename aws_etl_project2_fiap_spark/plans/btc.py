@@ -49,3 +49,41 @@ def write_ticks(df: DataFrame, path: str) -> None:
 def latest_price(df: DataFrame) -> DataFrame:
     """S6/O2: newest-first read-back (``ORDER BY id DESC``)."""
     return df.orderBy(F.desc("id"))
+
+
+def run_stream(
+    spark,
+    out_path: str,
+    checkpoint: str,
+    ticks_per_batch: int = 60,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+):
+    """End-to-end streaming product: tick source → watermarked tumbling
+    OHLC aggregate → checkpointed parquet (the pipeline the reference's
+    design implies: poll loop ≙ custom source, Firehose buffer ≙
+    trigger+sink, plus the aggregation it never wrote).
+
+    Uses the engine's custom ``b3_ticks`` DataSource (deterministic
+    fetch, exactly-once offsets) and drains what's available — call
+    repeatedly for the batch-per-invocation cadence, or swap the trigger
+    for processingTime in always-on deployments. Returns the query.
+    """
+    from ..streaming.datasource import TickDataSource
+    from ..streaming.pipelines import tumbling_window_agg
+
+    spark.dataSource.register(TickDataSource)
+    ticks = (
+        spark.readStream.format("b3_ticks")
+        .option("ticks_per_batch", str(ticks_per_batch))
+        .load()
+    )
+    agg = tumbling_window_agg(ticks, window=window, watermark=watermark)
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -373,3 +373,24 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in spark.sql("SELECT user_id, amount, vval FROM ssj_test").collect()
     }
     assert got == {("u1", 100.0, 1.0), ("u1", 100.0, 2.0), ("u1", 200.0, 3.0)}
+
+
+def test_btc_run_stream_end_to_end(spark, tmp_path):
+    """plans.btc.run_stream: custom source → tumbling OHLC → parquet.
+    Append mode emits only watermark-closed windows; draining several
+    batches closes the early minutes deterministically."""
+    from aws_etl_project2_fiap_spark.plans import btc
+
+    out = str(tmp_path / "ohlc")
+    ckpt = str(tmp_path / "ckpt")
+    # 60 ticks/batch at 1 tick/s: 6 invocations = 6 minutes of stream.
+    # Append emits a window only once watermark (which lags one batch)
+    # passes its end: first window closes on invocation 5.
+    for _ in range(6):
+        btc.run_stream(spark, out, ckpt, ticks_per_batch=60).awaitTermination()
+    got = spark.read.parquet(out)
+    rows = {r.window_start.isoformat(): r for r in got.collect()}
+    assert len(rows) >= 2
+    first = rows["2025-08-01T00:00:00"]
+    assert first.n_ticks == 60
+    assert first.low <= first.avg_price <= first.high
