@@ -1000,6 +1000,57 @@ def asof_join_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "join_range_binned",
+    """
+    SELECT p.p_partkey, o.o_orderkey
+    FROM part p
+    JOIN orders o
+      ON p.p_retailprice >= o.o_totalprice / 200
+     AND p.p_retailprice <= o.o_totalprice / 200 + 50
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via the binning operator (operators/rangejoin.py):
+    points (part prices) matched into value intervals derived from
+    orders. The naive non-equi plan is a nested-loop cross product;
+    binning turns it into one equi-shuffle + exact filter."""
+    from .operators.rangejoin import range_join
+
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice") / 200).alias("lo"),
+        (F.col("o_totalprice") / 200 + 50).alias("hi"),
+    )
+    return range_join(p, o, "p_retailprice", "lo", "hi", bin_width=25).select(
+        "p_partkey", "o_orderkey"
+    )
+
+
+@defquery(
+    "p_projection_suite",
+    """
+    SELECT p_partkey AS part_id,
+           p_name,
+           'b3_engine' AS source_tag
+    FROM part
+    """,
+)
+def p_projection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8+P10+P11+P12 in one plan via the transform registry: column
+    subset, single rename, constant column, drop — all fold into ONE
+    projection that Catalyst collapses into the scan."""
+    from .functions.registry import constant_overwrite, drop_columns, rename_field
+
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    return (
+        p.transform(rename_field, "p_partkey", "part_id")
+        .transform(constant_overwrite, "source_tag", "b3_engine")
+        .transform(drop_columns, ["p_brand"])
+    )
+
+
+@defquery(
     "session_window_native",
     """
     WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS u FROM events),
