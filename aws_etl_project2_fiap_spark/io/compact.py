@@ -72,12 +72,39 @@ def compact_partitions(
             clause = c if clause is None else (clause & c)
         pred = clause if pred is None else (pred | clause)
     fragment = df.filter(pred)
-    # one output file per target_bytes chunk per partition
-    n_files = max(
-        1, int(max(kv["total_bytes"] for kv in keys) // target_bytes) + 1
+
+    # per-partition output fan-out = ceil(bytes/target); a key-only
+    # repartition would collapse each partition to ONE task/file, so the
+    # fan-out is materialized as a salt column joined in per partition
+    need = spark.createDataFrame(
+        [
+            (
+                *[str(kv[k]) for k in partition_by],
+                int(kv["total_bytes"] // target_bytes) + 1,
+            )
+            for kv in keys
+        ],
+        [*[f"__k_{k}" for k in partition_by], "__n_out"],
     )
+    cond = None
+    for k in partition_by:
+        c = F.col(k).cast("string") == F.col(f"__k_{k}")
+        cond = c if cond is None else (cond & c)
+    data_cols = [c for c in fragment.columns if c not in partition_by]
+    salted = (
+        fragment.join(F.broadcast(need), cond)
+        .withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(*data_cols, F.monotonically_increasing_id()),
+                F.col("__n_out"),
+            ),
+        )
+    )
+    total_files = sum(int(kv["total_bytes"] // target_bytes) + 1 for kv in keys)
     (
-        fragment.repartition(n_files, *[F.col(k) for k in partition_by])
+        salted.repartition(total_files, *partition_by, F.col("__salt"))
+        .drop("__salt", "__n_out", *[f"__k_{k}" for k in partition_by])
         .write.partitionBy(*partition_by)
         .mode("overwrite")
         .parquet(path)

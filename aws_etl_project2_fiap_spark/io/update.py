@@ -104,6 +104,15 @@ def merge_into(
     t_cols = target.columns
     if sorted(source.columns) != sorted(t_cols):
         raise ValueError(f"source columns {source.columns} != target {t_cols}")
+    # per-key upsert is only well-defined for a unique-key source: a
+    # duplicate key would fan out through the full-outer join and land
+    # duplicated in the rewritten snapshot
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"merge source has duplicate merge keys, e.g. "
+            f"{ {k: dup[0][k] for k in keys} } — dedup (keep_latest) first"
+        )
 
     tgt = target.alias("t")
     src = source.alias("s")

@@ -66,7 +66,10 @@ def ngram_jaccard_pairs(
     token sharing, so at 100 TB use :func:`minhash_lsh_pairs` and keep
     this for verification samples. Returns (id1, id2, jaccard).
     """
-    tok = tokens(df, text_col, id_col).cache()
+    # no .cache(): recomputing the cheap token projection beats pinning
+    # it in executor storage for the life of the session (callers run
+    # this once per invocation; a leaked cache accumulates across runs)
+    tok = tokens(df, text_col, id_col)
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
     common = (
         tok.alias("a")

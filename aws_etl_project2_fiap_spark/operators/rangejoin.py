@@ -39,6 +39,11 @@ def range_join(
     join further. Intervals spanning many bins replicate per bin —
     that's the deliberate, bounded cost (sequence length = span/width).
     """
+    if how != "inner":
+        raise ValueError(
+            f"range_join supports how='inner' only (got {how!r}): the exact "
+            "post-filter would silently drop outer rows' null-extended matches"
+        )
     on = extra_on or []
     p = points.withColumn(BIN, (F.col(point_col) / bin_width).cast("long"))
     i = intervals.withColumn(

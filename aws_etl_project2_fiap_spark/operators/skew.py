@@ -25,10 +25,17 @@ SALT = "__salt"
 
 
 def with_salt(df: DataFrame, n_salts: int, cols: list[str] | None = None) -> DataFrame:
-    """Deterministic salt in [0, n_salts): a hash of the row's (given or
-    all) columns — no RNG, so retries and replays salt identically."""
+    """Salt in [0, n_salts): hash of the row's (given or all) columns
+    MIXED with a per-row counter — byte-identical duplicate rows are the
+    archetypal hot key, and a pure content hash would give them all the
+    SAME salt, defeating the split. The counter keeps the salt stable
+    for a fixed input partitioning (task retries replay identically);
+    any salt assignment is semantically valid for the rewrites below."""
     basis = [F.col(c) for c in (cols or df.columns)]
-    return df.withColumn(SALT, F.pmod(F.xxhash64(*basis), F.lit(n_salts)))
+    return df.withColumn(
+        SALT,
+        F.pmod(F.xxhash64(*basis, F.monotonically_increasing_id()), F.lit(n_salts)),
+    )
 
 
 def salted_agg(
@@ -64,7 +71,15 @@ def salted_join(
 
     Right-side cost is n_salts× its size — use only when right ≪ left
     (the usual hot-key shape: a huge fact key against a dimension row).
+    Supported ``how``: inner / left / left_semi / left_anti. Right and
+    full outer are rejected — an unmatched right row exists as n_salts
+    exploded copies, so the rewrite can't preserve their multiplicity.
     """
+    if how in {"right", "rightouter", "right_outer", "full", "outer", "fullouter", "full_outer"}:
+        raise ValueError(
+            f"salted_join cannot preserve how={how!r}: unmatched right rows "
+            "are replicated per salt; flip the sides or use AQE skew join"
+        )
     l_salted = with_salt(left, n_salts)
     r_exploded = right.withColumn(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -44,14 +44,13 @@ def bpe_token_count(col: Column | str) -> Column:
 
 
 def marker_hits(col: Column | str, word: str) -> Column:
-    """Occurrences of ``word`` as a whole token (space-padded count)."""
+    """Occurrences of ``word`` as a whole word (``\\b``-bounded count).
+
+    ``regexp_count`` counts overlapping-adjacent occurrences correctly —
+    the earlier space-padded replace() trick undercounted runs like
+    "the the the" (adjacent needles share their delimiter space)."""
     c = F.col(col) if isinstance(col, str) else col
-    padded = F.concat(F.lit(" "), c, F.lit(" "))
-    needle = f" {word} "
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
-        / len(needle)
-    ).cast("long")
+    return F.regexp_count(c, F.lit(rf"\b{word}\b")).cast("long")
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:

@@ -26,7 +26,10 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+_cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# SPARK_GRAFT_CPUS doubles as the local[...] thread spec, which accepts
+# "*" — fall back to 32 shuffle partitions for non-numeric values
+DEFAULT_SHUFFLE_PARTITIONS = int(_cpus_env) if _cpus_env.isdigit() else 32
 
 
 def build_session(

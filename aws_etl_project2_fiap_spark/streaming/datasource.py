@@ -41,7 +41,8 @@ def _splitmix64(x: int) -> int:
 
 def _tick_row(i: int, base_price: float = 600_000.0):
     """Pure function offset → (event_time, price): the deterministic
-    stand-in for the API fetch (mirrors sources.synthetic_price)."""
+    stand-in for the API fetch (same drift+jitter shape as
+    sources.synthetic_price, different hash — values differ)."""
     import math
 
     jitter = (_splitmix64(i) % 20_000 - 10_000) / 100.0

@@ -117,10 +117,16 @@ def dedup_ticks(
     Upgrades the reference's at-least-once Firehose delivery to
     effectively-once: a replayed record with the same (event time, key)
     within the watermark is dropped; the watermark bounds the dedup
-    state so it never grows with the stream.
+    state so it never grows with the stream. When the dedup keys omit
+    the event-time column, plain ``dropDuplicates`` could never evict
+    state — that case routes to ``dropDuplicatesWithinWatermark``, which
+    expires keys once the watermark passes their event time.
     """
     cols = keys or [ts_col, "preco_brl"]
-    return ticks.withWatermark(ts_col, watermark).dropDuplicates(cols)
+    wm = ticks.withWatermark(ts_col, watermark)
+    if ts_col not in cols:
+        return wm.dropDuplicatesWithinWatermark(cols)
+    return wm.dropDuplicates(cols)
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,7 @@ def upsert_sink(
     keys: list[str],
     checkpoint: str,
     query_name: str = "upsert_sink",
+    order_col: str | None = None,
 ) -> StreamingQuery:
     """Streaming MERGE: each micro-batch upserts into a parquet snapshot
     via ``foreachBatch`` + :func:`~aws_etl_project2_fiap_spark.io.update.
@@ -87,19 +88,29 @@ def upsert_sink(
     This is the streaming K6: the reference's "UPDATE the row for today"
     pattern applied continuously. foreachBatch gives the batch-API
     escape hatch; exactly-once comes from the checkpoint + the merge's
-    atomic snapshot swap (a replayed batch re-merges idempotently)."""
+    atomic snapshot swap (a replayed batch re-merges idempotently).
+
+    When a batch holds several rows per key, ``order_col`` picks the
+    winner (keep-latest by that column); without it the pick is
+    arbitrary-but-single — pass an event/sequence column whenever
+    intra-batch corrections are possible. Dedup applies on the initial
+    snapshot too."""
     import os
 
     from ..io.update import merge_into
+    from ..operators.dedup import keep_latest
+
+    def _dedup(batch_df):
+        if order_col is not None:
+            return keep_latest(batch_df, keys, order_col)
+        return batch_df.dropDuplicates(keys)
 
     def _merge(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if not os.path.exists(target_path):
-            batch_df.write.mode("overwrite").parquet(target_path)
+            _dedup(batch_df).write.mode("overwrite").parquet(target_path)
             return
-        # keep-latest within the batch so the merge source is unique per key
-        deduped = batch_df.dropDuplicates(keys)
-        merge_into(spark, target_path, deduped, keys)
+        merge_into(spark, target_path, _dedup(batch_df), keys)
 
     return (
         df.writeStream.foreachBatch(_merge)

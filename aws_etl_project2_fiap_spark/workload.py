@@ -1289,7 +1289,7 @@ def _langid_oracle() -> str:
     score_exprs = []
     for lang, words in text_op.LANG_MARKERS.items():
         parts = [
-            f"CAST((len(' ' || text || ' ') - len(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+            f"CAST(len(regexp_extract_all(text, '\\b{w}\\b')) AS BIGINT)"
             for w in words
         ]
         score_exprs.append("(" + " + ".join(parts) + f") AS score_{lang}")

@@ -355,3 +355,53 @@ def test_streaming_upsert_sink(spark, tmp_path):
         back.filter(F.col("data_hora") == "2025-08-01 10:00:00").first().preco_brl
         == 999.0
     )
+
+
+def test_marker_hits_counts_adjacent_runs(spark):
+    """'the the the' must count 3 (the old space-padded replace trick
+    undercounted adjacent occurrences)."""
+    from aws_etl_project2_fiap_spark.operators.text import marker_hits
+
+    df = spark.createDataFrame(
+        [("the the the",), ("the cat the",), ("lathe theory",)], ["text"]
+    )
+    got = [r.n for r in df.select(marker_hits("text", "the").alias("n")).collect()]
+    assert got == [3, 2, 0]  # word-bounded: no hits inside lathe/theory
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
+    from aws_etl_project2_fiap_spark.io.update import merge_into
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([("a", 1)], ["k", "v"]).write.parquet(path)
+    dup_source = spark.createDataFrame([("a", 2), ("a", 3)], ["k", "v"])
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_into(spark, path, dup_source, ["k"])
+
+
+def test_upsert_sink_keep_latest_within_batch(spark, tmp_path):
+    """With order_col, the newest row per key wins INSIDE one batch."""
+    from aws_etl_project2_fiap_spark.streaming import file_source
+    from aws_etl_project2_fiap_spark.streaming.sinks import upsert_sink
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 99.0), ("b", 1, 5.0)], schema
+    ).coalesce(1).write.parquet(landing)
+    upsert_sink(
+        file_source(spark, landing, schema),
+        str(tmp_path / "target"),
+        ["k"],
+        str(tmp_path / "ckpt"),
+        order_col="seq",
+    ).awaitTermination()
+    back = {r.k: r.v for r in spark.read.parquet(str(tmp_path / "target")).collect()}
+    assert back == {"a": 99.0, "b": 5.0}

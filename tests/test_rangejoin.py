@@ -59,3 +59,11 @@ def test_range_join_with_extra_key(spark):
         ).collect()
     )
     assert got == [(1, 100), (3, 200)]  # user co-key separates the matches
+
+
+def test_range_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    points, intervals = _data(spark)
+    with _pytest.raises(ValueError, match="inner"):
+        range_join(points, intervals, "x", "lo", "hi", bin_width=8, how="left")

@@ -76,3 +76,24 @@ def test_salted_join_matches_unsalted(spark):
     )
     assert salted == plain
     assert len(salted) == 900 + 10 + 10  # hot + c1 + c9 matches
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest as _pytest
+
+    left = _skewed(spark)
+    right = spark.createDataFrame([("hot", 1.0)], ["k", "w"])
+    with _pytest.raises(ValueError, match="salted_join cannot preserve"):
+        salted_join(left, right, ["k"], how="full")
+
+
+def test_identical_duplicate_rows_still_spread(spark):
+    """The archetypal hot key: byte-identical rows must NOT all land on
+    one salt (content hash alone would send them to a single reducer)."""
+    import pyspark.sql.functions as F2
+
+    dup = spark.range(0, 1000).select(
+        F2.lit("hot").alias("k"), F2.lit(1.0).alias("v")
+    )
+    n = with_salt(dup, 8).select(SALT).distinct().count()
+    assert n >= 4

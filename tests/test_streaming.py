@@ -394,3 +394,23 @@ def test_btc_run_stream_end_to_end(spark, tmp_path):
     first = rows["2025-08-01T00:00:00"]
     assert first.n_ticks == 60
     assert first.low <= first.avg_price <= first.high
+
+
+def test_dedup_within_watermark_for_non_ts_keys(spark, tmp_path):
+    """Dedup keys without the event-time column use
+    dropDuplicatesWithinWatermark (state stays bounded)."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    rows = [
+        ("2025-08-01 10:00:00", 100.0),
+        ("2025-08-01 10:00:05", 100.0),  # same price, later ts → dup by price
+        ("2025-08-01 10:01:00", 110.0),
+    ]
+    _write_ticks(spark, landing, rows)
+    src = dedup_ticks(
+        file_source(spark, landing, TICK_SCHEMA), keys=["preco_brl"]
+    )
+    process_available_files(src, out, str(tmp_path / "ckpt")).awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert {r.preco_brl for r in got.collect()} == {100.0, 110.0}
