@@ -1,0 +1,59 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+`df.sample()` is seed-random per partition — resampling after ANY
+repartition or data append changes membership. Training pipelines need
+the opposite: membership that is a pure function of the ROW, so samples
+are reproducible across runs, stable under appends, and identical on
+every cluster size. These operators hash a key column (xxhash64,
+JVM-side) into [0, 1) and threshold it — no RNG state, no shuffle, the
+predicate folds into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 20  # hash resolution: rates quantize to ~1e-6
+
+
+def _unit_hash(key: Column, salt: str) -> Column:
+    """Deterministic uniform-ish value in [0, 1) from (key, salt)."""
+    return F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(_BUCKETS)) / F.lit(
+        float(_BUCKETS)
+    )
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~rate of rows, membership = f(key): re-running, appending
+    other rows, or changing parallelism never changes who's in."""
+    return df.filter(_unit_hash(F.col(key_col), salt) < rate)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum rates (e.g. downsample web text, keep all code):
+    the dataset-mixing primitive. Strata not in ``rates`` get
+    ``default_rate``."""
+    rate = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
+    return df.filter(_unit_hash(F.col(key_col), salt) < rate)
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_frac: float = 0.1, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive (train, test) split keyed by row identity.
+    The same key lands on the same side forever — the property that
+    prevents train/test leakage across dataset versions."""
+    h = _unit_hash(F.col(key_col), salt)
+    return df.filter(h >= test_frac), df.filter(h < test_frac)

@@ -56,7 +56,9 @@ def knn_brute_force(
     return (
         df.select(
             F.col(id_col).alias("id"),
-            F.round(cosine(F.col(vec_col), q), 6).alias("sim"),
+            # zero-norm vectors give NaN cosine, and NaN sorts ABOVE all
+            # numbers in Spark — map to -1 so they sink instead
+            F.round(F.nanvl(cosine(F.col(vec_col), q), F.lit(-1.0)), 6).alias("sim"),
         )
         .orderBy(F.desc("sim"), F.asc("id"))
         .limit(k)
@@ -332,7 +334,10 @@ def ivf_search(
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         indexed.filter(F.col("cluster").isin(probe))
-        .select("id", F.round(cosine(F.col(vec_col), qcol), 6).alias("sim"))
+        .select(
+            "id",
+            F.round(F.nanvl(cosine(F.col(vec_col), qcol), F.lit(-1.0)), 6).alias("sim"),
+        )
         .orderBy(F.desc("sim"), F.asc("id"))
         .limit(k)
     )

@@ -1373,6 +1373,21 @@ def similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery("sample_stratified", None)  # xxhash64 membership: not ANSI SQL
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language (the dataset-mixing
+    primitive): keep all 'en' docs, 30% of 'es', none of the rest —
+    membership is a pure function of doc_id, so the sample is identical
+    across runs, appends, and cluster sizes. Rows-only check;
+    determinism/rate properties are asserted in tests/test_sampling.py."""
+    from .operators.sampling import stratified_hash_sample
+
+    d = t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d, "lang", {"en": 1.0, "es": 0.3}, key_col="doc_id"
+    ).select("doc_id", "lang")
+
+
 @defquery("text_rolling_chunks", None)  # content-defined chunking: not ANSI SQL
 def text_rolling_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-style content-defined chunk fingerprints per doc — the

@@ -1,0 +1,82 @@
+"""Deterministic hash sampling: reproducibility, append-stability,
+rate accuracy, and leak-free splits."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_etl_project2_fiap_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+    train_test_split,
+)
+
+
+def _docs(spark, n=5000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "web")
+        .when(F.col("id") % 3 == 1, "code")
+        .otherwise("books")
+        .alias("source"),
+    )
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    df = _docs(spark)
+    s1 = {r.doc_id for r in hash_sample(df, 0.2, "doc_id").collect()}
+    s2 = {r.doc_id for r in hash_sample(df, 0.2, "doc_id").collect()}
+    assert s1 == s2
+    assert 0.15 < len(s1) / 5000 < 0.25
+    # different salt → different membership
+    s3 = {r.doc_id for r in hash_sample(df, 0.2, "doc_id", salt="other").collect()}
+    assert s3 != s1
+
+
+def test_hash_sample_stable_under_append(spark):
+    """Membership is per-row: sampling a superset keeps the subset's
+    verdicts unchanged (df.sample() breaks this)."""
+    small = _docs(spark, 1000)
+    big = _docs(spark, 5000)
+    in_small = {r.doc_id for r in hash_sample(small, 0.3, "doc_id").collect()}
+    in_big = {
+        r.doc_id
+        for r in hash_sample(big, 0.3, "doc_id").collect()
+        if r.doc_id < 1000
+    }
+    assert in_small == in_big
+
+
+def test_hash_sample_rate_monotone(spark):
+    """A higher rate strictly contains the lower rate's sample (same
+    salt) — lets pipelines grow a sample without resampling."""
+    df = _docs(spark)
+    s20 = {r.doc_id for r in hash_sample(df, 0.2, "doc_id").collect()}
+    s50 = {r.doc_id for r in hash_sample(df, 0.5, "doc_id").collect()}
+    assert s20 < s50
+
+
+def test_stratified_rates(spark):
+    df = _docs(spark)
+    got = stratified_hash_sample(
+        df, "source", {"web": 0.1, "code": 1.0}, "doc_id"
+    )
+    by_source = {
+        r.source: r.n
+        for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_source["code"] == 1667  # keep-all stratum: exact
+    assert 100 < by_source["web"] < 250  # ~10% of 1667
+    assert "books" not in by_source  # default_rate=0
+
+
+def test_train_test_split_disjoint_exhaustive(spark):
+    df = _docs(spark)
+    train, test = train_test_split(df, "doc_id", test_frac=0.25)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 5000
+    assert train.join(test, "doc_id").count() == 0
+    assert 0.2 < n_test / 5000 < 0.3
+    # same key → same side on a rerun
+    train2, _ = train_test_split(df, "doc_id", test_frac=0.25)
+    assert train.exceptAll(train2).count() == 0
