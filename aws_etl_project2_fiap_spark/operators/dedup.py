@@ -152,7 +152,12 @@ def minhash_lsh_pairs(
     to the exploded :func:`shingles`/:func:`minhash_signatures` path.
     Returns (id1, id2, jaccard).
     """
+    from ..session import parallelize_small
+
     rows = num_hashes // bands
+    # single-row-group inputs scan as one task; spread the shingle/minhash
+    # computation across the cluster before the heavy projection
+    df = parallelize_small(df.select(id_col, text_col))
     parts = ", ".join(f"tk[i-1+{j}]" for j in range(shingle_n))
     sh_arr = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(tk)-{shingle_n - 1}, 0)),"

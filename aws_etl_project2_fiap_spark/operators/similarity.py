@@ -169,6 +169,12 @@ def near_dup_pairs_bucketed(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from ..session import parallelize_small
+
+    # spread the sketch matmul across cores when the input is a
+    # single-row-group file (one scan task otherwise)
+    df = parallelize_small(df.select(id_col, vec_col))
+
     w_t = np.array(hyperplane_weights(planes * tables, dim)).T  # dim × (p·t)
     pow2 = (1 << np.arange(planes)).astype(np.int64)
 

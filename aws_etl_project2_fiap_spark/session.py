@@ -67,3 +67,15 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def parallelize_small(df, min_partitions: int | None = None):
+    """Repartition an under-partitioned input up to the session's
+    parallelism. Single-row-group parquet files (common for small/test
+    datasets) scan as ONE task, serializing every downstream projection;
+    a cheap narrow-data shuffle unlocks the other cores. No-op when the
+    input already has enough partitions (the 100 TB case)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
