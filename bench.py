@@ -65,6 +65,10 @@ def main() -> None:
     # 32 partitions → every Python worker process forks + Arrow-inits now,
     # not inside the first UDF query's timing
     spark.range(0, 32_000, 1, 32).select(warm_udf(F.col("id"))).count()
+    # applyInPandas uses a separate grouped-runner init path — warm it too
+    spark.range(0, 3200, 1, 32).withColumn("g", F.col("id") % 32).groupBy(
+        "g"
+    ).applyInPandas(lambda pdf: pdf, "id long, g long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
