@@ -30,10 +30,24 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """For each left row, attach the right row's ``value_cols`` with the
-    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` keys
-    (left outer: no prior quote → nulls)."""
+    """For each left row, attach the right row's ``value_cols`` from the
+    nearest right event within the same ``on`` keys (left outer: no
+    candidate → nulls). The pandas ``merge_asof`` surface:
+
+    - ``direction="backward"`` (default): greatest ``right_ts`` <=
+      ``left_ts``;
+    - ``direction="forward"``: smallest ``right_ts`` >= ``left_ts`` —
+      same plan with the sort order reversed;
+    - ``tolerance``: maximum allowed |left_ts − right_ts| (same units as
+      the ts columns — use ns longs for exactness); matches further away
+      resolve to null. Applied as a post-filter on the carried ts, so
+      the single-shuffle plan is unchanged.
+    """
+    if direction not in {"backward", "forward"}:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     ts = "__asof_ts"
     side = "__asof_side"  # 0 = quote (right), 1 = probe (left)
     l_tag = left.withColumn(ts, F.col(left_ts)).withColumn(side, F.lit(1))
@@ -44,19 +58,39 @@ def asof_join(
     left_cols = [c for c in left.columns]
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
+    # backward: scan forward in time, quotes before probes at equal ts.
+    # forward: scan backward in time (desc), so "last seen quote" is the
+    # next-upcoming one; quotes still win ties.
+    order = (
+        [F.col(ts).asc(), F.col(side).asc()]
+        if direction == "backward"
+        else [F.col(ts).desc(), F.col(side).asc()]
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts).asc(), F.col(side).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    quote_ts = "__asof_quote_ts"
     carried = [
         F.last(F.when(F.col(side) == 0, F.col(c)), ignorenulls=True)
         .over(w)
         .alias(c + suffix)
         for c in value_cols
+    ] + [
+        F.last(F.when(F.col(side) == 0, F.col(ts)), ignorenulls=True)
+        .over(w)
+        .alias(quote_ts)
     ]
-    return (
-        merged.select(*merged.columns, *carried)
-        .filter(F.col(side) == 1)
-        .select(*left_cols, *[c + suffix for c in value_cols])
-    )
+    out = merged.select(*merged.columns, *carried).filter(F.col(side) == 1)
+    if tolerance is not None:
+        in_range = F.abs(F.col(ts) - F.col(quote_ts)) <= tolerance
+        out = out.select(
+            *left_cols,
+            F.col(quote_ts),
+            *[
+                F.when(in_range, F.col(c + suffix)).alias(c + suffix)
+                for c in value_cols
+            ],
+        )
+    return out.select(*left_cols, *[c + suffix for c in value_cols])

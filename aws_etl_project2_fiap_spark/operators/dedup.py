@@ -239,3 +239,56 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         bit = F.when(F.col(f"v_{b}") > 0, bit_mask(b)).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp.bitwiseOR(bit)
     return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup PAIRS via pigeonhole blocking.
+
+    Two fingerprints within Hamming distance ``max_hamming`` must agree
+    exactly on at least one of ``blocks`` equal bit-slices whenever
+    ``max_hamming < blocks`` (pigeonhole) — so candidates form only
+    inside (block_idx, block_value) buckets, never all-pairs, and the
+    exact Hamming check is one ``bit_count(xor)``. Same shape as the
+    MinHash banding join; cost tracks bucket occupancy.
+
+    Returns (id1, id2, hamming).
+    """
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < blocks ({max_hamming} >= {blocks})"
+        )
+    width = 64 // blocks
+    fp = simhash(df, text_col, id_col)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for b in range(blocks)
+        ]
+    )
+    stacked = fp.select("id", "simhash", F.explode(slices).alias("bs")).select(
+        "id", "simhash", F.col("bs.blk").alias("blk"), F.col("bs.val").alias("val")
+    )
+    a, b_ = stacked.alias("a"), stacked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b_, on=["blk", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id1", "id2"])
+    )

@@ -1000,6 +1000,34 @@ def asof_join_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "asof_join_forward",
+    """
+    SELECT p.event_id, v.value AS next_view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase gets the user's NEXT view value
+    (the merge_asof direction='forward' surface) — same single-shuffle
+    union-sort-window plan with the sort reversed."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    joined = asof_op.asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts_ns",
+        right_ts="ts_ns",
+        value_cols=["value"],
+        direction="forward",
+    )
+    return joined.select("event_id", F.col("value_asof").alias("next_view_value"))
+
+
+@defquery(
     "join_range_binned",
     """
     SELECT p.p_partkey, o.o_orderkey
@@ -1227,6 +1255,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs land within small Hamming distance; one shuffle on doc id."""
     d = t(spark, sf_dir, "documents")
     return dedup_op.simhash(d)
+
+
+@defquery("dedup_simhash_pairs", None)  # pigeonhole blocking: not ANSI SQL
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: fingerprints within Hamming≤3 must share
+    one of 4 exact 16-bit blocks (pigeonhole), so candidates only form
+    inside block buckets; exact check is one bit_count(xor). Rows-only;
+    the pairing property is asserted in tests."""
+    d = t(spark, sf_dir, "documents")
+    return dedup_op.simhash_near_dup_pairs(d, max_hamming=3, blocks=4)
 
 
 @defquery(

@@ -405,3 +405,60 @@ def test_upsert_sink_keep_latest_within_batch(spark, tmp_path):
     ).awaitTermination()
     back = {r.k: r.v for r in spark.read.parquet(str(tmp_path / "target")).collect()}
     assert back == {"a": 99.0, "b": 5.0}
+
+
+def test_simhash_near_dup_pairs(spark):
+    """Docs differing by one token land within the Hamming threshold and
+    are found through pigeonhole block-join; unrelated docs are not."""
+    from aws_etl_project2_fiap_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = (
+        "spark shuffles partitions across the cluster while the optimizer "
+        "prunes columns and pushes filters into the parquet scan layer "
+    ) * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "extra"),  # tiny perturbation
+            (3, "completely different words about cooking pasta and sauce "
+                "with tomatoes basil garlic and olive oil in a big pot"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r.id1, r.id2): r.hamming for r in simhash_near_dup_pairs(docs, max_hamming=6, blocks=8).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)] <= 6
+    assert (1, 3) not in got and (2, 3) not in got
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(docs, max_hamming=4, blocks=4)
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from aws_etl_project2_fiap_spark.operators.asof import asof_join
+
+    probes = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 250)], ["pid", "k", "ts"]
+    )
+    quotes = spark.createDataFrame(
+        [("u", 90, 9.0), ("u", 110, 11.0), ("u", 500, 50.0)], ["k", "qts", "val"]
+    )
+    fwd = {
+        r.pid: r.val_asof
+        for r in asof_join(
+            probes, quotes, ["k"], "ts", "qts", ["val"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: 11.0, 2: 50.0}  # next-upcoming quote
+
+    bwd_tol = {
+        r.pid: r.val_asof
+        for r in asof_join(
+            probes, quotes, ["k"], "ts", "qts", ["val"], tolerance=20
+        ).collect()
+    }
+    assert bwd_tol == {1: 9.0, 2: None}  # 250-110=140 > 20 → null
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(probes, quotes, ["k"], "ts", "qts", ["val"], direction="nearest")
