@@ -1517,6 +1517,209 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Multi-way join analytics (TPC-H classics over the star schema)
+# =====================================================================
+
+
+@defquery(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < DATE '1998-01-01'
+      AND l_shipdate > DATE '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): 3-way join with selective
+    per-table filters, then agg + top-k.
+
+    Scale: both date filters and the segment filter push into the
+    parquet scans before any join. customer(filtered) is the small side
+    of the first join — AQE converts it to broadcast at runtime; the
+    orders↔lineitem join shuffles on orderkey (or co-locates if both
+    are bucketed by orderkey via io.catalog). LIMIT 10 plans as
+    TakeOrderedAndProject — no global sort of the aggregate.
+    """
+    cutoff = F.lit("1998-01-01").cast("date")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@defquery(
+    "tpch_q5_regional_revenue",
+    """
+    SELECT n_name,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): 6-way join — the join-
+    reordering workout. region→nation→supplier chain is tiny and stays
+    broadcast; customer joins orders on custkey, lineitem joins on
+    orderkey + suppkey; the c_nationkey = s_nationkey equality closes
+    the cycle.
+
+    Scale: Catalyst/CBO pushes r_name + the date range into the scans;
+    the dimension chain broadcasts (no shuffle); the only real shuffles
+    are orders↔lineitem on orderkey and the final 25-group agg (map-side
+    partial makes it a few KB). Join order is left to the optimizer —
+    declared, not hand-scheduled.
+    """
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    dim = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(dim),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@defquery(
+    "dedup_embedding_cosine",
+    """
+    SELECT e.vec_id
+    FROM embeddings e
+    WHERE NOT EXISTS (
+        SELECT 1
+        FROM embeddings a
+        WHERE a.vec_id < e.vec_id
+          AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])), 6) >= 0.4
+    )
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP (not just pair listing): drop every
+    vector that is ≥-threshold similar to a lower-id vector; keep-min-id
+    survivors. Completes the dedup family (exact / minhash / simhash /
+    n-gram Jaccard / embedding-cosine).
+
+    Scale: the exact all-pairs underneath is the sf0.01 oracle path; at
+    100 TB swap `near_dup_pairs_exact` for the hyperplane-LSH pair
+    generator (same (id1,id2) contract) and this anti-join is unchanged —
+    pairs ≪ corpus, so the drop-set broadcasts.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    pairs = sim_op.near_dup_pairs_exact(e, threshold=0.4)
+    drop = pairs.select(F.col("id2").alias("vec_id")).distinct()
+    return e.join(F.broadcast(drop), "vec_id", "left_anti").select("vec_id")
+
+
+@defquery(
+    "explode_token_topk",
+    """
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY cnt DESC, token ASC
+    LIMIT 20
+    """,
+)
+def explode_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode / UNNEST coverage: whitespace-tokenize the corpus,
+    global top-20 tokens. The generator (explode) is the one row-
+    multiplying operator in the engine.
+
+    Scale: explode runs inside whole-stage codegen (no Python); the
+    count is partial-agg'd map-side so the shuffle carries one row per
+    distinct token per task, not per occurrence; top-20 is
+    TakeOrderedAndProject.
+    """
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ", -1)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@defquery(
+    "window_ntile",
+    """
+    SELECT o_orderkey,
+           ntile(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile assignment per priority class — the bucketing
+    window shape (deterministic: o_orderkey tie-breaks the order).
+
+    Scale: one shuffle on the partition key; each partition sorts
+    locally (spillable). Skewed partition keys (few priorities, many
+    orders) are the known hazard — for a 100 TB variant partition by a
+    finer key or pre-bucket by (priority, hash(orderkey) % k).
+    """
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+# =====================================================================
 # Entry-point accessors (driver contract)
 # =====================================================================
 

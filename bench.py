@@ -31,6 +31,8 @@ HEADLINE = [
     "agg_count_distinct",
     "join_star_revenue",
     "join_semi",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
     "window_top3_per_cust",
     "window_lag_delta",
     "sessionize_30m",
