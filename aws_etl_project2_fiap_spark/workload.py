@@ -94,17 +94,20 @@ def a1_top5_7day_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     data's own max date as the injectable clock (intended semantics,
     SURVEY §3.2).
 
-    Scale: the date predicate pushes into the parquet scan (min/max row-
-    group skipping); the agg is partial+final hash-agg; LIMIT 5 plans as
-    TakeOrderedAndProject — no global sort. The single-row max() side is
-    broadcast.
+    Scale: the cutoff is a single-row aggregate pulled to the driver and
+    inlined as a literal (the same shape dynamic partition pruning
+    produces) so the date predicate pushes into the parquet scan with
+    min/max row-group skipping — a broadcast-nested-loop formulation
+    measured 2-6× slower because the non-equi condition can't push down.
+    The agg is partial+final hash-agg; LIMIT 5 plans as
+    TakeOrderedAndProject — no global sort.
     """
     li = t(spark, sf_dir, "lineitem")
     cutoff = li.agg(
         (F.max("l_shipdate") - F.expr("INTERVAL 7 DAY")).alias("cutoff")
-    )
+    ).collect()[0][0]
     return (
-        li.join(F.broadcast(cutoff), F.col("l_shipdate") >= F.col("cutoff"))
+        li.filter(F.col("l_shipdate") >= F.lit(cutoff))
         .groupBy(F.col("l_partkey").alias("cod"))
         .agg(F.sum("l_quantity").alias("total_qtde_7d"))
         .orderBy(F.desc("total_qtde_7d"), F.asc("cod"))

@@ -169,3 +169,36 @@ def test_exists_subquery_decorrelates_to_semi_join(spark):
     p = plan(CATALOG["subquery_exists"].spark(spark, SF))
     assert "Semi" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_q3_filters_push_and_topk(spark):
+    """TPC-H Q3: the per-table date/segment filters must reach the
+    parquet scans (PushedFilters) and the ORDER BY ... LIMIT 10 must
+    plan as TakeOrderedAndProject, not a global sort."""
+    df = CATALOG["tpch_q3_shipping_priority"].spark(spark, SF)
+    s = formatted(df)
+    pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), pushed
+    assert any("o_orderdate" in ln for ln in pushed), pushed
+    assert any("c_mktsegment" in ln for ln in pushed), pushed
+    assert "TakeOrderedAndProject" in plan(df)
+
+
+def test_q5_dimension_chain_broadcasts(spark):
+    """TPC-H Q5: the region→nation→supplier chain must broadcast — the
+    only sort-merge-eligible joins are the fact⋈fact ones. No cartesian
+    products from the cyclic c_nationkey = s_nationkey closure."""
+    p = plan(CATALOG["tpch_q5_regional_revenue"].spark(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_explode_stays_in_codegen(spark):
+    """The generator + agg pipeline must stay JVM-side (Generate inside
+    the codegen'd stage; no Python eval anywhere)."""
+    df = CATALOG["explode_token_topk"].spark(spark, SF)
+    p = plan(df)
+    assert "Generate" in p
+    assert "EvalPython" not in p
+    assert "TakeOrderedAndProject" in p
