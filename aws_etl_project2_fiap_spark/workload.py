@@ -1519,6 +1519,84 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery(
+    "text_normalize",
+    r"""
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text,
+           len(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_norm
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for training-data prep: collapse whitespace,
+    trim, lowercase — the canonical form fed to fingerprinting/dedup.
+
+    Scale: pure codegen'd string expressions (no Python); narrow
+    per-row map, no shuffle at all.
+    """
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("n_norm")
+    )
+
+
+@defquery(
+    "corpus_select",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(text) AS n_char,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    )
+    SELECT doc_id, lang, n_char, n_tok
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM scored
+      WHERE n_char BETWEEN 200 AND 450 AND n_tok * 4 <= n_char
+    )
+    WHERE rn = 1
+    """,
+)
+def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus selection: score (length + token count), filter
+    on quality thresholds, then exact-dedup by normalized fingerprint
+    (keep lowest doc_id) — the composed shape of a real training-data
+    cut. Thresholds use integer arithmetic (n_tok*4 <= n_char) so the
+    boundary is exact in both engines.
+
+    Scale: scoring is a codegen'd map; the quality filter runs before
+    the dedup shuffle so only survivors shuffle; the fingerprint
+    row_number partitions uniformly (hash keys). At 100 TB this is
+    scan → filter → one shuffle, with the fingerprint replacing a full
+    near-dup pass when only exact dupes must go.
+    """
+    d = t(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    n_tok = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_char"),
+        n_tok.alias("n_tok"),
+        F.md5(F.regexp_replace(trimmed, r"\s+", " ").cast("binary")).alias("fp"),
+    ).filter(
+        F.col("n_char").between(200, 450) & (F.col("n_tok") * 4 <= F.col("n_char"))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_char", "n_tok")
+    )
+
+
 # =====================================================================
 # Multi-way join analytics (TPC-H classics over the star schema)
 # =====================================================================
