@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_langid",
     "text_quality",
+    "corpus_select",
     "similarity_knn",
     "similarity_pairs_lsh",
     "similarity_ivf_knn",
