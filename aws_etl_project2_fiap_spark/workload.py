@@ -1519,6 +1519,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery("agg_approx_distinct", None)  # HLL++ sketch: estimate, not SQL-exact
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per order priority — the
+    100 TB path for `agg_count_distinct`: fixed-size mergeable sketches
+    instead of shuffling every distinct key. rsd=0.01 → ~1% error in a
+    few KB per group; `tests/test_sampling.py` asserts the bound vs the
+    exact count.
+
+    Scale: partial sketches merge map-side; shuffle carries one sketch
+    per (task, group) regardless of cardinality — the exact variant
+    ships every distinct custkey.
+    """
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_cust_approx")
+    )
+
+
 @defquery(
     "text_normalize",
     r"""

@@ -80,3 +80,26 @@ def test_train_test_split_disjoint_exhaustive(spark):
     # same key → same side on a rerun
     train2, _ = train_test_split(df, "doc_id", test_frac=0.25)
     assert train.exceptAll(train2).count() == 0
+
+
+def test_approx_distinct_error_bound(spark):
+    """The HLL++ sketch estimate must land within 3×rsd of the exact
+    per-group distinct count (rsd=0.01 → 3% tolerance)."""
+    from aws_etl_project2_fiap_spark.workload import CATALOG
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["o_orderpriority"]: r["n_cust_approx"]
+        for r in CATALOG["agg_approx_distinct"].spark(spark, sf).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n_exact"]
+        for r in spark.read.parquet(f"{sf}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(3, 0.03 * exact[k]), (k, est, exact[k])
