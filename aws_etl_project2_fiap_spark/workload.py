@@ -1519,6 +1519,52 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery(
+    "set_except_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag (multiplicity-preserving) difference, a distinct
+    physical operator from the set EXCEPT (Spark plans a count-matching
+    generate instead of a distinct-then-anti-join).
+
+    Scale: one shuffle on the value; per-key counts subtract and the
+    survivor multiplicity regenerates — no row explosion beyond the
+    answer itself.
+    """
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+@defquery(
+    "window_percent_rank",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey), 6)
+             AS pr
+    FROM orders
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank per priority class — relative-standing window shape
+    (rank-1)/(n-1), deterministic via the o_orderkey tie-break.
+
+    Scale: same single-shuffle profile as `window_ntile`; the frame is
+    unbounded so no per-row frame scan.
+    """
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", F.round(F.percent_rank().over(w), 6).alias("pr")
+    )
+
+
 @defquery("agg_approx_distinct", None)  # HLL++ sketch: estimate, not SQL-exact
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per order priority — the
