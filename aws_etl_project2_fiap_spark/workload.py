@@ -692,6 +692,29 @@ def join_left_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "join_right_outer",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    RIGHT OUTER JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER — completes the §2.7 join surface (inner/left/right/
+    full/semi/anti). Spark canonicalizes to a left join with sides
+    swapped; the preserved (nation) side broadcasts when small.
+
+    Scale: same profile as the left form — broadcast the dimension,
+    never shuffle the big probe side for it.
+    """
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return s.join(
+        n, s.s_nationkey == n.n_nationkey, "right_outer"
+    ).select("s_suppkey", "s_name", "n_name")
+
+
+@defquery(
     "join_full_outer",
     """
     SELECT n.n_nationkey AS nationkey, n.n_name, s.s_suppkey
