@@ -46,10 +46,26 @@ class QueryDef:
 
 CATALOG: dict[str, QueryDef] = {}
 
+# Operators surfaced to the driver THROUGH a fused suite query (see the
+# `suite_*` registrations at the bottom). Each component keeps its own
+# oracle — tests/test_oracle_parity.py runs the same differential compare
+# on every component individually — but the driver-facing catalog carries
+# one suite per family so the full oracle-backed surface fits inside the
+# driver's correctness window (it hashes the first 50 `queries()` entries).
+COMPONENTS: dict[str, QueryDef] = {}
+
 
 def defquery(name: str, oracle: str | None):
     def deco(fn: SparkQuery) -> SparkQuery:
         CATALOG[name] = QueryDef(fn, oracle)
+        return fn
+
+    return deco
+
+
+def defcomponent(name: str, oracle: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        COMPONENTS[name] = QueryDef(fn, oracle)
         return fn
 
     return deco
@@ -115,7 +131,7 @@ def a1_top5_7day_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "p1_filter_neq",
     """
     SELECT o_orderkey, o_orderstatus, o_orderpriority
@@ -133,7 +149,7 @@ def p1_filter_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "p2_null_filter",
     """
     SELECT event_id, event_type, value
@@ -150,7 +166,7 @@ def p2_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "p3_date_between",
     """
     SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od
@@ -167,7 +183,7 @@ def p3_date_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"))
 
 
-@defquery(
+@defcomponent(
     "p4_regexp_replace",
     """
     SELECT c_custkey, regexp_replace(c_name, '[0-9]', '', 'g') AS name_nodigits
@@ -183,7 +199,7 @@ def p4_regexp_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "p5_try_cast",
     """
     SELECT c_custkey,
@@ -227,7 +243,7 @@ def p6_arith_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "p7_bulk_rename",
     """
     SELECT c_custkey AS id, c_name AS nome, c_mktsegment AS segmento,
@@ -252,7 +268,7 @@ def p7_bulk_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "p9_stamp_run_date",
     """
     SELECT o_orderkey, strftime(TIMESTAMP '2026-08-13 00:00:00', '%Y-%m-%d') AS created_at
@@ -273,7 +289,7 @@ def p9_stamp_run_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "p13_date_arith",
     """
     SELECT o_orderkey,
@@ -297,7 +313,7 @@ def p13_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "p14_ts_format",
     """
     SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
@@ -312,7 +328,7 @@ def p14_ts_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "p15_ptbr_currency",
     """
     WITH r AS (SELECT o_orderkey, round(o_totalprice, 2) AS y FROM orders)
@@ -336,7 +352,7 @@ def p15_ptbr_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "p16_json_extract",
     """
     SELECT event_id,
@@ -353,7 +369,7 @@ def p16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "u1_union_all",
     """
     SELECT c_name AS name, 'customer' AS src FROM customer
@@ -372,7 +388,7 @@ def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(s)
 
 
-@defquery(
+@defcomponent(
     "set_intersect",
     """
     SELECT c_nationkey AS nationkey FROM customer
@@ -388,7 +404,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.intersect(s)
 
 
-@defquery(
+@defcomponent(
     "set_except",
     """
     SELECT c_nationkey AS nationkey FROM customer
@@ -503,7 +519,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "agg_rollup",
     """
     SELECT o_orderstatus, o_orderpriority,
@@ -541,7 +557,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "agg_cube",
     """
     SELECT l_returnflag, l_linestatus,
@@ -560,7 +576,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "agg_grouping_sets",
     """
     SELECT l_returnflag, l_linestatus,
@@ -691,7 +707,7 @@ def join_left_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "join_right_outer",
     """
     SELECT s.s_suppkey, s.s_name, n.n_name
@@ -714,7 +730,7 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "n_name")
 
 
-@defquery(
+@defcomponent(
     "join_full_outer",
     """
     SELECT n.n_nationkey AS nationkey, n.n_name, s.s_suppkey
@@ -772,7 +788,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-@defquery(
+@defcomponent(
     "window_lag_delta",
     """
     SELECT event_id,
@@ -813,7 +829,7 @@ def window_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "window_running_sum",
     """
     SELECT event_id,
@@ -833,7 +849,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", F.round(F.sum("value").over(w), 4).alias("rsum"))
 
 
-@defquery(
+@defcomponent(
     "window_range_1h",
     """
     SELECT event_id,
@@ -861,7 +877,7 @@ def window_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "subquery_exists",
     """
     SELECT c_custkey, c_name
@@ -886,7 +902,7 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "subquery_scalar_agg",
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
@@ -997,7 +1013,7 @@ def event_time_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "asof_join_ticks",
     """
     SELECT p.event_id, v.value AS last_view_value
@@ -1025,7 +1041,7 @@ def asof_join_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", F.col("value_asof").alias("last_view_value"))
 
 
-@defquery(
+@defcomponent(
     "asof_join_forward",
     """
     SELECT p.event_id, v.value AS next_view_value
@@ -1293,7 +1309,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.simhash_near_dup_pairs(d, max_hamming=3, blocks=4)
 
 
-@defquery(
+@defcomponent(
     "text_token_count",
     r"""
     SELECT doc_id,
@@ -1315,7 +1331,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "text_quality",
     r"""
     SELECT doc_id,
@@ -1387,7 +1403,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "text_fingerprint",
     r"""
     SELECT doc_id,
@@ -1542,7 +1558,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "set_except_all",
     """
     SELECT c_nationkey AS nationkey FROM customer
@@ -1564,7 +1580,7 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.exceptAll(s)
 
 
-@defquery(
+@defcomponent(
     "window_percent_rank",
     """
     SELECT o_orderkey,
@@ -1606,7 +1622,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "text_normalize",
     r"""
     SELECT doc_id,
@@ -1862,7 +1878,7 @@ def explode_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "window_ntile",
     """
     SELECT o_orderkey,
@@ -1888,13 +1904,130 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Fused suite queries: driver-facing coverage for COMPONENTS
+# =====================================================================
+#
+# Each suite tags every component's rows with its name and stacks them
+# by column name (missing columns null-padded) — a pure union, no joins,
+# no float-to-string rendering, so the driver's canonicalization (sort
+# columns by name, round floats) applies to each component's columns
+# exactly as it would have applied to the standalone query. The Spark
+# side CALLS the component functions, so the driver exercises the very
+# same DataFrame code paths pytest checks one-by-one.
+#
+# Scale: a suite is N independent scan branches under one union —
+# exactly the cost of running the N queries separately; nothing is
+# re-shuffled to fuse them.
+
+SUITES: dict[str, tuple[str, ...]] = {
+    # single-table projections/filters, grouped per fact table
+    "suite_proj_orders": (
+        "p1_filter_neq",
+        "p3_date_between",
+        "p9_stamp_run_date",
+        "p13_date_arith",
+        "p15_ptbr_currency",
+    ),
+    "suite_proj_customer": (
+        "p4_regexp_replace",
+        "p5_try_cast",
+        "p7_bulk_rename",
+    ),
+    "suite_proj_events": (
+        "p2_null_filter",
+        "p14_ts_format",
+        "p16_json_extract",
+    ),
+    "suite_setops": (
+        "u1_union_all",
+        "set_intersect",
+        "set_except",
+        "set_except_all",
+    ),
+    "suite_agg_grouping": (
+        "agg_rollup",
+        "agg_cube",
+        "agg_grouping_sets",
+    ),
+    "suite_join_outer": (
+        "join_right_outer",
+        "join_full_outer",
+    ),
+    "suite_window_frames": (
+        "window_lag_delta",
+        "window_running_sum",
+        "window_range_1h",
+    ),
+    "suite_window_rank": (
+        "window_percent_rank",
+        "window_ntile",
+    ),
+    "suite_subquery": (
+        "subquery_exists",
+        "subquery_scalar_agg",
+    ),
+    "suite_asof": (
+        "asof_join_ticks",
+        "asof_join_forward",
+    ),
+    "suite_text": (
+        "text_token_count",
+        "text_quality",
+        "text_fingerprint",
+        "text_normalize",
+    ),
+}
+
+
+def _suite_spark(component_names: tuple[str, ...]) -> SparkQuery:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out: DataFrame | None = None
+        for name in component_names:
+            df = COMPONENTS[name].spark(spark, sf_dir)
+            tagged = df.select(F.lit(name).alias("op"), "*")
+            out = tagged if out is None else out.unionByName(
+                tagged, allowMissingColumns=True
+            )
+        assert out is not None
+        return out
+
+    return fn
+
+
+def _suite_oracle(component_names: tuple[str, ...]) -> str:
+    parts = []
+    for name in component_names:
+        sql = COMPONENTS[name].oracle.strip().rstrip(";")
+        parts.append(f"SELECT '{name}' AS op, x.* FROM (\n{sql}\n) x")
+    return "\nUNION ALL BY NAME\n".join(parts)
+
+
+for _suite_name, _members in SUITES.items():
+    CATALOG[_suite_name] = QueryDef(_suite_spark(_members), _suite_oracle(_members))
+
+
+# =====================================================================
 # Entry-point accessors (driver contract)
 # =====================================================================
 
 
+def ordered_catalog() -> dict[str, QueryDef]:
+    """Driver-facing order: every oracle-backed query first — the driver
+    hash-compares only the first 50 ``queries()`` entries, so the
+    rows-only (non-SQL-expressible) checks go last where the weaker
+    rows-only protocol loses nothing."""
+    oracle_backed = {n: q for n, q in CATALOG.items() if q.oracle is not None}
+    rows_only = {n: q for n, q in CATALOG.items() if q.oracle is None}
+    return {**oracle_backed, **rows_only}
+
+
 def queries() -> dict[str, SparkQuery]:
-    return {name: qd.spark for name, qd in CATALOG.items()}
+    return {name: qd.spark for name, qd in ordered_catalog().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in CATALOG.items() if qd.oracle is not None}
+    return {
+        name: qd.oracle
+        for name, qd in ordered_catalog().items()
+        if qd.oracle is not None
+    }

@@ -23,7 +23,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aws_etl_project2_fiap_spark.session import build_session
-from aws_etl_project2_fiap_spark.workload import CATALOG
+from aws_etl_project2_fiap_spark.workload import CATALOG, COMPONENTS
+
+DEFS = {**CATALOG, **COMPONENTS}
 
 HEADLINE = [
     "a1_top5_7day_sum",
@@ -75,7 +77,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = CATALOG[name].spark
+        fn = DEFS[name].spark
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -15,7 +15,10 @@ import duckdb
 import pytest
 
 from aws_etl_project2_fiap_spark.io.parquet import STAR_TABLES
-from aws_etl_project2_fiap_spark.workload import CATALOG
+from aws_etl_project2_fiap_spark.workload import CATALOG, COMPONENTS
+
+# every fused-suite component is still differentially checked one-by-one
+DEFS = {**CATALOG, **COMPONENTS}
 
 SF_DIR = "/root/testdata/sf0.001"  # small SF keeps the suite fast
 
@@ -46,13 +49,13 @@ def duck():
     con.close()
 
 
-ORACLE_QUERIES = sorted(n for n, qd in CATALOG.items() if qd.oracle is not None)
-ROWS_ONLY_QUERIES = sorted(n for n, qd in CATALOG.items() if qd.oracle is None)
+ORACLE_QUERIES = sorted(n for n, qd in DEFS.items() if qd.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, qd in DEFS.items() if qd.oracle is None)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, duck, name):
-    qd = CATALOG[name]
+    qd = DEFS[name]
     sdf = qd.spark(spark, SF_DIR)
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
@@ -77,7 +80,38 @@ def test_oracle_parity(spark, duck, name):
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_queries_run(spark, name):
     """Non-SQL-expressible ops: assert they run and have a stable schema."""
-    qd = CATALOG[name]
+    qd = DEFS[name]
     sdf = qd.spark(spark, SF_DIR)
     assert sdf.columns
     assert sdf.count() >= 0
+
+
+def test_sessionize_30m_parity_at_driver_sf(spark):
+    """Pinned regression at sf0.01 — the exact SF the driver hashes.
+
+    Round-1's CORRECTNESS snapshot flagged sessionize_30m
+    ``hash_match: false`` while the same compare passed at HEAD (the
+    ``ts_ns``-ordering fixes landed after the driver's snapshot). This
+    test locks the driver-SF parity so any re-regression fails CI, not
+    the next round's correctness report."""
+    sf = "/root/testdata/sf0.01"
+    qd = DEFS["sessionize_30m"]
+    sdf = qd.spark(spark, sf)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    try:
+        for name in STAR_TABLES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM '{sf}/{name}.parquet'"
+            )
+        rel = con.sql(qd.oracle)
+        duck_cols = [c.lower() for c in rel.columns]
+        duck_rows = rel.fetchall()
+    finally:
+        con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) == 10000
+    assert canon(spark_rows, spark_cols) == canon(duck_rows, duck_cols)

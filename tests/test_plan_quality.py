@@ -12,7 +12,9 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from aws_etl_project2_fiap_spark.workload import CATALOG
+from aws_etl_project2_fiap_spark.workload import CATALOG, COMPONENTS
+
+DEFS = {**CATALOG, **COMPONENTS}
 
 SF = "/root/testdata/sf0.01"
 
@@ -30,7 +32,7 @@ def formatted(df) -> str:
 def test_filter_pushdown_reaches_parquet(spark):
     """P3's date filter must appear as PushedFilters on the scan — at
     100 TB this is row-group min/max skipping vs a full-table read."""
-    df = CATALOG["p3_date_between"].spark(spark, SF)
+    df = DEFS["p3_date_between"].spark(spark, SF)
     s = formatted(df)
     assert "PushedFilters" in s
     pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
@@ -40,7 +42,7 @@ def test_filter_pushdown_reaches_parquet(spark):
 def test_column_pruning_trims_read_schema(spark):
     """A 3-column projection over the 16-column lineitem must scan only
     what it needs."""
-    df = CATALOG["p3_date_between"].spark(spark, SF)
+    df = DEFS["p3_date_between"].spark(spark, SF)
     s = formatted(df)
     read = [ln for ln in s.splitlines() if "ReadSchema" in ln]
     assert read, s
@@ -52,7 +54,7 @@ def test_star_join_broadcasts_dimensions(spark):
     """join_star_revenue: every dimension side must be a broadcast, the
     single shuffle belongs to the aggregation — never a sort-merge join
     against nation/region-sized tables."""
-    df = CATALOG["join_star_revenue"].spark(spark, SF)
+    df = DEFS["join_star_revenue"].spark(spark, SF)
     p = plan(df)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
@@ -61,14 +63,14 @@ def test_star_join_broadcasts_dimensions(spark):
 def test_topk_plans_as_take_ordered(spark):
     """O1 (ORDER BY ... LIMIT k) must plan as TakeOrderedAndProject —
     a per-partition heap + driver merge, not a global sort."""
-    df = CATALOG["o1_topk"].spark(spark, SF)
+    df = DEFS["o1_topk"].spark(spark, SF)
     assert "TakeOrderedAndProject" in plan(df)
 
 
 def test_a1_plans_partial_then_final_agg(spark):
     """The flagship aggregation must be a two-phase hash aggregate
     (map-side partial combine before the shuffle)."""
-    p = plan(CATALOG["a1_top5_7day_sum"].spark(spark, SF))
+    p = plan(DEFS["a1_top5_7day_sum"].spark(spark, SF))
     assert p.count("HashAggregate") >= 2
     assert "partial_sum" in p
 
@@ -82,7 +84,7 @@ def test_jvm_only_queries_have_no_python_stage(spark):
         "dedup_exact", "dedup_minhash_lsh", "text_langid", "text_quality",
         "similarity_knn",
     ]:
-        p = plan(CATALOG[name].spark(spark, SF))
+        p = plan(DEFS[name].spark(spark, SF))
         assert "BatchEvalPython" not in p, f"{name} fell into row-Python"
         assert "ArrowEvalPython" not in p, f"{name} uses a pandas UDF"
 
@@ -91,7 +93,7 @@ def test_whole_stage_codegen_covers_hot_path(spark):
     """Pricing summary (scan→filter→agg) should be fused into
     WholeStageCodegen spans, not interpreted operators. (Execute first:
     under AQE the final plan exists only after the run.)"""
-    df = CATALOG["agg_pricing_summary"].spark(spark, SF)
+    df = DEFS["agg_pricing_summary"].spark(spark, SF)
     df.collect()  # AQE: codegen subtrees exist only in the final plan
     cg = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "codegen"
@@ -103,7 +105,7 @@ def test_whole_stage_codegen_covers_hot_path(spark):
 def test_asof_join_is_single_shuffle_union_window(spark):
     """The as-of join must use the union-sort-window pattern: exactly
     one Exchange over the key, and no CartesianProduct/range explosion."""
-    p = plan(CATALOG["asof_join_ticks"].spark(spark, SF))
+    p = plan(DEFS["asof_join_ticks"].spark(spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -111,7 +113,7 @@ def test_asof_join_is_single_shuffle_union_window(spark):
 def test_semi_join_stays_semi(spark):
     """join_semi must plan as a semi join (no duplicate-producing inner
     join + distinct)."""
-    p = plan(CATALOG["join_semi"].spark(spark, SF))
+    p = plan(DEFS["join_semi"].spark(spark, SF))
     assert "Semi" in p, p
 
 
@@ -166,7 +168,7 @@ def test_bucketed_join_has_no_exchange(spark):
 def test_exists_subquery_decorrelates_to_semi_join(spark):
     """Correlated EXISTS must decorrelate into a semi join — per-row
     subquery re-execution would be quadratic at scale."""
-    p = plan(CATALOG["subquery_exists"].spark(spark, SF))
+    p = plan(DEFS["subquery_exists"].spark(spark, SF))
     assert "Semi" in p, p
     assert "CartesianProduct" not in p
 
@@ -175,7 +177,7 @@ def test_q3_filters_push_and_topk(spark):
     """TPC-H Q3: the per-table date/segment filters must reach the
     parquet scans (PushedFilters) and the ORDER BY ... LIMIT 10 must
     plan as TakeOrderedAndProject, not a global sort."""
-    df = CATALOG["tpch_q3_shipping_priority"].spark(spark, SF)
+    df = DEFS["tpch_q3_shipping_priority"].spark(spark, SF)
     s = formatted(df)
     pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
     assert any("l_shipdate" in ln for ln in pushed), pushed
@@ -188,7 +190,7 @@ def test_q5_dimension_chain_broadcasts(spark):
     """TPC-H Q5: the region→nation→supplier chain must broadcast — the
     only sort-merge-eligible joins are the fact⋈fact ones. No cartesian
     products from the cyclic c_nationkey = s_nationkey closure."""
-    p = plan(CATALOG["tpch_q5_regional_revenue"].spark(spark, SF))
+    p = plan(DEFS["tpch_q5_regional_revenue"].spark(spark, SF))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
@@ -197,7 +199,7 @@ def test_q5_dimension_chain_broadcasts(spark):
 def test_explode_stays_in_codegen(spark):
     """The generator + agg pipeline must stay JVM-side (Generate inside
     the codegen'd stage; no Python eval anywhere)."""
-    df = CATALOG["explode_token_topk"].spark(spark, SF)
+    df = DEFS["explode_token_topk"].spark(spark, SF)
     p = plan(df)
     assert "Generate" in p
     assert "EvalPython" not in p
