@@ -139,13 +139,40 @@ def cosine_pandas(a: Column, b: Column) -> Column:
     return _cos(a, b)
 
 
+def lsh_params_for_threshold(
+    threshold: float, target_miss: float = 1e-6, max_tables: int = 64
+) -> tuple[int, int]:
+    """Pick (planes, tables) so a pair at exactly ``threshold`` cosine is
+    missed with probability < ``target_miss``.
+
+    Per random hyperplane, a pair at angle θ collides with p = 1 − θ/π
+    (Goemans–Williamson). AND over ``planes`` bits, OR over ``tables``
+    sketches → miss = (1 − p^planes)^tables. planes ≈ ln4/−ln p puts the
+    per-table collision near 25%, the cost/recall sweet spot; tables then
+    solves the miss target. Low thresholds get few planes and many
+    tables — the replication factor IS the price of near-exact recall;
+    production runs chasing throughput over exactness should pass
+    explicit smaller ``tables``."""
+    import math
+
+    t = min(max(threshold, -0.999), 0.999)
+    p = 1.0 - math.acos(t) / math.pi
+    planes = max(2, round(math.log(4.0) / -math.log(p)))
+    while True:
+        p_table = p**planes
+        tables = math.ceil(math.log(target_miss) / math.log(1.0 - p_table))
+        if tables <= max_tables or planes == 2:
+            return planes, min(tables, max_tables)
+        planes -= 1
+
+
 def near_dup_pairs_bucketed(
     df: DataFrame,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    planes: int = 8,
-    tables: int = 8,
+    planes: int | None = None,
+    tables: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate cosine near-dup pairs: multi-table hyperplane LSH
@@ -164,12 +191,23 @@ def near_dup_pairs_bucketed(
     threshold do. The one shuffle moves ``tables``× the input vectors on
     narrow (table, bucket) keys; at 100 TB the guard to add is a bucket-
     size cap (split oversized buckets on extra sketch bits) so one hot
-    bucket can't skew the stage. Returns (id1, id2, sim)."""
+    bucket can't skew the stage. Returns (id1, id2, sim).
+
+    ``planes``/``tables`` default to :func:`lsh_params_for_threshold` —
+    sized so recall at the threshold is ~1−1e-6, which is what lets
+    the exact-SQL oracle stay the correctness gate for queries built on
+    this generator (deterministic hyperplanes → the parity test result
+    IS the driver result)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from ..session import parallelize_small
+
+    if planes is None or tables is None:
+        auto_planes, auto_tables = lsh_params_for_threshold(threshold)
+        planes = planes if planes is not None else auto_planes
+        tables = tables if tables is not None else auto_tables
 
     # spread the sketch matmul across cores when the input is a
     # single-row-group file (one scan task otherwise)
@@ -218,6 +256,28 @@ def near_dup_pairs_bucketed(
         .applyInPandas(_score_bucket, f"id1 {id_type}, id2 {id_type}, sim double")
         .dropDuplicates(["id1", "id2"])
     )
+
+
+def dedup_by_cosine(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    pairs_fn=None,
+) -> DataFrame:
+    """Embedding-cosine near-dup dedup: drop every vector ≥-threshold
+    similar to a lower-id vector, keep min-id survivors.
+
+    ``pairs_fn`` is any generator with the (df, threshold, vec_col,
+    id_col) → (id1, id2, sim) contract; it defaults to
+    :func:`near_dup_pairs_bucketed` (auto-tuned LSH — the scale path).
+    :func:`near_dup_pairs_exact` plugs in for quadratic ground-truth
+    runs only. Pairs ≪ corpus, so the drop-set broadcasts into a
+    left-anti join — no extra shuffle of the corpus."""
+    gen = pairs_fn if pairs_fn is not None else near_dup_pairs_bucketed
+    pairs = gen(df, threshold=threshold, vec_col=vec_col, id_col=id_col)
+    drop = pairs.select(F.col("id2").alias(id_col)).distinct()
+    return df.join(F.broadcast(drop), id_col, "left_anti").select(id_col)
 
 
 def near_dup_pairs_exact(

@@ -1515,10 +1515,11 @@ def similarity_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery("similarity_pairs_lsh", None)  # hyperplane sketch: not ANSI SQL
 def similarity_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-dup pairs via random-hyperplane LSH buckets +
-    in-bucket exact verify. Rows-only check; recall vs the exact variant
-    is asserted in tests."""
+    in-bucket exact verify. Rows-only check; auto-tuned
+    (planes, tables) hit full recall on this corpus — asserted against
+    the exact variant in tests/test_similarity_lsh.py."""
     e = t(spark, sf_dir, "embeddings")
-    return sim_op.near_dup_pairs_bucketed(e, threshold=0.4, planes=4)
+    return sim_op.near_dup_pairs_bucketed(e, threshold=0.4)
 
 
 @defquery(
@@ -1835,15 +1836,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors. Completes the dedup family (exact / minhash / simhash /
     n-gram Jaccard / embedding-cosine).
 
-    Scale: the exact all-pairs underneath is the sf0.01 oracle path; at
-    100 TB swap `near_dup_pairs_exact` for the hyperplane-LSH pair
-    generator (same (id1,id2) contract) and this anti-join is unchanged —
-    pairs ≪ corpus, so the drop-set broadcasts.
+    Scale: the production path — pairs come from the BUCKETED
+    hyperplane-LSH generator (`operators/similarity.py
+    near_dup_pairs_bucketed`), never all-pairs; the drop-set broadcasts
+    into a left-anti join. `lsh_params_for_threshold` sizes the sketch
+    for ~1−1e-6 recall at the threshold, which is what lets the exact
+    NOT EXISTS oracle stay the correctness gate (deterministic
+    hyperplanes: the sf0.01 parity run IS the driver outcome); the
+    quadratic `near_dup_pairs_exact` survives only as `pairs_fn` for
+    ground-truth tests. Plan gate: no CartesianProduct
+    (test_plan_quality.py).
     """
     e = t(spark, sf_dir, "embeddings")
-    pairs = sim_op.near_dup_pairs_exact(e, threshold=0.4)
-    drop = pairs.select(F.col("id2").alias("vec_id")).distinct()
-    return e.join(F.broadcast(drop), "vec_id", "left_anti").select("vec_id")
+    return sim_op.dedup_by_cosine(e, threshold=0.4)
 
 
 @defquery(

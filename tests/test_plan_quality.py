@@ -196,6 +196,16 @@ def test_q5_dimension_chain_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_embedding_dedup_default_plan_is_bucketed(spark):
+    """dedup_embedding_cosine's default path must be the LSH-bucketed
+    generator: no CartesianProduct / broadcast-nested-loop all-pairs
+    anywhere in the plan (the quadratic exact generator is ground-truth
+    tooling only)."""
+    p = plan(DEFS["dedup_embedding_cosine"].spark(spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
 def test_explode_stays_in_codegen(spark):
     """The generator + agg pipeline must stay JVM-side (Generate inside
     the codegen'd stage; no Python eval anywhere)."""

@@ -1,0 +1,64 @@
+"""Hyperplane-LSH pair generator: recall vs exact ground truth, and the
+auto-tuning that makes the exact-SQL oracle a valid gate for queries
+built on the bucketed path (dedup_embedding_cosine).
+
+Determinism is the load-bearing property: splitmix64 hyperplanes +
+deterministic data mean the recall measured here at sf0.001/sf0.01 is
+EXACTLY what the driver's correctness run will see.
+"""
+
+from __future__ import annotations
+
+from aws_etl_project2_fiap_spark.operators.similarity import (
+    lsh_params_for_threshold,
+    near_dup_pairs_bucketed,
+    near_dup_pairs_exact,
+)
+
+
+def _pairs(df) -> set[tuple[int, int]]:
+    return {(r.id1, r.id2) for r in df.collect()}
+
+
+def test_auto_params_scale_with_threshold():
+    """Lower thresholds need fewer AND-bits and more OR-tables; the
+    miss-probability model (1-p^planes)^tables must stay under target."""
+    import math
+
+    for th in (0.4, 0.6, 0.9):
+        planes, tables = lsh_params_for_threshold(th)
+        p = 1.0 - math.acos(th) / math.pi
+        miss = (1.0 - p**planes) ** tables
+        assert miss < 1e-4, (th, planes, tables, miss)
+    # tighter thresholds collide more per plane -> can afford more planes
+    assert lsh_params_for_threshold(0.9)[0] > lsh_params_for_threshold(0.4)[0]
+
+
+def test_bucketed_pairs_match_exact_at_driver_sfs(spark):
+    """Full recall AND full precision vs the quadratic ground truth at
+    both the pytest SF and the driver's correctness SF (in-bucket verify
+    is exact, so precision is structural; recall is what the auto-tuned
+    table count buys)."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        exact = _pairs(near_dup_pairs_exact(e, threshold=0.4))
+        lsh = _pairs(near_dup_pairs_bucketed(e, threshold=0.4))
+        assert lsh == exact, (
+            f"{sf}: missed={sorted(exact - lsh)[:5]} extra={sorted(lsh - exact)[:5]}"
+        )
+
+
+def test_dedup_by_cosine_default_path_matches_exact(spark):
+    """The dedup built on the default (bucketed) generator must produce
+    the same survivor set as the exact generator."""
+    from aws_etl_project2_fiap_spark.operators.similarity import dedup_by_cosine
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {r.vec_id for r in dedup_by_cosine(e, threshold=0.4).collect()}
+    ref = {
+        r.vec_id
+        for r in dedup_by_cosine(
+            e, threshold=0.4, pairs_fn=near_dup_pairs_exact
+        ).collect()
+    }
+    assert got == ref
