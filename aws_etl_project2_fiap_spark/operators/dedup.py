@@ -135,6 +135,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.7,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard on
     shingle sets.
@@ -151,6 +152,17 @@ def minhash_lsh_pairs(
     to ~10⁵ shingles/doc (array must fit a row); beyond that, fall back
     to the exploded :func:`shingles`/:func:`minhash_signatures` path.
     Returns (id1, id2, jaccard).
+
+    **Hot-bucket cap** (``max_bucket``): n identical boilerplate docs
+    share every band signature, so the band self-join alone would emit
+    n²·bands/2 candidate rows. Extra shingle bits cannot split identical
+    content, and the all-pairs output itself is O(n²) — so over-cap
+    buckets are thinned to a STAR around the bucket's min-id doc: each
+    member becomes one (rep, member) candidate, then flows through the
+    SAME exact-Jaccard verify. Connectivity to the representative — and
+    therefore connected-component / keep-min-id dedup — is preserved for
+    buckets of mutual near-dups; buckets at or under the cap keep exact
+    pair enumeration unchanged.
     """
     from ..session import parallelize_small
 
@@ -195,13 +207,23 @@ def minhash_lsh_pairs(
     stacked = docs.select("id", F.explode(band_keys).alias("bs")).select(
         "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    cand = (
-        stacked.alias("a")
-        .join(stacked.alias("b"), on=["band", "sig"])
+    # size/rep pass on the same (band, sig) keys as the candidate join —
+    # co-partitioned, so the extra agg is narrow
+    sizes = stacked.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("id").alias("__rep")
+    )
+    st = stacked.join(sizes, ["band", "sig"])
+    cold = st.filter(F.col("__n") <= max_bucket).select("id", "band", "sig")
+    cand_cold = (
+        cold.alias("a")
+        .join(cold.alias("b"), on=["band", "sig"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
     )
+    cand_hot = st.filter(
+        (F.col("__n") > max_bucket) & (F.col("id") != F.col("__rep"))
+    ).select(F.col("__rep").alias("id1"), F.col("id").alias("id2"))
+    cand = cand_cold.unionByName(cand_hot).distinct()
     s1 = docs.select(F.col("id").alias("id1"), F.col("sh").alias("__sh1"))
     s2 = docs.select(F.col("id").alias("id2"), F.col("sh").alias("__sh2"))
     n_common = F.size(F.array_intersect("__sh1", "__sh2"))

@@ -174,6 +174,7 @@ def near_dup_pairs_bucketed(
     planes: int | None = None,
     tables: int | None = None,
     dim: int = 64,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Approximate cosine near-dup pairs: multi-table hyperplane LSH
     (OR-amplification across ``tables`` independent sketches of
@@ -189,9 +190,21 @@ def near_dup_pairs_bucketed(
     single normalized gram matmul (``applyInPandas``) — candidate pairs
     never materialize as shuffled rows, only survivors above the
     threshold do. The one shuffle moves ``tables``× the input vectors on
-    narrow (table, bucket) keys; at 100 TB the guard to add is a bucket-
-    size cap (split oversized buckets on extra sketch bits) so one hot
-    bucket can't skew the stage. Returns (id1, id2, sim).
+    narrow (table, bucket) keys. Returns (id1, id2, sim).
+
+    **Hot-bucket cap** (``max_bucket``): a degenerate bucket — millions
+    of identical boilerplate vectors — would make the in-bucket gram
+    quadratic AND materialize the whole group in one Arrow batch.
+    Splitting on extra sketch bits cannot help there (identical content
+    ⇒ identical bits at any depth), and all-pairs output over n
+    identical members is inherently O(n²). So buckets over the cap are
+    thinned to a STAR around the bucket's min-id member: each member is
+    exact-verified against that representative only — O(n) output,
+    single vectorized map (never a grouped batch), and the candidate
+    graph keeps every member connected to the representative, so
+    connected-component / keep-min-id dedup results are unchanged for
+    buckets of mutual near-dups (the only way hot buckets arise in
+    practice). Buckets at or under the cap keep exact pair enumeration.
 
     ``planes``/``tables`` default to :func:`lsh_params_for_threshold` —
     sized so recall at the threshold is ~1−1e-6, which is what lets
@@ -251,11 +264,35 @@ def near_dup_pairs_bucketed(
             }
         )
 
-    return (
-        sk.groupBy("table", "bucket")
-        .applyInPandas(_score_bucket, f"id1 {id_type}, id2 {id_type}, sim double")
-        .dropDuplicates(["id1", "id2"])
+    # co-partitioned size/rep pass: same (table, bucket) keys as the
+    # grouped verify, so AQE plans it without an extra wide shuffle
+    sizes = sk.groupBy("table", "bucket").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("id").alias("__rep")
     )
+    skj = sk.join(sizes, ["table", "bucket"])
+
+    cold = skj.filter(F.col("__n") <= max_bucket).drop("__n", "__rep")
+    cold_pairs = cold.groupBy("table", "bucket").applyInPandas(
+        _score_bucket, f"id1 {id_type}, id2 {id_type}, sim double"
+    )
+
+    hot = skj.filter(F.col("__n") > max_bucket)
+    reps = hot.filter(F.col("id") == F.col("__rep")).select(
+        "table", "bucket", F.col(vec_col).alias("__rep_vec")
+    )
+    hot_pairs = (
+        hot.filter(F.col("id") != F.col("__rep"))
+        .join(reps, ["table", "bucket"])
+        .select(
+            F.col("__rep").alias("id1"),
+            F.col("id").alias("id2"),
+            F.round(cosine_pandas(F.col(vec_col), F.col("__rep_vec")), 6).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    return cold_pairs.unionByName(hot_pairs).dropDuplicates(["id1", "id2"])
 
 
 def dedup_by_cosine(
