@@ -66,6 +66,107 @@ def sessionize(
     ).drop("__new")
 
 
+def grouped_global_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    bins: int = 32,
+    rel_err: float = 0.05,
+    rank_col: str = "__grank",
+    n_col: str = "__gn",
+) -> DataFrame:
+    """Exact per-group rank WITHOUT a whole-group sort in one task.
+
+    ``Window.partitionBy(group).orderBy(order)`` sorts each group in a
+    single task — with low-cardinality groups (e.g. 5 order priorities)
+    that is 5-way parallelism no matter how big the data. This two-pass
+    form restores full parallelism while staying bit-identical:
+
+    1. bin rows by range of the LEADING order column, boundaries from
+       one ``approxQuantile`` pass (equal values always share a bin, so
+       ordering across bins is preserved by construction);
+    2. ``row_number`` within the fine (group, bin) partitions — the one
+       big-table shuffle, now spread over ``groups × bins`` tasks;
+    3. per-(group, bin) counts (map-side partial agg on the SAME keys →
+       tiny shuffle) → cumulative offsets per group via a window over
+       the tiny aggregate → broadcast-joined back; global rank =
+       bin offset + local rank.
+
+    Requirements: ascending order ending in a unique tie-break (rank ≡
+    row_number), numeric leading order column. Adds ``rank_col`` (1-based
+    global rank) and ``n_col`` (group size)."""
+    lead = order_cols[0]
+    qs = [i / bins for i in range(1, bins)]
+    bnds = sorted(set(df.approxQuantile(lead, qs, rel_err)))
+    if bnds:
+        arr = F.array(*[F.lit(float(b)) for b in bnds])
+        bin_col = F.size(F.filter(arr, lambda b: b <= F.col(lead)))
+    else:
+        bin_col = F.lit(0)
+    d = df.withColumn("__bin", bin_col)
+
+    w = Window.partitionBy(*group_cols, "__bin").orderBy(*order_cols)
+    ranked = d.withColumn("__lr", F.row_number().over(w))
+
+    counts = d.groupBy(*group_cols, "__bin").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols,
+        "__bin",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__c").over(Window.partitionBy(*group_cols)).alias(n_col),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), [*group_cols, "__bin"])
+        .withColumn(rank_col, F.col("__off") + F.col("__lr"))
+        .drop("__bin", "__lr", "__off")
+    )
+
+
+def percent_rank_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "pr",
+    bins: int = 32,
+) -> DataFrame:
+    """Scale-safe percent_rank: (rank−1)/(n−1) from
+    :func:`grouped_global_rank` — identical values to the native window
+    (unique tie-break ⇒ rank ≡ row_number), full parallelism."""
+    r = grouped_global_rank(df, group_cols, order_cols, bins=bins)
+    pr = F.when(F.col("__gn") <= 1, F.lit(0.0)).otherwise(
+        (F.col("__grank") - 1).cast("double") / (F.col("__gn") - 1)
+    )
+    return r.withColumn(out_col, pr).drop("__grank", "__gn")
+
+
+def ntile_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    n_tiles: int,
+    out_col: str = "tile",
+    bins: int = 32,
+) -> DataFrame:
+    """Scale-safe ntile: SQL-standard bucket arithmetic (first n mod T
+    buckets get the extra row) over the global rank — matches the native
+    window bit-for-bit under a unique ordering."""
+    r = grouped_global_rank(df, group_cols, order_cols, bins=bins)
+    n, rk, t = F.col("__gn"), F.col("__grank"), F.lit(n_tiles)
+    q, rem = (n / t).cast("long"), n % t
+    big_span = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+    tile = F.when(q == 0, rk).otherwise(
+        F.when(rk <= big_span, ((rk - 1) / (q + 1)).cast("long") + 1).otherwise(
+            rem + ((rk - big_span - 1) / q).cast("long") + 1
+        )
+    )
+    return r.withColumn(out_col, tile.cast("int")).drop("__grank", "__gn")
+
+
 def autoincrement_id(df: DataFrame, order: list, id_col: str = "id") -> DataFrame:
     """K4's AUTOINCREMENT emulation — dense ids in a defined order.
     Single-partition window: only for driver-scale frames; at scale use

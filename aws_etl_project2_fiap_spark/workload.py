@@ -1595,14 +1595,22 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank per priority class — relative-standing window shape
     (rank-1)/(n-1), deterministic via the o_orderkey tie-break.
 
-    Scale: same single-shuffle profile as `window_ntile`; the frame is
-    unbounded so no per-row frame scan.
+    Scale: o_orderpriority has 5 values, so the naive window sorts each
+    whole group in one task at ANY data size. Implemented via
+    `operators/windows.py percent_rank_grouped`: range-binned two-pass
+    rank — the big shuffle spreads over groups×bins tasks, offsets come
+    from a tiny broadcast aggregate, values bit-identical to the native
+    window (plan-gated in test_plan_quality.py).
     """
+    from .operators.windows import percent_rank_grouped
+
     o = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey", F.round(F.percent_rank().over(w), 6).alias("pr")
+    out = percent_rank_grouped(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
     )
+    return out.select("o_orderkey", F.round(F.col("pr"), 6).alias("pr"))
 
 
 @defquery("agg_approx_distinct", None)  # HLL++ sketch: estimate, not SQL-exact
@@ -1896,16 +1904,23 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) quartile assignment per priority class — the bucketing
     window shape (deterministic: o_orderkey tie-breaks the order).
 
-    Scale: one shuffle on the partition key; each partition sorts
-    locally (spillable). Skewed partition keys (few priorities, many
-    orders) are the known hazard — for a 100 TB variant partition by a
-    finer key or pre-bucket by (priority, hash(orderkey) % k).
+    Scale: 5 priority values would pin the naive window to 5 sort
+    tasks. Implemented via `operators/windows.py ntile_grouped`:
+    range-binned global rank + SQL-standard bucket arithmetic —
+    bit-identical to the native ntile under the unique ordering, full
+    parallelism (plan-gated in test_plan_quality.py).
     """
+    from .operators.windows import ntile_grouped
+
     o = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    out = ntile_grouped(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
+        n_tiles=4,
+        out_col="quartile",
     )
+    return out.select("o_orderkey", "quartile")
 
 
 # =====================================================================

@@ -206,6 +206,25 @@ def test_embedding_dedup_default_plan_is_bucketed(spark):
     assert "BroadcastNestedLoopJoin" not in p, p
 
 
+def test_grouped_rank_never_sorts_whole_priority_groups(spark):
+    """window_percent_rank / window_ntile partition by a 5-value key —
+    the plan must never hash-partition the big table on o_orderpriority
+    ALONE (5 sort tasks at any scale): every exchange on the priority
+    key must carry the range-bin refinement, except the tiny
+    offset-aggregate branch (its input is groups×bins rows)."""
+    for name in ("window_percent_rank", "window_ntile"):
+        p = plan(DEFS[name].spark(spark, SF))
+        assert "__bin" in p, f"{name}: range-bin refinement missing\n{p}"
+        solo = [
+            ln
+            for ln in p.splitlines()
+            if "hashpartitioning(o_orderpriority" in ln and "__bin" not in ln
+        ]
+        # the only priority-keyed exchange without __bin is the window
+        # over the counts aggregate (rows = groups × bins, driver-tiny)
+        assert len(solo) <= 1, f"{name}: whole-group exchange\n{p}"
+
+
 def test_explode_stays_in_codegen(spark):
     """The generator + agg pipeline must stay JVM-side (Generate inside
     the codegen'd stage; no Python eval anywhere)."""
