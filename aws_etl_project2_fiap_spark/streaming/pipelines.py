@@ -184,7 +184,8 @@ def stateful_running_stats(
             )
         )
 
-    import pandas as pd  # local: executor-side dependency only
+    import numpy as np  # local: executor-side dependency only
+    import pandas as pd
 
     def update(key, pdf_iter: Iterator[pd.DataFrame], state):
         if state.exists:
@@ -192,13 +193,24 @@ def stateful_running_stats(
         else:
             n, total, m2, last = 0, 0.0, 0.0, float("nan")
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
-            for v in pdf[value_col].astype(float):
-                n += 1
-                delta = v - (total / (n - 1) if n > 1 else v)
-                total += v
-                m2 += delta * (v - total / n)
-                last = v
+            # vectorized Welford: batch moments in three numpy reductions,
+            # then Chan's parallel merge with the carried state — exact
+            # single-pass variance, no per-row Python
+            v = pdf.sort_values(ts_col)[value_col].astype(float).to_numpy()
+            nb = len(v)
+            if nb == 0:
+                continue
+            sb = float(v.sum())
+            mb = sb / nb
+            m2b = float(((v - mb) ** 2).sum())
+            if n == 0:
+                n, total, m2 = nb, sb, m2b
+            else:
+                delta = mb - total / n
+                m2 += m2b + delta * delta * n * nb / (n + nb)
+                total += sb
+                n += nb
+            last = float(v[-1])
         state.update((n, total, m2, last))
         yield pd.DataFrame(
             {
