@@ -114,6 +114,288 @@ def test_random_filter_agg_matches_duckdb(spark, duck, spec):
     assert canon(srows, scols) == canon(drows, dcols), spec
 
 
+# ---------------------------------------------------------------------------
+# Random joins: all six join types against the same DuckDB formulation
+# ---------------------------------------------------------------------------
+
+JOIN_TYPES = ["inner", "left", "right", "full", "semi", "anti"]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    jt=st.sampled_from(JOIN_TYPES),
+    thresh=st.integers(min_value=0, max_value=400_000),
+)
+def test_random_join_matches_duckdb(spark, duck_star, jt, thresh):
+    """customer ⋈ filtered-orders under every join type: outer-null
+    extension, semi/anti row preservation, and the filter-before-join
+    interaction must all agree with DuckDB."""
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        F.col("o_totalprice") > thresh
+    )
+    if jt in ("semi", "anti"):
+        sdf = c.join(
+            o, c.c_custkey == o.o_custkey, f"left_{jt}"
+        ).select("c_custkey", "c_name")
+        verb = "EXISTS" if jt == "semi" else "NOT EXISTS"
+        sql = (
+            f"SELECT c_custkey, c_name FROM customer c WHERE {verb} "
+            f"(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+            f" AND o.o_totalprice > {thresh})"
+        )
+    else:
+        sdf = c.join(o, c.c_custkey == o.o_custkey, jt).select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("otp"),
+        )
+        sql = (
+            f"SELECT c_custkey, o_orderkey, round(o_totalprice, 4) AS otp "
+            f"FROM customer c {jt.upper()} JOIN "
+            f"(SELECT * FROM orders WHERE o_totalprice > {thresh}) o "
+            f"ON c.c_custkey = o.o_custkey"
+        )
+    _compare(sdf, duck_star, sql, (jt, thresh))
+
+
+# ---------------------------------------------------------------------------
+# Random window frames: ROWS and RANGE, random bounds and aggregates
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def frame_spec(draw):
+    agg = draw(st.sampled_from(["sum", "min", "max", "avg", "count"]))
+    mode = draw(st.sampled_from(["rows", "range"]))
+    if mode == "rows":
+        start = draw(st.sampled_from([None, 0, 1, 3, 10]))  # None = unbounded
+        end = draw(st.sampled_from([0, 1, 5]))
+    else:
+        start = draw(st.sampled_from([None, 100, 5000]))
+        end = 0
+    pk = draw(st.sampled_from(["o_orderpriority", "o_orderstatus"]))
+    return agg, mode, start, end, pk
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=frame_spec())
+def test_random_window_frame_matches_duckdb(spark, duck_star, spec):
+    """Windowed aggregates over random ROWS/RANGE frames. ROWS frames
+    order with a unique tie-break (frame contents depend on row order);
+    RANGE frames order by the value alone (tied rows share a frame by
+    definition, so the result is tie-independent)."""
+    from pyspark.sql import Window
+
+    agg, mode, start, end, pk = spec
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lo = Window.unboundedPreceding if start is None else -start
+    if mode == "rows":
+        w = (
+            Window.partitionBy(pk)
+            .orderBy("o_totalprice", "o_orderkey")
+            .rowsBetween(lo, end)
+        )
+        order_sql = "o_totalprice, o_orderkey"
+        frame_kw = "ROWS"
+    else:
+        w = Window.partitionBy(pk).orderBy("o_totalprice").rangeBetween(lo, end)
+        order_sql = "o_totalprice"
+        frame_kw = "RANGE"
+    fcol = getattr(F, agg)("o_totalprice").over(w)
+    sdf = o.select("o_orderkey", fcol.alias("res"))
+
+    b0 = "UNBOUNDED PRECEDING" if start is None else (
+        "CURRENT ROW" if start == 0 else f"{start} PRECEDING"
+    )
+    b1 = "CURRENT ROW" if end == 0 else f"{end} FOLLOWING"
+    sql = (
+        f"SELECT o_orderkey, {agg}(o_totalprice) OVER w AS res FROM orders "
+        f"WINDOW w AS (PARTITION BY {pk} ORDER BY {order_sql} "
+        f"{frame_kw} BETWEEN {b0} AND {b1})"
+    )
+    # cumulative float aggs legitimately differ at ~1e-10 (summation
+    # order): compare per-key with numeric tolerance, not string-rounding
+    # (round-to-N flips on .5 boundaries and fails spuriously)
+    _compare_keyed(sdf, duck_star, sql, spec)
+
+
+# ---------------------------------------------------------------------------
+# Random ranking functions, including genuine tie handling
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(["row_number", "rank", "dense_rank", "percent_rank", "ntile"]),
+    tiles=st.integers(min_value=2, max_value=7),
+    desc=st.booleans(),
+)
+def test_random_ranking_matches_duckdb(spark, duck_star, fn, tiles, desc):
+    """Ranking functions over a COARSE order key (floor(price/1000)) so
+    ties actually occur: rank/dense_rank/percent_rank must agree on tie
+    plateaus; row_number/ntile get a unique tie-break appended (their
+    output is order-dependent)."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    coarse = F.floor(F.col("o_totalprice") / 1000).alias("ocoarse")
+    oc = o.select("o_orderkey", "o_orderpriority", coarse)
+    key = F.desc("ocoarse") if desc else F.asc("ocoarse")
+    dir_sql = "DESC" if desc else "ASC"
+    if fn in ("row_number", "ntile"):
+        w = Window.partitionBy("o_orderpriority").orderBy(key, "o_orderkey")
+        order_sql = f"ocoarse {dir_sql}, o_orderkey"
+    else:
+        w = Window.partitionBy("o_orderpriority").orderBy(key)
+        order_sql = f"ocoarse {dir_sql}"
+    if fn == "ntile":
+        col, fexpr = F.ntile(tiles), f"ntile({tiles})"
+    else:
+        col, fexpr = getattr(F, fn)(), f"{fn}()"
+    rescol = col.over(w)
+    if fn == "percent_rank":
+        rescol = F.round(rescol, 6)
+        fexpr = f"round({fexpr} OVER w, 6)"
+    else:
+        fexpr = f"{fexpr} OVER w"
+    sdf = oc.select("o_orderkey", rescol.alias("res"))
+    sql = (
+        f"SELECT o_orderkey, {fexpr} AS res FROM "
+        f"(SELECT o_orderkey, o_orderpriority, "
+        f"CAST(floor(o_totalprice/1000) AS BIGINT) AS ocoarse FROM orders) "
+        f"WINDOW w AS (PARTITION BY o_orderpriority ORDER BY {order_sql})"
+    )
+    _compare(sdf, duck_star, sql, (fn, tiles, desc))
+
+
+# ---------------------------------------------------------------------------
+# Random set operations (set + bag variants)
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"]
+    ),
+    ct=st.integers(min_value=-1000, max_value=9000),
+    st_=st.integers(min_value=-1000, max_value=9000),
+)
+def test_random_setop_matches_duckdb(spark, duck_star, op, ct, st_):
+    """Set vs bag semantics across random filtered inputs: distinct
+    collapse, multiplicity subtraction, and min-count intersection."""
+    c = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .filter(F.col("c_acctbal") > ct)
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    s = (
+        spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+        .filter(F.col("s_acctbal") > st_)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    sdf = {
+        "UNION": lambda: c.union(s).distinct(),
+        "UNION ALL": lambda: c.unionAll(s),
+        "INTERSECT": lambda: c.intersect(s),
+        "EXCEPT": lambda: c.subtract(s),
+        "INTERSECT ALL": lambda: c.intersectAll(s),
+        "EXCEPT ALL": lambda: c.exceptAll(s),
+    }[op]()
+    sql = (
+        f"SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > {ct} "
+        f"{op} "
+        f"SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > {st_}"
+    )
+    _compare(sdf, duck_star, sql, (op, ct, st_))
+
+
+# ---------------------------------------------------------------------------
+# Random top-k: direction, key, and limit
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    col=st.sampled_from(["o_totalprice", "o_custkey", "o_orderdate"]),
+    desc=st.booleans(),
+    k=st.integers(min_value=1, max_value=50),
+)
+def test_random_topk_matches_duckdb(spark, duck_star, col, desc, k):
+    """ORDER BY <random col> <dir>, unique tie-break, LIMIT k — the
+    TakeOrderedAndProject path must pick the same rows as a full sort."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    key = F.desc(col) if desc else F.asc(col)
+    sdf = o.orderBy(key, F.asc("o_orderkey")).select("o_orderkey").limit(k)
+    dir_sql = "DESC" if desc else "ASC"
+    sql = (
+        f"SELECT o_orderkey FROM orders "
+        f"ORDER BY {col} {dir_sql}, o_orderkey ASC LIMIT {k}"
+    )
+    _compare(sdf, duck_star, sql, (col, desc, k))
+
+
+def _compare(sdf, con, sql, spec):
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = [c.lower() for c in sdf.columns]
+    rel = con.sql(sql)
+    drows = rel.fetchall()
+    dcols = [c.lower() for c in rel.columns]
+    assert canon(srows, scols) == canon(drows, dcols), spec
+
+
+def _compare_keyed(sdf, con, sql, spec, rel_tol=1e-9, abs_tol=1e-6):
+    """(key, value) comparison with numeric tolerance on the value."""
+    s = {r[0]: r[1] for r in sdf.collect()}
+    d = {r[0]: r[1] for r in con.sql(sql).fetchall()}
+    assert s.keys() == d.keys(), spec
+    bad = [
+        (k, s[k], d[k])
+        for k in s
+        if not (
+            s[k] == d[k]
+            or (
+                isinstance(s[k], float)
+                and isinstance(d[k], float)
+                and math.isclose(s[k], d[k], rel_tol=rel_tol, abs_tol=abs_tol)
+            )
+        )
+    ]
+    assert not bad, (spec, bad[:5])
+
+
+@pytest.fixture(scope="module")
+def duck_star():
+    con = duckdb.connect()
+    for name in ("customer", "orders", "supplier"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
 @settings(max_examples=50, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(n=st.integers(min_value=0, max_value=10**15))
