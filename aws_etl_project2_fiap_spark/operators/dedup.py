@@ -207,12 +207,14 @@ def minhash_lsh_pairs(
     stacked = docs.select("id", F.explode(band_keys).alias("bs")).select(
         "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    # size/rep pass on the same (band, sig) keys as the candidate join —
-    # co-partitioned, so the extra agg is narrow
-    sizes = stacked.groupBy("band", "sig").agg(
-        F.count(F.lit(1)).alias("__n"), F.min("id").alias("__rep")
+    # size/rep via a partition-only window, NOT aggregate+join-back: a
+    # join would duplicate the shingle/minhash projection subtree; the
+    # window's (band, sig) exchange is the one the candidate self-join
+    # reuses anyway
+    wb = Window.partitionBy("band", "sig")
+    st = stacked.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
+        "__rep", F.min("id").over(wb)
     )
-    st = stacked.join(sizes, ["band", "sig"])
     cold = st.filter(F.col("__n") <= max_bucket).select("id", "band", "sig")
     cand_cold = (
         cold.alias("a")

@@ -264,12 +264,16 @@ def near_dup_pairs_bucketed(
             }
         )
 
-    # co-partitioned size/rep pass: same (table, bucket) keys as the
-    # grouped verify, so AQE plans it without an extra wide shuffle
-    sizes = sk.groupBy("table", "bucket").agg(
-        F.count(F.lit(1)).alias("__n"), F.min("id").alias("__rep")
+    # size/rep via a partition-only window, NOT aggregate+join-back: a
+    # join would duplicate the sketch-projection subtree (the matmul UDF
+    # would run twice); the window shares the very (table, bucket)
+    # exchange the grouped verify needs anyway
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("table", "bucket")
+    skj = sk.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
+        "__rep", F.min("id").over(wb)
     )
-    skj = sk.join(sizes, ["table", "bucket"])
 
     cold = skj.filter(F.col("__n") <= max_bucket).drop("__n", "__rep")
     cold_pairs = cold.groupBy("table", "bucket").applyInPandas(
