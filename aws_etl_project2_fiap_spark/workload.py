@@ -23,6 +23,7 @@ that passes at sf0.01.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -1921,6 +1922,206 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="quartile",
     )
     return out.select("o_orderkey", "quartile")
+
+
+# =====================================================================
+# Round-2 additions: statistical aggs, unpivot, TF-IDF, fuzzy dedup,
+# and the K6 update→read-back path
+# =====================================================================
+
+
+@defquery(
+    "agg_corr_stats",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+           round(stddev_samp(l_extendedprice), 2) AS sd_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: Pearson correlation, sample
+    covariance, sample stddev per group — single-pass co-moment
+    aggregates (the same partial/final merge shape as sum/avg, so they
+    scale identically: one shuffle of constant-size state per group).
+    Rounded coarsely in both engines: co-moments accumulate in
+    engine-specific order, so agreement is ~1e-10, not bit-exact."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+    )
+
+
+@defquery(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of `agg_pivot`: three measure
+    columns become (measure, val) rows. Spark plans a single Expand node
+    (one scan, rows×3 out, no shuffle at all); the oracle's UNION ALL
+    form is the portable equivalent."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+
+
+@defquery(
+    "text_tfidf_topk",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok
+      WHERE token <> '' GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+    SELECT doc_id, token,
+           round((tf * (SELECT count(*) FROM documents))
+                 / CAST(df AS DOUBLE), 4) AS tfidf
+    FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY (tf.tf * (SELECT count(*) FROM documents))
+                        / CAST(dfreq.df AS DOUBLE) DESC, tf.token ASC
+             ) AS rn
+      FROM tf JOIN dfreq USING (token)
+    )
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the corpus-statistics operator
+    of a training-data pipeline (term weighting for filtering/labeling).
+    Uses the unlogged rational idf (tf·N/df): integer-exact numerator,
+    one IEEE division — bit-identical across engines, where ln() differs
+    by ulps and flips near-tie rankings.
+
+    Scale: tokenize+explode stays in codegen; tf is one shuffle on
+    (doc, token) with map-side combine; df one more on token; the
+    df side is vocabulary-sized → broadcast join back; top-3 is a
+    per-doc window over the tf rows (shuffle on doc_id). N inlines as a
+    literal (same driver-side scalar pattern as `a1`)."""
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = (
+        d.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    score = (F.col("tf") * n_docs) / F.col("df").cast("double")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.asc("token"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", F.round(score, 4).alias("tfidf"))
+    )
+
+
+@defquery(
+    "dedup_fuzzy_levenshtein",
+    """
+    WITH p AS (SELECT p_partkey, p_name,
+                      split_part(p_name, ' ', 1) AS blk
+               FROM part)
+    SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) dedup pairs with leading-token blocking:
+    candidates form only inside a block, the exact Levenshtein check
+    runs JVM-side on candidates. Completes the dedup family with the
+    typo/OCR-noise case the set-based measures miss.
+
+    Scale: the self-join shuffles on the block key only; block skew has
+    the same mitigation as the LSH buckets (cap + star-link, or a
+    second blocking key such as name length). Levenshtein cost is
+    bounded by the short-string blocks it runs inside."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, on="blk")
+        .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("id1"),
+            F.col("b.p_partkey").alias("id2"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
+@defquery(
+    "k6_update_readback",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 2 THEN upper(n_name) ELSE n_name END
+             AS n_name,
+           n_regionkey
+    FROM nation
+    """,
+)
+def k6_update_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 end-to-end (reference src/query_db.py:36-52, the UPDATE →
+    read-back loop): copy the table to a scratch dir, run the atomic
+    snapshot-rewrite UPDATE (io/update.py), read the table back. The
+    oracle is the equivalent pure CASE projection — proving the
+    rewritten snapshot holds exactly the rows an in-place UPDATE would
+    have produced.
+
+    Scale: see io/update.py — partition-scoped rewrite at 100 TB."""
+    import shutil
+
+    from .io.update import update_table
+
+    work = "/tmp/spark_graft_k6_readback"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    shutil.copy(f"{sf_dir}/nation.parquet", f"{work}/nation.parquet")
+    update_table(
+        spark,
+        f"{work}/nation.parquet",
+        {"n_name": F.upper(F.col("n_name"))},
+        F.col("n_regionkey") == 2,
+    )
+    return spark.read.parquet(f"{work}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
 
 
 # =====================================================================
