@@ -1,3 +1,4 @@
+from .jsonl import read_jsonl, split_corrupt, write_jsonl
 from .parquet import (
     canonicalize,
     read_partitioned,
@@ -13,4 +14,7 @@ __all__ = [
     "write_partitioned",
     "apply_update",
     "update_table",
+    "read_jsonl",
+    "split_corrupt",
+    "write_jsonl",
 ]

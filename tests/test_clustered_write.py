@@ -1,0 +1,56 @@
+"""Clustered parquet write: row-group min/max ranges must become
+near-disjoint so pushed-down range predicates actually skip IO.
+
+The assertion reads the parquet footers directly (pyarrow): for a
+range predicate covering ~10% of the key domain, the clustered layout
+must leave most row groups prunable while the shuffled layout's row
+groups all straddle the range.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from aws_etl_project2_fiap_spark.io.parquet import write_clustered
+
+
+def _row_groups_overlapping(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """(overlapping, total) row groups whose [min, max] intersects [lo, hi]."""
+    total = overlapping = 0
+    for fname in os.listdir(path):
+        if not fname.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(path, fname)).metadata
+        idx = meta.schema.names.index(col)
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            total += 1
+            if st.min <= hi and st.max >= lo:
+                overlapping += 1
+    return overlapping, total
+
+
+def test_clustered_layout_prunes_row_groups(spark, tmp_path):
+    df = spark.range(0, 200_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 37 % 1000).alias("noise"),
+    )
+    # shuffled layout: every output task sees the full key domain
+    messy = str(tmp_path / "messy")
+    df.repartition(16).write.parquet(messy)
+    clustered = str(tmp_path / "clustered")
+    write_clustered(df, clustered, ["k"], num_files=16)
+
+    lo, hi = 100_000, 120_000  # 10% of the domain
+    m_hit, m_total = _row_groups_overlapping(messy, "k", lo, hi)
+    c_hit, c_total = _row_groups_overlapping(clustered, "k", lo, hi)
+    assert m_hit == m_total  # unordered: nothing prunable
+    assert c_hit <= max(2, c_total // 4), (c_hit, c_total)
+
+    # and the data survives intact
+    back = spark.read.parquet(clustered)
+    assert back.count() == 200_000
+    assert back.filter((F.col("k") >= lo) & (F.col("k") < hi)).count() == 20_000
