@@ -589,7 +589,13 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form of cube/rollup) via the
     SQL surface over a temp view — per-flag totals, per-status totals,
-    and the grand total, one Expand+shuffle."""
+    and the grand total, one Expand+shuffle.
+
+    Further components of `suite_agg_grouping` follow below:
+    `agg_median` (exact interpolated median — swap for
+    percentile_approx at 100 TB, same plan shape) and
+    `agg_collect_sorted` (bounded per-group array aggregation,
+    explicitly sorted because collect order is partition-racy)."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
     return spark.sql(
         """
@@ -598,6 +604,72 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
+    )
+
+
+@defcomponent(
+    "agg_median",
+    """
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 4) AS med_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group (PERCENTILE_CONT 0.5). At
+    100 TB swap for percentile_approx — same partial/final plan shape,
+    bounded memory; exact here so the oracle hashes."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 4).alias("med_price")
+    )
+
+
+@defcomponent(
+    "agg_collect_sorted",
+    """
+    SELECT n_regionkey,
+           list(n_name ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_list) with an explicit sort — collect
+    order is partition-arrival-racy, so any deterministic consumer must
+    sort. Bounded per-group cardinality only (a group's array must fit
+    a row); unbounded cases belong in explode/window form."""
+    n = t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@defcomponent(
+    "p_string_funcs",
+    """
+    SELECT c_custkey,
+           upper(substring(c_name, 1, 8)) AS head8,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           reverse(c_mktsegment) AS rseg,
+           len(trim(c_name)) AS n_trim,
+           contains(c_name, '00') AS has00
+    FROM customer
+    """,
+)
+def p_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function pack (substring/lpad/reverse/length/contains) —
+    rounds out the scalar projection surface; all codegen'd, folds into
+    the scan."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.substring("c_name", 1, 8)).alias("head8"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse("c_mktsegment").alias("rseg"),
+        F.length(F.trim("c_name")).alias("n_trim"),
+        F.col("c_name").contains("00").alias("has00"),
     )
 
 
@@ -2153,6 +2225,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "p4_regexp_replace",
         "p5_try_cast",
         "p7_bulk_rename",
+        "p_string_funcs",
     ),
     "suite_proj_events": (
         "p2_null_filter",
@@ -2169,6 +2242,8 @@ SUITES: dict[str, tuple[str, ...]] = {
         "agg_rollup",
         "agg_cube",
         "agg_grouping_sets",
+        "agg_median",
+        "agg_collect_sorted",
     ),
     "suite_join_outer": (
         "join_right_outer",
