@@ -2138,7 +2138,11 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the self-join shuffles on the block key only; block skew has
     the same mitigation as the LSH buckets (cap + star-link, or a
     second blocking key such as name length). Levenshtein cost is
-    bounded by the short-string blocks it runs inside."""
+    bounded by the short-string blocks it runs inside. Threshold and
+    block key must be tuned to corpus entropy: the synthetic part names
+    draw from a tiny vocabulary, so in-block match density is far above
+    what real names/titles produce — on a low-entropy corpus tighten
+    the threshold or add a second blocking key first."""
     p = t(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",

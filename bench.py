@@ -120,9 +120,14 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        steady[name] = round(time.perf_counter() - t0, 3)
+        # steady = best of two warm runs: a single warm run still eats
+        # occasional multi-second GC/scheduler blips on local mode
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        steady[name] = round(min(runs), 3)
 
     print(
         json.dumps(
