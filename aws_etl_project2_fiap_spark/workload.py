@@ -1620,16 +1620,56 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery("multimodal_features", None)  # Arrow-batched fake decode
+def _multimodal_features_oracle() -> str:
+    """DuckDB mirror of the deterministic fake decode in
+    operators/multimodal.extract_features: bytes via hex-pair
+    extraction (UTF-8 safe — works on the blob, not code points),
+    checksum = sum(bytes) mod 2^31, feature_k = sum of bytes at
+    positions ≡ k (mod 8), mod 256."""
+    fk = ", ".join(
+        f"CAST(coalesce(SUM(byte) FILTER (WHERE (i - 1) % 8 = {k}), 0) % 256"
+        f" AS DOUBLE)"
+        for k in range(8)
+    )
+    zeros = ", ".join(["0.0"] * 8)
+    return f"""
+    WITH hx AS (
+      SELECT doc_id, regexp_extract_all(hex(CAST(text AS BLOB)), '..') AS hs
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(('0x' || unnest(hs)) AS INT) AS byte,
+             generate_subscripts(hs, 1) AS i
+      FROM hx
+    ),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS n_bytes,
+             SUM(byte) % 2147483648 AS checksum,
+             [{fk}] AS feature
+      FROM per GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_bytes, 0) AS n_bytes,
+           coalesce(a.checksum, 0) AS checksum,
+           coalesce(a.feature, [{zeros}]) AS feature
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@defcomponent("multimodal_features", _multimodal_features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (Arrow batch
-    plumbing real, codec deterministic-fake — see operators/multimodal)."""
+    plumbing real, codec deterministic-fake — see operators/multimodal).
+    The fake decode is pure byte arithmetic, so it carries a full SQL
+    oracle (hex-pair unnest in DuckDB) — the mapInPandas batch path is
+    hash-verified, not just rows-counted. Surfaced to the driver through
+    `suite_text`."""
     from .operators import multimodal as mm
 
     d = t(spark, sf_dir, "documents")
-    return mm.extract_features(mm.attach_binary(d, "text"), id_col="doc_id").select(
-        "doc_id", "n_bytes", "checksum"
-    )
+    return mm.extract_features(mm.attach_binary(d, "text"), id_col="doc_id")
 
 
 @defcomponent(
@@ -2275,6 +2315,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "text_quality",
         "text_fingerprint",
         "text_normalize",
+        "multimodal_features",
     ),
 }
 
