@@ -97,7 +97,7 @@ def grouped_global_rank(
     global rank) and ``n_col`` (group size)."""
     lead = order_cols[0]
     qs = [i / bins for i in range(1, bins)]
-    bnds = sorted(set(df.approxQuantile(lead, qs, rel_err)))
+    bnds = sorted(set(df.approxQuantile(lead, qs, rel_err))) if qs else []
     if bnds:
         arr = F.array(*[F.lit(float(b)) for b in bnds])
         bin_col = F.size(F.filter(arr, lambda b: b <= F.col(lead)))

@@ -411,3 +411,66 @@ def test_ptbr_parse_roundtrip(spark, n):
         .v
     )
     assert got == n
+
+
+# ---------------------------------------------------------------------------
+# grouped_global_rank vs the native window it replaces
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pk=st.sampled_from(["o_orderpriority", "o_orderstatus"]),
+    bins=st.integers(min_value=1, max_value=64),
+    tiles=st.integers(min_value=1, max_value=9),
+)
+def test_grouped_rank_matches_native_window(spark, pk, bins, tiles):
+    """The range-binned two-pass rank must be bit-identical to the
+    single-task-per-group native window for ANY bin count (bin
+    boundaries affect parallelism, never values) — including bins=1
+    (degenerates to one bin) and tiles > group row count."""
+    from pyspark.sql import Window
+
+    from aws_etl_project2_fiap_spark.operators.windows import (
+        ntile_grouped,
+        percent_rank_grouped,
+    )
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", pk, "o_totalprice"
+    )
+    w = Window.partitionBy(pk).orderBy("o_totalprice", "o_orderkey")
+
+    native_pr = {
+        r.o_orderkey: round(r.pr, 9)
+        for r in o.select(
+            "o_orderkey", F.percent_rank().over(w).alias("pr")
+        ).collect()
+    }
+    two_pass_pr = {
+        r.o_orderkey: round(r.pr, 9)
+        for r in percent_rank_grouped(
+            o, [pk], ["o_totalprice", "o_orderkey"], bins=bins
+        )
+        .select("o_orderkey", "pr")
+        .collect()
+    }
+    assert two_pass_pr == native_pr
+
+    native_nt = {
+        r.o_orderkey: r.q
+        for r in o.select("o_orderkey", F.ntile(tiles).over(w).alias("q")).collect()
+    }
+    two_pass_nt = {
+        r.o_orderkey: r.tile
+        for r in ntile_grouped(
+            o, [pk], ["o_totalprice", "o_orderkey"], n_tiles=tiles, bins=bins
+        )
+        .select("o_orderkey", "tile")
+        .collect()
+    }
+    assert two_pass_nt == native_nt
