@@ -43,6 +43,32 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
 
 
+def word_tokens(col: Column | str) -> Column:
+    """Lowercased alphanumeric word tokens (codegen split + filter).
+
+    The canonical tokenizer for n-gram ops (dedup shingles use their own
+    shingle tokenizer; this one is for decontamination / repetition
+    stats): lowercase, split on non-alphanumeric runs, drop empties."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Space-joined word ``n``-grams over a token array.
+
+    Empty array when fewer than ``n`` tokens — the guard matters because
+    ``sequence(1, k)`` with ``k < 1`` would generate a DESCENDING range,
+    not an empty one. Pure JVM array expressions (no explode here, so the
+    caller chooses between array ops and relational explode)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def marker_hits(col: Column | str, word: str) -> Column:
     """Occurrences of ``word`` as a whole word (``\\b``-bounded count).
 

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import asof as asof_op
+from .operators import decontam as decontam_op
 from .operators import dedup as dedup_op
 from .operators import similarity as sim_op
 from .operators import text as text_op
@@ -1767,6 +1768,129 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defcomponent(
+    "text_decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(t) - 2)) AS r(i)
+      WHERE len(t) >= 4
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 13 = 0
+    )
+    SELECT g.doc_id, count(*) AS n_shared
+    FROM grams g JOIN bench b USING (gram)
+    WHERE g.doc_id % 13 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct word
+    n-grams shared with a held-out benchmark slice (``doc_id % 13 == 0``
+    plays the eval set; n=4 because the synthetic vocabulary is tiny —
+    production would use 8-13).
+
+    Scale: benchmark gram set broadcast, corpus side one scan + map-side
+    probe + partial-agg groupBy — the corpus text never shuffles. See
+    operators/decontam.py.
+    """
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 13 == 0)
+    corpus = d.filter(F.col("doc_id") % 13 != 0)
+    return decontam_op.contamination_hits(
+        corpus, bench, n=4, hit_col="n_shared"
+    )
+
+
+@defcomponent(
+    "text_repetition",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS n_words,
+             len(list_distinct(t)) / len(t) AS ttr, t
+      FROM toks WHERE len(t) >= 2
+    ), bg AS (
+      SELECT doc_id, n_words, ttr, array_to_string(t[i:i+1], ' ') AS bigram
+      FROM base, UNNEST(range(1, len(t))) AS r(i)
+    ), cnt AS (
+      SELECT doc_id, n_words, ttr, bigram, count(*) AS c
+      FROM bg GROUP BY ALL
+    )
+    SELECT doc_id, n_words, ttr, max(c) / sum(c) AS top_bigram_frac
+    FROM cnt GROUP BY doc_id, n_words, ttr
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: type-token ratio and
+    top-bigram fraction per document (high top-bigram fraction = the
+    boilerplate/spam signature Gopher rule 7 drops).
+
+    Scale: one scan; TTR is pure array codegen; the bigram mode runs as
+    explode -> two partial-agg groupBys on doc-keyed data (map-side
+    combine does most of the work since bigrams repeat within a doc).
+    No joins, no driver collection.
+    """
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", text_op.word_tokens("text").alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    exploded = base.select(
+        "doc_id",
+        F.size("tk").alias("n_words"),
+        (F.size(F.array_distinct("tk")) / F.size("tk")).alias("ttr"),
+        F.explode(text_op.word_ngrams(F.col("tk"), 2)).alias("bigram"),
+    )
+    cnt = exploded.groupBy("doc_id", "n_words", "ttr", "bigram").count()
+    return cnt.groupBy("doc_id", "n_words", "ttr").agg(
+        (F.max("count") / F.sum("count")).alias("top_bigram_frac")
+    )
+
+
+@defcomponent(
+    "sample_md5_per_source",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def sample_md5_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling, oracle-exact: k docs per
+    source, chosen by smallest md5(doc_id) — a content-independent
+    uniform order both engines compute bit-identically (unlike their
+    incompatible native hash()/rand() — this is the cross-engine-
+    reproducible variant of sample_stratified).
+
+    Scale: hash-ranked top-k per group = one shuffle on source + per-
+    partition sort; no global sort, no RNG state to coordinate across
+    executors, and re-runs select the same sample on the same data.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary"))
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
 @defquery(
     "corpus_select",
     r"""
@@ -2316,6 +2440,9 @@ SUITES: dict[str, tuple[str, ...]] = {
         "text_fingerprint",
         "text_normalize",
         "multimodal_features",
+        "text_decontaminate",
+        "text_repetition",
+        "sample_md5_per_source",
     ),
 }
 
