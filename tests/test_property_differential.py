@@ -474,3 +474,66 @@ def test_grouped_rank_matches_native_window(spark, pk, bins, tiles):
         .collect()
     }
     assert two_pass_nt == native_nt
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs DuckDB's native ASOF JOIN on random event frames
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    probes=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1,
+        max_size=40,
+    ),
+    quotes=st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 1000), st.integers(-100, 100)
+        ),
+        min_size=1,
+        max_size=40,
+        # duplicate (key, ts) quotes make "the" carried value ambiguous
+        # in BOTH engines — exclude from the property, covered by the
+        # deterministic tie-break unit tests
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_random_asof_matches_duckdb(spark, probes, quotes, direction):
+    """The union-sort-window as-of join must agree with DuckDB's native
+    ASOF LEFT JOIN (>= / <= correlation) on arbitrary key/ts frames,
+    both directions, including keys with zero candidates (null fill)."""
+    import pandas as pd
+
+    from aws_etl_project2_fiap_spark.operators.asof import asof_join
+
+    sl = spark.createDataFrame(probes, "k long, ts long")
+    sr = spark.createDataFrame(quotes, "k long, ts long, val long")
+    sdf = asof_join(
+        sl, sr, on=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["val"], direction=direction,
+    )
+    srows = [tuple(r) for r in sdf.collect()]
+
+    op = ">=" if direction == "backward" else "<="
+    con = duckdb.connect()
+    con.register("probes", pd.DataFrame(probes, columns=["k", "ts"]))
+    con.register("quotes", pd.DataFrame(quotes, columns=["k", "ts", "val"]))
+    rel = con.sql(
+        f"SELECT p.k, p.ts, q.val AS val_asof "
+        f"FROM probes p ASOF LEFT JOIN quotes q "
+        f"ON p.k = q.k AND p.ts {op} q.ts"
+    )
+    drows = rel.fetchall()
+    dcols = [c.lower() for c in rel.columns]
+    con.close()
+
+    assert canon(srows, [c.lower() for c in sdf.columns]) == canon(
+        drows, dcols
+    ), (probes, quotes, direction)
