@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import asof as asof_op
+from .operators import corpus as corpus_op
 from .operators import decontam as decontam_op
 from .operators import dedup as dedup_op
 from .operators import similarity as sim_op
@@ -1891,6 +1892,116 @@ def sample_md5_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defcomponent(
+    "pii_scrub",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ip 10.0.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             + len(regexp_extract_all(t, '\+\d[\d\- ]{7,}\d')) AS n_pii,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g'),
+             '\+\d[\d\- ]{7,}\d', '[PII]', 'g') AS clean_text
+    FROM aug
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails / IPs / phone numbers replaced with a
+    token, plus a per-doc hit count for audit thresholds. The synthetic
+    corpus carries no PII, so a deterministic email+IP is appended to
+    every doc first — both engines build the identical input.
+
+    Scale: a chain of codegen'd regexp_replace projections — no
+    shuffle, no Python. See operators/corpus.py.
+    """
+    d = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        corpus_op.pii_hits(aug).alias("n_pii"),
+        corpus_op.scrub_pii(aug).alias("clean_text"),
+    )
+
+
+@defcomponent(
+    "corpus_mixture_weights",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+    SELECT lang, n_docs,
+           n_docs / sum(n_docs) OVER () AS actual_share,
+           (1.0 / count(*) OVER ())
+             / (n_docs / sum(n_docs) OVER ()) AS weight
+    FROM c
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-language sampling weights that
+    morph the crawled mix into a uniform target (weight = target share /
+    actual share), the knob for balancing training mixtures.
+
+    Scale: one partial-agg groupBy over the corpus; the unbounded window
+    runs on the already-aggregated n-domain frame (rows = #languages),
+    so the single-partition stage is trivially small.
+    """
+    d = t(spark, sf_dir, "documents")
+    return corpus_op.mixture_weights(d, "lang")
+
+
+@defcomponent(
+    "corpus_pack_sequences",
+    r"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, source, n_tok,
+           CAST(floor(
+             (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok) / 200
+           ) AS BIGINT) AS seq_id
+    FROM base
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document to a ~200-token training
+    sequence within its source shard by fixed-stride prefix-sum binning
+    (the shuffle-once approximation of greedy bin packing — see
+    operators/corpus.py for why greedy doesn't scale).
+
+    Scale: one shuffle on the shard key + per-partition sort; the
+    running sum is a single window pass.
+    """
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", text_op.token_count("text").alias("n_tok")
+    )
+    return corpus_op.pack_sequences(
+        base,
+        shard_col="source",
+        order_cols=["doc_id"],
+        tokens_col="n_tok",
+        budget=200,
+    )
+
+
 @defquery(
     "corpus_select",
     r"""
@@ -2443,6 +2554,9 @@ SUITES: dict[str, tuple[str, ...]] = {
         "text_decontaminate",
         "text_repetition",
         "sample_md5_per_source",
+        "pii_scrub",
+        "corpus_mixture_weights",
+        "corpus_pack_sequences",
     ),
 }
 

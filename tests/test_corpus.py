@@ -1,0 +1,89 @@
+"""Corpus-assembly operators: PII scrub patterns, mixture-weight math
+with an explicit target, and sequence-packing edge cases."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from aws_etl_project2_fiap_spark.operators import corpus
+
+
+def test_scrub_pii_patterns(spark):
+    rows = [
+        (1, "mail me at a.b+c@ex-ample.org today"),
+        (2, "server 192.168.001.1 then +55 11 9876-5432 done"),
+        (3, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r["id"]: (r["clean"], r["hits"])
+        for r in df.select(
+            "id",
+            corpus.scrub_pii("t").alias("clean"),
+            corpus.pii_hits("t").alias("hits"),
+        ).collect()
+    }
+    assert out[1] == ("mail me at [PII] today", 1)
+    assert out[2] == ("server [PII] then [PII] done", 2)
+    assert out[3] == ("no pii here", 0)
+
+
+def test_mixture_weights_explicit_target(spark):
+    # 6 a's, 2 b's; target 50/50 -> a underweighted, b overweighted
+    df = spark.createDataFrame(
+        [(i, "a" if i < 6 else "b") for i in range(8)], "id long, dom string"
+    )
+    got = {
+        r["dom"]: (r["n_docs"], r["actual_share"], r["weight"])
+        for r in corpus.mixture_weights(
+            df, "dom", target={"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    assert got["a"][0] == 6 and math.isclose(got["a"][1], 0.75)
+    assert math.isclose(got["a"][2], 0.5 / 0.75)
+    assert math.isclose(got["b"][2], 0.5 / 0.25)
+
+
+def test_mixture_weights_unknown_domain_gets_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "mystery")], "id long, dom string"
+    )
+    got = {
+        r["dom"]: r["weight"]
+        for r in corpus.mixture_weights(
+            df, "dom", target={"a": 0.7, "b": 0.3}
+        ).collect()
+    }
+    assert got["mystery"] == 0.0
+
+
+def test_pack_sequences_stride_semantics(spark):
+    # budget 10, one shard, in-order token counts 4,4,4,12,1:
+    # start offsets 0,4,8,12,24 -> seq ids 0,0,0,1,2
+    df = spark.createDataFrame(
+        [(i, "s", n) for i, n in enumerate([4, 4, 4, 12, 1])],
+        "id long, shard string, n_tok long",
+    )
+    out = corpus.pack_sequences(
+        df, shard_col="shard", order_cols=["id"], tokens_col="n_tok", budget=10
+    )
+    got = {r["id"]: r["seq_id"] for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2}
+
+
+def test_pack_sequences_shards_independent(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 7), (2, "y", 7), (3, "x", 7), (4, "y", 7)],
+        "id long, shard string, n_tok long",
+    )
+    out = corpus.pack_sequences(
+        df, shard_col="shard", order_cols=["id"], tokens_col="n_tok", budget=10
+    )
+    got = {r["id"]: r["seq_id"] for r in out.collect()}
+    # each shard restarts at offset 0: second doc in each shard starts
+    # at offset 7 -> still sequence 0
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+    total = out.filter(F.col("shard") == "x").agg(F.sum("n_tok")).first()[0]
+    assert total == 14
