@@ -76,17 +76,31 @@ def defcomponent(name: str, oracle: str | None):
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects. Read nanos as long (legacy conf), keep the exact
-        # value as ts_ns for ordering/comparisons (matches DuckDB's
-        # ns-native ordering bit-for-bit), and derive a micros TimestampType
-        # ts for formatting/windowing. `div` keeps the division integral —
-        # a double roundtrip would wobble by ±256 ns at 2024 epochs.
+        # events.parquet has shipped with two physical layouts for ts:
+        # TIMESTAMP(NANOS) (readable only as long via the legacy conf on
+        # Spark ≤4.0; 4.1 ignores the conf and reads it as TIMESTAMP_NTZ
+        # truncated to micros) and TIMESTAMP(MICROS, no tz) → NTZ. Either
+        # way we normalize to the same two columns every downstream query
+        # uses: ts_ns (long epoch-nanos, the tz-free ordering/arithmetic
+        # key matching DuckDB's epoch_ns) and ts (TimestampType micros
+        # for formatting/windowing). The NTZ→nanos path goes through
+        # timestampdiff against the NTZ epoch literal, which is pure
+        # wall-clock arithmetic — no session-timezone dependency.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # legacy nanos-as-long read
+            return df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df.withColumn(
+            "ts_ns",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " cast(ts as timestamp_ntz)) * 1000L"
+            ),
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
