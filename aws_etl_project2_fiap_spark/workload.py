@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import asof as asof_op
+from .operators import cc as cc_op
 from .operators import corpus as corpus_op
 from .operators import decontam as decontam_op
 from .operators import dedup as dedup_op
@@ -2291,7 +2292,7 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-@defquery(
+@defcomponent(
     "agg_corr_stats",
     """
     SELECT l_returnflag,
@@ -2319,7 +2320,7 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
+@defcomponent(
     "unpivot_measures",
     """
     SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
@@ -2452,6 +2453,70 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "dedup_cluster_assign",
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+    common AS (
+      SELECT a.id AS id1, b.id AS id2, count(*) AS n_common
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id1, id2
+      FROM common
+      JOIN sizes s1 ON id1 = s1.id
+      JOIN sizes s2 ON id2 = s2.id
+      WHERE n_common / (s1.n + s2.n - n_common) >= 0.9
+    ),
+    und AS (
+      SELECT id1 AS u, id2 AS v FROM pairs
+      UNION
+      SELECT id2, id1 FROM pairs
+    ),
+    reach AS (
+      SELECT u, u AS r FROM (SELECT DISTINCT u FROM und)
+      UNION
+      SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
+    ),
+    labels AS (SELECT u AS id, min(r) AS cluster_id FROM reach GROUP BY u)
+    SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+    """,
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise hits: connected components over
+    the Jaccard≥0.9 pair graph (operators/cc.py, large-star/small-star),
+    then every document labeled with its cluster's minimum doc_id
+    (singletons label themselves). This is the step that turns pair
+    detection into an actionable keep/drop list — transitive closure, so
+    A~B~C clusters together even when A~C was never emitted as a pair.
+
+    The oracle computes the same closure with a recursive CTE — feasible
+    for DuckDB at sf0.01, where the distributed algorithm is the only
+    shape that survives 100 TB (two hash shuffles per round, O(log²)
+    rounds, lineage cut per round — see operators/cc.py docstring).
+
+    Edge source: exact Jaccard pairs here because the oracle needs a
+    deterministic edge set; at 100 TB feed ``minhash_lsh_pairs`` (same
+    (id1,id2) contract, near-linear) into the same
+    ``connected_components`` — the swap is one argument."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup_op.ngram_jaccard_pairs(d, threshold=0.9).select("id1", "id2")
+    labels = cc_op.connected_components(pairs)
+    return d.select("doc_id").join(
+        labels, d["doc_id"] == labels["id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+
+
+@defquery(
     "k6_update_readback",
     """
     SELECT n_nationkey,
@@ -2537,6 +2602,8 @@ SUITES: dict[str, tuple[str, ...]] = {
         "agg_grouping_sets",
         "agg_median",
         "agg_collect_sorted",
+        "agg_corr_stats",
+        "unpivot_measures",
     ),
     "suite_join_outer": (
         "join_right_outer",
