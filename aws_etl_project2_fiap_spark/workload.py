@@ -2452,6 +2452,111 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defcomponent(
+    "similarity_batch_knn",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 4)
+    SELECT qid, id, sim FROM (
+      SELECT q.qid, e.vec_id AS id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv), 6) AS sim,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC,
+                        e.vec_id ASC
+             ) AS rn
+      FROM embeddings e CROSS JOIN q
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN: top-5 neighbors for EACH of a small query set (the
+    retrieval shape of eval-harness lookups and hard-negative mining),
+    not just one vector. The query set broadcasts (it's small by
+    definition); the corpus streams through one scan; ranking is a
+    per-qid window — shuffle keyed on qid only for the top-k rows.
+    Ranked on the rounded similarity so ulp-level float noise can't
+    flip near-tie neighbors between engines; at 100 TB swap the scan
+    side for the IVF path (similarity.ivf_knn) per query."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qv")
+    )
+    sim = F.round(sim_op.cosine(F.col("embedding"), F.col("__qv")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("id"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("qid", F.col("vec_id").alias("id"), sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "id", "sim")
+    )
+
+
+@defcomponent(
+    "corpus_length_filter",
+    """
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE n_chars BETWEEN
+            (SELECT quantile_cont(n_chars, 0.05) FROM documents)
+        AND (SELECT quantile_cont(n_chars, 0.95) FROM documents)
+    """,
+)
+def corpus_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-trim length filter: drop the shortest/longest 5% of
+    documents (boilerplate stubs and concatenation accidents) — a
+    standard corpus-quality gate. Spark's exact `percentile` uses the
+    same linear interpolation as DuckDB's quantile_cont, so the bounds
+    agree bit-for-bit.
+
+    Scale: the bounds are a 2-value aggregate collected to the driver
+    and inlined as literals (the a1 scalar pattern) so the BETWEEN
+    pushes into the parquet scan as a min/max-skippable predicate. At
+    100 TB swap exact percentile for approx_percentile(1e-4 accuracy) —
+    same plan shape, sketch-mergeable partials."""
+    d = t(spark, sf_dir, "documents")
+    lo, hi = d.agg(
+        F.expr("percentile(n_chars, 0.05)"), F.expr("percentile(n_chars, 0.95)")
+    ).collect()[0]
+    return d.select("doc_id", "source", "n_chars").filter(
+        F.col("n_chars").between(F.lit(lo), F.lit(hi))
+    )
+
+
+@defcomponent(
+    "dedup_incremental",
+    """
+    SELECT n.doc_id, (c.fp IS NOT NULL) AS is_dup
+    FROM (SELECT doc_id, md5(text) AS fp FROM documents
+          WHERE doc_id % 10 = 0) n
+    LEFT JOIN (SELECT DISTINCT md5(text) AS fp FROM documents
+               WHERE doc_id % 10 <> 0) c
+    USING (fp)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: flag which documents of an incoming batch
+    (doc_id % 10 = 0 stands in for "today's crawl") already exist in
+    the corpus — the steady-state shape of production dedup, where the
+    corpus is indexed once and each delivery only joins against it.
+
+    Scale: one shuffle join keyed on the content hash (uniform). At
+    100 TB the corpus side is a bucketed fingerprint table
+    (io/catalog.py bucketing) so the delivery join is shuffle-free on
+    the corpus side; the same contract extends to the MinHash signature
+    index for near-dup increments."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary")).alias("fp")
+    new = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", fp)
+    corpus = d.filter(F.col("doc_id") % 10 != 0).select(fp).distinct()
+    return new.join(
+        corpus.withColumn("__hit", F.lit(1)), "fp", "left"
+    ).select("doc_id", F.col("__hit").isNotNull().alias("is_dup"))
+
+
 @defquery(
     "dedup_cluster_assign",
     r"""
@@ -2625,6 +2730,11 @@ SUITES: dict[str, tuple[str, ...]] = {
     "suite_asof": (
         "asof_join_ticks",
         "asof_join_forward",
+    ),
+    "suite_corpus_ops": (
+        "similarity_batch_knn",
+        "corpus_length_filter",
+        "dedup_incremental",
     ),
     "suite_text": (
         "text_token_count",
