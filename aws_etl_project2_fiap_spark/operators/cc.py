@@ -91,17 +91,20 @@ def connected_components(
     (singletons) are not returned — callers left-join and coalesce with
     the node's own id (see ``workload.dedup_cluster_assign``).
     """
+    # Lazy checkpoints: the per-round signature action materializes
+    # them, so each round runs one fused job (shuffles + checkpoint +
+    # convergence check) instead of two separate actions.
     e = (
         pairs.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sig = _signature(e)
     for _ in range(max_iter):
-        e_next = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e_next = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig_next = _signature(e_next)
         e = e_next
         if sig_next == sig:

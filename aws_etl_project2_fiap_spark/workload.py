@@ -2621,6 +2621,33 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery("dedup_cluster_lsh", None)  # LSH banding: not SQL-expressible
+def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB clustering pipeline end-to-end: MinHash+LSH near-dup
+    pairs (near-linear, band-bucketed, hot-bucket-capped) feed the same
+    ``connected_components`` as `dedup_cluster_assign` — this is the
+    shape that actually runs at scale, where the exact-Jaccard edge
+    generator is verification-only. Unigram shingles match the exact
+    query's token-set metric (word-order-insensitive); 16 bands × 4
+    rows put the banding miss for a 0.9-Jaccard pair at (1-0.9⁴)¹⁶ ≈
+    4e-8, and the verify step is exact Jaccard on the same token sets —
+    so the component labels agree with the exact-edge clustering
+    (asserted in tests/test_cc.py; CC needs only connectivity, not
+    every edge, which amplifies that robustness). Rows-only driver
+    check (band hashing isn't ANSI SQL)."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup_op.minhash_lsh_pairs(
+        d, shingle_n=1, num_hashes=64, bands=16, threshold=0.9
+    ).select("id1", "id2")
+    labels = cc_op.connected_components(pairs)
+    return d.select("doc_id").join(
+        labels, d["doc_id"] == labels["id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+
+
 @defquery(
     "k6_update_readback",
     """

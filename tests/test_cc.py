@@ -65,6 +65,24 @@ def test_cc_converges_from_reversed_ids(spark):
     _check(spark, [(i + 1, i) for i in range(50, 0, -1)])
 
 
+def test_cluster_lsh_matches_exact_edges(spark):
+    """The LSH-edge clustering (scale path) must produce the same
+    component labels as the exact-Jaccard-edge clustering at test SF —
+    the band parameters are tuned so a missed true pair is ~1e-6."""
+    from aws_etl_project2_fiap_spark.workload import CATALOG
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["doc_id"], r["cluster_id"])
+        for r in CATALOG["dedup_cluster_assign"].spark(spark, sf).collect()
+    }
+    lsh = {
+        (r["doc_id"], r["cluster_id"])
+        for r in CATALOG["dedup_cluster_lsh"].spark(spark, sf).collect()
+    }
+    assert lsh == exact
+
+
 def test_cc_label_is_component_min(spark):
     edges = [(7, 3), (3, 9), (9, 2), (40, 41)]
     df = spark.createDataFrame(edges, "id1: long, id2: long")
