@@ -2557,6 +2557,58 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("__hit").isNotNull().alias("is_dup"))
 
 
+@defcomponent(
+    "rollup_incremental",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS om,
+           o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance end-to-end (io/rollup.py): a
+    monthly revenue rollup is materialized over history (months before
+    1998), then the 1998+ batch is FOLDED IN — only the affected month
+    partitions are re-merged and rewritten — and the read-back must
+    equal the oracle's full GROUP BY over everything. This is the
+    continuous-aggregate pattern: at 100 TB the nightly fold scans the
+    delta, never the history.
+
+    The count partial re-sums and the sum partial re-sums (algebraic
+    merge); revenue rounds to cents in both engines so summation-order
+    float noise can't flip the hash."""
+    import shutil
+
+    from .io.rollup import incremental_rollup, init_rollup
+
+    o = t(spark, sf_dir, "orders").withColumn(
+        "om", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    aggs = {"n_orders": ("count", None), "revenue": ("sum", "o_totalprice")}
+    work = "/tmp/spark_graft_rollup_inc"
+    shutil.rmtree(work, ignore_errors=True)
+    init_rollup(
+        o.filter(F.col("om") < "1998-01"), work, "om", ["o_orderpriority"], aggs
+    )
+    incremental_rollup(
+        spark,
+        o.filter(F.col("om") >= "1998-01"),
+        work,
+        "om",
+        ["o_orderpriority"],
+        aggs,
+    )
+    return spark.read.parquet(work).select(
+        "om",
+        "o_orderpriority",
+        "n_orders",
+        F.round("revenue", 2).alias("revenue"),
+    )
+
+
 @defquery(
     "dedup_cluster_assign",
     r"""
@@ -2736,6 +2788,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "agg_collect_sorted",
         "agg_corr_stats",
         "unpivot_measures",
+        "rollup_incremental",
     ),
     "suite_join_outer": (
         "join_right_outer",
