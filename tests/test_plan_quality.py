@@ -233,3 +233,44 @@ def test_explode_stays_in_codegen(spark):
     assert "Generate" in p
     assert "EvalPython" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_batch_knn_broadcasts_query_set(spark):
+    """similarity_batch_knn: the query set must ride as a broadcast —
+    one corpus scan, no shuffle of the embedding table for the join,
+    and no Cartesian fallback."""
+    p = plan(DEFS["similarity_batch_knn"].spark(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_length_filter_bounds_push_into_scan(spark):
+    """corpus_length_filter inlines the percentile bounds as literals,
+    so the BETWEEN must reach the parquet scan as pushed filters
+    (row-group min/max skipping at scale)."""
+    s = formatted(DEFS["corpus_length_filter"].spark(spark, SF))
+    pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("n_chars" in ln for ln in pushed), pushed
+
+
+def test_incremental_dedup_is_single_hash_join(spark):
+    """dedup_incremental joins on the content hash: a hash join (either
+    side), never a nested-loop, and only hash-partitioned exchanges."""
+    p = plan(DEFS["dedup_incremental"].spark(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cc_round_is_two_shuffles(spark):
+    """One large-star+small-star round over an edge set must cost
+    exactly the aggregations' exchanges — no joins degenerating into
+    nested loops."""
+    from aws_etl_project2_fiap_spark.operators.cc import _large_star, _small_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "u: long, v: long"
+    )
+    p = plan(_small_star(_large_star(edges)))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
