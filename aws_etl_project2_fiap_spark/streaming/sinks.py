@@ -119,3 +119,57 @@ def upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def rollup_sink(
+    df: DataFrame,
+    rollup_path: str,
+    partition_col: str,
+    dims: list[str],
+    aggs: dict,
+    checkpoint: str,
+    query_name: str = "rollup_sink",
+) -> StreamingQuery:
+    """Streaming continuous aggregate: every micro-batch folds into the
+    partitioned rollup via :func:`~aws_etl_project2_fiap_spark.io.rollup.
+    incremental_rollup` — the streaming upgrade of the reference's
+    buffer-then-batch-job chain (T2→Glue): instead of landing raw files
+    and re-aggregating them nightly, the aggregate is maintained as data
+    arrives, and only the partitions a batch touches are rewritten.
+
+    Sums aren't idempotent, so a replayed batch (foreachBatch is
+    at-least-once on its own) must NOT re-fold: a per-batch-id commit
+    marker under the rollup dir skips batches already applied — the
+    standard batchId-dedup pattern that upgrades foreachBatch to
+    exactly-once. Markers are scoped to the checkpoint's batch-id
+    sequence; wipe both together.
+    """
+    import os
+
+    from ..io.rollup import incremental_rollup, init_rollup
+
+    marker_dir = os.path.join(rollup_path, "_committed_batches")
+
+    def _fold(batch_df, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, str(batch_id))
+        if os.path.exists(marker):
+            return  # replayed batch: already folded
+        if batch_df.isEmpty():
+            pass
+        elif not os.path.exists(os.path.join(rollup_path, "_SUCCESS")):
+            init_rollup(batch_df, rollup_path, partition_col, dims, aggs)
+        else:
+            incremental_rollup(
+                batch_df.sparkSession, batch_df, rollup_path,
+                partition_col, dims, aggs,
+            )
+        os.makedirs(marker_dir, exist_ok=True)
+        open(marker, "w").close()
+
+    return (
+        df.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
