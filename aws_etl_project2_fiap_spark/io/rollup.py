@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 # out_name -> (kind, source column); kind ∈ {count, sum, min, max}
 AggSpec = dict[str, tuple[str, str | None]]
@@ -91,9 +92,13 @@ def incremental_rollup(
     ]
     if not affected:
         return []
-    existing = spark.read.parquet(rollup_path).filter(
-        F.col(partition_col).isin(affected)
-    )
+    try:
+        existing = spark.read.parquet(rollup_path).filter(
+            F.col(partition_col).isin(affected)
+        )
+    except AnalysisException:
+        # bootstrap: no rollup yet (empty history) — the delta IS the rollup
+        existing = inc.filter(F.lit(False))
     merged = (
         existing.unionByName(inc)
         .groupBy(partition_col, *dims)

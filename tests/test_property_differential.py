@@ -537,3 +537,71 @@ def test_random_asof_matches_duckdb(spark, probes, quotes, direction):
     assert canon(srows, [c.lower() for c in sdf.columns]) == canon(
         drows, dcols
     ), (probes, quotes, direction)
+
+
+# ---------------------------------------------------------------------
+# property 8: incremental rollup ≡ full recompute for ANY batch split
+# ---------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    mod=st.integers(min_value=2, max_value=7),
+    cutoff=st.sampled_from(["1994-01", "1996-07", "1999-01", "2001-06"]),
+)
+def test_rollup_fold_order_free(spark, tmp_path_factory, mod, cutoff):
+    """Fold history, then fold the remainder in `mod` interleaved
+    slices (arbitrary delivery order): the rollup must equal the full
+    GROUP BY regardless of how the data was sliced into batches."""
+    from aws_etl_project2_fiap_spark.io.rollup import (
+        incremental_rollup,
+        init_rollup,
+    )
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "om", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    aggs = {
+        "n_orders": ("count", None),
+        "revenue": ("sum", "o_totalprice"),
+        "min_price": ("min", "o_totalprice"),
+    }
+    path = str(tmp_path_factory.mktemp("rollup") / "r")
+    init_rollup(o.filter(F.col("om") < cutoff), path, "om", ["o_orderpriority"], aggs)
+    rest = o.filter(F.col("om") >= cutoff)
+    for i in range(mod):
+        incremental_rollup(
+            spark,
+            rest.filter(F.col("o_orderkey") % mod == i),
+            path,
+            "om",
+            ["o_orderpriority"],
+            aggs,
+        )
+    got = {
+        (r["om"], r["o_orderpriority"]): (
+            r["n_orders"],
+            round(r["revenue"], 2),
+            r["min_price"],
+        )
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r["om"], r["o_orderpriority"]): (
+            r["n"],
+            round(r["rev"], 2),
+            r["mn"],
+        )
+        for r in o.groupBy("om", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("rev"),
+            F.min("o_totalprice").alias("mn"),
+        )
+        .collect()
+    }
+    assert got == want
