@@ -11,7 +11,7 @@ n-gram heuristic), document fingerprinting (rolling/content hash).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language marker lexicons for the heuristic language ID
@@ -192,4 +192,61 @@ def rolling_chunk_hashes(
 
     return df.select(id_col, text_col).mapInPandas(
         _chunks, "id long, chunk_hash long"
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level dedup: drop every paragraph that already appeared
+    anywhere in the corpus (first occurrence wins, ordered by (doc, position)),
+    then reassemble documents from their surviving paragraphs — the
+    sub-document dedup granularity of Dolma/RedPajama-style pipelines,
+    where boilerplate (headers, license blocks, navigation) repeats
+    across documents that are NOT near-duplicates as wholes.
+
+    Returns (id, text, n_kept); documents whose every paragraph was
+    dropped disappear (their content lives on in the first-occurrence
+    docs).
+
+    Scale: explode stays in codegen; the first-occurrence choice is one
+    shuffle keyed on the paragraph hash (uniform); reassembly is one
+    shuffle keyed on the doc id. Both keys are skew-free; state per
+    group is one row. The window-over-hash and the re-group pipeline on
+    the same exchange when AQE coalesces.
+    """
+    import re as _re
+
+    paras = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+                "__pos", "__para"
+            ),
+        )
+        .filter(F.trim("__para") != "")
+    )
+    w = Window.partitionBy(F.md5(F.col("__para").cast("binary"))).orderBy(
+        "__id", "__pos"
+    )
+    kept = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        kept.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .withColumnRenamed("__id", id_col)
     )

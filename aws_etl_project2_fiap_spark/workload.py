@@ -2558,6 +2558,62 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "text_paragraph_dedup",
+    r"""
+    WITH d2 AS (
+      SELECT doc_id // 3 AS gid,
+             string_agg(text, chr(10)||chr(10) ORDER BY doc_id) AS text
+      FROM documents GROUP BY 1
+    ),
+    p AS (
+      SELECT gid,
+             unnest(string_split(text, chr(10)||chr(10))) AS para,
+             unnest(range(1, len(string_split(text, chr(10)||chr(10)))+1))
+               AS idx
+      FROM d2
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT gid, para, idx,
+               row_number() OVER (PARTITION BY md5(para)
+                                  ORDER BY gid, idx) AS rn
+        FROM p WHERE trim(para) <> ''
+      ) WHERE rn = 1
+    )
+    SELECT gid AS doc_id,
+           string_agg(para, chr(10)||chr(10) ORDER BY idx) AS text,
+           count(*) AS n_kept
+    FROM kept GROUP BY gid
+    """,
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) dedup — the granularity where
+    repeated boilerplate lives in docs that are not near-dups as
+    wholes. The synthetic corpus has no newlines, so the query first
+    assembles 3-doc composites (deterministically, by doc_id order) and
+    then drops every paragraph already seen at a lower (doc, position),
+    reassembling the survivors — both steps mirrored exactly in the
+    oracle. The duplicated source docs in the corpus make real drops.
+
+    Scale: operators/text.paragraph_dedup — explode in codegen, one
+    uniform-hash shuffle for first-occurrence, one doc-key shuffle to
+    reassemble."""
+    sep = "\n\n"
+    d = t(spark, sf_dir, "documents")
+    d2 = d.groupBy(F.expr("doc_id div 3").alias("gid")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            sep,
+        ).alias("text")
+    )
+    out = text_op.paragraph_dedup(d2, id_col="gid", sep=sep)
+    return out.select(F.col("gid").alias("doc_id"), "text", "n_kept")
+
+
+@defcomponent(
     "rollup_incremental",
     """
     SELECT strftime(o_orderdate, '%Y-%m') AS om,
@@ -2828,6 +2884,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "pii_scrub",
         "corpus_mixture_weights",
         "corpus_pack_sequences",
+        "text_paragraph_dedup",
     ),
 }
 

@@ -87,3 +87,33 @@ def test_pack_sequences_shards_independent(spark):
     assert got == {1: 0, 2: 0, 3: 0, 4: 0}
     total = out.filter(F.col("shard") == "x").agg(F.sum("n_tok")).first()[0]
     assert total == 14
+
+
+def test_paragraph_dedup_drops_repeats_keeps_first(spark):
+    from aws_etl_project2_fiap_spark.operators.text import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro A\n\nLICENSE BLOCK\n\nbody one"),
+            (2, "LICENSE BLOCK\n\nbody two"),
+            (3, "body two\n\n\n\nintro A"),  # empty paragraph + all-dup doc
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert rows[1]["text"] == "intro A\n\nLICENSE BLOCK\n\nbody one"
+    assert rows[1]["n_kept"] == 3
+    assert rows[2]["text"] == "body two"  # license block already seen
+    assert rows[2]["n_kept"] == 1
+    assert 3 not in rows  # every paragraph of doc 3 was seen before
+
+
+def test_paragraph_dedup_within_doc_repeat(spark):
+    from aws_etl_project2_fiap_spark.operators.text import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "x\n\ny\n\nx\n\nz")], "doc_id: long, text: string"
+    )
+    row = paragraph_dedup(docs).collect()[0]
+    assert row["text"] == "x\n\ny\n\nz"
+    assert row["n_kept"] == 3
