@@ -2425,23 +2425,34 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs JVM-side on candidates. Completes the dedup family with the
     typo/OCR-noise case the set-based measures miss.
 
-    Scale: the self-join shuffles on the block key only; block skew has
-    the same mitigation as the LSH buckets (cap + star-link, or a
-    second blocking key such as name length). Levenshtein cost is
-    bounded by the short-string blocks it runs inside. Threshold and
-    block key must be tuned to corpus entropy: the synthetic part names
-    draw from a tiny vocabulary, so in-block match density is far above
-    what real names/titles produce — on a low-entropy corpus tighten
-    the threshold or add a second blocking key first."""
+    Scale: the self-join shuffles on a COMPOSITE block key — leading
+    token plus a length bin. The length bin is a LOSSLESS second
+    blocking key: levenshtein(a,b) ≤ 2 bounds |len(a)-len(b)| ≤ 2, so
+    with bins of width 3 a true pair's bins differ by at most 1; the
+    probe side expands each row into its bin and both neighbors
+    (3 rows) and the join is pure equi on (token, bin) — candidates
+    inside a hot token block fall by the length distribution's spread
+    while no true pair is ever pruned (the oracle joins on the token
+    alone and proves it). Levenshtein cost is bounded by the
+    short-string candidates it runs inside."""
     p = t(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
         F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+        (F.length("p_name").cast("long") / 3).cast("long").alias("bin"),
     )
-    a, b = p.alias("a"), p.alias("b")
+    a = p.select(
+        "p_partkey",
+        "p_name",
+        "blk",
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("bin"),
+    ).alias("a")
+    b = p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
-        a.join(b, on="blk")
+        a.join(b, on=["blk", "bin"])
         .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
         .select(
             F.col("a.p_partkey").alias("id1"),
