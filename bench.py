@@ -65,6 +65,9 @@ HEADLINE = [
     "similarity_pairs_lsh",
     "similarity_ivf_knn",
     "multimodal_meta",
+    # round-2 additions: batch retrieval + sub-document dedup shapes
+    "similarity_batch_knn",
+    "text_paragraph_dedup",
 ]
 
 
