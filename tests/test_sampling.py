@@ -103,3 +103,25 @@ def test_approx_distinct_error_bound(spark):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) <= max(3, 0.03 * exact[k]), (k, est, exact[k])
+
+
+def test_heavy_hitters_exact_vs_brute_force(spark):
+    from aws_etl_project2_fiap_spark.operators.sampling import heavy_hitters
+    from pyspark.sql import functions as F
+
+    # skewed synthetic keys: two hot values, a long uniform tail
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 3, F.lit("hot_a"))
+        .when(F.col("id") % 10 < 5, F.lit("hot_b"))
+        .otherwise(F.concat(F.lit("tail_"), (F.col("id") % 500).cast("string")))
+        .alias("k")
+    )
+    got = {(r["k"], r["n"]) for r in heavy_hitters(df, "k", 0.05).collect()}
+    want = {
+        (r["k"], r["n"])
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0.05 * 10_000)
+        .collect()
+    }
+    assert got == want
+    assert {k for k, _ in got} == {"hot_a", "hot_b"}
