@@ -448,3 +448,49 @@ def ivf_search(
         .orderBy(F.desc("sim"), F.asc("id"))
         .limit(k)
     )
+
+
+def save_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF index: vectors land under
+    ``path/vectors/cluster=<c>/`` (one partition per inverted list) and
+    the quantizer under ``path/centroids`` — a probe then reads ONLY its
+    nprobe clusters' files via partition pruning, which is the whole
+    point of IVF at 100 TB: the index is built once, queries touch
+    nprobe/k of the data forever after (tests assert PartitionFilters
+    in the probe plan)."""
+    spark = df.sparkSession
+    indexed = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    (
+        indexed.write.partitionBy("cluster")
+        .mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+    cent_rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    (
+        spark.createDataFrame(cent_rows, "centroid_id: int, centroid: array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+
+
+def load_ivf_index(spark, path: str):
+    """Load (indexed_vectors, centroids) back; ``indexed_vectors`` is
+    partition-discovered on ``cluster``, so `ivf_search`'s probe filter
+    prunes directories without touching their footers."""
+    indexed = spark.read.parquet(f"{path}/vectors")
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids")
+        .orderBy("centroid_id")
+        .collect()
+    )
+    centroids = [list(r["centroid"]) for r in cent_rows]
+    return indexed, centroids

@@ -53,3 +53,34 @@ def test_assignment_covers_all_rows(spark):
     assert idx.count() == e.count()
     assert idx.filter(F.col("cluster").isNull()).count() == 0
     assert idx.select("cluster").distinct().count() > 1
+
+
+def test_persisted_index_probe_prunes_partitions(spark, tmp_path):
+    from aws_etl_project2_fiap_spark.operators.similarity import (
+        ivf_assign,
+        ivf_search,
+        kmeans_fit,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = kmeans_fit(e, k=8, iters=3)
+    save_ivf_index(e, str(tmp_path / "ivf"), cents)
+    indexed, loaded_cents = load_ivf_index(spark, str(tmp_path / "ivf"))
+    assert loaded_cents == cents
+
+    qv = [float(x) for x in e.filter("vec_id = 0").collect()[0]["embedding"]]
+    fresh = ivf_search(ivf_assign(e, cents), cents, qv, k=10, nprobe=3).collect()
+    persisted = ivf_search(indexed, cents, qv, k=10, nprobe=3).collect()
+    assert [tuple(r) for r in fresh] == [tuple(r) for r in persisted]
+
+    # the probe must prune inverted-list partitions, not scan them all
+    probe_plan = spark._jvm.PythonSQLUtils.explainString(
+        ivf_search(indexed, cents, qv, k=10, nprobe=3)
+        ._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "PartitionFilters" in probe_plan
+    pf = [ln for ln in probe_plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cluster" in ln for ln in pf), pf
