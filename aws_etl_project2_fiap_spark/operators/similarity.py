@@ -494,3 +494,36 @@ def load_ivf_index(spark, path: str):
     )
     centroids = [list(r["centroid"]) for r in cent_rows]
     return indexed, centroids
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: each vector stores
+    a float scale plus an ``array<tinyint>`` — a 4× storage/IO cut, the
+    standard first lever for 100 TB embedding tables (IVF + int8 is the
+    FAISS ``IVF,SQ8`` recipe). Pure codegen: ``scale = max(|x|)/127``,
+    ``q = round(x/scale)``; cosine is scale-invariant, so ranking
+    degrades only by rounding noise (recall asserted in tests).
+
+    Returns (id, scale, qvec). Zero vectors carry scale 0 and stay
+    all-zero."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    return df.select(
+        F.col(id_col).alias("id"),
+        scale.alias("scale"),
+        F.transform(
+            v,
+            lambda x: F.when(
+                scale > 0, F.round(x / scale).cast("tinyint")
+            ).otherwise(F.lit(0).cast("tinyint")),
+        ).alias("qvec"),
+    )
+
+
+def dequantize(qvec: Column, scale: Column) -> Column:
+    """array<tinyint> + scale → array<double> (approximate original)."""
+    return F.transform(qvec, lambda q: q.cast("double") * scale)

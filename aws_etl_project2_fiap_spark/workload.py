@@ -2771,6 +2771,29 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery("similarity_knn_quantized", None)  # int8 rounding: not ANSI SQL
+def similarity_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 over int8-QUANTIZED vectors
+    (operators/similarity.quantize_embeddings): the 4×-smaller storage
+    representation a 100 TB embedding table actually scans. Cosine is
+    scale-invariant, so only rounding noise separates this from
+    `similarity_knn`; tests assert ≥9/10 top-k overlap. Rows-only
+    driver check (int8 rounding isn't ANSI-portable)."""
+    e = t(spark, sf_dir, "embeddings")
+    qz = sim_op.quantize_embeddings(e)
+    dq = qz.select("id", sim_op.dequantize(F.col("qvec"), F.col("scale")).alias("v"))
+    qv = dq.filter(F.col("id") == 0).select(F.col("v").alias("__qv"))
+    return (
+        dq.crossJoin(F.broadcast(qv))
+        .select(
+            "id",
+            F.round(sim_op.cosine(F.col("v"), F.col("__qv")), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("id"))
+        .limit(10)
+    )
+
+
 @defquery("dedup_cluster_lsh", None)  # LSH banding: not SQL-expressible
 def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB clustering pipeline end-to-end: MinHash+LSH near-dup

@@ -62,3 +62,47 @@ def test_dedup_by_cosine_default_path_matches_exact(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_int8_quantization_preserves_topk(spark):
+    from aws_etl_project2_fiap_spark.operators.similarity import (
+        cosine,
+        dequantize,
+        quantize_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qz = quantize_embeddings(e)
+    # round-trip error bounded by scale/2 per component
+    joined = e.join(qz, e["vec_id"] == qz["id"]).select(
+        "embedding", dequantize(F.col("qvec"), F.col("scale")).alias("dq")
+    )
+    max_err = joined.select(
+        F.array_max(
+            F.zip_with("embedding", "dq", lambda a, b: F.abs(a - b))
+        ).alias("err"),
+        F.col("dq"),
+    ).agg(F.max("err")).collect()[0][0]
+    amax = e.select(
+        F.max(F.array_max(F.transform("embedding", lambda x: F.abs(x))))
+    ).collect()[0][0]
+    assert max_err <= amax / 127.0 / 2 + 1e-9
+
+    def topk(vec_df, vcol):
+        qv = vec_df.filter(F.col("id") == 0).select(F.col(vcol).alias("__qv"))
+        return [
+            r["id"]
+            for r in vec_df.crossJoin(F.broadcast(qv))
+            .select("id", cosine(F.col(vcol), F.col("__qv")).alias("sim"))
+            .orderBy(F.desc("sim"), F.asc("id"))
+            .limit(10)
+            .collect()
+        ]
+    exact = topk(
+        e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")), "v"
+    )
+    quant = topk(
+        qz.select("id", dequantize(F.col("qvec"), F.col("scale")).alias("v")), "v"
+    )
+    assert len(set(exact) & set(quant)) >= 9
