@@ -605,3 +605,53 @@ def test_rollup_fold_order_free(spark, tmp_path_factory, mod, cutoff):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# property 9: paragraph dedup ≡ a sequential reference implementation
+# ---------------------------------------------------------------------
+
+
+def _paragraph_dedup_reference(docs: list[tuple[int, str]], sep: str = "\n\n"):
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        kept = []
+        for para in text.split(sep):
+            p = para
+            if p.strip() == "":
+                continue
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        if kept:
+            out[doc_id] = (sep.join(kept), len(kept))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", " ", "x y"]),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_paragraph_dedup_matches_reference(spark, docs):
+    from aws_etl_project2_fiap_spark.operators.text import paragraph_dedup
+
+    rows = [(i, "\n\n".join(paras)) for i, paras in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"])
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got == _paragraph_dedup_reference(rows)
