@@ -73,23 +73,42 @@ HEADLINE = [
 
 def _rechunked(sf_dir: str, min_groups: int = 32) -> str:
     """One-time /tmp copy of the sf dir with ≥min_groups row groups per
-    table so scans parallelize across the local[N] slots."""
+    table so scans parallelize across the local[N] slots.
+
+    The cache is validated against each source file's (size, mtime): if
+    the driver regenerates the testdata between rounds (it has — events
+    switched from TIMESTAMP(NANOS) to MICROS), stale copies are rebuilt
+    instead of silently benchmarking old data."""
+    import json as _json
+
     import pyarrow.parquet as pq
 
     out = f"/tmp/spark_graft_rechunk_{os.path.basename(sf_dir.rstrip('/'))}"
     os.makedirs(out, exist_ok=True)
+    manifest_path = os.path.join(out, "_manifest.json")
+    try:
+        with open(manifest_path) as fh:
+            manifest = _json.load(fh)
+    except (OSError, ValueError):
+        manifest = {}
     for fname in sorted(os.listdir(sf_dir)):
         if not fname.endswith(".parquet"):
             continue
+        src = os.path.join(sf_dir, fname)
+        st_ = os.stat(src)
+        stamp = [st_.st_size, st_.st_mtime]
         dst = os.path.join(out, fname)
-        if os.path.exists(dst):
+        if os.path.exists(dst) and manifest.get(fname) == stamp:
             continue
-        tbl = pq.read_table(os.path.join(sf_dir, fname))
+        tbl = pq.read_table(src)
         pq.write_table(
             tbl,
             dst,
             row_group_size=max(1, math.ceil(len(tbl) / min_groups)),
         )
+        manifest[fname] = stamp
+        with open(manifest_path, "w") as fh:
+            _json.dump(manifest, fh)
     return out
 
 
