@@ -316,3 +316,84 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id1", "id2"])
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT token-set Jaccard pairs with prefix filtering (the
+    PPJoin/AllPairs family) — identical output to
+    :func:`ngram_jaccard_pairs`, but scalable.
+
+    Under a global token order (rarest first), two sets with
+    J(a,b) ≥ t MUST share a token inside each one's first
+    ``n - ⌈t·n⌉ + 1`` tokens: if all shared tokens sat past both
+    prefixes, the overlap would be too small for the threshold. So the
+    candidate join runs only on PREFIX tokens — for high thresholds
+    that's a handful of the rarest tokens per doc, collapsing the
+    candidate count by orders of magnitude versus joining on every
+    token. A size-ratio filter (t·max ≤ min) prunes further before the
+    exact verify via ``array_intersect`` on the full sorted token
+    arrays. Exactness is free: verification computes true Jaccard, the
+    prefix only rules out pairs that provably can't pass.
+
+    Shuffles: token-frequency agg, per-doc array build, prefix
+    self-join (narrow), two id-joins for the verify arrays. All keys
+    uniform except genuinely shared rare tokens — which is the
+    candidate set itself.
+    """
+    tok = tokens(df, text_col, id_col)
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    ordered = (
+        tok.join(freq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("freq", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+        .withColumn("n_tok", F.size("toks"))
+        .withColumn(
+            "prefix",
+            F.slice(
+                "toks",
+                1,
+                F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1,
+            ),
+        )
+    )
+    pre = ordered.select("id", "n_tok", F.explode("prefix").alias("tok"))
+    a, b = pre.alias("a"), pre.alias("b")
+    cands = (
+        a.join(b, on="tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            F.least(F.col("a.n_tok"), F.col("b.n_tok"))
+            >= F.lit(threshold) * F.greatest(F.col("a.n_tok"), F.col("b.n_tok"))
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    arr1 = ordered.select(F.col("id").alias("id1"), F.col("toks").alias("t1"),
+                          F.col("n_tok").alias("n1"))
+    arr2 = ordered.select(F.col("id").alias("id2"), F.col("toks").alias("t2"),
+                          F.col("n_tok").alias("n2"))
+    common = F.size(F.array_intersect("t1", "t2"))
+    return (
+        cands.join(arr1, "id1")
+        .join(arr2, "id2")
+        .withColumn("n_common", common)
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("n_common")
+                / (F.col("n1") + F.col("n2") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -102,3 +102,24 @@ def test_vector_cap_leaves_normal_corpus_unchanged(spark):
     }
     assert capped == uncapped
     assert capped
+
+
+def test_prefix_filtered_jaccard_equals_naive(spark):
+    """The prefix-filtered exact join must return exactly the pairs of
+    the naive all-pairs formulation at every threshold tried."""
+    from aws_etl_project2_fiap_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.7, 0.9):
+        naive = {
+            (r["id1"], r["id2"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(d, threshold=t).collect()
+        }
+        pref = {
+            (r["id1"], r["id2"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs_prefix(d, threshold=t).collect()
+        }
+        assert pref == naive
