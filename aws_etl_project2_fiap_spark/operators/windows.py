@@ -172,3 +172,67 @@ def autoincrement_id(df: DataFrame, order: list, id_col: str = "id") -> DataFram
     Single-partition window: only for driver-scale frames; at scale use
     (partition-key, row_number) compound identity."""
     return df.withColumn(id_col, F.row_number().over(Window.orderBy(*order)))
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    step: str = "interval 1 hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Regular-grid resampling with forward fill — the hypertable
+    ``time_bucket_gapfill``/pandas ``resample().ffill()`` shape: per
+    key, generate an evenly-spaced timestamp grid spanning that key's
+    observed range and carry the last observation forward onto each
+    grid point.
+
+    Mechanics: the grid rows (value = null) union with the raw rows;
+    one per-key ordered window takes ``last(value, ignorenulls=True)``
+    over rows-unbounded-preceding; grid rows are then kept. Raw rows
+    sort BEFORE a grid point at the same timestamp (an observation at
+    the boundary is already visible to it); ``tiebreak_col`` pins the
+    order of equal-timestamp observations so the fill is deterministic.
+
+    Scale: one shuffle on the key for the window; the grid is generated
+    with ``sequence`` inside codegen (no driver loop), its size bounded
+    by span/step per key. Keys are independent — skew only from a key
+    whose span dwarfs the rest, which salting by coarse time ranges
+    fixes (two-pass fill, same pattern as grouped_global_rank).
+
+    Returns (key, ts, value) — grid rows only.
+    """
+    bounds = df.groupBy(key).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("__mn"),
+        F.max(ts_col).alias("__mx"),
+    )
+    grid = bounds.select(
+        key, F.explode(F.expr(f"sequence(__mn, __mx, {step})")).alias(ts_col)
+    )
+    tb = tiebreak_col or ts_col
+    g = grid.select(
+        key,
+        ts_col,
+        F.lit(None).cast("double").alias("__v"),
+        F.lit(1).alias("__is_grid"),
+        F.lit(None).cast("long").alias("__tb"),
+    )
+    r = df.select(
+        key,
+        ts_col,
+        F.col(val_col).cast("double").alias("__v"),
+        F.lit(0).alias("__is_grid"),
+        F.col(tb).cast("long").alias("__tb"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, "__is_grid", "__tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        g.unionByName(r)
+        .withColumn("__ff", F.last("__v", ignorenulls=True).over(w))
+        .filter(F.col("__is_grid") == 1)
+        .select(key, ts_col, F.col("__ff").alias(val_col))
+    )

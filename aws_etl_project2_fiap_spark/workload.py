@@ -37,6 +37,7 @@ from .operators import decontam as decontam_op
 from .operators import dedup as dedup_op
 from .operators import similarity as sim_op
 from .operators import text as text_op
+from .operators import windows as win_op
 from .streaming import pipelines as stream_op
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -2575,6 +2576,50 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "resample_1h_ffill",
+    """
+    WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS mn,
+                      max(ts) AS mx
+               FROM events GROUP BY 1),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS gts
+             FROM b),
+    u AS (
+      SELECT user_id, gts AS ts, CAST(NULL AS DOUBLE) AS v,
+             1 AS is_grid, CAST(NULL AS BIGINT) AS tb FROM grid
+      UNION ALL
+      SELECT user_id, ts, value, 0, event_id FROM events
+    ),
+    f AS (SELECT user_id, ts, is_grid,
+                 last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_grid, tb
+                   ROWS UNBOUNDED PRECEDING) AS ff
+          FROM u)
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+           round(ff, 4) AS value
+    FROM f WHERE is_grid = 1
+    """,
+)
+def resample_1h_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill (hypertable
+    time_bucket_gapfill / pandas resample().ffill()): each user's value
+    series is sampled onto an hourly grid spanning their observed
+    range, carrying the last observation forward — the alignment step
+    before any cross-series join or ML featurization of irregular
+    ticks. operators/windows.resample_ffill; grid generated by codegen
+    `sequence`, one key shuffle."""
+    ev = t(spark, sf_dir, "events")
+    out = win_op.resample_ffill(
+        ev, key="user_id", ts_col="ts", val_col="value", tiebreak_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+@defcomponent(
     "text_heavy_hitters",
     r"""
     WITH tok AS (
@@ -2927,6 +2972,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "window_lag_delta",
         "window_running_sum",
         "window_range_1h",
+        "resample_1h_ffill",
     ),
     "suite_window_rank": (
         "window_percent_rank",
