@@ -38,6 +38,7 @@ from .operators import dedup as dedup_op
 from .operators import similarity as sim_op
 from .operators import text as text_op
 from .operators import windows as win_op
+from .io import scd as scd_op
 from .streaming import pipelines as stream_op
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -2576,6 +2577,50 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "scd2_from_events",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    starts AS (
+      SELECT * FROM u WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+    FROM starts
+    """,
+)
+def scd2_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history (io/scd.py): each user's event_type runs
+    collapse into validity intervals [valid_from, valid_to), open
+    version NULL-terminated — the slowly-changing-dimension shape that
+    makes fact joins as-of-correct. One key shuffle, two windows.
+    The incremental scd2_merge path (re-expand affected keys only,
+    atomic swap) is equivalence-tested in tests/test_scd2.py."""
+    ev = t(spark, sf_dir, "events")
+    hist = scd_op.scd2_snapshot(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        key="user_id",
+        ts_col="ts",
+        attr="event_type",
+        tiebreak="event_id",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+    )
+
+
+@defcomponent(
     "resample_1h_ffill",
     """
     WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS mn,
@@ -2973,6 +3018,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "window_running_sum",
         "window_range_1h",
         "resample_1h_ffill",
+        "scd2_from_events",
     ),
     "suite_window_rank": (
         "window_percent_rank",
