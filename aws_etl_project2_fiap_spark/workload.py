@@ -2621,6 +2621,72 @@ def scd2_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "scd2_asof_lookup",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    starts AS (SELECT * FROM u WHERE prev IS NULL OR prev <> event_type),
+    hist AS (
+      SELECT user_id, event_type AS attr, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM starts
+    )
+    SELECT e.event_id, h.attr,
+           (h.attr = e.event_type) AS consistent
+    FROM events e
+    JOIN hist h
+      ON e.user_id = h.user_id
+     AND e.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-vs-dimension as-of lookup: every event joins the SCD2
+    version whose [valid_from, valid_to) interval contains its
+    timestamp — the join that makes historical fact enrichment correct.
+    Self-verifying by construction: the looked-up attribute must equal
+    the event's own event_type (`consistent` is all-true), and the
+    interval join must hit EXACTLY one version per event (row count ==
+    events count), which the hash compare enforces.
+
+    Scale: the interval join shuffles both sides on user_id only;
+    within a user the version list is tiny (runs of equal values), so
+    the per-key interval probe is cheap — the same shape as
+    operators/rangejoin for large interval tables."""
+    ev = t(spark, sf_dir, "events")
+    hist = scd_op.scd2_snapshot(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        key="user_id",
+        ts_col="ts",
+        attr="event_type",
+        tiebreak="event_id",
+    ).select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("attr"),
+        "valid_from",
+        "valid_to",
+    )
+    return (
+        ev.join(
+            hist,
+            (F.col("user_id") == F.col("h_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select(
+            "event_id",
+            "attr",
+            (F.col("attr") == F.col("event_type")).alias("consistent"),
+        )
+    )
+
+
+@defcomponent(
     "resample_1h_ffill",
     """
     WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS mn,
@@ -3031,6 +3097,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     "suite_asof": (
         "asof_join_ticks",
         "asof_join_forward",
+        "scd2_asof_lookup",
     ),
     "suite_corpus_ops": (
         "similarity_batch_knn",
