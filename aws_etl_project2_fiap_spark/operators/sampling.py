@@ -82,3 +82,41 @@ def heavy_hitters(df: DataFrame, col: str, support: float) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > support * total)
     )
+
+
+def cluster_aware_split(
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Train/val/test split that NEVER separates near-duplicates: the
+    split is a deterministic hash of the CLUSTER representative, so
+    every member of a dup cluster lands in the same partition — the
+    guard against eval contamination via near-dups of training docs
+    (splitting by doc hash leaks: a test doc's near-twin trains).
+
+    The hash is the md5 hex string compared against fixed hex threshold
+    strings (0.8 = 0xc.ccc…, 0.9 = 0xe.666…): lexicographic order on
+    fixed-width lowercase hex IS numeric order, so the comparison is
+    engine-portable with no float conversion at all. Pure projection —
+    no shuffle beyond whatever produced the labels."""
+
+    from fractions import Fraction
+
+    def thr(frac: Fraction) -> str:
+        # integer arithmetic: float rounding would desync the oracle
+        return format((frac.numerator * 16**32) // frac.denominator, "032x")
+
+    tr = Fraction(train).limit_denominator(10**6)
+    va = Fraction(val).limit_denominator(10**6)
+    h = F.md5(F.col(cluster_col).cast("string").cast("binary"))
+    return labels.select(
+        id_col,
+        cluster_col,
+        F.when(h < thr(tr), "train")
+        .when(h < thr(tr + va), "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -2731,6 +2731,43 @@ def resample_1h_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "corpus_cluster_split",
+    """
+    WITH cl AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+      FROM documents
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN md5(CAST(cluster_id AS VARCHAR)) < repeat('c', 32)
+                  THEN 'train'
+                WHEN md5(CAST(cluster_id AS VARCHAR))
+                     < 'e6666666666666666666666666666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM cl
+    """,
+)
+def corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split: the split key is the DUP
+    CLUSTER representative (here: exact-dup groups via content hash),
+    so a document and its duplicates can never straddle train and eval
+    — the leakage a per-doc hash split permits. Thresholds are md5 hex
+    strings compared lexicographically (0.8 = 'cc…c', 0.9 = 'e66…6'):
+    fixed-width lowercase hex order IS numeric order, no float
+    conversion, bit-identical across engines. For NEAR-dup-safe splits
+    feed `connected_components` labels in instead of the exact-hash
+    groups (same (id, cluster) contract; operators/sampling.
+    cluster_aware_split)."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    labels = d.select(
+        "doc_id", F.min("doc_id").over(w).alias("cluster_id")
+    )
+    from .operators.sampling import cluster_aware_split
+
+    return cluster_aware_split(labels)
+
+
+@defcomponent(
     "text_heavy_hitters",
     r"""
     WITH tok AS (
@@ -3118,6 +3155,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "corpus_pack_sequences",
         "text_paragraph_dedup",
         "text_heavy_hitters",
+        "corpus_cluster_split",
     ),
 }
 

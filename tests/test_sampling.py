@@ -125,3 +125,47 @@ def test_heavy_hitters_exact_vs_brute_force(spark):
     }
     assert got == want
     assert {k for k, _ in got} == {"hot_a", "hot_b"}
+
+
+def test_cluster_aware_split_never_splits_a_cluster(spark):
+    from aws_etl_project2_fiap_spark.operators.cc import connected_components
+    from aws_etl_project2_fiap_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+    from aws_etl_project2_fiap_spark.operators.sampling import cluster_aware_split
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = ngram_jaccard_pairs_prefix(d, threshold=0.9).select("id1", "id2")
+    labels = (
+        d.select("doc_id")
+        .join(
+            connected_components(pairs).withColumnRenamed("id", "doc_id"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+    out = cluster_aware_split(labels)
+    # every cluster maps to exactly one split
+    assert (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    # rough proportions by cluster (hash-uniform over clusters)
+    frac = {
+        r["split"]: r["n"]
+        for r in out.select("cluster_id", "split")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(frac.values())
+    assert 0.6 < frac.get("train", 0) / total < 0.95
+    assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
