@@ -54,3 +54,46 @@ def test_clustered_layout_prunes_row_groups(spark, tmp_path):
     back = spark.read.parquet(clustered)
     assert back.count() == 200_000
     assert back.filter((F.col("k") >= lo) & (F.col("k") < hi)).count() == 20_000
+
+
+def test_zorder_layout_prunes_both_columns(spark, tmp_path):
+    """Z-order vs single-key clustering on two independent keys.
+
+    Single-key clustering prunes on the leading key only — the second
+    key spans the full domain in every file. The z-ordered layout must
+    leave a majority of row groups prunable for a 10%-range predicate
+    on EITHER column, and the data must round-trip bit-exact.
+    """
+    from aws_etl_project2_fiap_spark.io.parquet import write_zordered
+
+    n = 200_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("x"),
+        # decorrelated second key: multiplicative hash over the same domain
+        (F.col("id") * 48271 % n).alias("y"),
+        (F.col("id") % 97).alias("payload"),
+    )
+    single = str(tmp_path / "single")
+    write_clustered(df, single, ["x"], num_files=64)
+    zpath = str(tmp_path / "zorder")
+    # 64 z-range files = 3 bits per dimension: each file covers a 32x32
+    # block of the 256x256 rank grid, so a 10%-wide predicate on either
+    # column touches only the files whose block intersects ~2 of the 8
+    # per-dimension stripes.
+    write_zordered(df, zpath, ["x", "y"], num_files=64)
+
+    lo, hi = n // 2, n // 2 + n // 10  # 10% of either domain
+    for col in ("x", "y"):
+        z_hit, z_total = _row_groups_overlapping(zpath, col, lo, hi)
+        assert z_hit <= (z_total * 2) // 5, (col, z_hit, z_total)
+    # single-key layout cannot prune the second key at all
+    s_hit, s_total = _row_groups_overlapping(single, "y", lo, hi)
+    assert s_hit == s_total
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == n
+    assert back.groupBy().sum("x", "y", "payload").collect() == \
+        df.groupBy().sum("x", "y", "payload").collect()
+    # pushed-down predicate returns exactly the right rows
+    assert back.filter((F.col("y") >= lo) & (F.col("y") < hi)).count() == \
+        df.filter((F.col("y") >= lo) & (F.col("y") < hi)).count()
