@@ -58,6 +58,17 @@ def build_session(
         # --- keep parquet scans tight ---
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- runtime bloom-filter join pruning: pin on, independent of
+        # the Spark default. A selective join side injects a bloom
+        # filter into the big side's scan (orders filtered by date ->
+        # lineitem scan drops non-matching orderkeys before the
+        # shuffle). At 100 TB this is the difference between shuffling
+        # the whole fact table and shuffling the matching slice; worst
+        # case is a wasted ~MB-sized filter. (The sibling
+        # runtimeFilter.semiJoinReduction flag is deliberately NOT set:
+        # on Spark 4.1 it sends even trivial plans into a pathological
+        # optimizer loop — verified locally, range(10).count() hangs.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # quiet progress bars in test logs
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
