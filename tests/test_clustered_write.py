@@ -97,3 +97,36 @@ def test_zorder_layout_prunes_both_columns(spark, tmp_path):
     # pushed-down predicate returns exactly the right rows
     assert back.filter((F.col("y") >= lo) & (F.col("y") < hi)).count() == \
         df.filter((F.col("y") >= lo) & (F.col("y") < hi)).count()
+
+
+def test_zorder_value_invariants_on_skew_and_nulls(spark):
+    """zorder_value on a skewed, null-bearing distribution.
+
+    Invariants: (a) the Morton key preserves component-wise dominance
+    (x1<=x2 and y1<=y2 => z1<=z2) — the property that makes contiguous
+    z-ranges map to bounded rectangles, i.e. the reason pruning works;
+    (b) nulls land in the lowest bucket instead of erroring; (c) heavy
+    value skew (90% one key) still yields a valid, total key order.
+    """
+    from aws_etl_project2_fiap_spark.io.parquet import zorder_value
+
+    df = spark.range(0, 20_000).select(
+        # 90% of x collapses onto one hot value; 2% nulls
+        F.when(F.col("id") % 50 == 0, F.col("id"))
+        .when(F.col("id") % 37 == 1, F.lit(None))
+        .otherwise(F.lit(7_777)).alias("x"),
+        (F.col("id") * 48271 % 20_000).alias("y"),
+    )
+    rows = (
+        df.withColumn("z", zorder_value(df, ["x", "y"], bits_per_col=6))
+        .collect()
+    )
+    assert all(r.z is not None and r.z >= 0 for r in rows)
+    # dominance monotonicity on a deterministic sample of row pairs
+    sample = rows[::97]
+    for a in sample:
+        for b in sample:
+            if a.x is None or b.x is None:
+                continue
+            if a.x <= b.x and a.y <= b.y:
+                assert a.z <= b.z, ((a.x, a.y, a.z), (b.x, b.y, b.z))
