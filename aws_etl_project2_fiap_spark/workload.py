@@ -649,7 +649,7 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     """
     SELECT n_regionkey,
-           list(n_name ORDER BY n_name) AS nations
+           array_to_string(list(n_name ORDER BY n_name), '|') AS nations
     FROM nation
     GROUP BY n_regionkey
     """,
@@ -658,10 +658,16 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation (collect_list) with an explicit sort — collect
     order is partition-arrival-racy, so any deterministic consumer must
     sort. Bounded per-group cardinality only (a group's array must fit
-    a row); unbounded cases belong in explode/window form."""
+    a row); unbounded cases belong in explode/window form.
+
+    Driver contract: the output serializes the array as a '|'-joined
+    string — the driver's pandas canonicalization sorts rows with
+    ``sort_values``, which throws ``unhashable type: 'list'`` on array
+    columns (the r2 ``suite_agg_grouping`` err). Same information,
+    atomic column type (see tests/test_driver_contract.py)."""
     n = t(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations")
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations")
     )
 
 
@@ -1050,16 +1056,23 @@ def window_top3_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS session_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+                AS BIGINT) AS session_id,
            event_id
     FROM flagged
     """,
 )
 def sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): two stacked windows
-    over one shuffle — the batch equivalent of a session window."""
+    over one shuffle — the batch equivalent of a session window.
+
+    Oracle note: ``SUM`` over an INTEGER is HUGEINT in DuckDB, which
+    pandas ``.df()`` renders as float64 — the driver canonicalizes
+    ``4.0`` vs Spark's bigint ``4`` and hash-mismatches even though the
+    values are identical (the r1/r2 red). ``CAST(... AS BIGINT)`` keeps
+    the oracle int64 through the driver's pandas path."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
@@ -1650,13 +1663,20 @@ def _multimodal_features_oracle() -> str:
     operators/multimodal.extract_features: bytes via hex-pair
     extraction (UTF-8 safe — works on the blob, not code points),
     checksum = sum(bytes) mod 2^31, feature_k = sum of bytes at
-    positions ≡ k (mod 8), mod 256."""
+    positions ≡ k (mod 8), mod 256.
+
+    Driver contract: every integer SUM is CAST to BIGINT (DuckDB sums
+    integers into HUGEINT, which renders float64 through pandas
+    ``.df()`` — the dtype class behind the r1/r2 sessionize red), and
+    the 8-dim feature vector serializes as a '|'-joined string of
+    integral values (array columns crash the driver's pandas
+    ``sort_values`` canonicalization — the r2 ``suite_text`` err)."""
     fk = ", ".join(
         f"CAST(coalesce(SUM(byte) FILTER (WHERE (i - 1) % 8 = {k}), 0) % 256"
-        f" AS DOUBLE)"
+        f" AS BIGINT)"
         for k in range(8)
     )
-    zeros = ", ".join(["0.0"] * 8)
+    zeros = "|".join(["0"] * 8)
     return f"""
     WITH hx AS (
       SELECT doc_id, regexp_extract_all(hex(CAST(text AS BLOB)), '..') AS hs
@@ -1671,14 +1691,14 @@ def _multimodal_features_oracle() -> str:
     agg AS (
       SELECT doc_id,
              count(*) AS n_bytes,
-             SUM(byte) % 2147483648 AS checksum,
-             [{fk}] AS feature
+             CAST(SUM(byte) % 2147483648 AS BIGINT) AS checksum,
+             concat_ws('|', {fk}) AS feature
       FROM per GROUP BY doc_id
     )
     SELECT d.doc_id,
            coalesce(a.n_bytes, 0) AS n_bytes,
            coalesce(a.checksum, 0) AS checksum,
-           coalesce(a.feature, [{zeros}]) AS feature
+           coalesce(a.feature, '{zeros}') AS feature
     FROM documents d LEFT JOIN agg a USING (doc_id)
     """
 
@@ -1690,11 +1710,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fake decode is pure byte arithmetic, so it carries a full SQL
     oracle (hex-pair unnest in DuckDB) — the mapInPandas batch path is
     hash-verified, not just rows-counted. Surfaced to the driver through
-    `suite_text`."""
+    `suite_text`.
+
+    The library API (operators/multimodal.extract_features) keeps the
+    ``feature: array<double>`` column; this driver-facing wrapper
+    serializes it to a '|'-joined string of integral values because the
+    driver's canonicalization requires atomic column types (the fake
+    decode's features are byte-sums mod 256 — integral by construction,
+    so the bigint render is lossless)."""
     from .operators import multimodal as mm
 
     d = t(spark, sf_dir, "documents")
-    return mm.extract_features(mm.attach_binary(d, "text"), id_col="doc_id")
+    feat = mm.extract_features(mm.attach_binary(d, "text"), id_col="doc_id")
+    return feat.withColumn(
+        "feature",
+        F.array_join(
+            F.transform("feature", lambda x: x.cast("bigint").cast("string")), "|"
+        ),
+    )
 
 
 @defcomponent(

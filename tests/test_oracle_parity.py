@@ -5,6 +5,15 @@ run the Spark DataFrame plan AND the ANSI SQL on the same parquet
 tables, then compare row count, column names, and an order-insensitive
 canonical form of all values (columns sorted by name, rows sorted,
 floats rounded) — the same contract as CORRECTNESS_r{N}.json.
+
+CRITICAL: both sides go through PANDAS frames (DuckDB ``rel.df()``,
+Spark ``toPandas()``), exactly like the driver — NOT ``fetchall()``.
+``fetchall()`` hands DuckDB HUGEINT to Python as ``int`` and silently
+hid a two-round hash red: an integer ``SUM`` is HUGEINT in DuckDB,
+which ``.df()`` renders as float64, so the driver canonicalized
+``4.0`` against Spark's bigint ``4`` and mismatched on values that
+were numerically identical (VERDICT r2 #1). The canonicalization here
+is dtype-sensitive on purpose so that class of red fails CI.
 """
 
 from __future__ import annotations
@@ -12,6 +21,8 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 from aws_etl_project2_fiap_spark.io.parquet import STAR_TABLES
@@ -23,19 +34,40 @@ DEFS = {**CATALOG, **COMPONENTS}
 SF_DIR = "/root/testdata/sf0.001"  # small SF keeps the suite fast
 
 
-def canon(rows, columns):
-    """Order-insensitive canonical form: sort columns by name, normalize
-    floats (round 6, NaN→'nan'), sort rows."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
+def canon_pdf(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
+    """Driver-shaped canonical form over a PANDAS frame: columns sorted
+    by (lowercased) name, every cell string-rendered dtype-sensitively
+    (float64 4.0 renders differently from int64 4 — that asymmetry IS
+    the driver's behavior and what this suite must reproduce), rows
+    sorted. NaN/None → 'nan'."""
+    pdf = pdf.rename(columns={c: c.lower() for c in pdf.columns})
+    pdf = pdf[sorted(pdf.columns)]
 
-    def norm(v):
-        if isinstance(v, float):
+    def norm(v) -> str:
+        if v is None:
+            return "nan"
+        if isinstance(v, (float, np.floating)):
             if math.isnan(v):
                 return "nan"
-            return f"{round(v, 6):.6f}"
+            return f"{round(float(v), 6):.6f}"
+        if isinstance(v, (int, np.integer)):
+            return repr(int(v))
+        if isinstance(v, (bool, np.bool_)):
+            return repr(bool(v))
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return v.hex()
+        try:
+            if pd.isna(v):
+                return "nan"
+        except (TypeError, ValueError):
+            pass
         return repr(v)
 
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return sorted(
+        tuple(norm(v) for v in row) for row in pdf.itertuples(index=False, name=None)
+    )
 
 
 @pytest.fixture(scope="module")
@@ -53,28 +85,33 @@ ORACLE_QUERIES = sorted(n for n, qd in DEFS.items() if qd.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, qd in DEFS.items() if qd.oracle is None)
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_oracle_parity(spark, duck, name):
-    qd = DEFS[name]
-    sdf = qd.spark(spark, SF_DIR)
-    spark_cols = [c.lower() for c in sdf.columns]
-    spark_rows = [tuple(r) for r in sdf.collect()]
+def compare_via_pandas(spark, con, qd, sf_dir: str, name: str, expect_rows=None):
+    """The driver's compare, reproduced: Spark toPandas vs DuckDB .df(),
+    schema by sorted column names, values via canon_pdf."""
+    sdf = qd.spark(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    duck_pdf = con.sql(qd.oracle).df()
 
-    rel = duck.sql(qd.oracle)
-    duck_cols = [c.lower() for c in rel.columns]
-    duck_rows = rel.fetchall()
-
-    assert sorted(spark_cols) == sorted(duck_cols), (
+    spark_cols = sorted(c.lower() for c in spark_pdf.columns)
+    duck_cols = sorted(c.lower() for c in duck_pdf.columns)
+    assert spark_cols == duck_cols, (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
     )
-    s = canon(spark_rows, spark_cols)
-    d = canon(duck_rows, duck_cols)
+    if expect_rows is not None:
+        assert len(spark_pdf) == expect_rows
+    s = canon_pdf(spark_pdf)
+    d = canon_pdf(duck_pdf)
     if s != d:
         diff = [(a, b) for a, b in zip(s, d) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    compare_via_pandas(spark, duck, DEFS[name], SF_DIR, name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
@@ -87,31 +124,48 @@ def test_rows_only_queries_run(spark, name):
 
 
 def test_sessionize_30m_parity_at_driver_sf(spark):
-    """Pinned regression at sf0.01 — the exact SF the driver hashes.
+    """Pinned regression at sf0.01 — the exact SF the driver hashes,
+    through the exact pandas path the driver uses.
 
-    Round-1's CORRECTNESS snapshot flagged sessionize_30m
-    ``hash_match: false`` while the same compare passed at HEAD (the
-    ``ts_ns``-ordering fixes landed after the driver's snapshot). This
-    test locks the driver-SF parity so any re-regression fails CI, not
-    the next round's correctness report."""
+    The r1 version of this test used ``fetchall()``, which converts
+    HUGEINT to Python ``int`` and passed while the driver stayed red
+    for two rounds (the oracle's uncast ``SUM(is_new)``). This version
+    goes through ``.df()``/``toPandas()`` + dtype-sensitive rendering:
+    it FAILS on the r2 snapshot's oracle and passes with the
+    ``CAST(... AS BIGINT)`` fix."""
     sf = "/root/testdata/sf0.01"
-    qd = DEFS["sessionize_30m"]
-    sdf = qd.spark(spark, sf)
-    spark_cols = [c.lower() for c in sdf.columns]
-    spark_rows = [tuple(r) for r in sdf.collect()]
-
     con = duckdb.connect()
     try:
         for name in STAR_TABLES:
             con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM '{sf}/{name}.parquet'"
             )
-        rel = con.sql(qd.oracle)
-        duck_cols = [c.lower() for c in rel.columns]
-        duck_rows = rel.fetchall()
+        compare_via_pandas(
+            spark, con, DEFS["sessionize_30m"], sf, "sessionize_30m",
+            expect_rows=10000,
+        )
     finally:
         con.close()
 
-    assert sorted(spark_cols) == sorted(duck_cols)
-    assert len(spark_rows) == len(duck_rows) == 10000
-    assert canon(spark_rows, spark_cols) == canon(duck_rows, duck_cols)
+
+def test_hugeint_renders_float_through_df_path():
+    """Property pin of the driver-rendering bug class itself: an integer
+    SUM in DuckDB is HUGEINT; ``fetchall()`` hands it to Python as int
+    (hiding the red) while ``.df()`` renders float64 (what the driver
+    hashes). CAST AS BIGINT restores int64 through ``.df()``. If a
+    DuckDB upgrade ever changes this, the oracle-authoring convention
+    ("CAST every integer SUM") gets revisited with it."""
+    con = duckdb.connect()
+    try:
+        uncast = con.sql("SELECT SUM(x) AS s FROM (VALUES (1), (3)) t(x)")
+        assert uncast.fetchall()[0][0] == 4  # fetchall: Python int — hides it
+        assert uncast.df()["s"].dtype == np.float64  # .df(): the driver's view
+        cast = con.sql(
+            "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1), (3)) t(x)"
+        )
+        assert cast.df()["s"].dtype == np.int64
+        # and the canonical forms diverge exactly like the driver's hash did
+        assert canon_pdf(uncast.df()) == [("4.000000",)]
+        assert canon_pdf(cast.df()) == [("4",)]
+    finally:
+        con.close()
