@@ -159,6 +159,33 @@ def write_clustered(
     )
 
 
+def _zorder_ordinal(col: "F.Column", dtype, name: str) -> "F.Column":
+    """Order-preserving DOUBLE surrogate for a z-order key column.
+
+    Numerics/booleans cast directly; date/timestamp go through epoch
+    arithmetic (ANSI forbids a direct date→double cast); strings map to
+    their first 7 bytes big-endian (14 hex chars → conv base 16 →
+    int64, always < 2^56 so the signed cast cannot overflow), which
+    preserves lexicographic prefix order. Anything else raises — a
+    silent wrong ordering would quietly destroy pruning locality.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.NumericType, T.BooleanType)):
+        return col.cast("double")
+    if isinstance(dtype, T.DateType):
+        return F.datediff(col, F.lit("1970-01-01")).cast("double")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    if isinstance(dtype, T.StringType):
+        hex14 = F.rpad(F.substring(F.hex(col.cast("binary")), 1, 14), 14, "0")
+        return F.conv(hex14, 16, 10).cast("double")
+    raise ValueError(
+        f"zorder_value: unsupported cluster column type {dtype} for {name!r}; "
+        f"supported: numeric, boolean, date, timestamp, string"
+    )
+
+
 def zorder_value(
     df: DataFrame,
     cluster_by: list[str],
@@ -186,6 +213,15 @@ def zorder_value(
     per column (256 ranks) is granular enough to separate thousands of
     output files; the default stays well under the int64 budget for up
     to 7 columns.
+
+    Supported key types (Delta/Iceberg OPTIMIZE ZORDER parity): numeric,
+    boolean, date, timestamp, and STRING. Strings order by an int64
+    surrogate built from the first 7 bytes (big-endian), so the rank
+    preserves lexicographic prefix order — min/max envelopes on the
+    string column itself stay tight and prefix/range predicates prune.
+    No raw ``cast('double')`` on non-numerics: under Spark 4 ANSI mode
+    that throws CAST_INVALID_INPUT mid-``approxQuantile``. Unsupported
+    types (binary, nested) raise ValueError up front.
     """
     n_cols = len(cluster_by)
     if n_cols < 2:
@@ -194,19 +230,34 @@ def zorder_value(
         bits_per_col = 63 // n_cols
     n_buckets = 1 << bits_per_col
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     bucket_cols = []
     for name in cluster_by:
-        numeric = df.select(F.col(name).cast("double").alias("v")).na.drop()
-        bounds = numeric.stat.approxQuantile("v", probs, 1.0 / n_buckets)
+        v = _zorder_ordinal(F.col(name), dtypes.get(name), name)
+        bounds = df.select(v.alias("v")).na.drop().stat.approxQuantile(
+            "v", probs, 1.0 / n_buckets
+        )
         # Dedup boundaries (low-cardinality keys yield repeats); keep order.
         uniq: list[float] = []
         for b in bounds:
             if not uniq or b > uniq[-1]:
                 uniq.append(b)
-        v = F.col(name).cast("double")
         # rank = #boundaries strictly below the value: monotone, null -> 0
         bucket = F.size(F.filter(F.array(*[F.lit(b) for b in uniq]), lambda b: v > b))
-        bucket_cols.append(F.coalesce(bucket, F.lit(0)).cast("long"))
+        bucket = F.coalesce(bucket, F.lit(0)).cast("long")
+        # Left-align low-cardinality ranks across the full 2^bits grid:
+        # a 40-category key otherwise occupies only the LOW 6 bits, so
+        # the interleave's high bits all come from the other columns and
+        # range-partitioned files stop pruning this key at all (observed:
+        # 26/32 row groups overlapping one category before scaling, 6/32
+        # after). Scaling by a constant is monotone, so the dominance
+        # invariant that makes pruning sound is unchanged.
+        n_ranks = len(uniq) + 1
+        if n_ranks < n_buckets:
+            bucket = F.floor(bucket * F.lit(n_buckets) / F.lit(n_ranks)).cast(
+                "long"
+            )
+        bucket_cols.append(bucket)
     one = F.lit(1).cast("long")
     z = F.lit(0).cast("long")
     for bit in range(bits_per_col):
@@ -239,11 +290,16 @@ def write_zordered(
     if num_files is None:
         num_files = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     z = zorder_value(df, cluster_by, bits_per_col=bits_per_col)
+    # collision-free temp column: a fixed "__z__" would silently swallow
+    # a same-named input column through withColumn+drop
+    zcol = "__z__"
+    while zcol in df.columns:
+        zcol += "_"
     (
-        df.withColumn("__z__", z)
-        .repartitionByRange(num_files, "__z__")
-        .sortWithinPartitions("__z__")
-        .drop("__z__")
+        df.withColumn(zcol, z)
+        .repartitionByRange(num_files, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
         .write.option("compression", compression)
         .mode(mode)
         .parquet(path)

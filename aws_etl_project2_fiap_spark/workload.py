@@ -107,6 +107,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch_dir(tag: str) -> str:
+    """Per-invocation scratch dir for write→read-back queries: unique
+    (no cross-process rmtree races) and removed at interpreter exit —
+    deferred cleanup because callers return DataFrames that read the
+    written files lazily."""
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix=f"spark_graft_{tag}_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return work
+
+
 # =====================================================================
 # Reference surface — A1 (the one analytical query) and the P/U/O/A ops
 # =====================================================================
@@ -2910,16 +2924,13 @@ def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The count partial re-sums and the sum partial re-sums (algebraic
     merge); revenue rounds to cents in both engines so summation-order
     float noise can't flip the hash."""
-    import shutil
-
     from .io.rollup import incremental_rollup, init_rollup
 
     o = t(spark, sf_dir, "orders").withColumn(
         "om", F.date_format("o_orderdate", "yyyy-MM")
     )
     aggs = {"n_orders": ("count", None), "revenue": ("sum", "o_totalprice")}
-    work = "/tmp/spark_graft_rollup_inc"
-    shutil.rmtree(work, ignore_errors=True)
+    work = _scratch_dir("rollup_inc")
     init_rollup(
         o.filter(F.col("om") < "1998-01"), work, "om", ["o_orderpriority"], aggs
     )
@@ -3078,9 +3089,7 @@ def k6_update_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .io.update import update_table
 
-    work = "/tmp/spark_graft_k6_readback"
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work)
+    work = _scratch_dir("k6_readback")
     shutil.copy(f"{sf_dir}/nation.parquet", f"{work}/nation.parquet")
     update_table(
         spark,
@@ -3245,12 +3254,13 @@ def k_zorder_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the write is one range shuffle; every later selective read
     prunes row groups on either key (footer-stats-asserted in
     tests/test_clustered_write.py)."""
-    import shutil
-
     from .io.parquet import write_zordered
 
-    work = "/tmp/spark_graft_zorder_readback"
-    shutil.rmtree(work, ignore_errors=True)
+    # unique scratch dir per invocation: a fixed /tmp path races under
+    # concurrent runs (pytest-xdist, parallel drivers) — one process
+    # can rmtree files another is still reading. Cleaned at exit, not
+    # here, because the returned DataFrame reads from it lazily.
+    work = _scratch_dir("zorder_readback")
     p = t(spark, sf_dir, "part")
     write_zordered(
         p.select("p_partkey", "p_size", "p_retailprice"),

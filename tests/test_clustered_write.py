@@ -130,3 +130,63 @@ def test_zorder_value_invariants_on_skew_and_nulls(spark):
                 continue
             if a.x <= b.x and a.y <= b.y:
                 assert a.z <= b.z, ((a.x, a.y, a.z), (b.x, b.y, b.z))
+
+
+def test_zorder_string_keys(spark, tmp_path):
+    """String cluster keys (the ADVICE r2 crash: cast('double') on
+    'cat_93' threw CAST_INVALID_INPUT under ANSI mode mid-quantile).
+
+    The byte-prefix surrogate must (a) not crash, (b) round-trip the
+    data bit-exact, and (c) keep lexicographic locality: a one-prefix
+    equality predicate leaves most row groups prunable on the string
+    column's own min/max stats.
+    """
+    from aws_etl_project2_fiap_spark.io.parquet import write_zordered
+
+    n = 100_000
+    df = spark.range(0, n).select(
+        F.concat(F.lit("cat_"), F.lpad((F.col("id") % 40).cast("string"), 2, "0"))
+        .alias("cat"),
+        (F.col("id") * 48271 % n).alias("y"),
+    )
+    zpath = str(tmp_path / "zstr")
+    write_zordered(df, zpath, ["cat", "y"], num_files=32)
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == n
+    assert back.filter(F.col("cat") == "cat_07").count() == n // 40
+    # locality: the equality point 'cat_07' intersects a minority of
+    # row-group [min, max] envelopes on the clustered string column
+    hit, total = _row_groups_overlapping(zpath, "cat", "cat_07", "cat_07")
+    assert hit <= (total * 2) // 5, (hit, total)
+
+
+def test_zorder_rejects_unsupported_type_up_front(spark):
+    from aws_etl_project2_fiap_spark.io.parquet import zorder_value
+
+    df = spark.range(0, 10).select(
+        F.encode(F.col("id").cast("string"), "utf-8").alias("b"),
+        F.col("id").alias("k"),
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported cluster column type"):
+        zorder_value(df, ["b", "k"])
+
+
+def test_zorder_preserves_existing_dunder_z_column(spark, tmp_path):
+    """A pre-existing __z__ input column must survive the write (the
+    r2 ADVICE low: the fixed temp name silently replaced-then-dropped
+    it)."""
+    from aws_etl_project2_fiap_spark.io.parquet import write_zordered
+
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("x"),
+        (F.col("id") * 7 % 5_000).alias("y"),
+        (F.col("id") + 1).alias("__z__"),
+    )
+    zpath = str(tmp_path / "zkeep")
+    write_zordered(df, zpath, ["x", "y"], num_files=4)
+    back = spark.read.parquet(zpath)
+    assert "__z__" in back.columns
+    assert back.filter(F.col("__z__") == F.col("x") + 1).count() == 5_000
