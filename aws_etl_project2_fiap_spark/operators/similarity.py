@@ -194,21 +194,23 @@ def near_dup_pairs_bucketed(
 
     **Hot-bucket cap** (``max_bucket``): a degenerate bucket — millions
     of identical boilerplate vectors — would make the in-bucket gram
-    quadratic AND materialize the whole group in one Arrow batch.
-    Splitting on extra sketch bits cannot help there (identical content
-    ⇒ identical bits at any depth), and all-pairs output over n
-    identical members is inherently O(n²). So buckets over the cap are
-    thinned to a STAR around the bucket's min-id member: each member is
-    exact-verified against that representative only — O(n) output,
-    single vectorized map (never a grouped batch), and the candidate
-    graph keeps every member connected to the representative, so
-    connected-component / keep-min-id dedup results are unchanged for
-    buckets of mutual near-dups (the only way hot buckets arise in
-    practice). Buckets at or under the cap keep exact pair enumeration.
-    The cap machinery (window + branch split + rep join) is gated on a
-    runtime pre-check — a map-side-combined per-bucket count whose
-    shuffle is O(#buckets) bytes plus a 1-row collect — so healthy data
-    pays only the plain single-shuffle grouped verify.
+    matmul O(n²) in compute and output. Splitting on extra sketch bits
+    cannot help there (identical content ⇒ identical bits at any
+    depth), and all-pairs output over n identical members is inherently
+    O(n²). So groups over the cap are thinned to a STAR around the
+    bucket's min-id member INSIDE the scoring function: each member is
+    exact-verified against that representative only — O(n·dim) compute,
+    O(n) output — and the candidate graph keeps every member connected
+    to the representative, so connected-component / keep-min-id dedup
+    results are unchanged for buckets of mutual near-dups (the only way
+    hot buckets arise in practice). Buckets at or under the cap keep
+    exact pair enumeration. Fusing the cap into ``applyInPandas`` keeps
+    the plan a single shuffle + one grouped stage (the r2 window +
+    branch-split + rep-join variant cost 20% at sf0.1 and a pre-check
+    action costs a duplicate sketch scan). A hot bucket still arrives
+    at one task as one Arrow batch — O(n·dim) memory, the same rows the
+    shuffle already routes to that task; the cap bounds compute and
+    output, not the single-key residency that any per-key operator has.
 
     ``planes``/``tables`` default to :func:`lsh_params_for_threshold` —
     sized so recall at the threshold is ~1−1e-6, which is what lets
@@ -251,13 +253,29 @@ def near_dup_pairs_bucketed(
 
     def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].values
-        if len(ids) < 2:
+        n = len(ids)
+        if n < 2:
             return pd.DataFrame({"id1": [], "id2": [], "sim": []})
         mat = np.stack(pdf[vec_col].values).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         np.divide(mat, norms, out=mat, where=norms > 0)
+        if n > max_bucket:
+            # hot bucket: star-thin around the min-id representative —
+            # one O(n·dim) matvec instead of the O(n²) gram matmul
+            rep_pos = int(np.argmin(ids))
+            sims = np.round(mat @ mat[rep_pos], 6)
+            keep = (sims >= threshold) & (np.arange(n) != rep_pos)
+            others = ids[keep]
+            rep_id = ids[rep_pos]
+            return pd.DataFrame(
+                {
+                    "id1": np.minimum(others, rep_id),
+                    "id2": np.maximum(others, rep_id),
+                    "sim": sims[keep],
+                }
+            )
         sims = mat @ mat.T
-        iu, ju = np.triu_indices(len(ids), k=1)
+        iu, ju = np.triu_indices(n, k=1)
         keep = np.round(sims[iu, ju], 6) >= threshold
         i1, i2 = ids[iu[keep]], ids[ju[keep]]
         return pd.DataFrame(
@@ -268,63 +286,11 @@ def near_dup_pairs_bucketed(
             }
         )
 
-    # Cheap runtime pre-check (r2 bench: the always-on window pass cost
-    # 20% cold overhead at sf0.1 where no bucket is ever hot): one extra
-    # scan whose shuffle moves only map-side-combined (table, bucket)
-    # counts — O(#buckets) bytes, not O(rows) — and a 1-row collect.
-    # When nothing exceeds the cap (the overwhelmingly common case) the
-    # plan is the plain single-shuffle grouped verify: no window, no
-    # branch split, no rep join. The star-thin machinery only enters the
-    # plan when degenerate buckets actually exist.
-    max_n_row = (
+    return (
         sk.groupBy("table", "bucket")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .agg(F.max("__n").alias("mx"))
-        .collect()
+        .applyInPandas(_score_bucket, f"id1 {id_type}, id2 {id_type}, sim double")
+        .dropDuplicates(["id1", "id2"])
     )
-    max_n = max_n_row[0]["mx"] or 0
-    if max_n <= max_bucket:
-        return (
-            sk.groupBy("table", "bucket")
-            .applyInPandas(
-                _score_bucket, f"id1 {id_type}, id2 {id_type}, sim double"
-            )
-            .dropDuplicates(["id1", "id2"])
-        )
-
-    # size/rep via a partition-only window, NOT aggregate+join-back: a
-    # join would duplicate the sketch-projection subtree (the matmul UDF
-    # would run twice); the window shares the very (table, bucket)
-    # exchange the grouped verify needs anyway
-    from pyspark.sql import Window
-
-    wb = Window.partitionBy("table", "bucket")
-    skj = sk.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
-        "__rep", F.min("id").over(wb)
-    )
-
-    cold = skj.filter(F.col("__n") <= max_bucket).drop("__n", "__rep")
-    cold_pairs = cold.groupBy("table", "bucket").applyInPandas(
-        _score_bucket, f"id1 {id_type}, id2 {id_type}, sim double"
-    )
-
-    hot = skj.filter(F.col("__n") > max_bucket)
-    reps = hot.filter(F.col("id") == F.col("__rep")).select(
-        "table", "bucket", F.col(vec_col).alias("__rep_vec")
-    )
-    hot_pairs = (
-        hot.filter(F.col("id") != F.col("__rep"))
-        .join(reps, ["table", "bucket"])
-        .select(
-            F.col("__rep").alias("id1"),
-            F.col("id").alias("id2"),
-            F.round(cosine_pandas(F.col(vec_col), F.col("__rep_vec")), 6).alias(
-                "sim"
-            ),
-        )
-        .filter(F.col("sim") >= threshold)
-    )
-    return cold_pairs.unionByName(hot_pairs).dropDuplicates(["id1", "id2"])
 
 
 def dedup_by_cosine(
