@@ -641,6 +641,40 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "agg_grouping_id",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+               AS gid,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING-ID column over grouping sets: the bitmask that tells a
+    consumer WHICH aggregation level each output row belongs to —
+    required whenever a grouping column's own NULLs must be told apart
+    from the roll-up placeholder NULL. Spark's ``grouping_id()`` and
+    the oracle's ``GROUPING(a)*2 + GROUPING(b)`` encode identically
+    (first grouping column = most significant bit); the CAST keeps the
+    oracle's integer arithmetic BIGINT through the driver's pandas
+    path. Plan: same single Expand + one shuffle as the other grouping
+    queries — the id column is free."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gid")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id() AS gid, count(*) AS n
+        FROM lineitem_gid
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@defcomponent(
     "agg_median",
     """
     SELECT o_orderpriority,
@@ -3148,6 +3182,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "agg_rollup",
         "agg_cube",
         "agg_grouping_sets",
+        "agg_grouping_id",
         "agg_median",
         "agg_collect_sorted",
         "agg_corr_stats",

@@ -655,3 +655,35 @@ def test_paragraph_dedup_matches_reference(spark, docs):
         for r in paragraph_dedup(df).collect()
     }
     assert got == _paragraph_dedup_reference(rows)
+
+
+def test_percentile_approx_rank_error_bound(spark):
+    """The exact/approx scale contract for agg_percentiles (mirrors the
+    exact/approx pattern used for distinct counts): at 100 TB the exact
+    ``percentile`` swaps for ``percentile_approx(col, p, accuracy)``.
+    percentile_approx is Greenwald-Khanna with guaranteed RANK error
+    <= n/accuracy: the returned value's position in the sorted column
+    must sit within n/accuracy ranks of p*n. Verified per group on the
+    bench table at two accuracy settings, including the 10000 default
+    the swap would ship with."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    for accuracy in (100, 10_000):
+        rows = (
+            li.groupBy("l_returnflag")
+            .agg(
+                F.percentile_approx(
+                    "l_extendedprice", F.lit(0.5), F.lit(accuracy)
+                ).alias("approx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        for r in rows:
+            rank = li.filter(
+                (F.col("l_returnflag") == r["l_returnflag"])
+                & (F.col("l_extendedprice") <= r["approx"])
+            ).count()
+            bound = r["n"] / accuracy + 1
+            assert abs(rank - 0.5 * r["n"]) <= bound, (
+                r["l_returnflag"], accuracy, rank, r["n"], bound
+            )
