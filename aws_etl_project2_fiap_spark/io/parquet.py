@@ -245,15 +245,17 @@ def zorder_value(
         # rank = #boundaries strictly below the value: monotone, null -> 0
         bucket = F.size(F.filter(F.array(*[F.lit(b) for b in uniq]), lambda b: v > b))
         bucket = F.coalesce(bucket, F.lit(0)).cast("long")
-        # Left-align low-cardinality ranks across the full 2^bits grid:
+        # Left-align LOW-cardinality ranks across the full 2^bits grid:
         # a 40-category key otherwise occupies only the LOW 6 bits, so
         # the interleave's high bits all come from the other columns and
         # range-partitioned files stop pruning this key at all (observed:
         # 26/32 row groups overlapping one category before scaling, 6/32
         # after). Scaling by a constant is monotone, so the dominance
-        # invariant that makes pruning sound is unchanged.
+        # invariant that makes pruning sound is unchanged. Only fires
+        # below half-occupancy: near-full ranks gain nothing and the
+        # floor() rank gaps would perturb bit boundaries.
         n_ranks = len(uniq) + 1
-        if n_ranks < n_buckets:
+        if n_ranks <= n_buckets // 2:
             bucket = F.floor(bucket * F.lit(n_buckets) / F.lit(n_ranks)).cast(
                 "long"
             )

@@ -1801,6 +1801,160 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "set_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection keeping min multiplicity; like
+    EXCEPT ALL, a distinct physical operator from the set INTERSECT.
+    One shuffle on the value, per-key count-min regeneration."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@defcomponent(
+    "p_conditional_funcs",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           round(greatest(c_acctbal, 0.0), 2) AS bal_floor,
+           round(least(c_acctbal, 9999.99), 2) AS bal_cap,
+           nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_fill
+    FROM customer
+    """,
+)
+def p_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar pack (CASE/greatest/least/nullif/coalesce) —
+    all codegen'd, folds into the scan like the other projections."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.round(F.greatest("c_acctbal", F.lit(0.0)), 2).alias("bal_floor"),
+        F.round(F.least("c_acctbal", F.lit(9999.99)), 2).alias("bal_cap"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nb"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")
+        ).alias("seg_fill"),
+    )
+
+
+@defcomponent(
+    "window_lead_firstlast",
+    """
+    SELECT o_orderkey,
+           lead(o_orderkey, 1) OVER w AS next_key,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING)
+               AS last_key,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_lead_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead / first_value / last_value / cume_dist — the remaining
+    navigation+distribution window functions. last_value uses the full
+    unbounded frame (the default running frame makes it a no-op alias
+    of the current row); the order key includes unique o_orderkey so
+    cume_dist and lead are tie-free in both engines. Same single
+    shuffle/sort as every other window in the suite."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(wfull).alias("last_key"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@defcomponent(
+    "subquery_not_in",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN — the NULL-aware anti join (three-valued logic: one NULL
+    in the subquery empties the result), a physically distinct operator
+    from NOT EXISTS' plain anti join. Spark plans a null-aware
+    broadcast hash anti join when the subquery side fits."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_nin")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_nin")
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer_nin
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders_nin WHERE o_totalprice > 400000)
+        """
+    )
+
+
+@defcomponent(
+    "agg_bool_bitwise",
+    """
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_pos,
+           bool_or(l_discount > 0.05) AS any_disc,
+           CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_and,
+           CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_or,
+           CAST(bit_xor(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or + bit_and/bit_or/bit_xor aggregates — constant
+    per-group state, partial+final like sum. BIGINT casts on both
+    sides keep the driver's pandas dtypes int64 (contract 2)."""
+    li = t(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+        F.bool_or(F.col("l_discount") > 0.05).alias("any_disc"),
+        F.bit_and(ln).alias("ln_and"),
+        F.bit_or(ln).alias("ln_or"),
+        F.bit_xor(ln).alias("ln_xor"),
+    )
+
+
+@defcomponent(
+    "join_cross_small",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN (region × nation, 125 rows) — legitimate
+    only when one side is provably tiny; Spark plans a broadcast
+    nested-loop. The CI cartesian-product gate excludes this query by
+    design: the point is that cross joins are opt-in, never inferred."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    n = t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@defcomponent(
     "window_percent_rank",
     """
     SELECT o_orderkey,
@@ -3166,6 +3320,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "p5_try_cast",
         "p7_bulk_rename",
         "p_string_funcs",
+        "p_conditional_funcs",
     ),
     "suite_proj_events": (
         "p2_null_filter",
@@ -3177,6 +3332,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "set_intersect",
         "set_except",
         "set_except_all",
+        "set_intersect_all",
     ),
     "suite_agg_grouping": (
         "agg_rollup",
@@ -3188,10 +3344,12 @@ SUITES: dict[str, tuple[str, ...]] = {
         "agg_corr_stats",
         "unpivot_measures",
         "rollup_incremental",
+        "agg_bool_bitwise",
     ),
     "suite_join_outer": (
         "join_right_outer",
         "join_full_outer",
+        "join_cross_small",
     ),
     "suite_window_frames": (
         "window_lag_delta",
@@ -3203,10 +3361,12 @@ SUITES: dict[str, tuple[str, ...]] = {
     "suite_window_rank": (
         "window_percent_rank",
         "window_ntile",
+        "window_lead_firstlast",
     ),
     "suite_subquery": (
         "subquery_exists",
         "subquery_scalar_agg",
+        "subquery_not_in",
     ),
     "suite_asof": (
         "asof_join_ticks",
