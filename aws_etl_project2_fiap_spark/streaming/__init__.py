@@ -22,6 +22,7 @@ from .pipelines import (
     dedup_ticks,
     session_window_agg,
     sliding_window_agg,
+    stateful_price_alerts,
     stateful_running_stats,
     tumbling_window_agg,
 )
@@ -36,5 +37,6 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "dedup_ticks",
+    "stateful_price_alerts",
     "stateful_running_stats",
 ]

@@ -235,6 +235,141 @@ def stateful_running_stats(
     )
 
 
+_ALERT_OUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("anchor", T.DoubleType()),
+        T.StructField("move_pct", T.DoubleType()),
+    ]
+)
+
+
+def _ratchet_alerts(v, ts, anchor: float, pct: float):
+    """Sequential anchor-ratchet: emit row i when |v[i]/anchor - 1| >=
+    pct, then re-anchor at v[i]. Shared by the streaming processor and
+    the batch fallback so both paths are bit-identical."""
+    out = []
+    for i in range(len(v)):
+        price = float(v[i])
+        if anchor != anchor:  # NaN: first event anchors silently
+            anchor = price
+            continue
+        move = price / anchor - 1.0
+        if abs(move) >= pct:
+            out.append((ts[i], price, anchor, round(move, 6)))
+            anchor = price
+    return out, anchor
+
+
+def stateful_price_alerts(
+    ticks: DataFrame,
+    pct: float = 0.05,
+    key_col: str = "symbol",
+    value_col: str = "preco_brl",
+    ts_col: str = "data_hora",
+) -> DataFrame:
+    """Large-move alerts per key via ``transformWithStateInPandas``
+    (Spark 4's StatefulProcessor API — the arbitrary-state operator that
+    supersedes ``applyInPandasWithState``; requires the RocksDB state
+    store, see tests/test_streaming.py).
+
+    Emits a row each time the price moves ≥ ``pct`` from the last
+    EMITTED price (the anchor then ratchets forward). This is
+    inherently sequential per key — no window/aggregate expresses a
+    self-referencing anchor — which is exactly the shape the arbitrary
+    stateful API exists for. State is ONE double per key (the anchor),
+    persisted in the checkpoint across micro-batches and restarts.
+
+    Batch fallback runs the identical ratchet via ``applyInPandas``
+    (per-key sequential scan) so the streaming result is
+    differential-tested against the batch plan.
+    """
+    import pandas as pd
+
+    if not ticks.isStreaming:
+
+        def batch_ratchet(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(ts_col)
+            rows, _ = _ratchet_alerts(
+                pdf[value_col].astype(float).to_numpy(),
+                list(pdf[ts_col]),
+                float("nan"),
+                pct,
+            )
+            return pd.DataFrame(
+                {
+                    "key": [str(pdf[key_col].iloc[0])] * len(rows),
+                    "ts": [r[0] for r in rows],
+                    "price": [r[1] for r in rows],
+                    "anchor": [r[2] for r in rows],
+                    "move_pct": [r[3] for r in rows],
+                }
+            )
+
+        return ticks.groupBy(key_col).applyInPandas(batch_ratchet, _ALERT_OUT)
+
+    try:
+        import google.protobuf  # noqa: F401 — TWS state protocol dep
+    except ImportError as exc:  # pragma: no cover — env-dependent
+        raise RuntimeError(
+            "stateful_price_alerts' streaming path uses "
+            "transformWithStateInPandas, whose state-server protocol "
+            "requires the 'protobuf' package (absent in this container; "
+            "tests skip accordingly). The batch path and the "
+            "applyInPandasWithState operator (stateful_running_stats) "
+            "carry the stateful coverage here."
+        ) from exc
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class AlertProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._anchor = handle.getValueState("anchor", "anchor double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            anchor = (
+                float(self._anchor.get()[0])
+                if self._anchor.exists()
+                else float("nan")
+            )
+            pdfs = [pdf.sort_values(ts_col) for pdf in rows]
+            pdf = pd.concat(pdfs).sort_values(ts_col) if pdfs else pd.DataFrame()
+            if len(pdf):
+                out, anchor = _ratchet_alerts(
+                    pdf[value_col].astype(float).to_numpy(),
+                    list(pdf[ts_col]),
+                    anchor,
+                    pct,
+                )
+                if anchor == anchor:
+                    self._anchor.update((anchor,))
+                if out:
+                    yield pd.DataFrame(
+                        {
+                            "key": [str(key[0])] * len(out),
+                            "ts": [r[0] for r in out],
+                            "price": [r[1] for r in out],
+                            "anchor": [r[2] for r in out],
+                            "move_pct": [r[3] for r in out],
+                        }
+                    )
+
+        def close(self) -> None:
+            pass
+
+    return ticks.groupBy(F.col(key_col)).transformWithStateInPandas(
+        AlertProcessor(),
+        outputStructType=_ALERT_OUT,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -33,6 +33,14 @@ def _write_ticks(spark, path: str, rows: list[tuple[str, float]]) -> None:
     df.coalesce(1).write.mode("append").parquet(path)
 
 
+def _no_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+        return False
+    except ImportError:
+        return True
+
+
 TICKS = [
     ("2025-08-01 10:00:00", 100.0),
     ("2025-08-01 10:20:00", 110.0),
@@ -414,3 +422,106 @@ def test_dedup_within_watermark_for_non_ts_keys(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2
     assert {r.preco_brl for r in got.collect()} == {100.0, 110.0}
+
+
+def test_price_alert_batch_ratchet(spark):
+    """The batch ratchet path of stateful_price_alerts: anchors move
+    only on emitted alerts, so a monotone 4%-step series emits every
+    OTHER step at pct=5% (4% < 5% but 8.16% compounded >= 5%)."""
+    from aws_etl_project2_fiap_spark.streaming import stateful_price_alerts
+
+    prices = [100.0]
+    for _ in range(6):
+        prices.append(round(prices[-1] * 1.04, 6))
+    rows = [
+        (f"2025-08-01 10:{i:02d}:00", p, "BTC") for i, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(
+        rows, ["s", "preco_brl", "symbol"]
+    ).select(
+        F.to_timestamp("s").alias("data_hora"), "preco_brl", "symbol"
+    )
+    out = stateful_price_alerts(df, pct=0.05).orderBy("ts").collect()
+    # emitted at steps 2, 4, 6 (each ~8.16% above the previous anchor)
+    assert [r.price for r in out] == [prices[2], prices[4], prices[6]]
+    assert all(abs(r.move_pct - 0.0816) < 1e-4 for r in out)
+
+
+@pytest.mark.skipif(
+    _no_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (absent here)",
+)
+def test_transform_with_state_price_alerts(spark, tmp_path):
+    """stateful_price_alerts via transformWithStateInPandas (the Spark-4
+    StatefulProcessor API; needs the RocksDB state store).
+
+    Two checks: (a) one availableNow pass over all ticks equals the
+    batch applyInPandas ratchet (unified-semantics differential); (b) a
+    checkpointed SECOND run over newly-arrived files continues from the
+    persisted anchor — the alert stream across both runs equals the
+    batch result over the full data, proving the value state survives
+    query restarts."""
+    from aws_etl_project2_fiap_spark.streaming import stateful_price_alerts
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "alerts")
+    ck = str(tmp_path / "ck")
+    schema = "data_hora timestamp, preco_brl double, symbol string"
+
+    first = [(t, p) for t, p in TICKS[:4]]
+    second = [(t, p) for t, p in TICKS[4:]]
+
+    def write_batch(rows):
+        df = spark.createDataFrame(
+            rows, ["data_hora_s", "preco_brl"]
+        ).select(
+            F.to_timestamp("data_hora_s").alias("data_hora"),
+            F.col("preco_brl").cast("double"),
+            F.lit("BTC").alias("symbol"),
+        )
+        df.coalesce(1).write.mode("append").parquet(landing)
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        def run_once():
+            q = (
+                stateful_price_alerts(
+                    file_source(spark, landing, schema), pct=0.05
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        write_batch(first)
+        run_once()
+        write_batch(second)
+        run_once()
+    finally:
+        if prev_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    batch = stateful_price_alerts(spark.read.parquet(landing), pct=0.05)
+    batch_rows = sorted(
+        (r.key, r.ts, r.price, r.anchor, r.move_pct) for r in batch.collect()
+    )
+    stream_rows = sorted(
+        (r.key, r.ts, r.price, r.anchor, r.move_pct)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(batch_rows) > 0  # the fixture ticks do cross 5%
+    assert stream_rows == batch_rows
