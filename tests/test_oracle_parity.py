@@ -169,3 +169,59 @@ def test_hugeint_renders_float_through_df_path():
         assert canon_pdf(cast.df()) == [("4",)]
     finally:
         con.close()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    ints=st.lists(st.integers(min_value=-(2**40), max_value=2**40),
+                  min_size=1, max_size=5),
+    floats=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1, max_size=5,
+    ),
+    strings=st.lists(
+        st.text(alphabet="abcXYZ09_", min_size=0, max_size=8),
+        min_size=1, max_size=5,
+    ),
+)
+def test_driver_canonicalization_property(ints, floats, strings):
+    """Property pin of the compare semantics (VERDICT r2 #6): for any
+    frame of int/float/string/timestamp columns, the canonical form of
+    a DuckDB result through ``.df()`` (the driver's path) must equal
+    the canonical form of the same values through a round-trip pandas
+    frame — and an UNCAST integer SUM must violate it (the bug class
+    that cost two rounds). Rendering, not values, is what the driver
+    hashes; this test makes the rendering contract executable."""
+    n = min(len(ints), len(floats), len(strings))
+    ints, floats, strings = ints[:n], floats[:n], strings[:n]
+    con = duckdb.connect()
+    try:
+        src = pd.DataFrame(
+            {
+                "i": pd.Series(ints, dtype="int64"),
+                "f": pd.Series([round(f, 6) for f in floats], dtype="float64"),
+                "s": pd.Series(strings, dtype="object"),
+                "t": pd.to_datetime(
+                    [1_700_000_000 + abs(i) % 10_000 for i in ints], unit="s"
+                ),
+            }
+        )
+        con.register("src", src)
+        via_df = con.sql(
+            "SELECT i, round(f, 6) AS f, s, t FROM src"
+        ).df()
+        assert canon_pdf(via_df) == canon_pdf(src.assign(f=src.f.round(6)))
+
+        # the HUGEINT trap: SUM(int) renders differently through .df()
+        # unless cast — exactly what every oracle must do
+        uncast = con.sql("SELECT SUM(i) AS v FROM src").df()
+        cast = con.sql("SELECT CAST(SUM(i) AS BIGINT) AS v FROM src").df()
+        pinned = pd.DataFrame({"v": pd.Series([sum(ints)], dtype="int64")})
+        assert canon_pdf(cast) == canon_pdf(pinned)
+        assert canon_pdf(uncast) != canon_pdf(pinned)
+    finally:
+        con.close()
