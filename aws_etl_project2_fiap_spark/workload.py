@@ -3254,6 +3254,30 @@ def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery("stream_price_alerts", None)  # self-referencing anchor: not ANSI SQL
+def stream_price_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-ratchet large-move alerts per event_type over the events
+    stream (streaming/pipelines.stateful_price_alerts, batch path —
+    the streaming path is the same ratchet on Spark 4's
+    transformWithStateInPandas with one double of value state per
+    key). Emit-then-re-anchor is self-referencing — each emission
+    depends on the previous EMITTED row, not a fixed frame — so no
+    window/aggregate (or ANSI SQL) expresses it: rows-only driver
+    check; semantics pinned by tests/test_streaming.py's step-series
+    test and the stream-vs-batch differential.
+
+    Scale: one shuffle on the key; per-key sequential scan inside
+    Arrow batches; state is O(keys) doubles."""
+    ev = t(spark, sf_dir, "events")
+    return stream_op.stateful_price_alerts(
+        ev.filter(F.col("value").isNotNull() & (F.col("value") > 0)),
+        pct=0.5,
+        key_col="event_type",
+        value_col="value",
+        ts_col="ts",
+    )
+
+
 @defquery(
     "k6_update_readback",
     """
