@@ -131,13 +131,17 @@ def frame_sample(
     def fake_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_ms": [], "frame_bytes": []}
-            for _, row in pdf.iterrows():
-                payload = row["content"] or b""
-                duration = int(row["duration_ms"])
-                n_frames = max(1, duration // every_ms)
+            # itertuples, not iterrows: no per-row Series construction
+            # (the fan-out itself is inherently per-row — variable
+            # frame counts — but the iteration should not add overhead)
+            for did, payload, duration in pdf[
+                [id_col, "content", "duration_ms"]
+            ].itertuples(index=False, name=None):
+                payload = payload or b""
+                n_frames = max(1, int(duration) // every_ms)
                 step = max(1, len(payload) // n_frames) if payload else 1
                 for k in range(n_frames):
-                    out["doc_id"].append(row[id_col])
+                    out["doc_id"].append(did)
                     out["frame_idx"].append(k)
                     out["frame_ms"].append(k * every_ms)
                     out["frame_bytes"].append(bytes(payload[k * step : (k + 1) * step]))
