@@ -98,11 +98,71 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "content").mapInPandas(fake_decode, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("media", MEDIA_META),
+    ]
+)
+
+
+def resize(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Image resize stage: REAL mapInPandas plumbing (payload + metadata
+    ride the Arrow batches, output schema mirrors the input multimodal
+    layout so resize stages compose), deterministic fake codec (the
+    "decoder" nearest-neighbor-samples the payload BYTES to width*height
+    — swap the sampler for PIL/ffmpeg outside this container; the
+    North-star rule: plumbing real, codecs faked).
+
+    Scale: like extract_features, the binary column is untouched until
+    this stage; each batch is one Arrow transfer and the output payload
+    is exactly width*height bytes — downstream stages see bounded,
+    uniform row sizes regardless of input image size."""
+    import numpy as np
+
+    target = width * height
+
+    def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_content = []
+            for payload in pdf["content"]:
+                payload = payload or b""
+                if not payload:
+                    out_content.append(bytes(target))
+                    continue
+                idx = np.linspace(0, len(payload) - 1, target).astype(np.int64)
+                out_content.append(np.frombuffer(payload, dtype=np.uint8)[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": out_content,
+                    "media": [
+                        {
+                            "kind": m["kind"],
+                            "mime": m["mime"],
+                            "width": width,
+                            "height": height,
+                            "duration_ms": m["duration_ms"],
+                        }
+                        for m in pdf["media"]
+                    ],
+                }
+            )
+
+    return df.select(id_col, "content", "media").mapInPandas(
+        fake_resize, RESIZE_SCHEMA
+    )
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage: real signature/schema, stubbed codec."""
+    """Real-codec resize entry point: raises until a codec library is
+    present (see :func:`resize` for the fake-codec plumbing path)."""
     raise DecodeUnavailable(
         "image resize requires a codec library not present in this container; "
-        "the mapInPandas plumbing mirrors extract_features()"
+        "use resize() for the deterministic-fake plumbing path"
     )
 
 

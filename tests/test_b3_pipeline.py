@@ -462,3 +462,35 @@ def test_asof_join_forward_and_tolerance(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="direction"):
         asof_join(probes, quotes, ["k"], "ts", "qts", ["val"], direction="nearest")
+
+
+def test_multimodal_resize_plumbing(spark):
+    """resize(): output payloads are exactly width*height bytes, the
+    metadata struct reflects the new dimensions, byte sampling is
+    deterministic, and the stage composes (resize -> extract_features
+    runs on the resized payloads)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_project2_fiap_spark.operators.multimodal import (
+        attach_binary,
+        extract_features,
+        resize,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "x" * 503), (2, "hello world, a short payload"), (3, "")],
+        ["doc_id", "text"],
+    )
+    media = attach_binary(d, "text")
+    small = resize(media, width=16, height=8)
+    rows = {r.doc_id: r for r in small.collect()}
+    assert all(len(rows[i].content) == 16 * 8 for i in (1, 2, 3))
+    assert all(
+        (rows[i].media.width, rows[i].media.height) == (16, 8) for i in (1, 2, 3)
+    )
+    # deterministic: same input -> same sampled bytes
+    again = {r.doc_id: r for r in resize(media, width=16, height=8).collect()}
+    assert all(rows[i].content == again[i].content for i in (1, 2, 3))
+    # composes with the feature stage on the RESIZED payloads
+    feats = extract_features(small)
+    assert {r.n_bytes for r in feats.collect()} == {128}
