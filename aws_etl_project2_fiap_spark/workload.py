@@ -675,6 +675,35 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "agg_regr_stats",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2/count) —
+    like the co-moment stats, constant per-group state merged
+    partial+final; rounding absorbs summation-order float noise on
+    both sides. The count CASTs to BIGINT (DuckDB's regr_count is
+    BIGINT already; the cast pins it against dialect drift — driver
+    contract 2)."""
+    li = t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n_pairs"),
+    )
+
+
+@defcomponent(
     "agg_median",
     """
     SELECT o_orderpriority,
@@ -3363,6 +3392,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "agg_cube",
         "agg_grouping_sets",
         "agg_grouping_id",
+        "agg_regr_stats",
         "agg_median",
         "agg_collect_sorted",
         "agg_corr_stats",
