@@ -1830,6 +1830,45 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "p_datetime_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(month(o_orderdate) AS INT) AS mth,
+           CAST(isodow(o_orderdate) AS INT) AS dow_iso,
+           CAST(weekofyear(o_orderdate) AS INT) AS wk,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_end,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d')
+               AS next_month
+    FROM orders
+    """,
+)
+def p_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime extraction/arithmetic pack: year/quarter/month, ISO
+    day-of-week (Spark ``weekday()+1`` ≡ DuckDB ``isodow`` — Spark's
+    ``dayofweek`` is Sunday-based and would silently disagree), ISO
+    week, last_day, and month-end-clamped add_months (both engines
+    clamp Jan 31 + 1 month to Feb end). Date outputs format to strings
+    at the presentation edge (house convention — raw DATE cells render
+    differently through the two pandas paths). All codegen, folds into
+    the scan."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mth"),
+        (F.weekday(d) + F.lit(1)).cast("int").alias("dow_iso"),
+        F.weekofyear(d).alias("wk"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("next_month"),
+    )
+
+
+@defcomponent(
     "set_intersect_all",
     """
     SELECT c_nationkey AS nationkey FROM customer
@@ -3367,6 +3406,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "p9_stamp_run_date",
         "p13_date_arith",
         "p15_ptbr_currency",
+        "p_datetime_funcs",
     ),
     "suite_proj_customer": (
         "p4_regexp_replace",
