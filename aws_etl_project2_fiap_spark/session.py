@@ -40,9 +40,16 @@ def build_session(
 ) -> SparkSession:
     """Build (or get) a SparkSession with the engine's default tuning."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Local-mode heap: the 1g JVM default starves shuffles past ~sf0.5
+    # (observed: window-over-8M-array-rows OOMs at tiled sf1). The
+    # driver process hosts every executor thread in local mode, so size
+    # it like an executor fleet. Only effective at first JVM launch —
+    # a getOrCreate() against a live session keeps its existing heap.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.driver.memory", mem)
         # --- adaptive execution: the 100 TB safety net ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
