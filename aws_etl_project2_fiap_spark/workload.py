@@ -2096,6 +2096,55 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "text_sentences",
+    r"""
+    WITH sents AS (
+      SELECT doc_id,
+             generate_subscripts(parts, 1) - 1 AS sent_idx,
+             trim(unnest(parts)) AS sentence
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(text, '([.!?])\s+',
+                                               '\1' || chr(30), 'g'),
+                                chr(30)) AS parts
+            FROM documents)
+    )
+    SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx, sentence,
+           len(sentence) AS n_chars
+    FROM sents WHERE sentence <> ''
+    """,
+)
+def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation via posexplode — one row per sentence with
+    its ordinal (the position matters downstream: packing, windowed
+    context assembly). A lookbehind split would be the natural regex,
+    but DuckDB's RE2 has no lookbehind — both engines instead insert a
+    \\x1e sentinel after sentence-final punctuation (backref ``$1`` in
+    Java regex, ``\\1`` in RE2) and split on it, which keeps the part
+    indices identical. Exercises the GENERATE-with-ordinal surface; the
+    UDTF variant (functions/udtfs.sentence_spans) covers the
+    arbitrary-Python shape with offsets, pytest-equal on shared inputs.
+
+    Scale: codegen split + Generate, no shuffle; output rows ∝
+    sentences, each narrow."""
+    d = t(spark, sf_dir, "documents")
+    marked = F.regexp_replace("text", r"([.!?])\s+", "$1\x1e")
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(marked, "\x1e")).alias("sent_idx", "sentence"),
+        )
+        .withColumn("sentence", F.trim("sentence"))
+        .filter(F.col("sentence") != "")
+        .select(
+            "doc_id",
+            "sent_idx",
+            "sentence",
+            F.length("sentence").alias("n_chars"),
+        )
+    )
+
+
+@defcomponent(
     "text_decontaminate",
     r"""
     WITH toks AS (
@@ -3477,6 +3526,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "text_quality",
         "text_fingerprint",
         "text_normalize",
+        "text_sentences",
         "multimodal_features",
         "text_decontaminate",
         "text_repetition",
