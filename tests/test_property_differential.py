@@ -388,7 +388,7 @@ def _compare_keyed(sdf, con, sql, spec, rel_tol=1e-9, abs_tol=1e-6):
 @pytest.fixture(scope="module")
 def duck_star():
     con = duckdb.connect()
-    for name in ("customer", "orders", "supplier"):
+    for name in ("customer", "orders", "supplier", "lineitem"):
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
         )
@@ -687,3 +687,56 @@ def test_percentile_approx_rank_error_bound(spark):
             assert abs(rank - 0.5 * r["n"]) <= bound, (
                 r["l_returnflag"], accuracy, rank, r["n"], bound
             )
+
+
+# ---------------------------------------------------------------------------
+# Random grouping sets: cube / rollup / explicit sets, random aggregate
+# ---------------------------------------------------------------------------
+
+GS_DIMS = ["l_returnflag", "l_linestatus", "l_shipdate"]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    shape=st.sampled_from(["cube", "rollup", "sets"]),
+    dims=st.lists(
+        st.sampled_from(["l_returnflag", "l_linestatus"]),
+        min_size=1, max_size=2, unique=True,
+    ),
+    agg=st.sampled_from(["sum", "count", "min", "max"]),
+    acol=st.sampled_from(["l_quantity", "l_extendedprice"]),
+)
+def test_random_grouping_sets_match_duckdb(spark, duck_star, shape, dims, agg, acol):
+    """CUBE / ROLLUP / explicit GROUPING SETS with a grouping_id column
+    (disambiguates roll-up placeholder NULLs) across random dimension
+    subsets and aggregates — the multi-level Expand plan must agree
+    with DuckDB on every level simultaneously."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li.createOrReplaceTempView("li_gs")
+    dim_sql = ", ".join(dims)
+    res = (
+        f"count({acol})" if agg == "count"
+        else f"round({agg}({acol}), 4)"
+    )
+    gid_duck = " * 2 + ".join(f"GROUPING({d})" for d in dims) if len(dims) > 1 \
+        else f"GROUPING({dims[0]})"
+    if shape == "cube":
+        group = f"CUBE ({dim_sql})"
+    elif shape == "rollup":
+        group = f"ROLLUP ({dim_sql})"
+    else:
+        sets = ", ".join(f"({d})" for d in dims) + ", ()"
+        group = f"GROUPING SETS ({sets})"
+    spark_sql = (
+        f"SELECT {dim_sql}, grouping_id() AS gid, {res} AS res "
+        f"FROM li_gs GROUP BY {group}"
+    )
+    duck_sql = (
+        f"SELECT {dim_sql}, CAST({gid_duck} AS BIGINT) AS gid, {res} AS res "
+        f"FROM lineitem GROUP BY {group}"
+    )
+    _compare(spark.sql(spark_sql), duck_star, duck_sql, (shape, dims, agg, acol))
