@@ -2145,6 +2145,47 @@ def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "p_array_hof",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS INT) AS n_tok,
+           CAST(coalesce(list_aggregate(list_transform(tk, x -> len(x)),
+                                        'sum'), 0) AS BIGINT) AS total_chars,
+           CAST(len(list_filter(tk, x -> len(x) > 7)) AS INT) AS n_long,
+           coalesce(list_has_any(tk, ['the']), false) AS has_the
+    FROM toks
+    """,
+)
+def p_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a first-class query surface:
+    transform + aggregate (total token chars), filter (long-token
+    count), exists (membership) — the lambda-expression layer the
+    dedup/text operators build on, here oracle-backed directly. All
+    codegen'd (HOFs evaluate inside the JVM, no UDF), folds into the
+    scan."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    pre = d.select("doc_id", tk.alias("tk"))
+    return pre.select(
+        "doc_id",
+        F.size("tk").alias("n_tok"),
+        F.aggregate(
+            F.transform("tk", F.length),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.size(F.filter("tk", lambda x: F.length(x) > 7)).alias("n_long"),
+        F.exists("tk", lambda x: x == "the").alias("has_the"),
+    )
+
+
+@defcomponent(
     "text_decontaminate",
     r"""
     WITH toks AS (
@@ -3527,6 +3568,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "text_fingerprint",
         "text_normalize",
         "text_sentences",
+        "p_array_hof",
         "multimodal_features",
         "text_decontaminate",
         "text_repetition",
