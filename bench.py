@@ -68,6 +68,8 @@ HEADLINE = [
     # round-2 additions: batch retrieval + sub-document dedup shapes
     "similarity_batch_knn",
     "text_paragraph_dedup",
+    # round-3 addition: arbitrary-stateful anchor ratchet (batch path)
+    "stream_price_alerts",
 ]
 
 
