@@ -704,6 +704,35 @@ def agg_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "agg_decimal_exact",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(14,2)) * 3)
+                AS VARCHAR) AS total3
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point DECIMAL aggregation — the money-exactness path the
+    double-based tables sidestep. Cents-rounded values cast to
+    DECIMAL(14,2), multiplied, and summed entirely in fixed-point:
+    unlike the double SUMs (rounded in both engines to absorb
+    summation-order noise), this is EXACT and order-independent by
+    construction — the cross-engine compare needs no rounding at all.
+    Rendered to string at the edge (Spark emits decimal.Decimal
+    objects through pandas, DuckDB emits float64 — same rendering trap
+    as dates). Scale: identical partial+final plan to a double sum;
+    128-bit state per group."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(14,2)") * 3)
+        .cast("string")
+        .alias("total3")
+    )
+
+
+@defcomponent(
     "agg_median",
     """
     SELECT o_orderpriority,
@@ -3523,6 +3552,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "agg_grouping_sets",
         "agg_grouping_id",
         "agg_regr_stats",
+        "agg_decimal_exact",
         "agg_median",
         "agg_collect_sorted",
         "agg_corr_stats",
