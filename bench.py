@@ -153,20 +153,50 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         steady[name] = round(min(runs), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_workload_total",
-                "value": round(sum(cold.values()), 3),
-                "unit": "sec",
-                "queries": cold,
-                "queries_steady": steady,
-                "steady_total": round(sum(steady.values()), 3),
-                "rechunked": rechunk,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    payload = {
+        "metric": "headline_workload_total",
+        "value": round(sum(cold.values()), 3),
+        "unit": "sec",
+        "queries": cold,
+        "queries_steady": steady,
+        "steady_total": round(sum(steady.values()), 3),
+        "rechunked": rechunk,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Optional sf1 scale column (VERDICT r2 #5): representative queries
+    # against the 10x tiled dataset (tools/tile_sf.py). Runs only when
+    # the tiled dir already exists or SPARK_GRAFT_SF1_BENCH=1 forces a
+    # build — never inflates a default driver run that lacks the cache.
+    tiled = "/tmp/spark_graft_tiled_sf1"
+    force = os.environ.get("SPARK_GRAFT_SF1_BENCH") == "1"
+    if force and not os.path.isdir(tiled):
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "tools", "tile_sf.py")],
+            check=True, capture_output=True,
         )
-    )
+    if os.path.isdir(os.path.join(tiled)) and os.path.exists(
+        os.path.join(tiled, "lineitem.parquet")
+    ):
+        sf1_set = [
+            "a1_top5_7day_sum", "join_star_revenue",
+            "tpch_q5_regional_revenue", "dedup_exact", "window_top3_per_cust",
+            "event_time_tumbling_1h",
+        ]
+        sf1_steady: dict[str, float] = {}
+        for name in sf1_set:
+            fn = DEFS[name].spark
+            fn(spark, tiled).count()  # warm
+            t0 = time.perf_counter()
+            fn(spark, tiled).count()
+            sf1_steady[name] = round(time.perf_counter() - t0, 3)
+        payload["sf1_queries_steady"] = sf1_steady
+        payload["sf1_steady_total"] = round(sum(sf1_steady.values()), 3)
+
+    print(json.dumps(payload))
     spark.stop()
 
 
