@@ -1898,6 +1898,52 @@ def p_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "set_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set UNION (distinct-collapsing) — completes the set-op family
+    next to U1's UNION ALL: one value shuffle with a hash distinct."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@defcomponent(
+    "o_sort_nulls_topk",
+    """
+    SELECT event_id, actor_id
+    FROM (SELECT event_id,
+                 try_cast(json_extract_string(props, '$.actor') AS BIGINT)
+                     AS actor_id
+          FROM events)
+    ORDER BY actor_id ASC NULLS FIRST, event_id
+    LIMIT 100
+    """,
+)
+def o_sort_nulls_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL-ordering top-k — a classic cross-engine trap: ASC
+    default is NULLS FIRST in Spark but NULLS LAST in DuckDB, so any
+    ordering whose key can be null MUST spell the placement or the
+    selected top-k silently differs. Unique event_id tie-break keeps
+    the pick deterministic. TakeOrderedAndProject plan, no global
+    sort."""
+    ev = t(spark, sf_dir, "events")
+    actor = F.get_json_object("props", "$.actor").try_cast("bigint").alias(
+        "actor_id"
+    )
+    return (
+        ev.select("event_id", actor)
+        .orderBy(F.col("actor_id").asc_nulls_first(), "event_id")
+        .limit(100)
+    )
+
+
+@defcomponent(
     "set_intersect_all",
     """
     SELECT c_nationkey AS nationkey FROM customer
@@ -3538,6 +3584,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "p2_null_filter",
         "p14_ts_format",
         "p16_json_extract",
+        "o_sort_nulls_topk",
     ),
     "suite_setops": (
         "u1_union_all",
@@ -3545,6 +3592,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "set_except",
         "set_except_all",
         "set_intersect_all",
+        "set_union_distinct",
     ),
     "suite_agg_grouping": (
         "agg_rollup",
