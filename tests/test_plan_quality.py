@@ -274,3 +274,28 @@ def test_cc_round_is_two_shuffles(spark):
     p = plan(_small_star(_large_star(edges)))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_nulls_topk_is_take_ordered(spark):
+    """o_sort_nulls_topk must plan as TakeOrderedAndProject (per-
+    partition heap), never a global sort — NULLS FIRST placement is
+    free inside the heap's ordering."""
+    p = plan(DEFS["o_sort_nulls_topk"].spark(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "NULLS FIRST" in p
+
+
+def test_decimal_agg_is_two_phase(spark):
+    """Fixed-point sums merge partial+final exactly like double sums —
+    the exactness upgrade must not cost the map-side combine."""
+    p = plan(DEFS["agg_decimal_exact"].spark(spark, SF))
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in p
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    """NOT IN must plan as the null-aware anti join — the three-valued-
+    logic operator, not a plain anti join (which NOT EXISTS gets)."""
+    p = plan(DEFS["subquery_not_in"].spark(spark, SF))
+    # the trailing `true` on the BHJ line is the isNullAwareAntiJoin flag
+    assert "LeftAnti, BuildRight, true" in p, p
