@@ -1253,6 +1253,42 @@ def asof_join_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "asof_join_tolerance",
+    """
+    SELECT p.event_id,
+           CASE WHEN v.ts IS NOT NULL
+                     AND epoch_ns(p.ts) - epoch_ns(v.ts) <= 3600000000000
+                THEN v.value END AS recent_view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (merge_asof's ``tolerance``): the
+    most recent prior view counts only within 1 hour — staler matches
+    resolve to null instead of silently attaching ancient state. Same
+    single-shuffle union-sort-window plan; the bound is a post-filter
+    on the carried quote timestamp (operators/asof.py), so it costs
+    nothing. Oracle: native ASOF JOIN + a CASE on the matched gap."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    joined = asof_op.asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts_ns",
+        right_ts="ts_ns",
+        value_cols=["value"],
+        tolerance=3600 * 1_000_000_000,
+    )
+    return joined.select(
+        "event_id", F.col("value_asof").alias("recent_view_value")
+    )
+
+
+@defcomponent(
     "asof_join_forward",
     """
     SELECT p.event_id, v.value AS next_view_value
@@ -3633,6 +3669,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     "suite_asof": (
         "asof_join_ticks",
         "asof_join_forward",
+        "asof_join_tolerance",
         "scd2_asof_lookup",
     ),
     "suite_corpus_ops": (
