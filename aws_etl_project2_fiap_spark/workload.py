@@ -733,6 +733,39 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "agg_salted_group",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salting rewrite, driver-verified: the events stream
+    grouped by its 5-value event_type — exactly the shape where one hot
+    key pins a reducer — through operators/skew.salted_agg (phase 1
+    over (key, salt), phase 2 re-merges the 16 partials per key). The
+    oracle is the PLAIN GROUP BY: the rewrite must be
+    semantics-invisible. Rounding on the re-merged double sum absorbs
+    the (salt-dependent) partial summation order, same convention as
+    every double aggregate here."""
+    from .operators.skew import salted_agg
+
+    ev = t(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        partial={"n": F.count(F.lit(1)), "s": F.sum("value")},
+        final=lambda p: p.groupBy("event_type").agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("s"), 4).alias("total_value"),
+        ),
+    )
+
+
+@defcomponent(
     "agg_median",
     """
     SELECT o_orderpriority,
@@ -3637,6 +3670,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "agg_grouping_id",
         "agg_regr_stats",
         "agg_decimal_exact",
+        "agg_salted_group",
         "agg_median",
         "agg_collect_sorted",
         "agg_corr_stats",
