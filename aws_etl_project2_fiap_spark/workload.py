@@ -1286,6 +1286,47 @@ def asof_join_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "k_compact_readback",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderpriority
+    FROM orders
+    """,
+)
+def k_compact_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end (io/compact.py): orders is
+    written Hive-partitioned in a deliberately fragmented layout (many
+    tiny files per partition — the streaming-sink/day-overwrite debris
+    shape), the inventory+rewrite job compacts the flagged partitions,
+    and the read-back must equal the plain source-table oracle —
+    compaction is lossless and atomic per partition.
+
+    Scale: the inventory is footer-metadata only; only flagged
+    partitions rewrite (dynamic overwrite), sized to
+    files.maxPartitionBytes."""
+    from .io.compact import compact_partitions
+
+    work = _scratch_dir("compact_readback")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    (
+        o.repartition(12)
+        .write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .parquet(work)
+    )
+    n = compact_partitions(
+        spark, work, ["o_orderpriority"], target_bytes=1 << 20
+    )
+    assert n > 0, "fixture layout must be fragmented enough to compact"
+    return spark.read.parquet(work).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        "o_orderpriority",
+    )
+
+
+@defcomponent(
     "asof_join_tolerance",
     """
     SELECT p.event_id,
@@ -3710,6 +3751,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "similarity_batch_knn",
         "corpus_length_filter",
         "dedup_incremental",
+        "k_compact_readback",
     ),
     "suite_text": (
         "text_token_count",
