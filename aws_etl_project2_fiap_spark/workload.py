@@ -2494,6 +2494,52 @@ def sample_md5_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "sample_weighted",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 13)) AS BIGINT)
+                        / CAST(n_chars AS DOUBLE),
+                        doc_id
+             ) AS rn
+      FROM documents WHERE n_chars > 0
+    ) WHERE rn <= 100
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sampling (the weighted-reservoir
+    idea of Efraimidis–Spirakis with the race key simplified to u/w):
+    each doc gets a reproducible uniform u from md5(doc_id) and
+    priority u/weight — smallest k win, so selection probability grows
+    with weight (here n_chars, i.e. length-biased corpus sampling).
+
+    Cross-engine exactness by construction: u is the first 13 hex
+    chars of md5 (52 bits — exactly representable in a double) and the
+    key is ONE IEEE division, identical in both engines — no ln(), no
+    libm variance, no RNG state (the same determinism discipline as
+    sample_md5_per_source). doc_id tie-break.
+
+    Scale: rank-k selection = TakeOrdered heap, no global sort; re-runs
+    pick the same sample on the same data."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 13),
+        16,
+        10,
+    ).cast("double")
+    key = u / F.col("n_chars").cast("double")
+    w = Window.orderBy(key, "doc_id")
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .drop("rn")
+    )
+
+
+@defcomponent(
     "pii_scrub",
     r"""
     WITH aug AS (
@@ -3764,6 +3810,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "text_decontaminate",
         "text_repetition",
         "sample_md5_per_source",
+        "sample_weighted",
         "pii_scrub",
         "corpus_mixture_weights",
         "corpus_pack_sequences",
