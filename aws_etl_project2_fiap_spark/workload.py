@@ -2496,16 +2496,12 @@ def sample_md5_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defcomponent(
     "sample_weighted",
     """
-    SELECT doc_id, source, n_chars FROM (
-      SELECT doc_id, source, n_chars,
-             row_number() OVER (
-               ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
-                                                1, 13)) AS BIGINT)
-                        / CAST(n_chars AS DOUBLE),
-                        doc_id
-             ) AS rn
-      FROM documents WHERE n_chars > 0
-    ) WHERE rn <= 100
+    SELECT doc_id, source, n_chars
+    FROM documents WHERE n_chars > 0
+    ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) / CAST(n_chars AS DOUBLE),
+             doc_id
+    LIMIT 100
     """,
 )
 def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2530,12 +2526,15 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("double")
     key = u / F.col("n_chars").cast("double")
-    w = Window.orderBy(key, "doc_id")
+    # orderBy+limit, NOT a global row_number window: the windowed form
+    # would exchange everything into a single partition, while limit
+    # plans as TakeOrderedAndProject (per-partition heaps, merge on the
+    # driver-bound k rows only)
     return (
-        d.select("doc_id", "source", "n_chars")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 100)
-        .drop("rn")
+        d.select("doc_id", "source", "n_chars", key.alias("__k"))
+        .orderBy("__k", "doc_id")
+        .limit(100)
+        .drop("__k")
     )
 
 
