@@ -45,18 +45,28 @@ KEY_STRIDE = 100_000_000  # far above any sf<=10 key domain
 
 def tile_table(src: str, dst: str, keys: list[str], tiles: int,
                row_groups: int) -> int:
+    """Stream one tile at a time through a ParquetWriter — peak memory
+    is ONE tile regardless of the tile count, so sf10+ scales."""
     tbl = pq.read_table(src)
-    parts = []
-    for i in range(tiles):
-        t = tbl
-        for k in keys:
-            idx = t.schema.get_field_index(k)
-            shifted = pc.add(t.column(k), pa.scalar(i * KEY_STRIDE, type="int64"))
-            t = t.set_column(idx, t.schema.field(k), shifted.cast(t.schema.field(k).type))
-        parts.append(t)
-    out = pa.concat_tables(parts)
-    pq.write_table(out, dst, row_group_size=max(1, math.ceil(len(out) / row_groups)))
-    return len(out)
+    rg_size = max(1, math.ceil(len(tbl) * tiles / row_groups))
+    total = 0
+    writer = pq.ParquetWriter(dst, tbl.schema)
+    try:
+        for i in range(tiles):
+            t = tbl
+            for k in keys:
+                idx = t.schema.get_field_index(k)
+                shifted = pc.add(
+                    t.column(k), pa.scalar(i * KEY_STRIDE, type="int64")
+                )
+                t = t.set_column(
+                    idx, t.schema.field(k), shifted.cast(t.schema.field(k).type)
+                )
+            writer.write_table(t, row_group_size=rg_size)
+            total += len(t)
+    finally:
+        writer.close()
+    return total
 
 
 def main() -> None:
