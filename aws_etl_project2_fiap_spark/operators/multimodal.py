@@ -157,6 +157,47 @@ def resize(
     )
 
 
+def extract_features_arrow(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``mapInArrow`` variant of :func:`extract_features` — identical
+    semantics, one abstraction level lower: the batch iterator yields
+    raw ``pyarrow.RecordBatch`` objects, skipping the Arrow→pandas→
+    Arrow conversion entirely. That conversion is pure overhead for
+    byte-crunching codecs that never need pandas semantics, so this is
+    the shape a production decode stage should take (tested equal to
+    the pandas variant in tests/test_b3_pipeline.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fake_decode(batches):
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            payloads = batch.column(
+                batch.schema.get_field_index("content")
+            ).to_pylist()
+            n_bytes, checksum, feature = [], [], []
+            for b in payloads:
+                b = b or b""
+                arr = np.frombuffer(b, dtype=np.uint8)
+                n_bytes.append(len(b))
+                checksum.append(int(arr.sum(dtype=np.int64)) % (1 << 31))
+                feature.append(
+                    [float(arr[k::8].sum(dtype=np.int64) % 256) for k in range(8)]
+                    if len(b)
+                    else [0.0] * 8
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n_bytes, type=pa.int64()),
+                    pa.array(checksum, type=pa.int64()),
+                    pa.array(feature, type=pa.list_(pa.float64())),
+                ],
+                names=["doc_id", "n_bytes", "checksum", "feature"],
+            )
+
+    return df.select(id_col, "content").mapInArrow(fake_decode, FEATURE_SCHEMA)
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Real-codec resize entry point: raises until a codec library is
     present (see :func:`resize` for the fake-codec plumbing path)."""

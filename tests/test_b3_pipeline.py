@@ -494,3 +494,27 @@ def test_multimodal_resize_plumbing(spark):
     # composes with the feature stage on the RESIZED payloads
     feats = extract_features(small)
     assert {r.n_bytes for r in feats.collect()} == {128}
+
+
+def test_multimodal_arrow_path_equals_pandas_path(spark):
+    """extract_features_arrow (mapInArrow, RecordBatch-level) must be
+    row-identical to extract_features (mapInPandas) — same fake codec,
+    one less conversion layer."""
+    from aws_etl_project2_fiap_spark.operators.multimodal import (
+        attach_binary,
+        extract_features,
+        extract_features_arrow,
+    )
+
+    d = attach_binary(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "text"
+    )
+    via_pandas = {
+        r.doc_id: (r.n_bytes, r.checksum, tuple(r.feature))
+        for r in extract_features(d).collect()
+    }
+    via_arrow = {
+        r.doc_id: (r.n_bytes, r.checksum, tuple(r.feature))
+        for r in extract_features_arrow(d).collect()
+    }
+    assert via_arrow == via_pandas and len(via_arrow) > 0
