@@ -525,3 +525,58 @@ def test_transform_with_state_price_alerts(spark, tmp_path):
     )
     assert len(batch_rows) > 0  # the fixture ticks do cross 5%
     assert stream_rows == batch_rows
+
+
+def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
+    """The state-bounding contract itself: an event arriving AFTER the
+    watermark has passed its window must be dropped, not re-open the
+    closed window. Run 1 advances the watermark well past the 10:00
+    hour; run 2 delivers a 10:10 straggler; the 10:00 window's count
+    must not change and no duplicate window row may appear."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "agg")
+    ck = str(tmp_path / "ck")
+    schema = "data_hora timestamp, preco_brl double"
+
+    def run_once():
+        q = (
+            tumbling_window_agg(
+                file_source(spark, landing, schema), watermark="10 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: three 10:xx events + a 13:00 event -> watermark ends far
+    # past 11:00, so the 10:00 window is emitted and closed
+    _write_ticks(spark, landing, [
+        ("2025-08-01 10:00:00", 100.0),
+        ("2025-08-01 10:20:00", 110.0),
+        ("2025-08-01 10:40:00", 120.0),
+        ("2025-08-01 13:00:00", 500.0),
+    ])
+    run_once()
+    # second drain: the closed windows emit now that watermark passed
+    run_once()
+    first = {
+        r.window_start: r.n_ticks for r in spark.read.parquet(out).collect()
+    }
+    assert any(ws.hour == 10 for ws in first), first
+    n_10 = {ws: n for ws, n in first.items() if ws.hour == 10}
+
+    # run 2: a straggler INSIDE the already-closed 10:00 hour
+    _write_ticks(spark, landing, [("2025-08-01 10:10:00", 999.0)])
+    run_once()
+    run_once()
+    after = [
+        (r.window_start, r.n_ticks)
+        for r in spark.read.parquet(out).collect()
+        if r.window_start.hour == 10
+    ]
+    # exactly the original 10:00 rows, original counts — no re-emit
+    assert sorted(after) == sorted(n_10.items()), (after, n_10)
