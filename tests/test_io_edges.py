@@ -116,3 +116,47 @@ def test_extract_records(spark):
     df = extract_records(spark, recs, TICK_SCHEMA)
     assert df.count() == 5
     assert df.agg(F.max("price")).first()[0] == 600004.0
+
+
+def test_analyze_table_statistics_reach_optimizer(spark, tmp_path):
+    """ANALYZE TABLE (+ FOR COLUMNS) must land row-count/size stats in
+    the catalog AND surface them to the optimizer: the logical plan's
+    stats drop from the byte-size guess to the exact analyzed row
+    count. This is the CBO input path — the stats that drive join
+    reordering and broadcast decisions before the first exchange."""
+    from aws_etl_project2_fiap_spark.io.catalog import analyze_table, table_stats
+
+    spark.sql("DROP TABLE IF EXISTS stats_probe")
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet").write.mode(
+        "overwrite"
+    ).saveAsTable("stats_probe")
+    try:
+        analyze_table(spark, "stats_probe", columns=["n_nationkey", "n_name"])
+        desc = table_stats(spark, "stats_probe")
+        assert "Statistics" in desc and "25 rows" in desc["Statistics"], desc
+
+        col_desc = spark.sql(
+            "DESCRIBE TABLE EXTENDED stats_probe n_nationkey"
+        ).collect()
+        kv = {r.info_name: r.info_value for r in col_desc}
+        assert kv.get("distinct_count") == "25", kv
+        assert kv.get("min") == "0" and kv.get("max") == "24", kv
+
+        # optimizer visibility: exact rowCount in the plan statistics —
+        # only propagated when the cost-based optimizer is on (default
+        # off; AQE covers runtime re-planning, CBO consumes these
+        # pre-exchange)
+        prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            stats = (
+                spark.table("stats_probe")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert int(stats.rowCount().get()) == 25, stats.toString()
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_probe")
