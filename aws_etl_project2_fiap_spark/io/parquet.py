@@ -233,6 +233,12 @@ def zorder_value(
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     bucket_cols = []
     for name in cluster_by:
+        # NB: the rank filter below evaluates ``v`` once per BOUNDARY
+        # element. For raw numeric columns that's a per-element cast of
+        # an attribute (cheap); write_zordered pre-projects non-trivial
+        # ordinals (string surrogates, epoch arithmetic) into real
+        # columns first so this never re-evaluates an expensive chain
+        # 2^bits times per row.
         v = _zorder_ordinal(F.col(name), dtypes.get(name), name)
         bounds = df.select(v.alias("v")).na.drop().stat.approxQuantile(
             "v", probs, 1.0 / n_buckets
@@ -288,20 +294,44 @@ def write_zordered(
     cost buys row-group skipping for every subsequent selective read on
     any clustered column at 100 TB.
     """
+    from pyspark.sql import types as T
+
     spark = df.sparkSession
     if num_files is None:
         num_files = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    z = zorder_value(df, cluster_by, bits_per_col=bits_per_col)
+
+    def _temp(base: str, cols) -> str:
+        name = base
+        while name in cols:
+            name += "_"
+        return name
+
+    # Pre-project NON-NUMERIC ordinals (string surrogates, epoch
+    # arithmetic) into real columns: zorder_value's rank filter
+    # evaluates its input per boundary element (up to 2^bits times per
+    # row), which is fine for an attribute cast but ruinous for the
+    # string surrogate's hex/conv chain. Numeric keys pass through
+    # untouched.
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    pre, zkeys, temps = df, [], []
+    for name in cluster_by:
+        if isinstance(dtypes.get(name), (T.NumericType, T.BooleanType)):
+            zkeys.append(name)
+            continue
+        oc = _temp(f"__zord_{name}", pre.columns)
+        pre = pre.withColumn(oc, _zorder_ordinal(F.col(name), dtypes.get(name), name))
+        zkeys.append(oc)
+        temps.append(oc)
+
+    z = zorder_value(pre, zkeys, bits_per_col=bits_per_col)
     # collision-free temp column: a fixed "__z__" would silently swallow
     # a same-named input column through withColumn+drop
-    zcol = "__z__"
-    while zcol in df.columns:
-        zcol += "_"
+    zcol = _temp("__z__", pre.columns)
     (
-        df.withColumn(zcol, z)
+        pre.withColumn(zcol, z)
         .repartitionByRange(num_files, zcol)
         .sortWithinPartitions(zcol)
-        .drop(zcol)
+        .drop(zcol, *temps)
         .write.option("compression", compression)
         .mode(mode)
         .parquet(path)

@@ -38,10 +38,14 @@ def doc_ngrams(
     """Explode a document frame to (id, gram) rows. NOT deduplicated —
     callers aggregate with ``count_distinct`` (one shuffle instead of
     dropDuplicates + groupBy's two)."""
-    toks = text.word_tokens(text_col)
-    return df.select(
+    # tokenize in its OWN projection: passing the split+filter chain
+    # straight into word_ngrams makes the slice lambda re-evaluate the
+    # whole tokenizer per gram index — O(len²) per row (measured 2×
+    # end-to-end on the decontamination query at sf0.1)
+    pre = df.select(F.col(id_col), text.word_tokens(text_col).alias("__toks"))
+    return pre.select(
         F.col(id_col),
-        F.explode(text.word_ngrams(toks, n)).alias("gram"),
+        F.explode(text.word_ngrams(F.col("__toks"), n)).alias("gram"),
     )
 
 
