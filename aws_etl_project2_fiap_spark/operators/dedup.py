@@ -18,6 +18,9 @@ no Python in the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -397,3 +400,182 @@ def ngram_jaccard_pairs_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter pre-filtered incremental dedup
+# ---------------------------------------------------------------------
+#
+# The steady-state production shape: a mostly-novel delivery arrives and
+# must be checked against a huge existing corpus. A plain hash join
+# shuffles the WHOLE delivery against the fingerprint index even though
+# ~99% of it is novel. A Bloom filter over the corpus fingerprints
+# (~10 bits/key at 1% FPP) broadcasts to every executor and prunes the
+# delivery to (true dups + false positives) BEFORE any shuffle; only
+# that sliver takes the exact-verification join. No false negatives by
+# construction, and false positives are removed by the exact join, so
+# the result is bit-identical to the plain join — the filter is purely
+# a shuffle-volume optimization (the same trick Spark's own runtime
+# bloom-filter join pruning plays, here surfaced as a reusable operator
+# for cross-job incremental pipelines where the corpus-side filter can
+# be built once and persisted).
+
+_SPLITMIX_GAMMA = 0x9E3779B97F4A7C15
+_SPLITMIX_M1 = 0xBF58476D1CE4E5B9
+_SPLITMIX_M2 = 0x94D049BB133111EB
+
+
+def _make_positions(m_bits: int, k: int):
+    """Return a self-contained positions(h64) -> list[int64 array]
+    closure: k bit positions per key via Kirsch-Mitzenmacher double
+    hashing over two splitmix64 finalizer passes.
+
+    WORKER-SHIPPING CONTRACT: the returned closure references only its
+    own locals plus numpy — never a module-level name from this package.
+    Worker processes can't import ``aws_etl_project2_fiap_spark`` when
+    the driver loads ``__spark_entry__.py`` by file path from outside
+    the repo (the round driver does exactly that), so any closure that
+    cloudpickle resolves back to this module dies on the executor with
+    ModuleNotFoundError. Nested-def + local-import closures are pickled
+    by value, which is why every worker-side function in this package
+    is built this way."""
+    gamma, m1, m2 = _SPLITMIX_GAMMA, _SPLITMIX_M1, _SPLITMIX_M2
+
+    def positions(h64):
+        import numpy as np
+
+        def mix(z):
+            z = (z + np.uint64(gamma)).astype(np.uint64)
+            z = ((z ^ (z >> np.uint64(30))) * np.uint64(m1)).astype(np.uint64)
+            z = ((z ^ (z >> np.uint64(27))) * np.uint64(m2)).astype(np.uint64)
+            return (z ^ (z >> np.uint64(31))).astype(np.uint64)
+
+        h1 = mix(h64)
+        h2 = mix(h1) | np.uint64(1)  # odd => full-period stride
+        m = np.uint64(m_bits)
+        return [
+            ((h1 + np.uint64(i) * h2) % m).astype(np.int64) for i in range(k)
+        ]
+
+    return positions
+
+
+def _bloom_positions(h64, m_bits: int, k: int):
+    """Driver/test-side alias of the worker closure's position math."""
+    return _make_positions(m_bits, k)(h64)
+
+
+def bloom_build(fp_df: DataFrame, fp_col: str, m_bits: int, k: int = 6) -> bytes:
+    """Build a Bloom filter bitmap over an int64 fingerprint column.
+
+    Each partition folds its keys into a local ``m_bits/8``-byte numpy
+    bitmap inside ``mapInPandas`` (Arrow batches, no per-row Python) and
+    emits ONE row; the per-partition bitmaps are OR-merged on the
+    driver. Driver traffic is ``num_partitions x m/8`` bytes — for the
+    1%-FPP regime that's ~1.2 GB total at a billion corpus keys, and on
+    a real cluster the merge tree-reduces (`RDD.treeAggregate` shape)
+    instead of fanning into the driver; local mode keeps the flat merge.
+    """
+    n_bytes = m_bits // 8
+    positions = _make_positions(m_bits, k)
+    col = fp_col
+
+    def per_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            h = pdf[col].to_numpy(dtype=np.int64).view(np.uint64)
+            for pos in positions(h):
+                np.bitwise_or.at(
+                    bits, pos >> 3, np.left_shift(1, (pos & 7)).astype(np.uint8)
+                )
+        yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    rows = fp_df.select(fp_col).mapInPandas(
+        per_partition, "bitmap binary"
+    ).collect()
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in rows:
+        merged |= np.frombuffer(r["bitmap"], dtype=np.uint8)
+    return merged.tobytes()
+
+
+def bloom_might_contain(spark, bitmap: bytes, m_bits: int, k: int = 6):
+    """Vectorized membership probe: returns a pandas_udf(boolean) over
+    an int64 fingerprint column. The bitmap rides to executors as a
+    Spark broadcast (one copy per worker, not per task)."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(bitmap)
+    positions = _make_positions(m_bits, k)
+
+    def _probe_fn(s):
+        import numpy as np
+        import pandas as pd
+
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        h = s.to_numpy(dtype=np.int64).view(np.uint64)
+        hit = np.ones(len(h), dtype=bool)
+        for pos in positions(h):
+            hit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+        return pd.Series(hit)
+
+    # plain-function form: `from __future__ import annotations` stringifies
+    # type hints, which pandas_udf can't resolve for locally-imported pd
+    return pandas_udf(_probe_fn, "boolean")
+
+
+def bloom_bits_for(n_keys: int, bits_per_key: int = 10) -> int:
+    """Bitmap size: ~10 bits/key ≈ 1% FPP at k=6-7; rounded up to a
+    power of two so the mod in _bloom_positions stays cheap."""
+    m = max(1024, n_keys * bits_per_key)
+    return 1 << (m - 1).bit_length()
+
+
+def bloom_incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits_per_key: int = 10,
+) -> DataFrame:
+    """Flag which rows of ``new_df`` already exist (by exact text) in
+    ``corpus_df`` — same contract as the plain hash-join incremental
+    dedup, but Bloom-pre-filtered so only probable dups shuffle.
+
+    Plan: corpus scan → per-partition bitmap fold (narrow) → broadcast;
+    delivery scan → vectorized probe (narrow) → the ~(dup_rate + FPP)
+    candidate sliver joins the exact md5 index; bloom-negative rows are
+    definitively novel and never shuffle. Exactness: the bloom holds
+    EVERY corpus xxhash64, so a true dup always probes positive (no
+    false negatives); positives are re-verified on md5, removing false
+    positives — output equals the plain join bit-for-bit.
+
+    The single ``corpus.count()`` driver action sizes the bitmap (one
+    scalar, same justification as the a1 cutoff inline)."""
+    spark = new_df.sparkSession
+    fp64 = F.xxhash64(text_col)
+    fpm = F.md5(F.col(text_col).cast("binary"))
+
+    n_keys = corpus_df.count()
+    m_bits = bloom_bits_for(n_keys, bits_per_key)
+    bitmap = bloom_build(
+        corpus_df.select(fp64.alias("fp64")), "fp64", m_bits
+    )
+    probe = bloom_might_contain(spark, bitmap, m_bits)
+
+    probed = new_df.select(
+        id_col, fpm.alias("fpm"), probe(fp64).alias("cand")
+    )
+    corpus_index = corpus_df.select(fpm.alias("fpm")).distinct()
+    confirmed = (
+        probed.filter(F.col("cand"))
+        .join(corpus_index.withColumn("__hit", F.lit(1)), "fpm", "left")
+        .select(id_col, F.col("__hit").isNotNull().alias("is_dup"))
+    )
+    novel = probed.filter(~F.col("cand")).select(
+        id_col, F.lit(False).alias("is_dup")
+    )
+    return confirmed.unionByName(novel)

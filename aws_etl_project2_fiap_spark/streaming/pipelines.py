@@ -246,21 +246,38 @@ _ALERT_OUT = T.StructType(
 )
 
 
+def _make_ratchet():
+    """Build the sequential anchor-ratchet as a by-value-picklable
+    closure: emit row i when |v[i]/anchor - 1| >= pct, then re-anchor
+    at v[i]. Shared by the streaming processor and the batch fallback
+    so both paths are bit-identical.
+
+    Factory form (not a module-level function captured by the worker
+    closures): cloudpickle serializes module-level functions of this
+    package BY REFERENCE, and executors can't import the package when
+    the driver loads ``__spark_entry__.py`` by path from outside the
+    repo — the round driver's invocation. A factory-made closure is
+    pickled by value and ships standalone."""
+
+    def ratchet(v, ts, anchor: float, pct: float):
+        out = []
+        for i in range(len(v)):
+            price = float(v[i])
+            if anchor != anchor:  # NaN: first event anchors silently
+                anchor = price
+                continue
+            move = price / anchor - 1.0
+            if abs(move) >= pct:
+                out.append((ts[i], price, anchor, round(move, 6)))
+                anchor = price
+        return out, anchor
+
+    return ratchet
+
+
 def _ratchet_alerts(v, ts, anchor: float, pct: float):
-    """Sequential anchor-ratchet: emit row i when |v[i]/anchor - 1| >=
-    pct, then re-anchor at v[i]. Shared by the streaming processor and
-    the batch fallback so both paths are bit-identical."""
-    out = []
-    for i in range(len(v)):
-        price = float(v[i])
-        if anchor != anchor:  # NaN: first event anchors silently
-            anchor = price
-            continue
-        move = price / anchor - 1.0
-        if abs(move) >= pct:
-            out.append((ts[i], price, anchor, round(move, 6)))
-            anchor = price
-    return out, anchor
+    """Driver/test-side alias of the worker ratchet closure."""
+    return _make_ratchet()(v, ts, anchor, pct)
 
 
 def stateful_price_alerts(
@@ -288,11 +305,13 @@ def stateful_price_alerts(
     """
     import pandas as pd
 
+    ratchet = _make_ratchet()
+
     if not ticks.isStreaming:
 
         def batch_ratchet(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(ts_col)
-            rows, _ = _ratchet_alerts(
+            rows, _ = ratchet(
                 pdf[value_col].astype(float).to_numpy(),
                 list(pdf[ts_col]),
                 float("nan"),
@@ -340,7 +359,7 @@ def stateful_price_alerts(
             pdfs = [pdf.sort_values(ts_col) for pdf in rows]
             pdf = pd.concat(pdfs).sort_values(ts_col) if pdfs else pd.DataFrame()
             if len(pdf):
-                out, anchor = _ratchet_alerts(
+                out, anchor = ratchet(
                     pdf[value_col].astype(float).to_numpy(),
                     list(pdf[ts_col]),
                     anchor,

@@ -3200,6 +3200,143 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "dedup_bloom_incremental",
+    """
+    SELECT n.doc_id, (c.fp IS NOT NULL) AS is_dup
+    FROM (SELECT doc_id, md5(text) AS fp FROM documents
+          WHERE doc_id % 10 = 0) n
+    LEFT JOIN (SELECT DISTINCT md5(text) AS fp FROM documents
+               WHERE doc_id % 10 <> 0) c
+    USING (fp)
+    """,
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered incremental dedup (operators/dedup.py
+    ``bloom_incremental_dedup``): same answer as ``dedup_incremental``
+    (identical oracle — the bloom is exactness-preserving), different
+    scale profile. The corpus folds into a ~10-bits/key bitmap
+    (per-partition numpy fold in mapInPandas, OR-merged, broadcast);
+    the delivery probes it in a vectorized pandas_udf, and ONLY the
+    ~(dup_rate + 1% FPP) candidate sliver takes the exact md5 join.
+    At 100 TB the bloom-negative 99% of a mostly-novel crawl never
+    shuffles at all — the cross-job, persistable form of the runtime
+    bloom-filter join pruning the session already pins on."""
+    d = t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return dedup_op.bloom_incremental_dedup(new, corpus)
+
+
+@defcomponent(
+    "text_url_canonicalize",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://WWW.' || source || '.Example.com/articles/'
+               || CAST(doc_id % 50 AS VARCHAR)
+               || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+               || '&ref=' || lang AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id,
+             regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+                            '^www\.', '') AS domain,
+             regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param
+      FROM u
+    )
+    SELECT doc_id, domain, path, id_param,
+           'https://' || domain || path AS canonical_url
+    FROM parsed
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus curation: lowercase the
+    host, strip ``www.``, drop tracking query params, keep the stable
+    id param — the normalization every crawl dedup/domain-mixture stage
+    runs before grouping by URL. The URL itself is synthesized
+    deterministically from (source, doc_id, lang) since the testdata
+    carries no URL column; the parsing path is the operator under test.
+
+    Spark side uses the JVM ``parse_url`` (HOST/PATH/QUERY-key
+    extraction, codegen, no shuffle — folds into the scan); the oracle
+    re-expresses it as regexes. At 100 TB this is a pure narrow
+    projection feeding domain-level groupBys."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".Example.com/articles/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref="),
+        F.col("lang"),
+    )
+    parsed = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", ""
+        ).alias("domain"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    )
+    return parsed.select(
+        "doc_id",
+        "domain",
+        "path",
+        "id_param",
+        F.concat(F.lit("https://"), F.col("domain"), F.col("path")).alias(
+            "canonical_url"
+        ),
+    )
+
+
+@defcomponent(
+    "corpus_token_histogram",
+    """
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(n_chars / 200) AS BIGINT), 0), 24)
+               AS bucket
+      FROM documents
+    ),
+    h AS (
+      SELECT bucket, count(*) AS n_docs FROM b GROUP BY bucket
+    )
+    SELECT bucket,
+           bucket * 200 AS lo_edge,
+           (bucket + 1) * 200 AS hi_edge,
+           n_docs,
+           round(n_docs / SUM(n_docs) OVER (), 6) AS share
+    FROM h
+    """,
+)
+def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width length histogram (the ``width_bucket`` shape with
+    clamped edge buckets): the distribution snapshot every corpus-intake
+    report starts from. Fixed edges (25 x 200-char buckets) keep the
+    plan one partial+final agg with NO planning-time driver action; the
+    ``share`` window runs on the 25-row aggregate, not the corpus. At
+    100 TB: identical plan — histogram state is O(buckets) per task."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("n_chars") / 200).cast("long"), F.lit(0)),
+        F.lit(24),
+    ).alias("bucket")
+    h = d.select(bucket).groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    return h.select(
+        "bucket",
+        (F.col("bucket") * 200).alias("lo_edge"),
+        ((F.col("bucket") + 1) * 200).alias("hi_edge"),
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 6
+        ).alias("share"),
+    )
+
+
+@defcomponent(
     "scd2_from_events",
     """
     WITH u AS (
@@ -3797,6 +3934,9 @@ SUITES: dict[str, tuple[str, ...]] = {
         "corpus_length_filter",
         "dedup_incremental",
         "k_compact_readback",
+        "dedup_bloom_incremental",
+        "text_url_canonicalize",
+        "corpus_token_histogram",
     ),
     "suite_text": (
         "text_token_count",
