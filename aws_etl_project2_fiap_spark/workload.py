@@ -3337,6 +3337,52 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "agg_embedding_centroid",
+    """
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    ),
+    per AS (
+      SELECT label, pos, avg(CAST(val AS DOUBLE)) AS m, count(*) AS c
+      FROM ex GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(MAX(c) AS BIGINT) AS n_vecs,
+           round(sqrt(SUM(m * m)), 6) AS centroid_norm
+    FROM per GROUP BY label
+    """,
+)
+def agg_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (mean-pool) summarized by its norm —
+    the class-prototype computation behind centroid-based clustering,
+    IVF coarse training, and embedding-drift monitoring.
+
+    Spark plan: posexplode (codegen Generate, 64× rows but never
+    materialized wide) → partial+final avg keyed on (label, pos) — the
+    shuffle carries labels×dim rows per task, NOT the corpus — then a
+    labels-sized rollup of sum(m²). At 100 TB the first aggregate's
+    map-side partials reduce each task's output to (labels × 64) rows
+    regardless of input size; no driver action, no UDF."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    )
+    per = ex.groupBy("label", "pos0").agg(
+        F.avg(F.col("val").cast("double")).alias("m"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return per.groupBy("label").agg(
+        F.max("c").alias("n_vecs"),
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias(
+            "centroid_norm"
+        ),
+    )
+
+
+@defcomponent(
     "scd2_from_events",
     """
     WITH u AS (
@@ -3937,6 +3983,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "dedup_bloom_incremental",
         "text_url_canonicalize",
         "corpus_token_histogram",
+        "agg_embedding_centroid",
     ),
     "suite_text": (
         "text_token_count",
