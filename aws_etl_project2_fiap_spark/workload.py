@@ -3337,6 +3337,50 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "k_timetravel_readback",
+    """
+    SELECT 'v1' AS ver, n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT 'v2' AS ver, n_nationkey,
+           CASE WHEN n_regionkey = 2 THEN upper(n_name) ELSE n_name END
+             AS n_name,
+           n_regionkey
+    FROM nation
+    """,
+)
+def k_timetravel_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table end-to-end (io/versioned.py): create v1 from
+    nation, run a file-level copy-on-write UPDATE (only the files
+    holding region-2 rows rewrite; the rest are manifest-referenced),
+    then TIME-TRAVEL: read BOTH versions back. The oracle is the
+    original table (v1 must be bit-stable after the update — snapshot
+    isolation) unioned with the pure-CASE projection (v2 must equal an
+    in-place UPDATE — the K6 contract). Scale: see io/versioned.py —
+    update cost ∝ touched files, history retained until vacuum."""
+    from .io import versioned as ver_op
+
+    work = _scratch_dir("timetravel")
+    table = f"{work}/nation_v"
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    ver_op.create_table(n.repartitionByRange(3, "n_regionkey"), table)
+    ver_op.update_table(
+        spark,
+        table,
+        {"n_name": F.upper(F.col("n_name"))},
+        F.col("n_regionkey") == 2,
+    )
+    v1 = ver_op.read_table(spark, table, version=1).select(
+        F.lit("v1").alias("ver"), "n_nationkey", "n_name", "n_regionkey"
+    )
+    v2 = ver_op.read_table(spark, table).select(
+        F.lit("v2").alias("ver"), "n_nationkey", "n_name", "n_regionkey"
+    )
+    return v1.unionByName(v2)
+
+
+@defcomponent(
     "agg_embedding_centroid",
     """
     WITH ex AS (
@@ -3984,6 +4028,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "text_url_canonicalize",
         "corpus_token_histogram",
         "agg_embedding_centroid",
+        "k_timetravel_readback",
     ),
     "suite_text": (
         "text_token_count",
