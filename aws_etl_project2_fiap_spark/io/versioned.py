@@ -64,15 +64,57 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _write_batch(df: DataFrame, path: str) -> list[str]:
-    """Write df as a new immutable batch dir; return its file paths."""
+def _file_stats(fpath: str) -> dict:
+    """Per-column [min, max] from the parquet footer (primitive,
+    JSON-encodable columns only) — collected once at write time so the
+    read path can skip files without opening them. The same metadata
+    the open table formats keep in their logs."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_metadata(fpath)
+    lo: dict = {}
+    hi: dict = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested — no file-level pruning
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(mn, (int, float, str, bool)):
+                continue
+            lo[name] = mn if name not in lo else min(lo[name], mn)
+            hi[name] = mx if name not in hi else max(hi[name], mx)
+    return {c: [lo[c], hi[c]] for c in lo}
+
+
+def _write_batch(df: DataFrame, path: str) -> list[dict]:
+    """Write df as a new immutable batch dir; return one manifest entry
+    per file: {"path", "stats": {col: [min, max]}}."""
     batch = os.path.join(path, "_data", f"b_{uuid.uuid4().hex[:12]}")
     df.write.mode("error").parquet(batch)
-    return sorted(
-        os.path.join(batch, f)
-        for f in os.listdir(batch)
-        if f.endswith(".parquet")
-    )
+    return [
+        {"path": p, "stats": _file_stats(p)}
+        for p in sorted(
+            os.path.join(batch, f)
+            for f in os.listdir(batch)
+            if f.endswith(".parquet")
+        )
+    ]
+
+
+def _paths(files: list) -> list[str]:
+    """File paths from manifest entries (dicts with stats)."""
+    return [f["path"] for f in files]
 
 
 def _commit(path: str, files: list[str]) -> int:
@@ -107,22 +149,59 @@ def append_table(df: DataFrame, path: str) -> int:
     return _commit(path, files + _write_batch(df, path))
 
 
+def prunable(files: list, col: str, lo, hi) -> tuple[list, list]:
+    """Split manifest entries into (kept, skipped) for the predicate
+    ``col BETWEEN lo AND hi`` using write-time footer stats: a file is
+    skipped iff its [min, max] cannot overlap [lo, hi]. Files without
+    stats for ``col`` are conservatively kept."""
+    kept, skipped = [], []
+    for f in files:
+        st = f.get("stats", {}).get(col)
+        if st is not None and (st[0] > hi or st[1] < lo):
+            skipped.append(f)
+        else:
+            kept.append(f)
+    return kept, skipped
+
+
 def overwrite_table(df: DataFrame, path: str) -> int:
     """Full-overwrite commit (previous versions remain readable)."""
     return _commit(path, _write_batch(df, path))
 
 
 def read_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    between: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Read a version (default: current). The file list is resolved
     once, driver-side, from the manifest — a concurrent commit can't
-    shift the snapshot under the query."""
+    shift the snapshot under the query.
+
+    ``between=(col, lo, hi)`` enables MANIFEST-LEVEL data skipping: the
+    write-time footer stats drop every file whose [min, max] can't
+    overlap [lo, hi] before Spark plans a single task, and the exact
+    BETWEEN filter is still applied (and scan-pushed) on the survivors
+    — the same two-tier pruning Delta/Iceberg perform from their logs.
+    With a z-ordered or range-partitioned layout a selective predicate
+    prunes all but O(matching) files."""
     v = current_version(path) if version is None else version
     files = _read_manifest(path, v)["files"]
+    if between is not None:
+        col, lo, hi = between
+        files, _ = prunable(files, col, lo, hi)
+        if not files:
+            raise ValueError(
+                f"predicate {between} skips every file of version {v}; "
+                f"read without `between` for an empty-result scan"
+            )
+        return spark.read.parquet(*_paths(files)).filter(
+            F.col(col).between(lo, hi)
+        )
     if not files:
         raise ValueError(f"version {v} of {path} lists no files")
-    return spark.read.parquet(*files)
+    return spark.read.parquet(*_paths(files))
 
 
 def update_table(
@@ -149,7 +228,7 @@ def update_table(
     Returns {"version", "n_matched", "files_touched", "files_reused"}.
     """
     files = _read_manifest(path, current_version(path))["files"]
-    df = spark.read.parquet(*files)
+    df = spark.read.parquet(*_paths(files))
     touched_rows = df.withColumn(
         "__file", F.col("_metadata.file_path")
     ).filter(where)
@@ -169,7 +248,7 @@ def update_table(
             "files_touched": 0,
             "files_reused": len(files),
         }
-    untouched = [f for f in files if f not in set(touched)]
+    untouched = [f for f in files if f["path"] not in set(touched)]
     rewritten = apply_update(spark.read.parquet(*touched), set_cols, where)
     new_files = untouched + _write_batch(rewritten, path)
     version = _commit(path, new_files)
@@ -198,7 +277,7 @@ def vacuum(path: str, keep_last: int = 2) -> list[str]:
     referenced: set[str] = set()
     for v in keep:
         for f in _read_manifest(path, v)["files"]:
-            referenced.add(os.path.dirname(f))
+            referenced.add(os.path.dirname(f["path"]))
     data_root = os.path.join(path, "_data")
     removed = []
     for b in sorted(os.listdir(data_root)):

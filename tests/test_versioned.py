@@ -51,12 +51,12 @@ def test_create_refuses_existing(spark, table):
 
 
 def test_update_is_file_level_copy_on_write(spark, table):
-    before = set(V._read_manifest(table, 1)["files"])
+    before = set(V._paths(V._read_manifest(table, 1)["files"]))
     res = V.update_table(
         spark, table, {"v": F.col("v") + 1000}, F.col("g") == 2
     )
     assert res["version"] == 2 and res["n_matched"] == 100
-    after = set(V._read_manifest(table, 2)["files"])
+    after = set(V._paths(V._read_manifest(table, 2)["files"]))
     # untouched files are REFERENCED (same paths), not copied
     reused = before & after
     assert len(reused) == res["files_reused"] >= 1
@@ -92,8 +92,8 @@ def test_append_references_all_previous_files(spark, table):
     )
     assert V.append_table(extra, table) == 2
     assert V.read_table(spark, table).count() == 330
-    assert set(V._read_manifest(table, 1)["files"]) <= set(
-        V._read_manifest(table, 2)["files"]
+    assert set(V._paths(V._read_manifest(table, 1)["files"])) <= set(
+        V._paths(V._read_manifest(table, 2)["files"])
     )
 
 
@@ -130,6 +130,33 @@ def test_vacuum_reclaims_unreferenced_batches_only(spark, table):
     kept = {
         os.path.dirname(f)
         for v in (2, 3)
-        for f in V._read_manifest(table, v)["files"]
+        for f in V._paths(V._read_manifest(table, v)["files"])
     }
     assert not (set(removed) & kept)
+
+
+def test_manifest_stats_data_skipping(spark, table):
+    """between=(col, lo, hi) must skip non-overlapping files BEFORE
+    Spark plans the scan, and return exactly the filtered result."""
+    files = V._read_manifest(table, 1)["files"]
+    kept, skipped = V.prunable(files, "g", 2, 2)
+    assert len(kept) == 1 and len(skipped) == 2  # range layout isolates g
+    pruned = V.read_table(spark, table, between=("g", 2, 2))
+    # the pruned plan reads ONE file
+    assert len(pruned.inputFiles()) == 1
+    full = V.read_table(spark, table).filter(F.col("g").between(2, 2))
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_data_skipping_conservative_without_stats(spark, table):
+    """Entries lacking stats for the predicate column are kept."""
+    files = [{"path": "x.parquet", "stats": {}}]
+    kept, skipped = V.prunable(files, "g", 0, 0)
+    assert kept == files and not skipped
+
+
+def test_data_skipping_all_pruned_raises(spark, table):
+    with pytest.raises(ValueError):
+        V.read_table(spark, table, between=("g", 99, 100))
