@@ -3381,6 +3381,52 @@ def k_timetravel_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "k_incremental_ingest",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def k_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed incremental ingest end-to-end (io/incremental.py —
+    the batch form of the reference's event-triggered job, SURVEY §3.2):
+    nation arrives as TWO deliveries; each ``ingest_batch`` run
+    discovers only the unprocessed files and appends them as a
+    versioned-table commit (io/versioned.py). The read-back of the
+    final version must equal the full table — proving no delivery is
+    lost, duplicated, or reprocessed across runs."""
+    from .io import incremental as inc_op
+    from .io import versioned as ver_op
+
+    work = _scratch_dir("inc_ingest")
+    landing = f"{work}/landing"
+    table = f"{work}/table"
+    state = f"{work}/state.json"
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def sink(df: DataFrame) -> None:
+        if os.path.exists(f"{table}/_CURRENT"):
+            ver_op.append_table(df, table)
+        else:
+            ver_op.create_table(df, table)
+
+    n.filter(F.col("n_nationkey") < 12).coalesce(1).write.parquet(
+        f"{landing}/d1"
+    )
+    inc_op.ingest_batch(spark, landing, state, sink)
+    n.filter(F.col("n_nationkey") >= 12).coalesce(1).write.parquet(
+        f"{landing}/d2"
+    )
+    inc_op.ingest_batch(spark, landing, state, sink)
+    # a third run must be a no-op (nothing new arrived)
+    assert inc_op.ingest_batch(spark, landing, state, sink)["files"] == 0
+    return ver_op.read_table(spark, table).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@defcomponent(
     "agg_embedding_centroid",
     """
     WITH ex AS (
@@ -4029,6 +4075,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "corpus_token_histogram",
         "agg_embedding_centroid",
         "k_timetravel_readback",
+        "k_incremental_ingest",
     ),
     "suite_text": (
         "text_token_count",
