@@ -117,14 +117,16 @@ def _paths(files: list) -> list[str]:
     return [f["path"] for f in files]
 
 
-def _commit(path: str, files: list[str]) -> int:
-    """Write the next manifest, then atomically flip the pointer."""
+def _commit(path: str, files: list[str], extra: dict | None = None) -> int:
+    """Write the next manifest, then atomically flip the pointer.
+    ``extra`` lands in the manifest verbatim (e.g. a streaming
+    batch_id for replay detection)."""
     os.makedirs(_manifest_dir(path), exist_ok=True)
     try:
         version = current_version(path) + 1
     except FileNotFoundError:
         version = 1
-    manifest = {"version": version, "files": files}
+    manifest = {"version": version, "files": files, **(extra or {})}
     mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
     with open(mpath, "w") as fh:
         json.dump(manifest, fh)
@@ -135,18 +137,32 @@ def _commit(path: str, files: list[str]) -> int:
     return version
 
 
-def create_table(df: DataFrame, path: str) -> int:
+def create_table(df: DataFrame, path: str, extra: dict | None = None) -> int:
     """Create version 1 from ``df``. Fails if the table exists."""
     if os.path.exists(_pointer(path)):
         raise FileExistsError(f"versioned table already exists at {path}")
     os.makedirs(path, exist_ok=True)
-    return _commit(path, _write_batch(df, path))
+    return _commit(path, _write_batch(df, path), extra)
 
 
-def append_table(df: DataFrame, path: str) -> int:
+def append_table(df: DataFrame, path: str, extra: dict | None = None) -> int:
     """Append-only commit: new batch files + every current file."""
     files = _read_manifest(path, current_version(path))["files"]
-    return _commit(path, files + _write_batch(df, path))
+    return _commit(path, files + _write_batch(df, path), extra)
+
+
+def committed_batch_ids(path: str) -> set[int]:
+    """Streaming batch_ids recorded by retained manifests — the replay
+    guard for the versioned streaming sink. O(versions retained) tiny
+    JSON reads, driver-side; vacuum bounds retention (a replayed batch
+    is always recent, well inside any sane keep_last)."""
+    ids: set[int] = set()
+    for fname in os.listdir(_manifest_dir(path)):
+        with open(os.path.join(_manifest_dir(path), fname)) as fh:
+            m = json.load(fh)
+        if "batch_id" in m:
+            ids.add(m["batch_id"])
+    return ids
 
 
 def prunable(files: list, col: str, lo, hi) -> tuple[list, list]:
@@ -290,3 +306,87 @@ def vacuum(path: str, keep_last: int = 2) -> list[str]:
         if v not in keep:
             os.remove(os.path.join(_manifest_dir(path), fname))
     return removed
+
+
+def merge_table(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+) -> dict:
+    """MERGE INTO a versioned table with file-level copy-on-write.
+
+    Semantics match io/update.py ``merge_into`` (matched target rows
+    replaced by the source row; unmatched source rows inserted), but
+    the rewrite is scoped to FILES, not the table:
+
+    1. one metadata-augmented semi-probe finds the target files that
+       contain any merge-key match — a BROADCAST hash probe when the
+       source is delivery-sized, so the target scan is the only big IO;
+    2. only those files are re-read and merged (full-outer on keys
+       restricted to their rows); unmatched-in-source inserts ride in
+       the same new batch;
+    3. manifest = (current − matched files) + merged batch; pointer
+       flip is atomic, history retained.
+
+    A delivery whose keys cluster into few files (date-partitioned or
+    z-ordered layouts) costs O(matched files + delivery), never a table
+    rewrite. Unique-key source enforced (a dup key would fan out).
+    Returns {"version", "files_touched", "files_reused", "updated",
+    "inserted"}.
+    """
+    files = _read_manifest(path, current_version(path))["files"]
+    target = spark.read.parquet(*_paths(files))
+    if sorted(source.columns) != sorted(target.columns):
+        raise ValueError(
+            f"source columns {source.columns} != target {target.columns}"
+        )
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"merge source has duplicate merge keys, e.g. "
+            f"{ {k: dup[0][k] for k in keys} } — dedup (keep_latest) first"
+        )
+
+    from urllib.parse import urlparse
+
+    matched_rows = target.withColumn(
+        "__file", F.col("_metadata.file_path")
+    ).join(F.broadcast(source.select(*keys)), keys, "semi")
+    touched = [
+        urlparse(r["__file"]).path
+        for r in matched_rows.select("__file").distinct().collect()
+    ]
+
+    untouched = [f for f in files if f["path"] not in set(touched)]
+    if touched:
+        scoped = spark.read.parquet(*touched)
+    else:
+        scoped = target.limit(0)
+
+    t_cols = target.columns
+    tgt = scoped.alias("t")
+    src = source.alias("s")
+    joined = tgt.join(src, keys, "full_outer")
+    s_present = F.col(f"s.{keys[0]}").isNotNull()
+    merged = joined.select(
+        *[
+            F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
+            if c in keys
+            else F.when(s_present, F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+        for c in t_cols
+        ]
+    )
+    n_updated = matched_rows.count()
+    n_inserted = source.join(target.select(*keys), keys, "anti").count()
+
+    version = _commit(path, untouched + _write_batch(merged, path))
+    return {
+        "version": version,
+        "files_touched": len(touched),
+        "files_reused": len(untouched),
+        "updated": n_updated,
+        "inserted": n_inserted,
+    }

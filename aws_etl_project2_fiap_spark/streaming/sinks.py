@@ -173,3 +173,45 @@ def rollup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def versioned_sink(
+    df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    query_name: str = "versioned_sink",
+) -> StreamingQuery:
+    """Streaming appends into a versioned table (io/versioned.py): each
+    micro-batch becomes one manifest commit, so the lakehouse loop —
+    time travel over ingested history, manifest-stats file skipping,
+    copy-on-write corrections — applies to live data the moment it
+    lands.
+
+    Exactly-once: appends aren't idempotent, so each commit records its
+    ``batch_id`` in the manifest and a replayed batch (foreachBatch is
+    at-least-once on its own) is skipped when its id is already
+    committed — the same batchId-dedup pattern as :func:`rollup_sink`,
+    but the table's own log IS the marker store, and the commit (data
+    files → manifest → atomic pointer flip) can never half-apply.
+    Empty batches commit nothing."""
+    import os
+
+    from ..io import versioned as V
+
+    def _append(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if os.path.exists(V._pointer(table_path)):
+            if batch_id in V.committed_batch_ids(table_path):
+                return  # replayed batch: already committed
+            V.append_table(batch_df, table_path, extra={"batch_id": batch_id})
+        else:
+            V.create_table(batch_df, table_path, extra={"batch_id": batch_id})
+
+    return (
+        df.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -580,3 +580,62 @@ def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
     ]
     # exactly the original 10:00 rows, original counts — no re-emit
     assert sorted(after) == sorted(n_10.items()), (after, n_10)
+
+
+def test_versioned_sink_commits_batches_with_time_travel(spark, tmp_path):
+    """Streaming appends land as versioned-table commits: each drop is
+    one version, history time-travels, and a checkpointed re-run with
+    no new files commits nothing (replay guard)."""
+    from aws_etl_project2_fiap_spark.io import versioned as V
+    from aws_etl_project2_fiap_spark.streaming.sinks import versioned_sink
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_ticks(spark, landing, TICKS[:4])
+    versioned_sink(
+        file_source(spark, landing, TICK_SCHEMA), table, ckpt
+    ).awaitTermination()
+    assert V.current_version(table) == 1
+    assert V.read_table(spark, table).count() == 4
+
+    # no new files: the run commits nothing
+    versioned_sink(
+        file_source(spark, landing, TICK_SCHEMA), table, ckpt
+    ).awaitTermination()
+    assert V.current_version(table) == 1
+
+    # second drop: one more commit; v1 still reads the first delivery
+    _write_ticks(spark, landing, TICKS[4:])
+    versioned_sink(
+        file_source(spark, landing, TICK_SCHEMA), table, ckpt
+    ).awaitTermination()
+    assert V.current_version(table) == 2
+    assert V.read_table(spark, table).count() == 6
+    assert V.read_table(spark, table, version=1).count() == 4
+    # every commit carries its stream batch id
+    assert len(V.committed_batch_ids(table)) == 2
+
+
+def test_versioned_sink_replay_guard_skips_committed_batch(spark, tmp_path):
+    """A re-delivered batch id must not double-append (manifest-recorded
+    batch ids are the guard, independent of the checkpoint)."""
+    from aws_etl_project2_fiap_spark.io import versioned as V
+    from aws_etl_project2_fiap_spark.streaming.sinks import versioned_sink
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+
+    _write_ticks(spark, landing, TICKS[:4])
+    versioned_sink(
+        file_source(spark, landing, TICK_SCHEMA), table, str(tmp_path / "c1")
+    ).awaitTermination()
+    assert V.read_table(spark, table).count() == 4
+
+    # simulate a checkpoint loss: same files replay as the same batch id
+    versioned_sink(
+        file_source(spark, landing, TICK_SCHEMA), table, str(tmp_path / "c2")
+    ).awaitTermination()
+    assert V.current_version(table) == 1  # skipped, not re-appended
+    assert V.read_table(spark, table).count() == 4

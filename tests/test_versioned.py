@@ -160,3 +160,39 @@ def test_data_skipping_conservative_without_stats(spark, table):
 def test_data_skipping_all_pruned_raises(spark, table):
     with pytest.raises(ValueError):
         V.read_table(spark, table, between=("g", 99, 100))
+
+
+def test_merge_file_level_copy_on_write(spark, table):
+    """MERGE: matched rows replaced, new keys inserted, only files
+    containing matched keys rewritten; history intact."""
+    src = spark.createDataFrame(
+        [(2, 77, -1.0), (5, 77, -2.0), (1000, 77, -3.0)], "id long, g long, v double"
+    )
+    res = V.merge_table(spark, table, src, keys=["id"])
+    # ids 2 and 5 live in g∈{2,2}: id%3 → 2→g2, 5→g2 — one touched file
+    assert res["version"] == 2
+    assert res["files_touched"] == 1 and res["files_reused"] == 2
+    assert res["updated"] == 2 and res["inserted"] == 1
+    got = V.read_table(spark, table)
+    assert got.count() == 301
+    assert got.filter(F.col("id") == 2).collect()[0]["v"] == -1.0
+    assert got.filter(F.col("id") == 1000).collect()[0]["g"] == 77
+    # untouched row unchanged; v1 time travel intact
+    assert got.filter(F.col("id") == 3).collect()[0]["v"] == 6.0
+    assert V.read_table(spark, table, version=1).count() == 300
+
+
+def test_merge_insert_only_touches_zero_files(spark, table):
+    src = spark.createDataFrame([(900, 9, 1.0)], "id long, g long, v double")
+    res = V.merge_table(spark, table, src, keys=["id"])
+    assert res["files_touched"] == 0 and res["files_reused"] == 3
+    assert res["inserted"] == 1 and res["updated"] == 0
+    assert V.read_table(spark, table).count() == 301
+
+
+def test_merge_rejects_duplicate_source_keys(spark, table):
+    src = spark.createDataFrame(
+        [(1, 0, 0.0), (1, 0, 1.0)], "id long, g long, v double"
+    )
+    with pytest.raises(ValueError):
+        V.merge_table(spark, table, src, keys=["id"])
