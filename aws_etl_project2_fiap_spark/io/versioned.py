@@ -212,12 +212,16 @@ def read_table(
                 f"predicate {between} skips every file of version {v}; "
                 f"read without `between` for an empty-result scan"
             )
-        return spark.read.parquet(*_paths(files)).filter(
-            F.col(col).between(lo, hi)
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*_paths(files))
+            .filter(F.col(col).between(lo, hi))
         )
     if not files:
         raise ValueError(f"version {v} of {path} lists no files")
-    return spark.read.parquet(*_paths(files))
+    # mergeSchema: appended batches may carry evolved (superset) schemas
+    # — §1.4's drift contract applies to versioned tables too
+    return spark.read.option("mergeSchema", "true").parquet(*_paths(files))
 
 
 def update_table(

@@ -196,3 +196,21 @@ def test_merge_rejects_duplicate_source_keys(spark, table):
     )
     with pytest.raises(ValueError):
         V.merge_table(spark, table, src, keys=["id"])
+
+
+def test_schema_evolution_on_append(spark, table):
+    """An appended batch with a NEW column must surface it (null for
+    old files) — the §1.4 drift contract on versioned reads."""
+    evolved = spark.range(500, 505).select(
+        F.col("id"),
+        F.lit(7).cast("long").alias("g"),
+        F.lit(1.0).alias("v"),
+        F.lit("new").alias("tag"),
+    )
+    V.append_table(evolved, table)
+    got = V.read_table(spark, table)
+    assert "tag" in got.columns
+    assert got.filter(F.col("tag") == "new").count() == 5
+    assert got.filter(F.col("tag").isNull()).count() == 300
+    # time travel to v1 shows the pre-evolution schema
+    assert "tag" not in V.read_table(spark, table, version=1).columns
