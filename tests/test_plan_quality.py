@@ -299,3 +299,44 @@ def test_not_in_plans_null_aware_anti_join(spark):
     p = plan(DEFS["subquery_not_in"].spark(spark, SF))
     # the trailing `true` on the BHJ line is the isNullAwareAntiJoin flag
     assert "LeftAnti, BuildRight, true" in p, p
+
+
+def test_url_canonicalize_is_shuffle_free_projection(spark):
+    """URL parsing must fold into the scan: no Exchange, no Python."""
+    df = DEFS["text_url_canonicalize"].spark(spark, SF)
+    p = plan(df)
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_token_histogram_single_partial_final_agg(spark):
+    """Fixed-edge histogram: exactly one exchange for the bucket agg
+    (the share window runs on the 25-row aggregate, which AQE plans as
+    a single tiny partition, not a second big-table shuffle)."""
+    df = DEFS["corpus_token_histogram"].spark(spark, SF)
+    p = plan(df)
+    # one big-table exchange: hashpartitioning on bucket; the window's
+    # exchange moves <= n_buckets rows
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert "partial" in p.lower()  # map-side combine before the shuffle
+
+
+def test_embedding_centroid_partial_aggregates_before_shuffle(spark):
+    """posexplode output must partial-agg on (label, pos) so the
+    shuffle carries labels x dim rows per task, not exploded rows."""
+    df = DEFS["agg_embedding_centroid"].spark(spark, SF)
+    p = plan(df)
+    assert "Generate" in p  # codegen explode, not a UDF
+    assert "partial" in p.lower()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bloom_probe_prunes_exact_join_to_candidates(spark):
+    """The exact-verify join input must be the bloom-candidate filter,
+    not the full delivery: plan shows the probe UDF feeding a filter
+    that sits under the join."""
+    df = DEFS["dedup_bloom_incremental"].spark(spark, SF)
+    p = plan(df)
+    # vectorized probe (ArrowEvalPython), then the join on the sliver
+    assert "ArrowEvalPython" in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
