@@ -75,6 +75,18 @@ def discover_new_files(
     return sorted(out)
 
 
+def _is_readable_parquet(path: str) -> bool:
+    """Footer check via pyarrow — a truncated upload or non-parquet
+    stray must not poison the whole multi-file scan."""
+    import pyarrow.parquet as pq
+
+    try:
+        pq.read_metadata(path)
+        return True
+    except Exception:  # pyarrow raises ArrowInvalid/OSError variants
+        return False
+
+
 def ingest_batch(
     spark: SparkSession,
     src_dir: str,
@@ -85,15 +97,39 @@ def ingest_batch(
     """One incremental run: read every newly-arrived file in a single
     multi-file scan, apply ``sink(df) -> None``, commit the state.
 
-    Returns {"files": n, "committed": bool}. ``files == 0`` short-
-    circuits without touching Spark or the sink."""
+    Corrupt arrivals (truncated upload, non-parquet stray) are
+    QUARANTINED, not fatal: they're recorded under state["quarantined"]
+    and skipped, so one bad object can't wedge the pipeline — the ops
+    answer to the reference's unvalidated S3 drops. A quarantined path
+    is re-checked whenever its (size, mtime) changes (the re-upload
+    heals it). Footer checks are driver-side pyarrow metadata reads —
+    O(new files), no data IO.
+
+    Returns {"files": n, "quarantined": [...], "committed": bool}.
+    ``files == 0`` short-circuits without touching Spark or the sink."""
     new = discover_new_files(src_dir, state_path, suffix)
-    if not new:
-        return {"files": 0, "committed": False}
-    df = spark.read.option("mergeSchema", "true").parquet(*new)
+    state = _load_state(state_path)
+    quarantined = state.setdefault("quarantined", {})
+    # re-uploaded quarantined files get another chance; unchanged ones
+    # stay skipped (discover treats them as new every run otherwise)
+    new = [
+        f
+        for f in new
+        if quarantined.get(f) != _stamp(f)
+    ]
+    good, bad = [], []
+    for f in new:
+        (good if _is_readable_parquet(f) else bad).append(f)
+    if bad:
+        for f in bad:
+            quarantined[f] = _stamp(f)
+        _save_state(state_path, state)
+    if not good:
+        return {"files": 0, "quarantined": bad, "committed": False}
+    df = spark.read.option("mergeSchema", "true").parquet(*good)
     sink(df)
     state = _load_state(state_path)
-    for f in new:
+    for f in good:
         state["processed"][f] = _stamp(f)
     _save_state(state_path, state)
-    return {"files": len(new), "committed": True}
+    return {"files": len(good), "quarantined": bad, "committed": True}

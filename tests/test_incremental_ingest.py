@@ -34,7 +34,7 @@ def test_first_run_sees_all_second_sees_none(spark, land):
     res = I.ingest_batch(spark, src, state, lambda df: got.append(df.count()))
     assert res["committed"] and got == [25]
     res2 = I.ingest_batch(spark, src, state, lambda df: got.append(df.count()))
-    assert res2 == {"files": 0, "committed": False} and got == [25]
+    assert res2["files"] == 0 and not res2["committed"] and got == [25]
 
 
 def test_only_new_arrivals_processed(spark, land):
@@ -94,3 +94,34 @@ def test_composes_with_versioned_append(spark, land, tmp_path):
     assert V.read_table(spark, table).count() == 30
     # version 1 still reads the first delivery alone
     assert V.read_table(spark, table, version=1).count() == 20
+
+
+def test_corrupt_file_quarantined_not_fatal(spark, land):
+    src, state = land
+    _drop(spark, 0, 10, f"{src}/d1")
+    with open(f"{src}/junk.parquet", "wb") as fh:
+        fh.write(b"not a parquet file")
+    n = []
+    res = I.ingest_batch(spark, src, state, lambda df: n.append(df.count()))
+    assert n == [10] and res["files"] == 1
+    assert res["quarantined"] == [f"{src}/junk.parquet"]
+    # next run: quarantined file stays skipped, nothing new
+    res2 = I.ingest_batch(spark, src, state, lambda df: n.append(df.count()))
+    assert res2["files"] == 0 and res2["quarantined"] == []
+
+
+def test_requarantined_file_heals_on_reupload(spark, land):
+    src, state = land
+    with open(f"{src}/d1.parquet", "wb") as fh:
+        fh.write(b"truncated")
+    res = I.ingest_batch(spark, src, state, lambda df: None)
+    assert res["quarantined"] and res["files"] == 0
+    time.sleep(0.05)
+    # the re-upload replaces the bad object with a real file
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"id": [1, 2, 3]}), f"{src}/d1.parquet")
+    n = []
+    res2 = I.ingest_batch(spark, src, state, lambda df: n.append(df.count()))
+    assert res2["files"] == 1 and n == [3]
