@@ -79,6 +79,69 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_history(args) -> int:
+    """Versioned-table log: one line per retained version."""
+    import json
+    import os
+
+    from .io import versioned as V
+
+    current = V.current_version(args.table)
+    mdir = V._manifest_dir(args.table)
+    versions = sorted(
+        int(f[1:].split(".")[0]) for f in os.listdir(mdir)
+    )
+    for v in versions:
+        m = V._read_manifest(args.table, v)
+        extra = {
+            k: m[k] for k in m if k not in ("version", "files")
+        }
+        mark = "*" if v == current else " "
+        print(
+            f"{mark} v{v:<4d} {len(m['files']):4d} files"
+            + (f"  {json.dumps(extra)}" if extra else "")
+        )
+    print(f"-- current: v{current}; read any version with "
+          f"`table --version N`")
+    return 0
+
+
+def cmd_table(args) -> int:
+    """Read a versioned table (optionally a historical version or a
+    stats-pruned range)."""
+    from .io import versioned as V
+
+    spark = _session()
+    between = None
+    if args.between:
+        col, lo, hi = args.between
+        # numeric bounds when they parse; strings otherwise
+        def _coerce(x):
+            try:
+                return int(x)
+            except ValueError:
+                try:
+                    return float(x)
+                except ValueError:
+                    return x
+        between = (col, _coerce(lo), _coerce(hi))
+    df = V.read_table(spark, args.table, version=args.version, between=between)
+    df.show(args.limit, truncate=not args.wide)
+    print(f"-- {df.count()} rows (v{args.version or V.current_version(args.table)})")
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    from .io import versioned as V
+
+    removed = V.vacuum(args.table, keep_last=args.keep_last)
+    for d in removed:
+        print(f"removed {d}")
+    print(f"-- {len(removed)} batch dirs reclaimed; "
+          f"keeping last {args.keep_last} versions")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="aws_etl_project2_fiap_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -105,6 +168,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--wide", action="store_true")
     p.set_defaults(fn=cmd_sql)
+
+    p = sub.add_parser("history", help="versioned-table commit log")
+    p.add_argument("table")
+    p.set_defaults(fn=cmd_history)
+
+    p = sub.add_parser("table", help="read a versioned table")
+    p.add_argument("table")
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument(
+        "--between", nargs=3, metavar=("COL", "LO", "HI"), default=None,
+        help="manifest-stats file skipping on COL BETWEEN LO AND HI",
+    )
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--wide", action="store_true")
+    p.set_defaults(fn=cmd_table)
+
+    p = sub.add_parser("vacuum", help="reclaim old versioned-table batches")
+    p.add_argument("table")
+    p.add_argument("--keep-last", type=int, default=2)
+    p.set_defaults(fn=cmd_vacuum)
 
     args = ap.parse_args(argv)
     return args.fn(args)

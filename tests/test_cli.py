@@ -33,3 +33,30 @@ def test_cli_sql(spark, capsys):
 def test_cli_unknown_query(spark, capsys):
     assert main(["run", "nope_not_a_query"]) == 2
     assert "close matches" in capsys.readouterr().err or True
+
+
+def test_cli_versioned_table_roundtrip(spark, capsys, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_etl_project2_fiap_spark.io import versioned as V
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id"), (F.col("id") % 3).alias("g")
+    )
+    V.create_table(df.repartitionByRange(3, "g"), path)
+    V.update_table(spark, path, {"g": F.lit(9).cast("long")}, F.col("id") == 0)
+
+    assert main(["history", path]) == 0
+    out = capsys.readouterr().out
+    assert "v1" in out and "* v2" in out
+
+    assert main(["table", path, "--version", "1", "--limit", "5"]) == 0
+    assert "30 rows (v1)" in capsys.readouterr().out
+
+    assert main(["table", path, "--between", "g", "2", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "rows (v2)" in out
+
+    assert main(["vacuum", path, "--keep-last", "1"]) == 0
+    assert "reclaimed" in capsys.readouterr().out
