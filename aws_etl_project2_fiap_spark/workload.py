@@ -3381,6 +3381,115 @@ def k_timetravel_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "funnel_conversion",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts >= s.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= v.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM v) AS n_view_after,
+           (SELECT count(*) FROM p) AS n_purchase_after
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → view → purchase): each stage counts
+    users whose FIRST qualifying event happens at-or-after their entry
+    into the previous stage — the sequence-constrained conversion query
+    every product-analytics engine ships (and plain stage counts get
+    wrong: an unordered count admits purchase-before-signup users).
+
+    Plan: three stage aggregations all keyed on user_id — after the
+    first shuffle the stage joins and re-aggregations stay
+    co-partitioned (exchange reuse), and each stage's frame SHRINKS
+    (funnel monotonicity), so cost ≈ one events shuffle + small joins.
+    Comparisons run on ts_ns (tz-free int64) to match epoch semantics
+    exactly."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts_ns")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t1"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts_ns") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts_ns") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t3"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+@defcomponent(
+    "cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS w0
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events
+    )
+    SELECT strftime(f.w0, '%Y-%m-%d') AS cohort,
+           CAST(datediff('day', f.w0, a.w) / 7 AS BIGINT) AS week_offset,
+           count(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week, then
+    counted per (cohort, active-week offset) — the retention triangle.
+
+    Plan: both the first-seen aggregate and the distinct-activity frame
+    key on user_id (one shuffle, reused); the cohort join is
+    per-user-tiny and the final groupBy lands on (weeks × offsets) keys
+    — O(weeks²) output regardless of event volume. date_trunc('week')
+    is Monday-anchored in BOTH engines; the offset divides an exact
+    day-diff between week starts."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("w0")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            F.date_format("w0", "yyyy-MM-dd").alias("cohort"),
+            (F.datediff("w", "w0") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@defcomponent(
     "k_incremental_ingest",
     """
     SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -4036,6 +4145,8 @@ SUITES: dict[str, tuple[str, ...]] = {
         "unpivot_measures",
         "rollup_incremental",
         "agg_bool_bitwise",
+        "funnel_conversion",
+        "cohort_retention",
     ),
     "suite_join_outer": (
         "join_right_outer",
