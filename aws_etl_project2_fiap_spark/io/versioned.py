@@ -249,18 +249,21 @@ def update_table(
     """
     files = _read_manifest(path, current_version(path))["files"]
     df = spark.read.parquet(*_paths(files))
-    touched_rows = df.withColumn(
-        "__file", F.col("_metadata.file_path")
-    ).filter(where)
     from urllib.parse import urlparse
 
+    # ONE discovery scan yields both the touched-file set and the match
+    # count: per-file partial counts collapse to file-cardinality rows.
     # _metadata.file_path is a URI (file:/... or file:///...); manifests
-    # hold plain paths — normalize both to the filesystem path
-    touched = [
-        urlparse(r["__file"]).path
-        for r in touched_rows.select("__file").distinct().collect()
-    ]
-    n_matched = touched_rows.count()
+    # hold plain paths — normalize both to the filesystem path.
+    per_file = (
+        df.withColumn("__file", F.col("_metadata.file_path"))
+        .filter(where)
+        .groupBy("__file")
+        .count()
+        .collect()
+    )
+    touched = [urlparse(r["__file"]).path for r in per_file]
+    n_matched = sum(r["count"] for r in per_file)
     if not touched:
         return {
             "version": current_version(path),
