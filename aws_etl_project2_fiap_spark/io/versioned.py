@@ -397,3 +397,43 @@ def merge_table(
         "updated": n_updated,
         "inserted": n_inserted,
     }
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    zorder_by: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE: rewrite the current version into fewer, larger,
+    optionally z-order-clustered files — as a NEW commit, so readers of
+    the old version are undisturbed and the compaction is rollback-able.
+
+    With ``zorder_by`` the rewrite routes through
+    :func:`~aws_etl_project2_fiap_spark.io.parquet.write_zordered`'s
+    ordering (quantile-rank bit-interleaved Morton layout), which makes
+    the manifest's per-file min/max TIGHT on every clustered column —
+    multiplying what ``read_table(between=...)`` can skip. The
+    compaction itself is one scan + one write; at 100 TB run it
+    per-partition-prefix, not table-wide, exactly like OPTIMIZE."""
+    from .parquet import zorder_value
+
+    df = read_table(spark, path)
+    n = target_files or max(1, len(df.inputFiles()) // 4)
+    if zorder_by:
+        zcol = "__zv__"
+        while zcol in df.columns:
+            zcol += "_"
+        df = (
+            df.withColumn(zcol, zorder_value(df, zorder_by))
+            .repartitionByRange(n, F.col(zcol))
+            .sortWithinPartitions(zcol)
+            .drop(zcol)
+        )
+    else:
+        df = df.coalesce(n)
+    version = _commit(path, _write_batch(df, path))
+    return {
+        "version": version,
+        "files": len(_read_manifest(path, version)["files"]),
+    }

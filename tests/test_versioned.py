@@ -214,3 +214,48 @@ def test_schema_evolution_on_append(spark, table):
     assert got.filter(F.col("tag").isNull()).count() == 300
     # time travel to v1 shows the pre-evolution schema
     assert "tag" not in V.read_table(spark, table, version=1).columns
+
+
+def test_compact_with_zorder_tightens_manifest_stats(spark, tmp_path):
+    """OPTIMIZE path: a fragmented table compacted with z-order
+    clustering must (a) shrink the file count, (b) keep the data
+    identical, (c) yield manifest stats tight enough that a selective
+    2-D predicate prunes most files — connecting write_zordered's
+    layout to the manifest-level skipping tier."""
+    from aws_etl_project2_fiap_spark.io import versioned as V2
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 7) % 64).alias("y"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    # fragmented ingest: 8 hash-scattered files, stats span everything
+    V2.create_table(df.repartition(8), path)
+    before = V2._read_manifest(path, 1)["files"]
+    kept_before, _ = V2.prunable(
+        [f for f in before], "x", 0, 7
+    )
+    assert len(kept_before) == len(before)  # nothing prunable pre-compact
+
+    res = V2.compact_table(spark, path, target_files=8, zorder_by=["x", "y"])
+    assert res["version"] == 2 and res["files"] <= 8
+    after = V2._read_manifest(path, 2)["files"]
+    # data identical
+    a = sorted(map(tuple, V2.read_table(spark, path).collect()))
+    b = sorted(map(tuple, V2.read_table(spark, path, version=1).collect()))
+    assert a == b
+    # 2-D selectivity: a narrow x-range now skips most files
+    kept_x, skipped_x = V2.prunable(after, "x", 0, 7)
+    assert len(skipped_x) >= len(after) // 2, (
+        f"x-range pruned only {len(skipped_x)}/{len(after)}"
+    )
+    kept_y, skipped_y = V2.prunable(after, "y", 0, 7)
+    assert len(skipped_y) >= 1  # the interleaved key prunes y too
+    # and the pruned read returns exactly the filtered rows
+    got = sorted(
+        r["id"] for r in V2.read_table(spark, path, between=("x", 0, 7)).collect()
+    )
+    want = sorted(r["id"] for r in df.filter(F.col("x") <= 7).collect())
+    assert got == want
