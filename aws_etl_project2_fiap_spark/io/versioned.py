@@ -26,11 +26,13 @@ Layout under the table root::
 Commit protocol: data files first, then the manifest, then an atomic
 ``os.replace`` of ``_CURRENT`` — a crash at any point leaves the
 previous version intact (the half-written batch dir is unreferenced
-garbage for ``vacuum``). Single-writer contract: concurrent commits
-race on the pointer last-write-wins; multi-writer conflict detection is
-the point where a real deployment graduates to Delta/Iceberg — the
-reader/writer API here is deliberately shaped so that swap is a sink
-change, not a query change.
+garbage for ``vacuum``). Mutating commits (UPDATE/MERGE) carry an
+optimistic-concurrency token: a writer whose snapshot went stale gets
+:class:`CommitConflict` and must re-read + retry instead of silently
+dropping the interleaved commit's files. Cross-host multi-writer CAS is
+where a real deployment graduates to Delta/Iceberg — the reader/writer
+API here is deliberately shaped so that swap is a sink change, not a
+query change.
 """
 
 from __future__ import annotations
@@ -44,6 +46,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .update import apply_update
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed between this writer's snapshot read and
+    its commit attempt (optimistic concurrency, Delta-style): the losing
+    writer must re-read the new current version and retry its operation
+    against it — blind retry could drop the other writer's changes."""
 
 
 def _manifest_dir(path: str) -> str:
@@ -117,15 +126,34 @@ def _paths(files: list) -> list[str]:
     return [f["path"] for f in files]
 
 
-def _commit(path: str, files: list[str], extra: dict | None = None) -> int:
+def _commit(
+    path: str,
+    files: list[str],
+    extra: dict | None = None,
+    expect_version: int | None = None,
+) -> int:
     """Write the next manifest, then atomically flip the pointer.
     ``extra`` lands in the manifest verbatim (e.g. a streaming
-    batch_id for replay detection)."""
+    batch_id for replay detection).
+
+    ``expect_version`` is the optimistic-concurrency token: the version
+    this writer's snapshot was read from. If another commit moved the
+    pointer since, raise :class:`CommitConflict` instead of silently
+    clobbering that writer's files out of the new manifest. (The check
+    races only within the window between read and manifest write —
+    local/posix-rename scope, same as the rest of the commit protocol;
+    multi-writer across hosts is where Delta/Iceberg's log CAS takes
+    over.)"""
     os.makedirs(_manifest_dir(path), exist_ok=True)
     try:
         version = current_version(path) + 1
     except FileNotFoundError:
         version = 1
+    if expect_version is not None and version != expect_version + 1:
+        raise CommitConflict(
+            f"table {path} moved to v{version - 1} while this writer "
+            f"worked from v{expect_version}; re-read and retry"
+        )
     manifest = {"version": version, "files": files, **(extra or {})}
     mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
     with open(mpath, "w") as fh:
@@ -247,7 +275,8 @@ def update_table(
     file) degrades to exactly the K6 full rewrite, never worse.
     Returns {"version", "n_matched", "files_touched", "files_reused"}.
     """
-    files = _read_manifest(path, current_version(path))["files"]
+    base_version = current_version(path)
+    files = _read_manifest(path, base_version)["files"]
     df = spark.read.parquet(*_paths(files))
     from urllib.parse import urlparse
 
@@ -274,7 +303,7 @@ def update_table(
     untouched = [f for f in files if f["path"] not in set(touched)]
     rewritten = apply_update(spark.read.parquet(*touched), set_cols, where)
     new_files = untouched + _write_batch(rewritten, path)
-    version = _commit(path, new_files)
+    version = _commit(path, new_files, expect_version=base_version)
     return {
         "version": version,
         "n_matched": n_matched,
@@ -342,7 +371,8 @@ def merge_table(
     Returns {"version", "files_touched", "files_reused", "updated",
     "inserted"}.
     """
-    files = _read_manifest(path, current_version(path))["files"]
+    base_version = current_version(path)
+    files = _read_manifest(path, base_version)["files"]
     target = spark.read.parquet(*_paths(files))
     if sorted(source.columns) != sorted(target.columns):
         raise ValueError(
@@ -389,7 +419,9 @@ def merge_table(
     n_updated = matched_rows.count()
     n_inserted = source.join(target.select(*keys), keys, "anti").count()
 
-    version = _commit(path, untouched + _write_batch(merged, path))
+    version = _commit(
+        path, untouched + _write_batch(merged, path), expect_version=base_version
+    )
     return {
         "version": version,
         "files_touched": len(touched),

@@ -259,3 +259,41 @@ def test_compact_with_zorder_tightens_manifest_stats(spark, tmp_path):
     )
     want = sorted(r["id"] for r in df.filter(F.col("x") <= 7).collect())
     assert got == want
+
+
+def test_concurrent_update_raises_commit_conflict(spark, table):
+    """Optimistic concurrency: a writer whose snapshot went stale (an
+    append landed mid-flight) must get CommitConflict, not silently
+    drop the concurrent commit's files from the new manifest."""
+    import aws_etl_project2_fiap_spark.io.versioned as V2
+
+    orig_write_batch = V2._write_batch
+    interleaved = {"done": False}
+
+    def racing_write_batch(df, path):
+        out = orig_write_batch(df, path)
+        if not interleaved["done"]:
+            # another writer commits between our snapshot read and commit
+            interleaved["done"] = True
+            extra = (
+                V2.read_table(spark, table, version=1)
+                .limit(5)
+                .withColumn("id", F.col("id") + 10_000)
+            )
+            V2.append_table(extra, table)
+        return out
+
+    V2._write_batch = racing_write_batch
+    try:
+        with pytest.raises(V2.CommitConflict):
+            V2.update_table(
+                spark, table, {"v": F.lit(0.0)}, F.col("g") == 1
+            )
+    finally:
+        V2._write_batch = orig_write_batch
+    # the interleaved append's commit survived intact
+    assert V.current_version(table) == 2
+    assert V.read_table(spark, table).count() == 305
+    # and a clean retry from the fresh snapshot succeeds
+    res = V.update_table(spark, table, {"v": F.lit(0.0)}, F.col("g") == 1)
+    assert res["version"] == 3 and res["n_matched"] == 100
