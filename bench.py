@@ -185,6 +185,8 @@ def main() -> None:
             "a1_top5_7day_sum", "join_star_revenue",
             "tpch_q5_regional_revenue", "dedup_exact", "window_top3_per_cust",
             "event_time_tumbling_1h",
+            # LLM-pipeline representatives at 10x
+            "dedup_minhash_lsh", "text_paragraph_dedup", "text_langid",
         ]
         sf1_steady: dict[str, float] = {}
         for name in sf1_set:
