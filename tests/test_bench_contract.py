@@ -1,0 +1,58 @@
+"""bench.py is driver-critical: if it crashes or prints malformed
+JSON, the round records no performance numbers at all. Two gates:
+
+1. a free referential check — every HEADLINE / sf1 name must exist in
+   the workload registries (catches renames instantly);
+2. a real end-to-end run at sf0.001 with rechunking disabled — the
+   exact invocation the round driver makes, just on the smallest SF.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_headline_names_resolve():
+    sys.path.insert(0, REPO)
+    import bench
+
+    from aws_etl_project2_fiap_spark.workload import CATALOG, COMPONENTS
+
+    defs = {**CATALOG, **COMPONENTS}
+    missing = [n for n in bench.HEADLINE if n not in defs]
+    assert not missing, f"HEADLINE names not in workload: {missing}"
+
+
+def test_bench_emits_one_json_line_at_smallest_sf():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_RECHUNK="0",
+        SPARK_GRAFT_CPUS="8",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    json_lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+    ]
+    assert len(json_lines) == 1, proc.stdout[-1000:]
+    payload = json.loads(json_lines[0])
+    for key in ("metric", "value", "unit", "queries", "queries_steady", "sf"):
+        assert key in payload, f"missing {key}"
+    assert payload["unit"] == "sec" and payload["value"] > 0
+    import bench
+
+    assert set(payload["queries"]) == set(bench.HEADLINE)
+    assert all(v >= 0 for v in payload["queries"].values())
