@@ -142,6 +142,20 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_changes(args) -> int:
+    """Change data feed between two versions (file-diff CDF)."""
+    from .io import versioned as V
+
+    spark = _session()
+    ch = V.table_changes(spark, args.table, args.from_version, args.to_version)
+    ch.show(args.limit, truncate=not args.wide)
+    n_ins = ch.filter(ch["_change_type"] == "insert").count()
+    n_del = ch.filter(ch["_change_type"] == "delete").count()
+    print(f"-- v{args.from_version} -> v{args.to_version}: "
+          f"{n_ins} inserts, {n_del} deletes")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="aws_etl_project2_fiap_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -188,6 +202,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("table")
     p.add_argument("--keep-last", type=int, default=2)
     p.set_defaults(fn=cmd_vacuum)
+
+    p = sub.add_parser("changes", help="change data feed between versions")
+    p.add_argument("table")
+    p.add_argument("from_version", type=int)
+    p.add_argument("to_version", type=int)
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--wide", action="store_true")
+    p.set_defaults(fn=cmd_changes)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -60,3 +60,16 @@ def test_cli_versioned_table_roundtrip(spark, capsys, tmp_path):
 
     assert main(["vacuum", path, "--keep-last", "1"]) == 0
     assert "reclaimed" in capsys.readouterr().out
+
+
+def test_cli_changes(spark, capsys, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_etl_project2_fiap_spark.io import versioned as V
+
+    path = str(tmp_path / "t2")
+    V.create_table(spark.range(0, 10).select(F.col("id")), path)
+    V.append_table(spark.range(10, 15).select(F.col("id")), path)
+    assert main(["changes", path, "1", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "5 inserts, 0 deletes" in out
