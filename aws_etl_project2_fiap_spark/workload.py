@@ -1044,6 +1044,50 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defcomponent(
+    "window_cep_pattern",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2,
+             lag(epoch_ns(ts), 2) OVER w AS tns2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id
+    FROM seq
+    WHERE event_type = 'purchase' AND p1 = 'view' AND p2 = 'view'
+      AND tns - tns2 <= 3600000000000
+    """,
+)
+def window_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-pattern detection (the MATCH_RECOGNIZE / Flink-CEP
+    shape, expressed as a lag chain): flag purchases immediately
+    preceded by two views, all three inside one hour. Consecutive-event
+    patterns with a time bound compile to pure window lags — one
+    user_id shuffle, no joins, no state machine; longer/non-contiguous
+    patterns escalate to the sessionize + sequence-string form.
+    Time math runs on int64 nanos (ts_ns ≡ DuckDB epoch_ns)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_ns",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("ts_ns", 2).over(w).alias("tns2"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("p1") == "view")
+        & (F.col("p2") == "view")
+        & (F.col("ts_ns") - F.col("tns2") <= 3600 * 1_000_000_000)
+    ).select("user_id", "event_id")
+
+
 @defquery(
     "window_keep_latest",
     """
@@ -4159,6 +4203,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "window_range_1h",
         "resample_1h_ffill",
         "scd2_from_events",
+        "window_cep_pattern",
     ),
     "suite_window_rank": (
         "window_percent_rank",
