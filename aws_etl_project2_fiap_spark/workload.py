@@ -3425,6 +3425,46 @@ def k_timetravel_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "quality_report",
+    """
+    SELECT 'o_orderkey_unique' AS rule,
+           count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+    UNION ALL
+    SELECT 'o_custkey_not_null',
+           count(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_positive',
+           count(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'o_priority_known',
+           count(CASE WHEN NOT coalesce(
+                   o_orderpriority SIMILAR TO '[1-5]-[A-Z]+', FALSE)
+                 THEN 1 END)
+    FROM orders
+    """,
+)
+def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/quality.py): uniqueness, null,
+    range, and format expectations over orders — ALL evaluated in one
+    partial+final aggregation pass + one Expand unpivot, regardless of
+    rule count. The oracle spells each rule as its own aggregate; the
+    engine's single-pass plan must produce the identical report."""
+    from .operators import quality as q
+
+    o = t(spark, sf_dir, "orders")
+    return q.check_rules(
+        o,
+        {
+            "o_orderkey_unique": q.unique("o_orderkey"),
+            "o_custkey_not_null": q.not_null("o_custkey"),
+            "o_totalprice_positive": q.violations(F.col("o_totalprice") > 0),
+            "o_priority_known": q.matches("o_orderpriority", "^[1-5]-[A-Z]+$"),
+        },
+    )
+
+
+@defcomponent(
     "funnel_conversion",
     """
     WITH s AS (
@@ -4191,6 +4231,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "agg_bool_bitwise",
         "funnel_conversion",
         "cohort_retention",
+        "quality_report",
     ),
     "suite_join_outer": (
         "join_right_outer",

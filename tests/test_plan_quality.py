@@ -340,3 +340,14 @@ def test_bloom_probe_prunes_exact_join_to_candidates(spark):
     # vectorized probe (ArrowEvalPython), then the join on the sliver
     assert "ArrowEvalPython" in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_quality_report_is_single_pass(spark):
+    """All rules must fold into ONE aggregation over ONE scan: a single
+    parquet scan node, one exchange (partial+final agg), and an Expand
+    for the unpivot — never a scan or pass per rule."""
+    df = DEFS["quality_report"].spark(spark, SF)
+    p = plan(df)
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("Exchange") <= 2  # agg exchange (+ AQE single-partition read)
+    assert "Expand" in p or "Generate" in p  # the unpivot node
