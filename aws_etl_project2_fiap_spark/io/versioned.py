@@ -233,18 +233,20 @@ def read_table(
     v = current_version(path) if version is None else version
     files = _read_manifest(path, v)["files"]
     if between is not None:
-        col, lo, hi = between
-        files, _ = prunable(files, col, lo, hi)
+        # one (col, lo, hi) or a list of them — conjunctive pruning:
+        # every predicate independently drops non-overlapping files
+        preds = [between] if isinstance(between, tuple) else list(between)
+        for col, lo, hi in preds:
+            files, _ = prunable(files, col, lo, hi)
         if not files:
             raise ValueError(
-                f"predicate {between} skips every file of version {v}; "
+                f"predicate {preds} skips every file of version {v}; "
                 f"read without `between` for an empty-result scan"
             )
-        return (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*_paths(files))
-            .filter(F.col(col).between(lo, hi))
-        )
+        out = spark.read.option("mergeSchema", "true").parquet(*_paths(files))
+        for col, lo, hi in preds:
+            out = out.filter(F.col(col).between(lo, hi))
+        return out
     if not files:
         raise ValueError(f"version {v} of {path} lists no files")
     # mergeSchema: appended batches may carry evolved (superset) schemas

@@ -350,3 +350,27 @@ def test_table_changes_identical_versions_empty(spark, table):
     V.rollback(table, 1)  # v2 references the same files
     ch = V.table_changes(spark, table, 1, 2)
     assert ch.count() == 0
+
+
+def test_multi_predicate_pruning_compounds(spark, tmp_path):
+    """A list of between-predicates prunes conjunctively: the z-order
+    layout lets BOTH dimensions drop files, and the survivor set is the
+    intersection."""
+    path = str(tmp_path / "zz")
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 7) % 64).alias("y"),
+    )
+    V.create_table(df.repartition(8), path)
+    V.compact_table(spark, path, target_files=8, zorder_by=["x", "y"])
+    files = V._read_manifest(path, 2)["files"]
+    kx, _ = V.prunable(files, "x", 0, 7)
+    both = V.read_table(
+        spark, path, between=[("x", 0, 7), ("y", 0, 7)]
+    )
+    assert len(both.inputFiles()) <= len(kx)
+    want = sorted(
+        r["id"] for r in df.filter((F.col("x") <= 7) & (F.col("y") <= 7)).collect()
+    )
+    assert sorted(r["id"] for r in both.collect()) == want
