@@ -1058,13 +1058,14 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id
     FROM seq
     WHERE event_type = 'purchase' AND p1 = 'view' AND p2 = 'view'
-      AND tns - tns2 <= 3600000000000
+      AND tns - tns2 <= 86400000000000
     """,
 )
 def window_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Complex-event-pattern detection (the MATCH_RECOGNIZE / Flink-CEP
     shape, expressed as a lag chain): flag purchases immediately
-    preceded by two views, all three inside one hour. Consecutive-event
+    preceded by two views, all three inside 24 hours (the bound that
+    matches the synthetic stream's tick spacing). Consecutive-event
     patterns with a time bound compile to pure window lags — one
     user_id shuffle, no joins, no state machine; longer/non-contiguous
     patterns escalate to the sessionize + sequence-string form.
@@ -1084,7 +1085,7 @@ def window_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase")
         & (F.col("p1") == "view")
         & (F.col("p2") == "view")
-        & (F.col("ts_ns") - F.col("tns2") <= 3600 * 1_000_000_000)
+        & (F.col("ts_ns") - F.col("tns2") <= 86400 * 1_000_000_000)
     ).select("user_id", "event_id")
 
 
