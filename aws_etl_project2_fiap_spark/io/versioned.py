@@ -556,3 +556,51 @@ def table_changes(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def version_at(path: str, ts: float) -> int:
+    """Version current AS OF a unix timestamp: the newest retained
+    manifest committed at-or-before ``ts`` (manifest file mtime is the
+    commit time — set by the atomic commit sequence). Raises if every
+    retained version is newer."""
+    candidates = []
+    for fname in os.listdir(_manifest_dir(path)):
+        v = int(fname[1:].split(".")[0])
+        mtime = os.stat(os.path.join(_manifest_dir(path), fname)).st_mtime
+        if mtime <= ts:
+            candidates.append((mtime, v))
+    if not candidates:
+        raise ValueError(
+            f"no retained version of {path} existed at timestamp {ts}"
+        )
+    return max(candidates)[1]
+
+
+def read_table_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
+    """Time travel by wall clock instead of version number."""
+    return read_table(spark, path, version=version_at(path, ts))
+
+
+def clone_table(
+    spark: SparkSession, src: str, dst: str, version: int | None = None,
+    deep: bool = False,
+) -> int:
+    """CLONE a versioned table (Delta-style):
+
+    - **shallow** (default): the clone's v1 manifest REFERENCES the
+      source version's files — zero data copied, instant, ideal for
+      dev/test forks and reproducible-experiment pins. Caveat (same as
+      Delta shallow clones): vacuuming the SOURCE can reclaim files the
+      clone references; pin with ``deep=True`` when the source's
+      retention is not under your control.
+    - **deep**: rewrites the data into the clone's own ``_data`` pool —
+      one scan+write, fully independent.
+    """
+    if os.path.exists(_pointer(dst)):
+        raise FileExistsError(f"clone target already exists at {dst}")
+    v = current_version(src) if version is None else version
+    if deep:
+        return create_table(read_table(spark, src, version=v), dst)
+    files = _read_manifest(src, v)["files"]
+    os.makedirs(dst, exist_ok=True)
+    return _commit(dst, files, extra={"cloned_from": src, "clone_version": v})

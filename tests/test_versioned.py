@@ -374,3 +374,38 @@ def test_multi_predicate_pruning_compounds(spark, tmp_path):
         r["id"] for r in df.filter((F.col("x") <= 7) & (F.col("y") <= 7)).collect()
     )
     assert sorted(r["id"] for r in both.collect()) == want
+
+
+def test_read_as_of_timestamp(spark, table):
+    import time as _time
+
+    t_before = _time.time()
+    _time.sleep(0.05)
+    V.update_table(spark, table, {"v": F.lit(-1.0)}, F.col("g") == 0)
+    assert V.version_at(table, t_before) == 1
+    assert V.read_table_as_of(spark, table, t_before).filter(
+        F.col("v") == -1.0
+    ).count() == 0
+    assert V.read_table_as_of(spark, table, _time.time()).filter(
+        F.col("v") == -1.0
+    ).count() == 100
+    with pytest.raises(ValueError):
+        V.version_at(table, 0.0)  # before the table existed
+
+
+def test_shallow_and_deep_clone(spark, table, tmp_path):
+    shallow = str(tmp_path / "shallow")
+    deep = str(tmp_path / "deep")
+    V.clone_table(spark, table, shallow)
+    V.clone_table(spark, table, deep, deep=True)
+    # both read identically to the source
+    src_rows = sorted(map(tuple, V.read_table(spark, table).collect()))
+    assert sorted(map(tuple, V.read_table(spark, shallow).collect())) == src_rows
+    assert sorted(map(tuple, V.read_table(spark, deep).collect())) == src_rows
+    # shallow shares files; deep owns its own
+    src_files = set(V._paths(V._read_manifest(table, 1)["files"]))
+    assert set(V._paths(V._read_manifest(shallow, 1)["files"])) == src_files
+    assert not (set(V._paths(V._read_manifest(deep, 1)["files"])) & src_files)
+    # diverging the clone doesn't touch the source
+    V.update_table(spark, shallow, {"v": F.lit(0.5)}, F.col("g") == 1)
+    assert V.read_table(spark, table).filter(F.col("v") == 0.5).count() == 0
