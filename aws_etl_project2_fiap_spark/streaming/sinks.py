@@ -180,6 +180,8 @@ def versioned_sink(
     table_path: str,
     checkpoint: str,
     query_name: str = "versioned_sink",
+    rules: dict | None = None,
+    quarantine_path: str | None = None,
 ) -> StreamingQuery:
     """Streaming appends into a versioned table (io/versioned.py): each
     micro-batch becomes one manifest commit, so the lakehouse loop —
@@ -193,7 +195,14 @@ def versioned_sink(
     committed — the same batchId-dedup pattern as :func:`rollup_sink`,
     but the table's own log IS the marker store, and the commit (data
     files → manifest → atomic pointer flip) can never half-apply.
-    Empty batches commit nothing."""
+    Empty batches commit nothing.
+
+    ``rules`` (name → aggregate expression, see
+    :mod:`..operators.quality`) gates every batch in ONE extra
+    aggregation pass: a batch with any violations is diverted to
+    ``quarantine_path`` (parquet, batch-id subdir) instead of the
+    table — bad deliveries never poison committed history, and the
+    quarantined bytes stay replayable after the rule/bug is fixed."""
     import os
 
     from ..io import versioned as V
@@ -201,6 +210,22 @@ def versioned_sink(
     def _append(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if rules:
+            from ..operators.quality import check_rules
+
+            report = check_rules(batch_df, rules)
+            bad = {
+                r["rule"]: r["violations"]
+                for r in report.collect()
+                if r["violations"] > 0
+            }
+            if bad:
+                dst = os.path.join(
+                    quarantine_path or f"{table_path}_quarantine",
+                    f"batch_{batch_id}",
+                )
+                batch_df.write.mode("overwrite").parquet(dst)
+                return
         if os.path.exists(V._pointer(table_path)):
             if batch_id in V.committed_batch_ids(table_path):
                 return  # replayed batch: already committed

@@ -639,3 +639,36 @@ def test_versioned_sink_replay_guard_skips_committed_batch(spark, tmp_path):
     ).awaitTermination()
     assert V.current_version(table) == 1  # skipped, not re-appended
     assert V.read_table(spark, table).count() == 4
+
+
+def test_versioned_sink_quality_gate_quarantines_bad_batches(spark, tmp_path):
+    """A delivery violating an expectation must divert to quarantine —
+    never into committed history — while clean deliveries commit."""
+    from pyspark.sql import functions as F2
+
+    from aws_etl_project2_fiap_spark.io import versioned as V
+    from aws_etl_project2_fiap_spark.operators import quality as q
+    from aws_etl_project2_fiap_spark.streaming.sinks import versioned_sink
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+    quarantine = str(tmp_path / "bad")
+    rules = {"price_positive": q.violations(F2.col("preco_brl") > 0)}
+
+    _write_ticks(spark, landing, TICKS[:4])
+    versioned_sink(
+        file_source(spark, landing, TICK_SCHEMA), table, str(tmp_path / "c1"),
+        rules=rules, quarantine_path=quarantine,
+    ).awaitTermination()
+    assert V.read_table(spark, table).count() == 4  # clean batch commits
+
+    # a poisoned delivery: negative price
+    _write_ticks(spark, landing, [("2025-08-01 13:00:00", -5.0)])
+    versioned_sink(
+        file_source(spark, landing, TICK_SCHEMA), table, str(tmp_path / "c1"),
+        rules=rules, quarantine_path=quarantine,
+    ).awaitTermination()
+    assert V.current_version(table) == 1  # nothing committed
+    assert V.read_table(spark, table).count() == 4
+    bad = spark.read.parquet(f"{quarantine}/batch_*")
+    assert bad.count() == 1 and bad.collect()[0]["preco_brl"] == -5.0
