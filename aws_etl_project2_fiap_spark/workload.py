@@ -3426,6 +3426,44 @@ def k_timetravel_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "agg_robust_stats",
+    """
+    WITH m AS (
+      SELECT l_returnflag AS g, median(l_extendedprice) AS med
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           round(any_value(m.med), 4) AS med_price,
+           round(median(abs(l.l_extendedprice - m.med)), 4) AS mad_price
+    FROM lineitem l JOIN m ON l.l_returnflag = m.g
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: median + median-absolute-deviation
+    — the outlier-resistant pair behind anomaly thresholds (median ±
+    k·MAD) that stddev-based z-scores get wrong on heavy-tailed money
+    columns. Two grouped exact-percentile passes; the 3-row median
+    frame broadcasts back, so the fact table shuffles on the same key
+    both times (exchange reuse). At 100 TB swap both passes for
+    approx_percentile — identical plan shape, sketch-mergeable state."""
+    li = t(spark, sf_dir, "lineitem")
+    med = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), li["l_returnflag"] == med["g"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("med"), 4).alias("med_price"),
+            F.round(
+                F.expr("percentile(abs(l_extendedprice - med), 0.5)"), 4
+            ).alias("mad_price"),
+        )
+    )
+
+
+@defcomponent(
     "quality_report",
     """
     SELECT 'o_orderkey_unique' AS rule,
@@ -4233,6 +4271,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "funnel_conversion",
         "cohort_retention",
         "quality_report",
+        "agg_robust_stats",
     ),
     "suite_join_outer": (
         "join_right_outer",
