@@ -59,6 +59,17 @@ def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifests")
 
 
+def _uri_to_path(uri: str) -> str:
+    """Filesystem path from a `_metadata.file_path` URI. Spark returns
+    percent-encoded URIs (file:/a/my%20table/part-0.parquet); manifests
+    hold plain paths — unquote or every touched-file comparison in
+    UPDATE/MERGE/DELETE silently misses under roots containing spaces,
+    duplicating the rewritten rows."""
+    from urllib.parse import unquote, urlparse
+
+    return unquote(urlparse(uri).path)
+
+
 def _pointer(path: str) -> str:
     return os.path.join(path, "_CURRENT")
 
@@ -78,32 +89,50 @@ def _file_stats(fpath: str) -> dict:
     JSON-encodable columns only) — collected once at write time so the
     read path can skip files without opening them. The same metadata
     the open table formats keep in their logs."""
+    import math
+
     import pyarrow.parquet as pq
 
     meta = pq.read_metadata(fpath)
     lo: dict = {}
     hi: dict = {}
+    # A column is usable only if EVERY row group reports min/max for it:
+    # a row group without stats (e.g. a float group containing NaN gets
+    # none from the writer) holds rows of unknown range, so merging only
+    # the *other* groups' ranges would understate the file's true range
+    # and let prunable()/read_table(between=...) skip in-range rows.
+    # Conservative rule: any statless/undecodable group poisons the
+    # column for this file (kept, never pruned on that column).
+    bad: set = set()
     for rg in range(meta.num_row_groups):
         group = meta.row_group(rg)
         for ci in range(group.num_columns):
             col = group.column(ci)
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
             name = col.path_in_schema
             if "." in name:  # nested — no file-level pruning
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
                 continue
             mn, mx = st.min, st.max
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
+                    bad.add(name)
                     continue
             if not isinstance(mn, (int, float, str, bool)):
+                bad.add(name)
+                continue
+            if isinstance(mn, float) and not (
+                math.isfinite(mn) and math.isfinite(mx)
+            ):
+                bad.add(name)  # NaN/inf bounds don't order — unusable
                 continue
             lo[name] = mn if name not in lo else min(lo[name], mn)
             hi[name] = mx if name not in hi else max(hi[name], mx)
-    return {c: [lo[c], hi[c]] for c in lo}
+    return {c: [lo[c], hi[c]] for c in lo if c not in bad}
 
 
 def _write_batch(df: DataFrame, path: str) -> list[dict]:
@@ -174,9 +203,19 @@ def create_table(df: DataFrame, path: str, extra: dict | None = None) -> int:
 
 
 def append_table(df: DataFrame, path: str, extra: dict | None = None) -> int:
-    """Append-only commit: new batch files + every current file."""
-    files = _read_manifest(path, current_version(path))["files"]
-    return _commit(path, files + _write_batch(df, path), extra)
+    """Append-only commit: new batch files + every current file.
+
+    Carries the optimistic-concurrency token from the snapshot read: an
+    append planned against v(N) while an UPDATE/DELETE committed v(N+1)
+    would otherwise resurrect the files that commit removed (lost
+    update). On :class:`CommitConflict`, re-read and retry — the batch
+    files already written are reusable garbage at worst."""
+    base_version = current_version(path)
+    files = _read_manifest(path, base_version)["files"]
+    return _commit(
+        path, files + _write_batch(df, path), extra,
+        expect_version=base_version,
+    )
 
 
 def committed_batch_ids(path: str) -> set[int]:
@@ -209,8 +248,13 @@ def prunable(files: list, col: str, lo, hi) -> tuple[list, list]:
 
 
 def overwrite_table(df: DataFrame, path: str) -> int:
-    """Full-overwrite commit (previous versions remain readable)."""
-    return _commit(path, _write_batch(df, path))
+    """Full-overwrite commit (previous versions remain readable).
+    Overwrite replaces every row by intent, so it can't *lose* data to
+    a concurrent commit — but it still carries the token so two racing
+    writers can't both mint the same version number (the second manifest
+    write would clobber the first's JSON)."""
+    base_version = current_version(path)
+    return _commit(path, _write_batch(df, path), expect_version=base_version)
 
 
 def read_table(
@@ -280,8 +324,6 @@ def update_table(
     base_version = current_version(path)
     files = _read_manifest(path, base_version)["files"]
     df = spark.read.parquet(*_paths(files))
-    from urllib.parse import urlparse
-
     # ONE discovery scan yields both the touched-file set and the match
     # count: per-file partial counts collapse to file-cardinality rows.
     # _metadata.file_path is a URI (file:/... or file:///...); manifests
@@ -293,7 +335,7 @@ def update_table(
         .count()
         .collect()
     )
-    touched = [urlparse(r["__file"]).path for r in per_file]
+    touched = [_uri_to_path(r["__file"]) for r in per_file]
     n_matched = sum(r["count"] for r in per_file)
     if not touched:
         return {
@@ -317,8 +359,9 @@ def update_table(
 def rollback(path: str, version: int) -> int:
     """Re-commit an old version's file list as the new current version
     (history stays linear; nothing is deleted)."""
+    base_version = current_version(path)
     files = _read_manifest(path, version)["files"]
-    return _commit(path, files)
+    return _commit(path, files, expect_version=base_version)
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[str]:
@@ -386,14 +429,25 @@ def merge_table(
             f"merge source has duplicate merge keys, e.g. "
             f"{ {k: dup[0][k] for k in keys} } — dedup (keep_latest) first"
         )
-
-    from urllib.parse import urlparse
+    # NULL merge keys never equi-join: such a source row would silently
+    # "insert" as all-NULL target-side values (s_present is derived from
+    # the joined key columns). Reject up front, same as the dup check.
+    null_pred = None
+    for k in keys:
+        null_pred = F.col(k).isNull() if null_pred is None else (
+            null_pred | F.col(k).isNull()
+        )
+    if source.filter(null_pred).limit(1).collect():
+        raise ValueError(
+            f"merge source has NULL in merge key(s) {keys} — NULL keys "
+            f"never match; filter or fill them before merging"
+        )
 
     matched_rows = target.withColumn(
         "__file", F.col("_metadata.file_path")
     ).join(F.broadcast(source.select(*keys)), keys, "semi")
     touched = [
-        urlparse(r["__file"]).path
+        _uri_to_path(r["__file"])
         for r in matched_rows.select("__file").distinct().collect()
     ]
 
@@ -452,7 +506,8 @@ def compact_table(
     per-partition-prefix, not table-wide, exactly like OPTIMIZE."""
     from .parquet import zorder_value
 
-    df = read_table(spark, path)
+    base_version = current_version(path)
+    df = read_table(spark, path, version=base_version)
     n = target_files or max(1, len(df.inputFiles()) // 4)
     if zorder_by:
         zcol = "__zv__"
@@ -466,7 +521,9 @@ def compact_table(
         )
     else:
         df = df.coalesce(n)
-    version = _commit(path, _write_batch(df, path))
+    # token from the snapshot read: OPTIMIZE that raced an UPDATE/DELETE
+    # must not resurrect the pre-update files it compacted
+    version = _commit(path, _write_batch(df, path), expect_version=base_version)
     return {
         "version": version,
         "files": len(_read_manifest(path, version)["files"]),
@@ -480,8 +537,6 @@ def delete_from(spark: SparkSession, path: str, where: Column) -> dict:
     concurrency token as :func:`update_table`; a file whose every row
     matches simply contributes nothing to the new batch. Returns
     {"version", "n_deleted", "files_touched", "files_reused"}."""
-    from urllib.parse import urlparse
-
     base_version = current_version(path)
     files = _read_manifest(path, base_version)["files"]
     df = spark.read.parquet(*_paths(files))
@@ -492,7 +547,7 @@ def delete_from(spark: SparkSession, path: str, where: Column) -> dict:
         .count()
         .collect()
     )
-    touched = [urlparse(r["__file"]).path for r in per_file]
+    touched = [_uri_to_path(r["__file"]) for r in per_file]
     n_deleted = sum(r["count"] for r in per_file)
     if not touched:
         return {
@@ -502,7 +557,13 @@ def delete_from(spark: SparkSession, path: str, where: Column) -> dict:
             "files_reused": len(files),
         }
     untouched = [f for f in files if f["path"] not in set(touched)]
-    kept_rows = spark.read.parquet(*touched).filter(~where)
+    # SQL DELETE keeps rows where the predicate is NULL (only TRUE rows
+    # go). Under three-valued logic filter(~where) would ALSO drop the
+    # NULL rows — coalesce to FALSE so they survive the rewrite, mirror
+    # of apply_update's when(where, ...).otherwise(keep).
+    kept_rows = spark.read.parquet(*touched).filter(
+        ~F.coalesce(where, F.lit(False))
+    )
     version = _commit(
         path, untouched + _write_batch(kept_rows, path),
         expect_version=base_version,

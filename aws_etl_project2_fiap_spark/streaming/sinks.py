@@ -226,12 +226,30 @@ def versioned_sink(
                 )
                 batch_df.write.mode("overwrite").parquet(dst)
                 return
-        if os.path.exists(V._pointer(table_path)):
-            if batch_id in V.committed_batch_ids(table_path):
-                return  # replayed batch: already committed
-            V.append_table(batch_df, table_path, extra={"batch_id": batch_id})
-        else:
-            V.create_table(batch_df, table_path, extra={"batch_id": batch_id})
+        for attempt in range(5):
+            if os.path.exists(V._pointer(table_path)):
+                if batch_id in V.committed_batch_ids(table_path):
+                    return  # replayed batch: already committed
+                try:
+                    V.append_table(
+                        batch_df, table_path, extra={"batch_id": batch_id}
+                    )
+                    return
+                except V.CommitConflict:
+                    # a concurrent UPDATE/OPTIMIZE moved the pointer
+                    # between our snapshot read and commit — re-read the
+                    # new current version and re-append (append is safe
+                    # to retry: nothing was committed)
+                    continue
+            else:
+                V.create_table(
+                    batch_df, table_path, extra={"batch_id": batch_id}
+                )
+                return
+        raise RuntimeError(
+            f"versioned_sink: batch {batch_id} lost the commit race 5 "
+            f"times on {table_path} — writer storm, investigate"
+        )
 
     return (
         df.writeStream.foreachBatch(_append)

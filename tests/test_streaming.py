@@ -672,3 +672,39 @@ def test_versioned_sink_quality_gate_quarantines_bad_batches(spark, tmp_path):
     assert V.read_table(spark, table).count() == 4
     bad = spark.read.parquet(f"{quarantine}/batch_*")
     assert bad.count() == 1 and bad.collect()[0]["preco_brl"] == -5.0
+
+
+def test_versioned_sink_retries_on_commit_conflict(spark, tmp_path, monkeypatch):
+    """A concurrent OPTIMIZE/UPDATE that flips the pointer between the
+    sink's snapshot read and its commit raises CommitConflict; the sink
+    must re-read and retry the append, not fail the batch (appends are
+    safe to retry — nothing committed)."""
+    from aws_etl_project2_fiap_spark.io import versioned as V
+    from aws_etl_project2_fiap_spark.streaming.sinks import versioned_sink
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+
+    _write_ticks(spark, landing, TICKS[:4])
+    versioned_sink(
+        file_source(spark, landing, TICK_SCHEMA), table, str(tmp_path / "c1")
+    ).awaitTermination()
+    assert V.current_version(table) == 1
+
+    real_append = V.append_table
+    fired = {}
+
+    def conflicting_append(df, path, extra=None):
+        if not fired.get("done"):
+            fired["done"] = True
+            raise V.CommitConflict("simulated concurrent commit")
+        return real_append(df, path, extra)
+
+    monkeypatch.setattr(V, "append_table", conflicting_append)
+    _write_ticks(spark, landing, TICKS[4:])
+    versioned_sink(
+        file_source(spark, landing, TICK_SCHEMA), table, str(tmp_path / "c1")
+    ).awaitTermination()
+    assert fired.get("done")  # the conflict really fired
+    assert V.current_version(table) == 2  # ...and the retry committed
+    assert V.read_table(spark, table).count() == 6

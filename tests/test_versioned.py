@@ -409,3 +409,127 @@ def test_shallow_and_deep_clone(spark, table, tmp_path):
     # diverging the clone doesn't touch the source
     V.update_table(spark, shallow, {"v": F.lit(0.5)}, F.col("g") == 1)
     assert V.read_table(spark, table).filter(F.col("v") == 0.5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-4 advisory fixes: NULL-predicate DELETE, partial-stats poisoning,
+# append/compact/rollback concurrency tokens, percent-encoded roots,
+# NULL merge keys.
+# ---------------------------------------------------------------------------
+
+
+def test_delete_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE removes rows where the predicate is TRUE; rows where it
+    evaluates NULL must SURVIVE. Under three-valued logic filter(~where)
+    drops them too — the fix coalesces the kept-side predicate to FALSE."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 3.0)], "id long, v double"
+    )
+    path = str(tmp_path / "t")
+    V.create_table(df, path)
+    res = V.delete_from(spark, path, F.col("v") > 5)
+    assert res["n_deleted"] == 1
+    out = V.read_table(spark, path)
+    assert sorted(r["id"] for r in out.collect()) == [2, 3]
+
+
+def test_file_stats_statless_rowgroup_poisons_column(tmp_path):
+    """A row group with no (or non-finite) min/max for a column makes the
+    whole file unprunable on that column: merging only the stats-bearing
+    groups' ranges would understate the file's true range and data
+    skipping would silently drop in-range rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fp = str(tmp_path / "f.parquet")
+    t1 = pa.table({"x": [1.0, 2.0], "k": [1, 2]})
+    t2 = pa.table({"x": [float("nan"), float("nan")], "k": [3, 4]})
+    w = pq.ParquetWriter(fp, t1.schema)
+    w.write_table(t1)  # row group 0: clean stats
+    w.write_table(t2)  # row group 1: all-NaN x -> no usable min/max
+    w.close()
+    stats = V._file_stats(fp)
+    assert "x" not in stats  # conservative: never pruned on x
+    assert stats["k"] == [1, 4]  # other columns still prunable
+
+
+def test_append_stale_snapshot_raises_commit_conflict(spark, table, monkeypatch):
+    """An append planned against v(N) while another writer commits v(N+1)
+    must conflict, not resurrect the files that commit removed."""
+    df2 = spark.range(5).select(
+        F.col("id"), F.lit(0).alias("g"), F.lit(0.0).alias("v")
+    )
+    orig = V._write_batch
+    fired = {}
+
+    def interleave(df, path):
+        out = orig(df, path)
+        if not fired.get("done"):
+            fired["done"] = True
+            # concurrent writer flips the pointer between our snapshot
+            # read and our commit
+            V._commit(path, [])
+        return out
+
+    monkeypatch.setattr(V, "_write_batch", interleave)
+    with pytest.raises(V.CommitConflict):
+        V.append_table(df2, table)
+
+
+def test_rollback_stale_snapshot_raises_commit_conflict(spark, table):
+    """Rollback carries the token too: re-committing an old file list over
+    an unseen concurrent commit would silently drop it."""
+    df2 = spark.range(3).select(
+        F.col("id"), F.lit(0).alias("g"), F.lit(0.0).alias("v")
+    )
+    V.append_table(df2, table)  # v2
+    real_commit = V._commit
+    calls = {}
+
+    def racing_commit(path, files, extra=None, expect_version=None):
+        if not calls.get("done"):
+            calls["done"] = True
+            real_commit(path, files)  # interloper wins first
+        return real_commit(path, files, extra, expect_version)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(V, "_commit", racing_commit):
+        with pytest.raises(V.CommitConflict):
+            V.rollback(table, 1)
+
+
+def test_update_under_percent_encoded_root(spark, tmp_path):
+    """Spark's _metadata.file_path is a percent-encoded URI; a table root
+    containing a space must still match manifest paths, or every file is
+    'untouched' AND rewritten -> duplicated rows after UPDATE."""
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), (F.col("id") * 2.0).alias("v")
+    )
+    path = str(tmp_path / "my tbl")
+    V.create_table(df.repartitionByRange(3, "g"), path)
+    res = V.update_table(spark, path, {"v": F.lit(-1.0)}, F.col("g") == 1)
+    assert res["files_touched"] == 1
+    assert res["files_reused"] == 2
+    out = V.read_table(spark, path)
+    assert out.count() == 300  # no duplication
+    assert out.filter("v = -1.0").count() == 100
+
+
+def test_delete_under_percent_encoded_root(spark, tmp_path):
+    df = spark.range(0, 90).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), (F.col("id") * 2.0).alias("v")
+    )
+    path = str(tmp_path / "sp ace")
+    V.create_table(df.repartitionByRange(3, "g"), path)
+    res = V.delete_from(spark, path, F.col("g") == 2)
+    assert res["n_deleted"] == 30
+    assert V.read_table(spark, path).count() == 60
+
+
+def test_merge_rejects_null_source_keys(spark, table):
+    """A NULL merge key never equi-joins: the row would 'insert' as
+    all-NULL target-side values. Rejected up front like dup keys."""
+    src = spark.createDataFrame([(None, 0, 1.0)], "id long, g long, v double")
+    with pytest.raises(ValueError, match="NULL"):
+        V.merge_table(spark, table, src, ["id"])
