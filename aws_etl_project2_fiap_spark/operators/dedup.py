@@ -229,14 +229,37 @@ def minhash_lsh_pairs(
         (F.col("__n") > max_bucket) & (F.col("id") != F.col("__rep"))
     ).select(F.col("__rep").alias("id1"), F.col("id").alias("id2"))
     cand = cand_cold.unionByName(cand_hot).distinct()
-    s1 = docs.select(F.col("id").alias("id1"), F.col("sh").alias("__sh1"))
-    s2 = docs.select(F.col("id").alias("id2"), F.col("sh").alias("__sh2"))
+    # Exact-Jaccard verify with ONE pass over the corpus: unpivot each
+    # candidate pair into two (pair, id, side) legs, join docs ONCE on
+    # id, regroup per pair. The naive form (join docs by id1, then again
+    # by id2) computes AND shuffles the shingle projection twice — at
+    # 100 TB that second corpus scan+shuffle dwarfs the tiny extra
+    # (id1, id2) regroup shuffle this shape adds (2 rows per candidate).
+    legs = cand.select(
+        "id1",
+        "id2",
+        F.explode(
+            F.array(
+                F.struct(F.col("id1").alias("id"), F.lit(1).alias("side")),
+                F.struct(F.col("id2").alias("id"), F.lit(2).alias("side")),
+            )
+        ).alias("l"),
+    ).select("id1", "id2", F.col("l.id").alias("id"), F.col("l.side").alias("side"))
+    paired = (
+        legs.join(docs, "id")
+        .groupBy("id1", "id2")
+        .agg(
+            # exactly one row per side per pair — first() is deterministic
+            F.first(F.when(F.col("side") == 1, F.col("sh")), ignorenulls=True)
+            .alias("__sh1"),
+            F.first(F.when(F.col("side") == 2, F.col("sh")), ignorenulls=True)
+            .alias("__sh2"),
+        )
+    )
     n_common = F.size(F.array_intersect("__sh1", "__sh2"))
     jac = n_common / (F.size("__sh1") + F.size("__sh2") - n_common)
     return (
-        cand.join(s1, "id1")
-        .join(s2, "id2")
-        .select("id1", "id2", jac.alias("jaccard"))
+        paired.select("id1", "id2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -344,9 +367,11 @@ def ngram_jaccard_pairs_prefix(
     prefix only rules out pairs that provably can't pass.
 
     Shuffles: token-frequency agg, per-doc array build, prefix
-    self-join (narrow), two id-joins for the verify arrays. All keys
-    uniform except genuinely shared rare tokens — which is the
-    candidate set itself.
+    self-join (narrow), and ONE id-join for the verify arrays (pair
+    legs unpivoted, corpus joined once, regrouped per pair — the naive
+    per-side join would scan and shuffle the expensive sorted-token
+    build twice). All keys uniform except genuinely shared rare tokens
+    — which is the candidate set itself.
     """
     tok = tokens(df, text_col, id_col)
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
@@ -381,21 +406,38 @@ def ngram_jaccard_pairs_prefix(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    arr1 = ordered.select(F.col("id").alias("id1"), F.col("toks").alias("t1"),
-                          F.col("n_tok").alias("n1"))
-    arr2 = ordered.select(F.col("id").alias("id2"), F.col("toks").alias("t2"),
-                          F.col("n_tok").alias("n2"))
+    # one-pass verify: unpivot pair legs, join the heavy sorted-token
+    # build ONCE on id, regroup per pair (same shape as
+    # minhash_lsh_pairs' verify — one corpus scan+shuffle, not two)
+    legs = cands.select(
+        "id1",
+        "id2",
+        F.explode(
+            F.array(
+                F.struct(F.col("id1").alias("id"), F.lit(1).alias("side")),
+                F.struct(F.col("id2").alias("id"), F.lit(2).alias("side")),
+            )
+        ).alias("l"),
+    ).select("id1", "id2", F.col("l.id").alias("id"), F.col("l.side").alias("side"))
+    paired = (
+        legs.join(ordered.select("id", "toks"), "id")
+        .groupBy("id1", "id2")
+        .agg(
+            F.first(F.when(F.col("side") == 1, F.col("toks")), ignorenulls=True)
+            .alias("t1"),
+            F.first(F.when(F.col("side") == 2, F.col("toks")), ignorenulls=True)
+            .alias("t2"),
+        )
+    )
     common = F.size(F.array_intersect("t1", "t2"))
     return (
-        cands.join(arr1, "id1")
-        .join(arr2, "id2")
-        .withColumn("n_common", common)
+        paired.withColumn("n_common", common)
         .select(
             "id1",
             "id2",
             (
                 F.col("n_common")
-                / (F.col("n1") + F.col("n2") - F.col("n_common"))
+                / (F.size("t1") + F.size("t2") - F.col("n_common"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
