@@ -123,6 +123,82 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Document-level quality gate with the published Gopher/RefinedWeb
+    repetition-free heuristics (Rae et al. 2021 §A1.1; Penedo et al.
+    2023): word-count bounds, mean-word-length band, symbol-to-word
+    ratio (#/ellipsis), bullet-start and ellipsis-end line ratios,
+    alphabetic-word fraction, and stopword presence. One codegen'd
+    projection — no UDFs, no shuffle; at 100 TB this is a map-only pass
+    that fuses into the scan, exactly how a pretraining-corpus filter
+    must run.
+
+    Returns the id column + the measured features + ``keep``
+    (1 = passes every rule). Thresholds are the published defaults;
+    override per-corpus."""
+    c = F.col(text_col)
+    wds = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(wds)
+    nw = F.greatest(n_words, F.lit(1))
+    mean_wl = F.length(F.regexp_replace(c, r"\s+", "")) / nw
+    n_hash = F.length(c) - F.length(F.expr(f"replace({text_col}, '#', '')"))
+    n_ell3 = (
+        F.length(c) - F.length(F.expr(f"replace({text_col}, '...', '')"))
+    ) / 3
+    n_ellu = F.length(c) - F.length(F.expr(f"replace({text_col}, '…', '')"))
+    symbol_ratio = (n_hash + n_ell3 + n_ellu) / nw
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]")))
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+        / n_lines
+    )
+    alpha_ratio = F.size(F.filter(wds, lambda w: w.rlike("[A-Za-z]"))) / nw
+    n_stop = sum(
+        F.array_contains(wds, w).cast("long") for w in GOPHER_STOPWORDS
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        n_stop.alias("n_stopwords"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") < max_symbol_ratio)
+        & (F.col("bullet_ratio") < max_bullet_ratio)
+        & (F.col("ellipsis_line_ratio") < max_ellipsis_ratio)
+        & (F.col("alpha_word_ratio") > min_alpha_ratio)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return out.withColumn("keep", keep.cast("long"))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Content fingerprint: xxhash64 of the whitespace-normalized text —
     one 64-bit key for exact-dup detection at scale (cheaper to shuffle

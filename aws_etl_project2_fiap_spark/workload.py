@@ -1735,6 +1735,81 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defcomponent(
+    "text_gopher_rules",
+    r"""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS wds,
+             string_split(text, chr(10)) AS lns
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(wds) AS BIGINT) AS n_words,
+             greatest(len(wds), 1) AS nw,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3.0
+               AS n_ell3,
+             length(text) - length(replace(text, '…', '')) AS n_ellu,
+             greatest(len(lns), 1) AS n_lines,
+             len(list_filter(lns,
+                 l -> regexp_matches(ltrim(l), '^[-*•]'))) AS n_bullet,
+             len(list_filter(lns,
+                 l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS n_ellend,
+             len(list_filter(wds,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             CAST((CASE WHEN list_contains(wds, 'the') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(wds, 'be') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(wds, 'to') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(wds, 'of') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(wds, 'and') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(wds, 'that') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(wds, 'have') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(wds, 'with') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stopwords
+      FROM w
+    ), r AS (
+      SELECT doc_id, n_words,
+             round(n_nonspace / nw, 6) AS mean_word_len,
+             round((n_hash + n_ell3 + n_ellu) / nw, 6) AS symbol_ratio,
+             round(n_bullet / CAST(n_lines AS DOUBLE), 6) AS bullet_ratio,
+             round(n_ellend / CAST(n_lines AS DOUBLE), 6)
+               AS ellipsis_line_ratio,
+             round(n_alpha / CAST(nw AS DOUBLE), 6) AS alpha_word_ratio,
+             n_stopwords
+      FROM f
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+           ellipsis_line_ratio, alpha_word_ratio, n_stopwords,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND symbol_ratio < 0.1
+                  AND bullet_ratio < 0.9
+                  AND ellipsis_line_ratio < 0.3
+                  AND alpha_word_ratio > 0.8
+                  AND n_stopwords >= 1
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM r
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published pretraining quality gate (Gopher §A1.1 / RefinedWeb
+    heuristics) over ``documents`` — operators/text.gopher_rules. One
+    codegen'd map-only projection (word-count band, mean word length,
+    symbol ratio, bullet/ellipsis line ratios, alphabetic-word
+    fraction, stopword presence → keep flag); fuses into the scan at
+    any scale. Reference analogue: the pandas cleaning predicates of
+    src/etl.py:160-171, generalized to corpus curation."""
+    d = t(spark, sf_dir, "documents")
+    # min_stopwords=1: the synthetic corpus vocabulary contains exactly
+    # one of the published stopwords ('the'), so the published >=2 would
+    # gate every row identically — 1 keeps both branches of `keep`
+    # exercised by the oracle row
+    return text_op.gopher_rules(d, min_stopwords=1)
+
+
 def _langid_oracle() -> str:
     """Generate the DuckDB argmax CASE mirroring operators.text.predict_lang
     (kept programmatic so the two stay in lockstep)."""
@@ -4332,6 +4407,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "text_paragraph_dedup",
         "text_heavy_hitters",
         "corpus_cluster_split",
+        "text_gopher_rules",
     ),
 }
 

@@ -117,3 +117,38 @@ def test_paragraph_dedup_within_doc_repeat(spark):
     row = paragraph_dedup(docs).collect()[0]
     assert row["text"] == "x\n\ny\n\nz"
     assert row["n_kept"] == 3
+
+
+def test_gopher_rules_flags_and_keep(spark):
+    """Published Gopher/RefinedWeb gate: each rule trips on its own
+    crafted violator; a clean paragraph passes every rule."""
+    from aws_etl_project2_fiap_spark.operators.text import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then decides "
+        "that it would have been wiser to rest with friends beside the "
+        "river bank for the remainder of the afternoon session today "
+        "while the sun slowly set behind those gentle rolling hills and "
+        "every bird returned home to roost in the old oak trees nearby"
+    )
+    rows = [
+        (1, good),
+        (2, "too short to pass"),                        # n_words < 50
+        (3, " ".join(["####"] * 60)),                    # symbol ratio + alpha
+        (4, "\n".join(["- bullet line the of and"] * 40)),  # bullet ratio
+        (5, " ".join(["x"] * 60)),                       # mean word len < 3
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_words=50,
+        ).collect()
+    }
+    assert out[1]["keep"] == 1
+    assert out[1]["n_stopwords"] >= 2
+    assert out[2]["keep"] == 0 and out[2]["n_words"] < 50
+    assert out[3]["keep"] == 0 and out[3]["symbol_ratio"] > 0.1
+    assert out[3]["alpha_word_ratio"] == 0.0
+    assert out[4]["keep"] == 0 and out[4]["bullet_ratio"] == 1.0
+    assert out[5]["keep"] == 0 and out[5]["mean_word_len"] < 3
