@@ -621,3 +621,173 @@ def bloom_incremental_dedup(
         id_col, F.lit(False).alias("is_dup")
     )
     return confirmed.unionByName(novel)
+
+
+# ---------------------------------------------------------------------
+# Incremental MinHash near-dup index (batch vs persisted corpus)
+# ---------------------------------------------------------------------
+#
+# The production steady state for NEAR-dup (the fuzzy analogue of
+# incremental_dedup/bloom above): a delivery must be checked against a
+# 100 TB corpus for near-duplicates WITHOUT rescanning or reshuffling
+# corpus text. The corpus is summarized ONCE into a persisted signature
+# index — (band, sig, id, minhashes) — stored as a versioned table
+# (io/versioned.py), so the index itself has commit history, replayable
+# appends, and time travel. A probe broadcasts the delivery's band
+# signatures against the index: the corpus side never shuffles, and
+# similarity is estimated from the stored signatures alone (fraction of
+# agreeing minhashes — the standard unbiased Jaccard estimator), so
+# corpus TEXT is never touched again. Novel docs' signatures append as
+# one more commit: cost per delivery is O(delivery + index scan), and
+# the index is ~num_hashes longs per doc — ~0.1% of corpus bytes.
+
+
+def minhash_index_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Per-doc signature rows for the index: (id, mh array<long>, band,
+    sig) — one row per band. Same shuffle-free projection as
+    :func:`minhash_lsh_pairs` (shingle array → K minhashes → B band
+    keys, no explode/groupBy on shingles); docs too short to shingle
+    are excluded (they cannot near-dup by shingle Jaccard)."""
+    rows = num_hashes // bands
+    parts = ", ".join(f"tk[i-1+{j}]" for j in range(shingle_n))
+    sh_arr = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(tk)-{shingle_n - 1}, 0)),"
+        f" i -> xxhash64(concat_ws(' ', {parts}))))"
+    )
+    docs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("tk"),
+        )
+        .filter(F.size("tk") >= shingle_n)
+        .select("id", sh_arr.alias("sh"))
+    )
+    def _mh(seed: int):
+        # single-arg lambda via factory: a defaulted second parameter
+        # would make F.transform pass the ARRAY INDEX into it, silently
+        # replacing the seed (same pitfall noted in minhash_lsh_pairs)
+        return F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(seed))))
+
+    mh = F.array(*[_mh(seed) for seed in range(num_hashes)])
+    sig = docs.select("id", mh.alias("mh"))
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("mh")[i] for i in range(b * rows, (b + 1) * rows)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", "mh", F.explode(band_keys).alias("bs")).select(
+        "id", "mh", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> int:
+    """Create the persisted signature index (versioned table v1) from
+    the current corpus. One corpus pass; index size ≈ bands rows ×
+    (num_hashes+3) longs per doc."""
+    from ..io import versioned as V
+
+    return V.create_table(
+        minhash_index_signatures(
+            df, text_col, id_col, shingle_n, num_hashes, bands
+        ),
+        index_path,
+    )
+
+
+def append_to_minhash_index(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> int:
+    """Append a delivery's signatures as one more versioned commit —
+    the accepted-novel-docs half of the incremental loop. Retries are
+    the caller's concern only across processes; within a stream use
+    streaming.sinks.versioned_sink semantics."""
+    from ..io import versioned as V
+
+    return V.append_table(
+        minhash_index_signatures(
+            df, text_col, id_col, shingle_n, num_hashes, bands
+        ),
+        index_path,
+    )
+
+
+def probe_minhash_index(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    version: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs (batch_id, index_id, est_jaccard) between a
+    delivery and the persisted corpus index.
+
+    The delivery's band signatures BROADCAST to the index scan (CI-
+    gated): the corpus side is one unshuffled scan of signature rows —
+    no corpus text read, no corpus shuffle, no index rebuild.
+    ``est_jaccard`` is the minhash agreement fraction
+    E[matches/K] = J(a,b); with K=16 the estimator's std-err is ~0.12
+    at J=0.5 — callers needing exactness re-verify candidates against
+    text (minhash_lsh_pairs' verify stage) on the candidate sliver
+    only. A pair colliding in several bands dedups via max()."""
+    from ..io import versioned as V
+
+    idx = V.read_table(spark, index_path, version=version)
+    q = minhash_index_signatures(
+        batch, text_col, id_col, shingle_n, num_hashes, bands
+    ).select(
+        F.col("id").alias("__qid"),
+        F.col("mh").alias("__qmh"),
+        "band",
+        "sig",
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("mh", "__qmh", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / num_hashes
+    )
+    return (
+        idx.join(F.broadcast(q), ["band", "sig"])
+        .select(
+            F.col("__qid").alias("batch_id"),
+            F.col("id").alias("index_id"),
+            est.alias("est_jaccard"),
+        )
+        .groupBy("batch_id", "index_id")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )

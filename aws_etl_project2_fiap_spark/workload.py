@@ -1663,6 +1663,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery("dedup_index_probe", None)  # minhash banding: not SQL-expressible
+def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup via a PERSISTED MinHash signature index
+    (operators/dedup.py build/probe/append): the corpus is summarized
+    once into a versioned signature table; a re-delivered batch (first
+    100 docs, shifted ids) probes against it with the delivery side
+    broadcast — corpus text is never rescanned and the corpus side
+    never shuffles (plan-gated in tests/test_minhash_index.py). Every
+    re-delivered doc must find its original at est_jaccard = 1.0.
+    Rows-only (banding + xxhash aren't ANSI SQL); the estimator and the
+    incremental append loop are pinned in tests."""
+    from .operators.dedup import build_minhash_index, probe_minhash_index
+
+    d = t(spark, sf_dir, "documents")
+    work = _scratch_dir("mh_index")
+    build_minhash_index(d, work)
+    redelivery = d.filter(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return probe_minhash_index(spark, work, redelivery, threshold=0.95)
+
+
 @defquery("dedup_simhash", None)  # 64-bit bit-vote fingerprint
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints (explode→hash→bit-vote→sign). Near-dup
