@@ -531,3 +531,147 @@ def quantize_embeddings(
 def dequantize(qvec: Column, scale: Column) -> Column:
     """array<tinyint> + scale → array<double> (approximate original)."""
     return F.transform(qvec, lambda q: q.cast("double") * scale)
+
+
+def kmeans_refine_distributed(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 2,
+) -> list[list[float]]:
+    """Refine centroids with full-corpus Lloyd iterations, distributed.
+
+    :func:`kmeans_fit` trains on a bounded sample (the FAISS recipe) —
+    right when the sample captures the distribution. When it doesn't
+    (heavy tails, tiny clusters the sample misses), each refinement
+    iteration here is ONE map-only pass over the corpus: every Arrow
+    batch computes its own (cluster, count, sum-vector) partials — the
+    classic map-side combine — so the only data movement is
+    ``tasks × k`` tiny partial rows collected to the driver for the
+    final combine. No shuffle at any scale; iteration cost is a scan.
+
+    Empty clusters keep their previous centroid (standard Lloyd
+    degeneracy handling, deterministic)."""
+    import numpy as np
+
+    k = len(centroids)
+    dim = len(centroids[0])
+    cent = np.asarray(centroids, dtype=np.float64)
+    src = df.select(F.col(vec_col).alias("v"))
+
+    for _ in range(iters):
+        c_broadcast = [row.tolist() for row in cent]
+
+        def _partials(iterator):
+            # worker-shipped closure: local imports + no module-level
+            # references (driver loads the repo by file path; executors
+            # cannot import the package)
+            import numpy as np  # noqa: PLC0415
+            import pyarrow as pa  # noqa: PLC0415
+
+            C = np.asarray(c_broadcast, dtype=np.float64)
+            cc = (C * C).sum(axis=1)
+            for batch in iterator:
+                tbl = batch.column("v")
+                mat = np.asarray(tbl.to_pylist(), dtype=np.float64)
+                if mat.size == 0:
+                    continue
+                d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ C.T) + cc[None, :]
+                a = d2.argmin(axis=1)
+                ks, counts = np.unique(a, return_counts=True)
+                sums = np.zeros((len(ks), mat.shape[1]))
+                for j, cl in enumerate(ks):
+                    sums[j] = mat[a == cl].sum(axis=0)
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "cluster": ks.astype("int32"),
+                        "n": counts.astype("int64"),
+                        "s": list(sums),
+                    }
+                )
+
+        part = src.mapInArrow(
+            _partials, "cluster int, n long, s array<double>"
+        ).collect()
+        n_tot = np.zeros(k)
+        s_tot = np.zeros((k, dim))
+        for r in part:
+            n_tot[r["cluster"]] += r["n"]
+            s_tot[r["cluster"]] += np.asarray(r["s"])
+        nonempty = n_tot > 0
+        cent[nonempty] = s_tot[nonempty] / n_tot[nonempty, None]
+    return [row.tolist() for row in cent]
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 16,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    max_cluster: int = 65_536,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means and comparing
+    pairs ONLY within each cluster — the published approximation that
+    turns the O(n²) global cosine-dedup into k independent
+    O((n/k)²·dim) gram matmuls with NO candidate-pair shuffle (pairs
+    are born and die inside one ``applyInPandas`` task per cluster).
+
+    Keep rule (deterministic, matches this engine's other dedups): a
+    vector is dropped iff its cluster contains a LOWER-id vector with
+    cosine ≥ ``threshold``; ``dup_of`` reports the first such keeper.
+    Clusters over ``max_cluster`` are star-thinned against their min-id
+    member (same rationale + semantics as near_dup_pairs_bucketed's hot
+    bucket cap). Cross-cluster near-dups are not compared — that is
+    SemDeDup's stated trade; raise k to shrink clusters, not recall.
+
+    Returns (id, cluster, keep, dup_of). One corpus pass for assign +
+    one shuffle on ``cluster`` for the grouped scoring."""
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = kmeans_fit(df, vec_col=vec_col, id_col=id_col, k=k)
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].values
+        n = len(ids)
+        cl = pdf["cluster"].iloc[0]
+        if n < 2:
+            return pd.DataFrame(
+                {"id": ids, "cluster": [cl] * n, "keep": [1] * n,
+                 "dup_of": [None] * n}
+            )
+        mat = np.stack(pdf[vec_col].values).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.divide(mat, norms, out=mat, where=norms > 0)
+        o = np.argsort(ids, kind="stable")
+        ids_s = ids[o]
+        mat_s = mat[o]
+        if n > max_cluster:
+            sims = np.round(mat_s @ mat_s[0], 6)
+            dropped = (sims >= threshold) & (np.arange(n) != 0)
+            dup_of = [None if not d else int(ids_s[0]) for d in dropped]
+            return pd.DataFrame(
+                {"id": ids_s, "cluster": [cl] * n,
+                 "keep": (~dropped).astype("int64"), "dup_of": dup_of}
+            )
+        sims = np.round(mat_s @ mat_s.T, 6)
+        hit = np.tril(sims >= threshold, k=-1)
+        has = hit.any(axis=1)
+        first = hit.argmax(axis=1)
+        dup_of = [int(ids_s[j]) if h else None for h, j in zip(has, first)]
+        return pd.DataFrame(
+            {"id": ids_s, "cluster": [cl] * n,
+             "keep": (~has).astype("int64"), "dup_of": dup_of}
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        _dedup_cluster,
+        f"id {id_type}, cluster int, keep long, dup_of {id_type}",
+    )

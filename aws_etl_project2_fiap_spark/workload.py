@@ -1663,6 +1663,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery("dedup_semantic", None)  # iterative k-means: not SQL-expressible
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semantic_dedup): k-means-cluster
+    the embeddings, then near-dup compare ONLY within each cluster —
+    one applyInPandas gram matmul per cluster, no candidate-pair
+    shuffle. The published approximation for semantic dedup at corpus
+    scale (k independent (n/k)² problems instead of one n²). Rows-only
+    (iterative clustering isn't ANSI SQL); keep-rule semantics, hot-
+    cluster star cap, and determinism are pinned in tests/test_ivf.py."""
+    from .operators.similarity import semantic_dedup
+
+    e = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, k=8, threshold=0.4)
+
+
 @defquery("dedup_index_probe", None)  # minhash banding: not SQL-expressible
 def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup via a PERSISTED MinHash signature index

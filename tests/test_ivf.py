@@ -84,3 +84,100 @@ def test_persisted_index_probe_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in probe_plan
     pf = [ln for ln in probe_plan.splitlines() if "PartitionFilters" in ln]
     assert any("cluster" in ln for ln in pf), pf
+
+
+# ---------------------------------------------------------------------
+# Distributed Lloyd refinement + SemDeDup semantic dedup
+# ---------------------------------------------------------------------
+
+
+def _clustered_vectors():
+    """3 tight clusters around orthogonal anchors + exact dup pairs."""
+    import numpy as np
+
+    rows = []
+    anchors = np.eye(3)
+    vid = 0
+    for a in range(3):
+        for j in range(8):
+            # period-23 pseudo-noise: no two vids in a group share an
+            # offset vector, so the only exact dups are the explicit ones
+            v = anchors[a] + np.array(
+                [((vid * 31 + i * 17) % 23 - 11) / 60 for i in range(3)]
+            )
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # exact duplicates of vec 0 and vec 8
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[8][1]))
+    return rows
+
+
+def test_kmeans_refine_distributed_improves_inertia(spark):
+    import numpy as np
+
+    from aws_etl_project2_fiap_spark.operators.similarity import (
+        kmeans_fit,
+        kmeans_refine_distributed,
+    )
+
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # mediocre but non-degenerate start: one seed leaning toward each
+    # anchor (Lloyd is a local optimizer; a start with two seeds in one
+    # cluster can stay stuck, which is kmeans_fit's sample-init job to
+    # avoid — here we test the refinement math, not the init)
+    cent0 = [[0.6, 0.3, 0.1], [0.1, 0.6, 0.3], [0.3, 0.1, 0.6]]
+    cent1 = kmeans_refine_distributed(df, cent0, iters=3)
+
+    def inertia(cent):
+        C = np.asarray(cent)
+        M = np.asarray([r[1] for r in rows])
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    assert inertia(cent1) <= inertia(cent0) + 1e-12
+    # converged refinement separates the 3 anchors: every cluster
+    # centroid is dominated by a distinct coordinate
+    dom = sorted(int(np.argmax(c)) for c in cent1)
+    assert dom == [0, 1, 2]
+
+
+def test_kmeans_refine_empty_cluster_keeps_centroid(spark):
+    from aws_etl_project2_fiap_spark.operators.similarity import (
+        kmeans_refine_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.1, 0.0])], "vec_id long, embedding array<float>"
+    )
+    far = [100.0, 100.0]
+    cent = kmeans_refine_distributed(df, [[1.0, 0.0], far], iters=2)
+    assert cent[1] == far  # never assigned -> unchanged, not NaN
+
+
+def test_semantic_dedup_drops_within_cluster_dups(spark):
+    from aws_etl_project2_fiap_spark.operators.similarity import semantic_dedup
+
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in semantic_dedup(df, k=3, threshold=0.9999).collect()}
+    assert len(out) == len(rows)  # every vector classified
+    # exact dups of 0 and 8 are dropped toward their originals
+    assert out[100]["keep"] == 0 and out[100]["dup_of"] == 0
+    assert out[101]["keep"] == 0 and out[101]["dup_of"] == 8
+    # originals survive
+    assert out[0]["keep"] == 1 and out[0]["dup_of"] is None
+    assert out[8]["keep"] == 1
+    # near-but-not-identical cluster members survive at this threshold
+    assert sum(r["keep"] for r in out.values()) == len(rows) - 2
+
+
+def test_semantic_dedup_deterministic(spark):
+    from aws_etl_project2_fiap_spark.operators.similarity import semantic_dedup
+
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, semantic_dedup(df, k=3, threshold=0.99).collect()))
+    b = sorted(map(tuple, semantic_dedup(df, k=3, threshold=0.99).collect()))
+    assert a == b

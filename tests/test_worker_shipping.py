@@ -33,6 +33,7 @@ PYTHON_STAGE_QUERIES = [
     "similarity_ivf_knn",
     "similarity_knn_quantized",
     "dedup_embedding_cosine",
+    "dedup_semantic",  # k-means assign pandas_udf + per-cluster applyInPandas
     "text_rolling_chunks",
     "suite_corpus_ops",  # bloom build/probe + batch kNN scorer
     "suite_text",  # multimodal features decode + sentence UDTF
