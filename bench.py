@@ -70,6 +70,10 @@ HEADLINE = [
     "text_paragraph_dedup",
     # round-3 addition: arbitrary-stateful anchor ratchet (batch path)
     "stream_price_alerts",
+    # round-4 additions: quality gate, semantic dedup, index probe
+    "text_gopher_rules",
+    "dedup_semantic",
+    "dedup_index_probe",
 ]
 
 
