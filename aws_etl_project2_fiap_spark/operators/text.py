@@ -123,6 +123,58 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    RAG / context-window chunking shape. Chunk i covers tokens
+    ``[i·stride, i·stride + chunk_tokens)`` with ``stride =
+    chunk_tokens − overlap``; consecutive chunks share ``overlap``
+    tokens; every token lands in ≥1 chunk; the final chunk may be short
+    but always contributes ≥1 new token (``n_chunks =
+    max(ceil((n − overlap)/stride), 1)``).
+
+    Pure codegen: one projection builds the token array, a
+    ``transform(sequence(...))`` slices the windows, ``posexplode``
+    emits (id, chunk_idx, chunk_text, n_chunk_tokens). No shuffle, no
+    UDF — at 100 TB this fuses into the scan and the output is written
+    straight back out, which is exactly how corpus chunking must run."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    tk = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    pre = df.select(F.col(id_col), tk.alias("__tk"))
+    n_chunks = F.greatest(
+        F.ceil((F.size("__tk") - F.lit(overlap)) / F.lit(float(stride))),
+        F.lit(1),
+    ).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice("__tk", i * stride + 1, chunk_tokens)
+        ),
+    )
+    return (
+        pre.select(id_col, F.posexplode(windows).alias("chunk_idx", "chunk_text"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk_text",
+            F.size(
+                F.filter(
+                    F.split("chunk_text", r"\s+"), lambda w: w != F.lit("")
+                )
+            ).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

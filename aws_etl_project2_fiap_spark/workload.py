@@ -1773,6 +1773,41 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "text_chunk_overlap",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), c AS (
+      SELECT doc_id, tk,
+             greatest(CAST(ceil((len(tk) - 16) / 48.0) AS INT), 1)
+               AS n_chunks
+      FROM w
+    ), e AS (
+      SELECT doc_id, tk, unnest(range(n_chunks)) AS i
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(tk, i * 48 + 1, i * 48 + 64), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(tk, i * 48 + 1, i * 48 + 64)) AS BIGINT)
+             AS n_chunk_tokens
+    FROM e
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunker (operators/text.chunk_documents):
+    64-token windows, 16-token overlap, stride 48 — every token covered,
+    consecutive chunks share the overlap, final chunk short-but-novel.
+    Pure codegen transform/sequence/posexplode; zero shuffles."""
+    d = t(spark, sf_dir, "documents")
+    return text_op.chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+@defcomponent(
     "text_gopher_rules",
     r"""
     WITH w AS (
@@ -4445,6 +4480,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "text_heavy_hitters",
         "corpus_cluster_split",
         "text_gopher_rules",
+        "text_chunk_overlap",
     ),
 }
 

@@ -152,3 +152,40 @@ def test_gopher_rules_flags_and_keep(spark):
     assert out[3]["alpha_word_ratio"] == 0.0
     assert out[4]["keep"] == 0 and out[4]["bullet_ratio"] == 1.0
     assert out[5]["keep"] == 0 and out[5]["mean_word_len"] < 3
+
+
+def test_chunk_documents_overlap_invariants(spark):
+    """Chunker contract: full coverage, exact overlap between
+    consecutive chunks, short-but-novel tail, short docs = 1 chunk."""
+    from aws_etl_project2_fiap_spark.operators.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(113)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b c")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=64, overlap=16)
+    chunks = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"].split(" ")
+        for r in out.collect()
+    }
+    # doc 1: n=113, stride=48 -> ceil(97/48)=3 chunks
+    assert {i for (d, i) in chunks if d == 1} == {0, 1, 2}
+    c0, c1, c2 = chunks[(1, 0)], chunks[(1, 1)], chunks[(1, 2)]
+    assert c0 == toks[0:64] and c1 == toks[48:112] and c2 == toks[96:113]
+    assert c0[-16:] == c1[:16]  # exact overlap
+    assert len(c2) == 17  # tail: 16 overlap + 1 novel
+    # reassembly covers every token in order
+    assert c0 + c1[16:] + c2[16:] == toks
+    # short doc: single chunk, intact
+    assert {i for (d, i) in chunks if d == 2} == {0}
+    assert chunks[(2, 0)] == ["a", "b", "c"]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from aws_etl_project2_fiap_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=16, overlap=16)
