@@ -1303,6 +1303,44 @@ def event_time_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "window_hopping_2h",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n_events,
+           round(SUM(value), 4) AS total_value
+    FROM (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+             event_type, value
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def window_hopping_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time window: 2 h windows every 1 h via
+    Spark's native ``F.window`` — each event lands in exactly 2 windows
+    (one Expand node, then the same partial+final agg as tumbling; the
+    streaming form is streaming/pipelines.sliding_window_agg). Oracle
+    unnests the two containing window starts per event."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@defcomponent(
     "asof_join_ticks",
     """
     SELECT p.event_id, v.value AS last_view_value
@@ -4432,6 +4470,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "resample_1h_ffill",
         "scd2_from_events",
         "window_cep_pattern",
+        "window_hopping_2h",
     ),
     "suite_window_rank": (
         "window_percent_rank",
