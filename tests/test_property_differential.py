@@ -740,3 +740,122 @@ def test_random_grouping_sets_match_duckdb(spark, duck_star, shape, dims, agg, a
         f"FROM lineitem GROUP BY {group}"
     )
     _compare(spark.sql(spark_sql), duck_star, duck_sql, (shape, dims, agg, acol))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 text operators vs pure-Python references
+# ---------------------------------------------------------------------------
+
+
+def _chunk_reference(tokens, chunk, overlap):
+    stride = chunk - overlap
+    n = len(tokens)
+    n_chunks = max(-(-(max(n - overlap, 0)) // stride), 1)
+    return [
+        (i, " ".join(tokens[i * stride : i * stride + chunk]))
+        for i in range(n_chunks)
+    ]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=300),
+    chunk=st.integers(min_value=4, max_value=96),
+    overlap=st.integers(min_value=0, max_value=40),
+)
+def test_chunk_documents_matches_reference(spark, n_tokens, chunk, overlap):
+    from hypothesis import assume
+
+    from aws_etl_project2_fiap_spark.operators.text import chunk_documents
+
+    assume(overlap < chunk)
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(0, " ".join(toks))], "doc_id long, text string")
+    got = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    )
+    assert got == _chunk_reference(toks, chunk, overlap)
+    # invariants regardless of params: coverage + overlap width
+    texts = [t.split(" ") for _, t in got]
+    rebuilt = texts[0] + [w for t in texts[1:] for w in t[overlap:]]
+    assert rebuilt == toks
+
+
+def _gopher_reference(text, min_stop=2):
+    import re
+
+    words = [w for w in re.split(r"\s+", text.strip()) if w]
+    n = len(words)
+    nw = max(n, 1)
+    mean_wl = sum(len(w) for w in words) / nw
+    n_sym = (
+        text.count("#")
+        + text.count("...") * 1.0  # each '...' counts once
+        + text.count("…")
+    )
+    lines = text.split("\n")
+    nl = max(len(lines), 1)
+    bullet = sum(bool(re.match(r"^[-*•]", l.lstrip())) for l in lines) / nl
+    ell = sum(bool(re.search(r"(\.\.\.|…)$", l.rstrip())) for l in lines) / nl
+    alpha = sum(bool(re.search("[A-Za-z]", w)) for w in words) / nw
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    n_stop = len(stops & set(words))
+    keep = (
+        50 <= n <= 100_000
+        and 3.0 <= round(mean_wl, 6) <= 10.0
+        and round(n_sym / nw, 6) < 0.1
+        and round(bullet, 6) < 0.9
+        and round(ell, 6) < 0.3
+        and round(alpha, 6) > 0.8
+        and n_stop >= min_stop
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": round(mean_wl, 6),
+        "symbol_ratio": round(n_sym / nw, 6),
+        "bullet_ratio": round(bullet, 6),
+        "ellipsis_line_ratio": round(ell, 6),
+        "alpha_word_ratio": round(alpha, 6),
+        "n_stopwords": n_stop,
+        "keep": int(keep),
+    }
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    paras=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["the", "and", "with", "data", "##", "a...", "…", "-", "* x",
+                 "ciencia", "1234", "word", "be"]
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_gopher_rules_matches_reference(spark, paras):
+    from aws_etl_project2_fiap_spark.operators.text import gopher_rules
+
+    text = "\n".join(" ".join(p) for p in paras)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = gopher_rules(df).collect()[0].asDict()
+    ref = _gopher_reference(text)
+    got = {k: row[k] for k in ref}
+    # float features compare at the 6-dp rounding both sides apply
+    for k in ref:
+        if isinstance(ref[k], float):
+            assert abs(got[k] - ref[k]) < 1e-9, (k, got, ref)
+        else:
+            assert got[k] == ref[k], (k, got, ref)
