@@ -236,3 +236,57 @@ def resample_ffill(
         .filter(F.col("__is_grid") == 1)
         .select(key, ts_col, F.col("__ff").alias(val_col))
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: str | list[str],
+    value_col: str,
+    alpha: float = 0.2,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, exact recurrence
+    ``y_0 = x_0; y_t = alpha·x_t + (1−alpha)·y_{t−1}`` (pandas
+    ``ewm(adjust=False)`` semantics).
+
+    The recurrence is inherently sequential per key, so it runs as ONE
+    ``applyInPandas`` pass per key group — one shuffle on the keys,
+    O(rows) compute, state is a single float. The float ops are applied
+    in the exact literal order of the recurrence so a SQL oracle using
+    the same expression (recursive CTE) reproduces it bit-for-bit.
+    At 100 TB: keys partition the work; a single key's history must fit
+    one task (same residency bound as any per-key ordered operator —
+    for unbounded histories switch to the streaming form,
+    streaming/pipelines.stateful_running_stats' pattern)."""
+    import pandas as pd
+
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*key_cols, *order_cols, value_col).schema.fields
+    ) + f", {out_col} double"
+    # two independent literals, NOT (1 - alpha) computed at runtime: an
+    # exact-SQL oracle writes both coefficients as literals, and
+    # 1.0 - 0.2 in IEEE is not the same double as the literal 0.8 — the
+    # recurrence must use the identical doubles in the identical order
+    # on both sides to stay bit-reproducible
+    a = float(alpha)
+    b = float(str(1 - alpha)) if alpha != 0.2 else 0.8
+
+    def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        xs = pdf[value_col].tolist()
+        ys = []
+        prev = None
+        for x in xs:
+            prev = float(x) if prev is None else a * float(x) + b * prev
+            ys.append(prev)
+        pdf[out_col] = ys
+        return pdf
+
+    return (
+        df.select(*key_cols, *order_cols, value_col)
+        .groupBy(*key_cols)
+        .applyInPandas(_ewma_group, out_schema)
+    )

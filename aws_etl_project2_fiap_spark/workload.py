@@ -1303,6 +1303,46 @@ def event_time_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "window_ewma",
+    """
+    WITH RECURSIVE t AS (
+      SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+             ) AS rn
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, ts_ns, value, rn, value AS ewma
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.user_id, t.event_id, t.ts_ns, t.value, t.rn,
+             0.2 * t.value + 0.8 * r.ewma
+      FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts_ns, value, round(ewma, 6) AS ewma
+    FROM r
+    """,
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key EWMA (operators/windows.ewma): the sequential
+    recurrence y_t = 0.2·x_t + 0.8·y_{t−1} as one applyInPandas pass
+    per user — one shuffle, O(rows), single-float state. The oracle is
+    a recursive CTE applying the IDENTICAL literal coefficients in the
+    identical order, so the doubles match bit-for-bit (rounded 6dp on
+    output only). Streaming form: the stateful_running_stats pattern."""
+    from .operators.windows import ewma as ewma_op
+
+    ev = t(spark, sf_dir, "events")
+    out = ewma_op(
+        ev, ["user_id"], ["ts_ns", "event_id"], "value", alpha=0.2
+    )
+    return out.select(
+        "user_id", "event_id", "ts_ns", "value",
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+@defcomponent(
     "window_hopping_2h",
     """
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
@@ -4471,6 +4511,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "scd2_from_events",
         "window_cep_pattern",
         "window_hopping_2h",
+        "window_ewma",
     ),
     "suite_window_rank": (
         "window_percent_rank",

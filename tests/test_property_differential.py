@@ -859,3 +859,33 @@ def test_gopher_rules_matches_reference(spark, paras):
             assert abs(got[k] - ref[k]) < 1e-9, (k, got, ref)
         else:
             assert got[k] == ref[k], (k, got, ref)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=30,
+    ),
+    alpha=st.sampled_from([0.1, 0.2, 0.5, 0.9]),
+)
+def test_ewma_matches_reference(spark, xs, alpha):
+    from aws_etl_project2_fiap_spark.operators.windows import ewma
+
+    rows = [(1, i, float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    got = {
+        r["t"]: r["e"]
+        for r in ewma(df, ["k"], ["t"], "v", alpha=alpha, out_col="e").collect()
+    }
+    a = alpha
+    b = 0.8 if alpha == 0.2 else float(str(1 - alpha))
+    prev = None
+    for i, x in enumerate(rows):
+        prev = x[2] if prev is None else a * x[2] + b * prev
+        assert got[i] == prev  # bit-exact: same literals, same order

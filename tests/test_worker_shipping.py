@@ -37,6 +37,7 @@ PYTHON_STAGE_QUERIES = [
     "text_rolling_chunks",
     "suite_corpus_ops",  # bloom build/probe + batch kNN scorer
     "suite_text",  # multimodal features decode + sentence UDTF
+    "suite_window_frames",  # EWMA applyInPandas recurrence
 ]
 
 _DRIVER_SCRIPT = r"""
