@@ -156,6 +156,25 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_consume(args) -> int:
+    """One incremental consumption of a versioned table's change feed:
+    new rows since the cursor print to stdout (the operational smoke
+    form of io/versioned.consume_changes — real deployments pass a
+    parquet/catalog sink)."""
+    from .io import versioned as V
+
+    spark = _session()
+
+    def sink(df):
+        df.show(args.limit, truncate=not args.wide)
+        print(f"-- delivered {df.count()} rows")
+
+    res = V.consume_changes(spark, args.table, args.cursor, sink)
+    print(f"-- cursor v{res['from']} -> v{res['to']}"
+          + ("" if res["delivered"] else " (nothing new)"))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="aws_etl_project2_fiap_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -202,6 +221,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("table")
     p.add_argument("--keep-last", type=int, default=2)
     p.set_defaults(fn=cmd_vacuum)
+
+    p = sub.add_parser(
+        "consume",
+        help="incrementally consume a versioned table's change feed",
+    )
+    p.add_argument("table")
+    p.add_argument("cursor", help="path to the consumer's cursor JSON")
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--wide", action="store_true")
+    p.set_defaults(fn=cmd_consume)
 
     p = sub.add_parser("changes", help="change data feed between versions")
     p.add_argument("table")

@@ -665,3 +665,63 @@ def clone_table(
     files = _read_manifest(src, v)["files"]
     os.makedirs(dst, exist_ok=True)
     return _commit(dst, files, extra={"cloned_from": src, "clone_version": v})
+
+
+def consume_changes(
+    spark: SparkSession,
+    path: str,
+    cursor_path: str,
+    sink,
+) -> dict:
+    """Incrementally consume a versioned table's change feed — the
+    CONSUMER half of the lakehouse loop (``streaming.sinks
+    .versioned_sink`` is the producer half). The Delta streaming-source
+    pattern on this log:
+
+    - a tiny JSON cursor records the last consumed version;
+    - each run diffs cursor → current via :func:`table_changes`, feeds
+      the INSERTED rows to ``sink(df)``, then commits the cursor —
+      at-least-once (a crash between sink and commit re-delivers the
+      batch; pair with an idempotent sink for effectively-once, same
+      contract as io/incremental.ingest_batch);
+    - cost ∝ files added since the cursor — the table's history length
+      and total size are irrelevant.
+
+    First run (no cursor) delivers the full current snapshot. A
+    copy-on-write UPDATE/MERGE re-emits every row of its rewritten
+    files (file-diff CDF granularity — consumers keying on a unique id
+    reconcile, exactly like Delta's ``ignoreChanges``); DELETE-only
+    commits deliver nothing new. If ``vacuum`` pruned the cursor's
+    manifest, the consumer has fallen behind retention: it raises, and
+    the operator resyncs by deleting the cursor (full-snapshot restart).
+
+    Returns {"from": v, "to": v', "delivered": bool, "committed": bool}.
+    """
+    current = current_version(path)
+    try:
+        with open(cursor_path) as fh:
+            last = int(json.load(fh)["version"])
+    except FileNotFoundError:
+        last = 0
+    if current == last:
+        return {"from": last, "to": current, "delivered": False,
+                "committed": False}
+    if last > 0 and not os.path.exists(
+        os.path.join(_manifest_dir(path), f"v{last}.json")
+    ):
+        raise ValueError(
+            f"cursor at v{last} of {path} predates retention (vacuumed); "
+            f"delete {cursor_path} to resync from a full snapshot"
+        )
+    if last == 0:
+        batch = read_table(spark, path, version=current)
+    else:
+        batch = table_changes(spark, path, last, current).filter(
+            F.col("_change_type") == "insert"
+        ).drop("_change_type")
+    sink(batch)
+    tmp = cursor_path + f".tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": current}, fh)
+    os.replace(tmp, cursor_path)
+    return {"from": last, "to": current, "delivered": True, "committed": True}

@@ -73,3 +73,24 @@ def test_cli_changes(spark, capsys, tmp_path):
     assert main(["changes", path, "1", "2"]) == 0
     out = capsys.readouterr().out
     assert "5 inserts, 0 deletes" in out
+
+
+def test_cli_consume(spark, capsys, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_etl_project2_fiap_spark.io import versioned as V
+
+    path = str(tmp_path / "t3")
+    cursor = str(tmp_path / "cursor.json")
+    V.create_table(spark.range(0, 4).select(F.col("id")), path)
+    assert main(["consume", path, cursor]) == 0
+    out = capsys.readouterr().out
+    assert "delivered 4 rows" in out and "v0 -> v1" in out
+
+    assert main(["consume", path, cursor]) == 0
+    assert "nothing new" in capsys.readouterr().out
+
+    V.append_table(spark.range(4, 6).select(F.col("id")), path)
+    assert main(["consume", path, cursor]) == 0
+    out = capsys.readouterr().out
+    assert "delivered 2 rows" in out and "v1 -> v2" in out

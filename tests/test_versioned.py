@@ -533,3 +533,77 @@ def test_merge_rejects_null_source_keys(spark, table):
     src = spark.createDataFrame([(None, 0, 1.0)], "id long, g long, v double")
     with pytest.raises(ValueError, match="NULL"):
         V.merge_table(spark, table, src, ["id"])
+
+
+# ---------------------------------------------------------------------------
+# Change-feed consumer (the consumer half of the lakehouse loop)
+# ---------------------------------------------------------------------------
+
+
+def test_consume_changes_snapshot_then_deltas(spark, tmp_path):
+    from pyspark.sql import functions as _F
+
+    path = str(tmp_path / "t")
+    cursor = str(tmp_path / "cursor.json")
+    got: list[list] = []
+
+    def sink(df):
+        got.append(sorted(r["id"] for r in df.collect()))
+
+    V.create_table(
+        spark.range(3).select(_F.col("id"), _F.lit(1.0).alias("v")), path
+    )
+    r1 = V.consume_changes(spark, path, cursor, sink)
+    assert r1 == {"from": 0, "to": 1, "delivered": True, "committed": True}
+    assert got[-1] == [0, 1, 2]  # first run = full snapshot
+
+    # no new commit: nothing delivered, cursor untouched
+    r2 = V.consume_changes(spark, path, cursor, sink)
+    assert r2["delivered"] is False and len(got) == 1
+
+    # append delivers ONLY the new rows
+    V.append_table(
+        spark.range(10, 12).select(_F.col("id"), _F.lit(2.0).alias("v")), path
+    )
+    r3 = V.consume_changes(spark, path, cursor, sink)
+    assert r3 == {"from": 1, "to": 2, "delivered": True, "committed": True}
+    assert got[-1] == [10, 11]
+
+
+def test_consume_changes_redelivers_on_sink_crash(spark, tmp_path):
+    from pyspark.sql import functions as _F
+
+    path = str(tmp_path / "t")
+    cursor = str(tmp_path / "cursor.json")
+    V.create_table(
+        spark.range(2).select(_F.col("id"), _F.lit(1.0).alias("v")), path
+    )
+
+    def bad_sink(df):
+        raise RuntimeError("downstream outage")
+
+    with pytest.raises(RuntimeError):
+        V.consume_changes(spark, path, cursor, bad_sink)
+    # cursor NOT committed -> the batch re-delivers (at-least-once)
+    got = []
+    V.consume_changes(spark, path, cursor, lambda df: got.append(df.count()))
+    assert got == [2]
+
+
+def test_consume_changes_behind_retention_raises(spark, tmp_path):
+    from pyspark.sql import functions as _F
+
+    path = str(tmp_path / "t")
+    cursor = str(tmp_path / "cursor.json")
+    V.create_table(
+        spark.range(2).select(_F.col("id"), _F.lit(1.0).alias("v")), path
+    )
+    V.consume_changes(spark, path, cursor, lambda df: df.count())  # at v1
+    for i in range(3):
+        V.append_table(
+            spark.range(2).select(_F.col("id"), _F.lit(float(i)).alias("v")),
+            path,
+        )
+    V.vacuum(path, keep_last=2)  # prunes v1's manifest
+    with pytest.raises(ValueError, match="retention"):
+        V.consume_changes(spark, path, cursor, lambda df: df.count())
