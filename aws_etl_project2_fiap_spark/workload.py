@@ -404,6 +404,32 @@ def p16_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "p_variant_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    """,
+)
+def p_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` materializes the props payload ONCE into the binary
+    variant encoding, then ``variant_get`` does typed path access and
+    ``try_variant_get`` null-safe access to absent paths (P16's
+    string-path ``get_json_object`` re-parses the JSON text per
+    extraction — variant parses once and is the 100 TB shape for
+    wide multi-field extraction). Oracle: DuckDB JSON functions."""
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing"),
+    )
+
+
+@defcomponent(
     "u1_union_all",
     """
     SELECT c_name AS name, 'customer' AS src FROM customer
@@ -4469,6 +4495,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "p2_null_filter",
         "p14_ts_format",
         "p16_json_extract",
+        "p_variant_extract",
         "o_sort_nulls_topk",
     ),
     "suite_setops": (
