@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -417,3 +417,91 @@ def stream_stream_interval_join(
         & (rw[right_ts] <= lw[left_ts])
     )
     return lw.join(rw, cond, "inner")
+
+
+_EWMA_OUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def stateful_ewma(
+    ticks: DataFrame,
+    key_col: str = "symbol",
+    value_col: str = "preco_brl",
+    ts_col: str = "data_hora",
+    alpha: float = 0.2,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming per-key EWMA: unbounded sequential state no window can
+    express, as one ``applyInPandasWithState`` pass (state per key =
+    (count, ewma), two scalars).
+
+    Same recurrence as the batch operator (operators/windows.ewma):
+    y_t = alpha·x_t + (1−alpha)·y_{t−1}, identical literal
+    coefficients, rows ordered by event time within each micro-batch.
+    Batch-mode input falls back to the exact batch operator, so the
+    stream-equals-batch test is the correctness oracle.
+
+    Note on Spark 4's ``transformWithStateInPandas`` (the typed-state
+    successor: named state variables, timers, TTL, RocksDB-backed
+    store): its Python state-server protocol imports ``google.protobuf``,
+    which this container does not ship, so the operator stays on the
+    stable ``applyInPandasWithState`` API — the state contract here (a
+    2-field struct) ports to a TWS ValueState one-for-one."""
+    a = float(alpha)
+    b = 0.8 if alpha == 0.2 else float(str(1 - alpha))
+
+    if not ticks.isStreaming:
+        from ..operators.windows import ewma as batch_ewma
+
+        per_row = batch_ewma(
+            ticks, [key_col], [ts_col], value_col, alpha=alpha
+        )
+        w = Window.partitionBy(key_col).orderBy(F.desc(ts_col))
+        return (
+            per_row.withColumn("__rn", F.row_number().over(w))
+            # count the FULL key history before keeping only its latest
+            # row (the window reuses __rn's exchange — no extra shuffle)
+            .withColumn(
+                "__n", F.count(F.lit(1)).over(Window.partitionBy(key_col))
+            )
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col(key_col).alias("key"),
+                F.col("__n").alias("n"),
+                F.col("ewma"),
+            )
+        )
+
+    import pandas as pd  # local: executor-side dependency only
+
+    def update(key, pdf_iter: Iterator[pd.DataFrame], state):
+        n, prev = state.get if state.exists else (0, None)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for x in pdf[value_col].tolist():
+                prev = float(x) if prev is None else a * float(x) + b * prev
+                n += 1
+        state.update((n, prev))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "ewma": [prev]})
+
+    return (
+        ticks.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=_EWMA_OUT,
+            stateStructType=T.StructType(
+                [
+                    T.StructField("n", T.LongType()),
+                    T.StructField("ewma", T.DoubleType()),
+                ]
+            ),
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -708,3 +708,52 @@ def test_versioned_sink_retries_on_commit_conflict(spark, tmp_path, monkeypatch)
     assert fired.get("done")  # the conflict really fired
     assert V.current_version(table) == 2  # ...and the retry committed
     assert V.read_table(spark, table).count() == 6
+
+
+def test_stateful_ewma_stream_matches_batch(spark, tmp_path):
+    """Streaming EWMA (applyInPandasWithState) equals the exact batch
+    recurrence when the whole landing is one availableNow run."""
+    from aws_etl_project2_fiap_spark.streaming.pipelines import stateful_ewma
+
+    landing = str(tmp_path / "landing")
+    rows = [
+        ("2025-08-01 10:00:00", "BTC", 100.0),
+        ("2025-08-01 10:01:00", "BTC", 110.0),
+        ("2025-08-01 10:02:00", "BTC", 120.0),
+        ("2025-08-01 10:00:30", "ETH", 10.0),
+        ("2025-08-01 10:01:30", "ETH", 30.0),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("data_hora", T.TimestampType()),
+            T.StructField("symbol", T.StringType()),
+            T.StructField("preco_brl", T.DoubleType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows], ["ts_s", "symbol", "preco_brl"]
+    ).select(
+        F.to_timestamp("ts_s").alias("data_hora"), "symbol", "preco_brl"
+    ).coalesce(1).write.parquet(landing)
+
+    out = stateful_ewma(file_source(spark, landing, schema))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r.key: (r.n, round(r.ewma, 9))
+        for r in spark.sql("SELECT key, n, ewma FROM ewma_test").collect()
+    }
+    batch = {
+        r.key: (r.n, round(r.ewma, 9))
+        for r in stateful_ewma(spark.read.parquet(landing)).collect()
+    }
+    assert streamed == batch
+    # hand-checked recurrence: BTC 100 -> 102 -> 105.6
+    assert streamed["BTC"] == (3, round(0.2 * 120.0 + 0.8 * (0.2 * 110.0 + 0.8 * 100.0), 9))
