@@ -351,3 +351,60 @@ def test_quality_report_is_single_pass(spark):
     assert p.count("Scan parquet") == 1, p
     assert p.count("Exchange") <= 2  # agg exchange (+ AQE single-partition read)
     assert "Expand" in p or "Generate" in p  # the unpivot node
+
+
+def test_gopher_rules_is_map_only(spark):
+    """The quality gate must fuse into the scan: no Exchange, no
+    Python stage — a pure codegen projection."""
+    p = plan(DEFS["text_gopher_rules"].spark(spark, SF))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_chunker_is_map_only_generate(spark):
+    """Chunking = projection + Generate (posexplode), still zero
+    shuffles and JVM-only."""
+    p = plan(DEFS["text_chunk_overlap"].spark(spark, SF))
+    assert "Exchange" not in p
+    assert "Generate" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_variant_extract_is_map_only(spark):
+    p = plan(DEFS["p_variant_extract"].spark(spark, SF))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_hopping_window_is_expand_plus_single_agg_shuffle(spark):
+    """Hopping windows must plan as ONE Expand (each event replicated
+    into its 2 windows) + partial/final agg around a single exchange —
+    not a self-union or join."""
+    p = plan(DEFS["window_hopping_2h"].spark(spark, SF))
+    assert p.count("Expand") >= 1
+    assert p.count("Exchange") == 1
+    assert "Join" not in p
+    assert "partial" in p.lower()
+
+
+def test_index_probe_plan_no_corpus_shuffle(spark, tmp_path):
+    """The minhash-index probe broadcasts the delivery; the index side
+    must carry no Exchange before the join (corpus never shuffles)."""
+    from aws_etl_project2_fiap_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    path = str(tmp_path / "idx")
+    build_minhash_index(docs, path)
+    probe = probe_minhash_index(
+        spark, path, docs.limit(10), threshold=0.5
+    )
+    p = plan(probe)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    idx_side = p.split("BroadcastHashJoin")[1]
+    # the streamed (index) side below the join has no exchange; the only
+    # exchanges in the plan serve the broadcast build + final group
+    assert "ShuffledHashJoin" not in p
