@@ -135,19 +135,121 @@ def _file_stats(fpath: str) -> dict:
     return {c: [lo[c], hi[c]] for c in lo if c not in bad}
 
 
-def _write_batch(df: DataFrame, path: str) -> list[dict]:
+
+
+# -- per-file Bloom indexes (equality-predicate file skipping) ---------
+#
+# min/max footer stats prune RANGE predicates, but an equality probe on
+# a high-cardinality unclustered key (user_id = 123) overlaps almost
+# every file's [min, max]. Delta's answer is a per-file Bloom filter
+# index; same here: at write time each indexed column's distinct values
+# hash into a small bitmap stored NEXT TO the data file (<file>.bloom.
+# <col>, not inside the manifest — manifests stay O(files) tiny), and a
+# point read drops every file whose bitmap provably lacks the value.
+# No false negatives by construction; false positives only cost a scan
+# of one extra file, and the exact filter still applies. Vacuum
+# reclaims blooms with their batch dirs (same directory).
+
+_BLOOM_HASHES = 7
+
+
+def _bloom_key(value) -> bytes:
+    """Canonical byte encoding for a bloom key — type-stable so the
+    write side and the probe side always hash the same bytes.
+    Floats are excluded at index time (IEEE text forms are ambiguous)."""
+    if isinstance(value, bool):  # before int: bool is an int subclass
+        return b"b:" + (b"1" if value else b"0")
+    if isinstance(value, int):
+        return b"i:" + str(value).encode()
+    return b"s:" + str(value).encode()
+
+
+def _bloom_positions(key: bytes, m_bits: int):
+    import hashlib
+
+    d = hashlib.sha256(key).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % m_bits for i in range(_BLOOM_HASHES)]
+
+
+def _write_bloom(fpath: str, col: str, bits_per_key: int = 10) -> str | None:
+    """Build <file>.bloom.<col> from the parquet file's column values
+    (driver-side read of ONE just-written local column — the write path
+    already owns this IO). Returns the bloom path, or None for
+    unsupported (float) columns."""
+    import pyarrow.parquet as pq
+
+    vals = pq.read_table(fpath, columns=[col]).column(col).to_pylist()
+    keys = {v for v in vals if v is not None}
+    if any(isinstance(v, float) for v in keys):
+        return None
+    m_bits = max(64, bits_per_key * max(len(keys), 1))
+    bitmap = bytearray((m_bits + 7) // 8)
+    for v in keys:
+        for pos in _bloom_positions(_bloom_key(v), m_bits):
+            bitmap[pos // 8] |= 1 << (pos % 8)
+    bpath = f"{fpath}.bloom.{col}"
+    with open(bpath, "wb") as fh:
+        fh.write(m_bits.to_bytes(8, "big"))
+        fh.write(bytes(bitmap))
+    return bpath
+
+
+def _bloom_might_contain(bpath: str, value) -> bool:
+    with open(bpath, "rb") as fh:
+        m_bits = int.from_bytes(fh.read(8), "big")
+        bitmap = fh.read()
+    for pos in _bloom_positions(_bloom_key(value), m_bits):
+        if not (bitmap[pos // 8] >> (pos % 8)) & 1:
+            return False
+    return True
+
+
+def prunable_eq(files: list, col: str, value) -> tuple[list, list]:
+    """Split manifest entries into (kept, skipped) for ``col = value``:
+    a file is skipped iff it carries a bloom for ``col`` that rules the
+    value out. Files without a bloom (pre-index commits, float columns)
+    are conservatively kept. NULL probes keep everything (`= NULL` is
+    never true; the caller's exact filter handles it)."""
+    if value is None:
+        return list(files), []
+    kept, skipped = [], []
+    for f in files:
+        bpath = f.get("blooms", {}).get(col)
+        if bpath and os.path.exists(bpath) and not _bloom_might_contain(
+            bpath, value
+        ):
+            skipped.append(f)
+        else:
+            kept.append(f)
+    return kept, skipped
+
+
+def _write_batch(
+    df: DataFrame, path: str, bloom_cols: list[str] | None = None
+) -> list[dict]:
     """Write df as a new immutable batch dir; return one manifest entry
-    per file: {"path", "stats": {col: [min, max]}}."""
+    per file: {"path", "stats": {col: [min, max]}, "blooms": {col:
+    bloom_path}} (blooms only for ``bloom_cols``)."""
     batch = os.path.join(path, "_data", f"b_{uuid.uuid4().hex[:12]}")
     df.write.mode("error").parquet(batch)
-    return [
-        {"path": p, "stats": _file_stats(p)}
-        for p in sorted(
-            os.path.join(batch, f)
-            for f in os.listdir(batch)
-            if f.endswith(".parquet")
-        )
-    ]
+    entries = []
+    for p in sorted(
+        os.path.join(batch, f)
+        for f in os.listdir(batch)
+        if f.endswith(".parquet")
+    ):
+        entry = {"path": p, "stats": _file_stats(p)}
+        blooms = {}
+        for col in bloom_cols or []:
+            bpath = _write_bloom(p, col)
+            if bpath:
+                blooms[col] = bpath
+        if blooms:
+            entry["blooms"] = blooms
+        entries.append(entry)
+    return entries
 
 
 def _paths(files: list) -> list[str]:
@@ -194,15 +296,26 @@ def _commit(
     return version
 
 
-def create_table(df: DataFrame, path: str, extra: dict | None = None) -> int:
-    """Create version 1 from ``df``. Fails if the table exists."""
+def create_table(
+    df: DataFrame,
+    path: str,
+    extra: dict | None = None,
+    bloom_cols: list[str] | None = None,
+) -> int:
+    """Create version 1 from ``df``. Fails if the table exists.
+    ``bloom_cols`` adds per-file Bloom indexes for equality skipping."""
     if os.path.exists(_pointer(path)):
         raise FileExistsError(f"versioned table already exists at {path}")
     os.makedirs(path, exist_ok=True)
-    return _commit(path, _write_batch(df, path), extra)
+    return _commit(path, _write_batch(df, path, bloom_cols), extra)
 
 
-def append_table(df: DataFrame, path: str, extra: dict | None = None) -> int:
+def append_table(
+    df: DataFrame,
+    path: str,
+    extra: dict | None = None,
+    bloom_cols: list[str] | None = None,
+) -> int:
     """Append-only commit: new batch files + every current file.
 
     Carries the optimistic-concurrency token from the snapshot read: an
@@ -213,7 +326,7 @@ def append_table(df: DataFrame, path: str, extra: dict | None = None) -> int:
     base_version = current_version(path)
     files = _read_manifest(path, base_version)["files"]
     return _commit(
-        path, files + _write_batch(df, path), extra,
+        path, files + _write_batch(df, path, bloom_cols), extra,
         expect_version=base_version,
     )
 
@@ -262,6 +375,7 @@ def read_table(
     path: str,
     version: int | None = None,
     between: tuple[str, object, object] | None = None,
+    eq: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Read a version (default: current). The file list is resolved
     once, driver-side, from the manifest — a concurrent commit can't
@@ -276,6 +390,26 @@ def read_table(
     prunes all but O(matching) files."""
     v = current_version(path) if version is None else version
     files = _read_manifest(path, v)["files"]
+    if eq is not None:
+        # Bloom-index point-read: drop every file whose per-file bloom
+        # provably lacks the value (no false negatives; the exact
+        # filter below removes bloom false positives). Range stats
+        # can't do this on a high-cardinality unclustered key.
+        col, value = eq
+        files, _ = prunable_eq(files, col, value)
+        if not files:
+            raise ValueError(
+                f"bloom index skips every file of version {v} for "
+                f"{col} = {value!r}; read without `eq` for an "
+                f"empty-result scan"
+            )
+        out = spark.read.option("mergeSchema", "true").parquet(*_paths(files))
+        out = out.filter(F.col(col) == F.lit(value))
+        if between is not None:
+            preds = [between] if isinstance(between, tuple) else list(between)
+            for bcol, lo, hi in preds:
+                out = out.filter(F.col(bcol).between(lo, hi))
+        return out
     if between is not None:
         # one (col, lo, hi) or a list of them — conjunctive pruning:
         # every predicate independently drops non-overlapping files

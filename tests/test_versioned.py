@@ -607,3 +607,79 @@ def test_consume_changes_behind_retention_raises(spark, tmp_path):
     V.vacuum(path, keep_last=2)  # prunes v1's manifest
     with pytest.raises(ValueError, match="retention"):
         V.consume_changes(spark, path, cursor, lambda df: df.count())
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom indexes: equality-predicate file skipping
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_point_read_prunes_files(spark, tmp_path):
+    """3 files partitioned on disjoint id ranges, bloom-indexed on id:
+    a point read must scan exactly the one file holding the key and
+    return exactly the matching row."""
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), (F.col("id") * 2.0).alias("v")
+    )
+    path = str(tmp_path / "t")
+    V.create_table(
+        df.repartitionByRange(3, "id"), path, bloom_cols=["id"]
+    )
+    out = V.read_table(spark, path, eq=("id", 142))
+    assert len(out.inputFiles()) == 1  # two files bloom-skipped
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["id"] == 142
+
+    # a value no file contains: every file's bloom rules it out
+    with pytest.raises(ValueError, match="skips every file"):
+        V.read_table(spark, path, eq=("id", 10_000))
+
+
+def test_bloom_exactness_against_full_scan(spark, tmp_path):
+    """Pruned point-reads must equal the unpruned filter for every key
+    (no false negatives; false positives removed by the exact filter)."""
+    df = spark.range(0, 90).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") + 0.5).alias("v")
+    )
+    path = str(tmp_path / "t")
+    V.create_table(df.repartitionByRange(3, "id"), path, bloom_cols=["k"])
+    full = V.read_table(spark, path)
+    for key in range(7):
+        a = sorted(r["id"] for r in V.read_table(spark, path, eq=("k", key)).collect())
+        b = sorted(r["id"] for r in full.filter(F.col("k") == key).collect())
+        assert a == b, key
+
+
+def test_bloom_unindexed_commits_conservative(spark, tmp_path):
+    """Appends WITHOUT bloom_cols stay readable: their files carry no
+    bloom and are conservatively kept by point reads."""
+    path = str(tmp_path / "t")
+    V.create_table(
+        spark.range(0, 10).select(F.col("id")), path, bloom_cols=["id"]
+    )
+    V.append_table(spark.range(10, 20).select(F.col("id")), path)  # no bloom
+    out = V.read_table(spark, path, eq=("id", 15))
+    assert [r["id"] for r in out.collect()] == [15]
+
+
+def test_bloom_string_keys_and_vacuum(spark, tmp_path):
+    """String keys index fine; vacuum reclaims blooms with their batch
+    dirs (they live inside)."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"user_{i % 5}") for i in range(50)], "id long, name string"
+    )
+    V.create_table(df.repartition(2), path, bloom_cols=["name"])
+    out = V.read_table(spark, path, eq=("name", "user_3"))
+    assert out.count() == 10
+    # overwrite then vacuum: v1's batch dir (and its .bloom files) go
+    V.overwrite_table(spark.range(1).select(F.col("id")), path)
+    V.overwrite_table(spark.range(1).select(F.col("id")), path)
+    removed = V.vacuum(path, keep_last=2)
+    assert removed
+    leftover_blooms = [
+        p for d, _, fs in _os.walk(path) for p in fs if ".bloom." in p
+    ]
+    assert leftover_blooms == []
