@@ -270,11 +270,19 @@ def _commit(
     ``expect_version`` is the optimistic-concurrency token: the version
     this writer's snapshot was read from. If another commit moved the
     pointer since, raise :class:`CommitConflict` instead of silently
-    clobbering that writer's files out of the new manifest. (The check
-    races only within the window between read and manifest write —
-    local/posix-rename scope, same as the rest of the commit protocol;
-    multi-writer across hosts is where Delta/Iceberg's log CAS takes
-    over.)"""
+    clobbering that writer's files out of the new manifest.
+
+    The manifest CREATE is the commit's CAS: ``open(..., "x")`` is
+    atomic on POSIX, so of two writers racing the same version number
+    exactly one creates v{N}.json — the pointer-read check alone leaves
+    a window where both pass and the second ``json.dump`` would
+    silently clobber the first (a lost commit; caught by the threaded
+    stress test). The loser gets :class:`CommitConflict` and re-reads.
+    A writer crashing between manifest create and pointer flip leaves
+    an orphan v{N}.json that blocks version N — the documented repair
+    (same class as Delta's incomplete-commit cleanup) is to delete the
+    orphan or point ``_CURRENT`` at it. Multi-writer across hosts is
+    where Delta/Iceberg's log CAS takes over."""
     os.makedirs(_manifest_dir(path), exist_ok=True)
     try:
         version = current_version(path) + 1
@@ -287,8 +295,20 @@ def _commit(
         )
     manifest = {"version": version, "files": files, **(extra or {})}
     mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
-    with open(mpath, "w") as fh:
+    tmp_manifest = mpath + f".tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp_manifest, "w") as fh:
         json.dump(manifest, fh)
+    try:
+        os.link(tmp_manifest, mpath)  # atomic create-if-absent (CAS)
+    except FileExistsError:
+        os.remove(tmp_manifest)
+        raise CommitConflict(
+            f"another writer committed v{version} of {path} first; "
+            f"re-read and retry"
+        ) from None
+    finally:
+        if os.path.exists(tmp_manifest):
+            os.remove(tmp_manifest)
     tmp = _pointer(path) + f".tmp_{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         fh.write(str(version))
@@ -626,6 +646,8 @@ def compact_table(
     path: str,
     target_files: int | None = None,
     zorder_by: list[str] | None = None,
+    small_only_bytes: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE: rewrite the current version into fewer, larger,
     optionally z-order-clustered files — as a NEW commit, so readers of
@@ -637,10 +659,42 @@ def compact_table(
     the manifest's per-file min/max TIGHT on every clustered column —
     multiplying what ``read_table(between=...)`` can skip. The
     compaction itself is one scan + one write; at 100 TB run it
-    per-partition-prefix, not table-wide, exactly like OPTIMIZE."""
+    per-partition-prefix, not table-wide, exactly like OPTIMIZE.
+
+    ``small_only_bytes`` makes the OPTIMIZE INCREMENTAL — the shape a
+    streaming-ingested table actually needs: only files under the
+    threshold (the per-micro-batch dribble) are read and merged; files
+    already at target size are manifest-referenced untouched. Cost ∝
+    small bytes, not table size, so it can run after every few commits
+    forever. Ignores ``zorder_by`` (global clustering needs the full
+    rewrite; run the full form occasionally).
+
+    ``bloom_cols`` re-indexes the rewritten files (point-read skipping
+    survives the compaction)."""
     from .parquet import zorder_value
 
     base_version = current_version(path)
+    files = _read_manifest(path, base_version)["files"]
+    if small_only_bytes is not None:
+        small = [f for f in files if os.path.getsize(f["path"]) < small_only_bytes]
+        big = [f for f in files if os.path.getsize(f["path"]) >= small_only_bytes]
+        if len(small) < 2:
+            return {"version": base_version, "files": len(files),
+                    "compacted": 0}
+        total = sum(os.path.getsize(f["path"]) for f in small)
+        n = max(1, -(-total // max(small_only_bytes, 1)))
+        merged = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*_paths(small))
+            .coalesce(int(n))
+        )
+        version = _commit(
+            path, big + _write_batch(merged, path, bloom_cols),
+            expect_version=base_version,
+        )
+        return {"version": version,
+                "files": len(_read_manifest(path, version)["files"]),
+                "compacted": len(small)}
     df = read_table(spark, path, version=base_version)
     n = target_files or max(1, len(df.inputFiles()) // 4)
     if zorder_by:
@@ -657,7 +711,9 @@ def compact_table(
         df = df.coalesce(n)
     # token from the snapshot read: OPTIMIZE that raced an UPDATE/DELETE
     # must not resurrect the pre-update files it compacted
-    version = _commit(path, _write_batch(df, path), expect_version=base_version)
+    version = _commit(
+        path, _write_batch(df, path, bloom_cols), expect_version=base_version
+    )
     return {
         "version": version,
         "files": len(_read_manifest(path, version)["files"]),

@@ -270,8 +270,8 @@ def test_concurrent_update_raises_commit_conflict(spark, table):
     orig_write_batch = V2._write_batch
     interleaved = {"done": False}
 
-    def racing_write_batch(df, path):
-        out = orig_write_batch(df, path)
+    def racing_write_batch(df, path, *args, **kw):
+        out = orig_write_batch(df, path, *args, **kw)
         if not interleaved["done"]:
             # another writer commits between our snapshot read and commit
             interleaved["done"] = True
@@ -462,8 +462,8 @@ def test_append_stale_snapshot_raises_commit_conflict(spark, table, monkeypatch)
     orig = V._write_batch
     fired = {}
 
-    def interleave(df, path):
-        out = orig(df, path)
+    def interleave(df, path, *args, **kw):
+        out = orig(df, path, *args, **kw)
         if not fired.get("done"):
             fired["done"] = True
             # concurrent writer flips the pointer between our snapshot
@@ -683,3 +683,71 @@ def test_bloom_string_keys_and_vacuum(spark, tmp_path):
         p for d, _, fs in _os.walk(path) for p in fs if ".bloom." in p
     ]
     assert leftover_blooms == []
+
+
+def test_incremental_compaction_merges_only_small_files(spark, tmp_path):
+    """small_only OPTIMIZE: the per-commit dribble merges; files already
+    at size are referenced untouched (incremental cost ∝ small bytes)."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    # one big commit (1 file) + 4 dribble commits (1 small file each)
+    V.create_table(
+        spark.range(0, 50_000).select(F.col("id")).coalesce(1), path
+    )
+    for i in range(4):
+        V.append_table(
+            spark.range(100_000 + i, 100_001 + i).select(F.col("id"))
+            .coalesce(1),
+            path,
+        )
+    before = V._read_manifest(path, V.current_version(path))["files"]
+    assert len(before) == 5
+    big_path = max(before, key=lambda f: _os.path.getsize(f["path"]))["path"]
+
+    res = V.compact_table(spark, path, small_only_bytes=64 * 1024)
+    assert res["compacted"] == 4
+    after = V._read_manifest(path, res["version"])["files"]
+    assert len(after) == 2  # big file + one merged small file
+    assert big_path in {f["path"] for f in after}  # untouched reference
+    out = V.read_table(spark, path)
+    assert out.count() == 50_004  # nothing lost or duplicated
+    assert out.filter(F.col("id") >= 100_000).count() == 4
+    # running it again is a no-op (one small file left, nothing to merge)
+    res2 = V.compact_table(spark, path, small_only_bytes=64 * 1024)
+    assert res2.get("compacted") == 0
+
+
+def test_concurrent_appends_all_land_exactly_once(spark, tmp_path):
+    """8 threads race appends with retry-on-CommitConflict: every batch
+    lands exactly once and the version count equals the commit count —
+    the optimistic-concurrency token under real contention."""
+    import threading
+
+    path = str(tmp_path / "t")
+    V.create_table(spark.range(0, 1).select(F.col("id")), path)
+    errors = []
+
+    def worker(k: int) -> None:
+        df = spark.range(1000 * k, 1000 * k + 10).select(F.col("id"))
+        for _ in range(40):
+            try:
+                V.append_table(df, path)
+                return
+            except V.CommitConflict:
+                continue
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+                return
+        errors.append(RuntimeError(f"writer {k} starved"))
+
+    threads = [threading.Thread(target=worker, args=(k,)) for k in range(1, 9)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    assert V.current_version(path) == 9  # 1 create + 8 appends
+    rows = sorted(r["id"] for r in V.read_table(spark, path).collect())
+    expected = [0] + [1000 * k + i for k in range(1, 9) for i in range(10)]
+    assert rows == sorted(expected)  # exactly once each
