@@ -55,3 +55,34 @@ def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         ids=[], values=list(rules), variableColumnName="rule",
         valueColumnName="violations",
     )
+
+
+def referential_check(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    rule: str | None = None,
+) -> DataFrame:
+    """Cross-table expectation: count child rows whose foreign key has
+    no parent (orphans). NULL keys are not orphans (SQL FK semantics —
+    use :func:`not_null` separately to forbid them).
+
+    Plan: distinct parent keys → LEFT ANTI join → count. Catalyst
+    broadcasts the key set when it is dimension-sized; a fact-sized
+    parent degrades to one shuffled anti join — either way a single
+    pass over the child. Returns (rule, violations)."""
+    name = rule or f"{child_key}_references_{parent_key}"
+    orphans = (
+        child.select(F.col(child_key))
+        .filter(F.col(child_key).isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+    )
+    return orphans.agg(
+        F.lit(name).alias("rule"),
+        F.count(F.lit(1)).alias("violations"),
+    )

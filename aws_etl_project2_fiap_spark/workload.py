@@ -3755,6 +3755,55 @@ def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defcomponent(
+    "quality_referential",
+    """
+    SELECT 'orders_customer_fk' AS rule,
+           CAST(count(*) AS BIGINT) AS violations
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_orders_fk',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE l.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_part_fk',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE l.l_partkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey)
+    """,
+)
+def quality_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity expectations
+    (operators/quality.referential_check): orphan foreign keys counted
+    via distinct-parent-keys + LEFT ANTI join — broadcast when the key
+    set is dimension-sized, one child pass either way. Completes the
+    quality surface: single-table rules (quality_report) + cross-table
+    FKs, both oracle-verified."""
+    from .operators import quality as q
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    checks = [
+        q.referential_check(o, "o_custkey", c, "c_custkey", "orders_customer_fk"),
+        q.referential_check(li, "l_orderkey", o, "o_orderkey", "lineitem_orders_fk"),
+        q.referential_check(li, "l_partkey", p, "p_partkey", "lineitem_part_fk"),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out
+
+
+@defcomponent(
     "funnel_conversion",
     """
     WITH s AS (
@@ -4524,6 +4573,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "cohort_retention",
         "quality_report",
         "agg_robust_stats",
+        "quality_referential",
     ),
     "suite_join_outer": (
         "join_right_outer",

@@ -189,3 +189,21 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=16, overlap=16)
+
+
+def test_referential_check_counts_orphans(spark):
+    from aws_etl_project2_fiap_spark.operators.quality import referential_check
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None), (14, 98)],
+        "id long, fk long",
+    )
+    row = referential_check(child, "fk", parent, "pk", "fk_rule").collect()[0]
+    # 99 and 98 are orphans; NULL fk is NOT an orphan (SQL FK semantics)
+    assert (row["rule"], row["violations"]) == ("fk_rule", 2)
+
+    clean = referential_check(
+        child.filter("fk IS NOT NULL AND fk < 3"), "fk", parent, "pk"
+    ).collect()[0]
+    assert clean["violations"] == 0
