@@ -48,6 +48,11 @@ from pyspark.sql import functions as F
 from .update import apply_update
 
 
+import re as _re
+
+_MANIFEST_RE = _re.compile(r"v\d+\.json")
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed between this writer's snapshot read and
     its commit attempt (optimistic concurrency, Delta-style): the losing
@@ -154,14 +159,15 @@ _BLOOM_HASHES = 7
 
 
 def _bloom_key(value) -> bytes:
-    """Canonical byte encoding for a bloom key — type-stable so the
-    write side and the probe side always hash the same bytes.
-    Floats are excluded at index time (IEEE text forms are ambiguous)."""
-    if isinstance(value, bool):  # before int: bool is an int subclass
-        return b"b:" + (b"1" if value else b"0")
-    if isinstance(value, int):
-        return b"i:" + str(value).encode()
-    return b"s:" + str(value).encode()
+    """Canonical byte encoding for a bloom key: plain str() bytes, NO
+    type tag. Spark's equality casts across types ('77' = 77 matches),
+    so a typed encoding would produce FALSE NEGATIVES on
+    type-mismatched probes — the one failure mode a bloom must never
+    have. The untyped collision (int 77 vs string '77' hashing alike)
+    is only ever a false POSITIVE: one extra file scanned, exact
+    filter still applies. Floats and bools are excluded from indexing
+    (ambiguous text forms / implicit-cast edge cases)."""
+    return str(value).encode()
 
 
 def _bloom_positions(key: bytes, m_bits: int):
@@ -182,7 +188,7 @@ def _write_bloom(fpath: str, col: str, bits_per_key: int = 10) -> str | None:
 
     vals = pq.read_table(fpath, columns=[col]).column(col).to_pylist()
     keys = {v for v in vals if v is not None}
-    if any(isinstance(v, float) for v in keys):
+    if any(isinstance(v, (float, bool)) for v in keys):
         return None
     m_bits = max(64, bits_per_key * max(len(keys), 1))
     bitmap = bytearray((m_bits + 7) // 8)
@@ -212,8 +218,8 @@ def prunable_eq(files: list, col: str, value) -> tuple[list, list]:
     value out. Files without a bloom (pre-index commits, float columns)
     are conservatively kept. NULL probes keep everything (`= NULL` is
     never true; the caller's exact filter handles it)."""
-    if value is None:
-        return list(files), []
+    if value is None or isinstance(value, (float, bool)):
+        return list(files), []  # unindexable probe types: keep all
     kept, skipped = [], []
     for f in files:
         bpath = f.get("blooms", {}).get(col)
@@ -295,7 +301,11 @@ def _commit(
         )
     manifest = {"version": version, "files": files, **(extra or {})}
     mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
-    tmp_manifest = mpath + f".tmp_{uuid.uuid4().hex[:8]}"
+    # tmp lives OUTSIDE _manifests: every consumer listdirs that dir and
+    # json-parses what it finds — a half-written tmp there would crash
+    # committed_batch_ids/version_at and vacuum could delete an
+    # in-flight writer's tmp (same filesystem, so os.link still works)
+    tmp_manifest = os.path.join(path, f"_tmp_manifest_{uuid.uuid4().hex[:8]}")
     with open(tmp_manifest, "w") as fh:
         json.dump(manifest, fh)
     try:
@@ -358,6 +368,8 @@ def committed_batch_ids(path: str) -> set[int]:
     is always recent, well inside any sane keep_last)."""
     ids: set[int] = set()
     for fname in os.listdir(_manifest_dir(path)):
+        if not _MANIFEST_RE.fullmatch(fname):
+            continue  # stray tmp/foreign files are not manifests
         with open(os.path.join(_manifest_dir(path), fname)) as fh:
             m = json.load(fh)
         if "batch_id" in m:
@@ -416,13 +428,19 @@ def read_table(
         # filter below removes bloom false positives). Range stats
         # can't do this on a high-cardinality unclustered key.
         col, value = eq
+        all_files = files
         files, _ = prunable_eq(files, col, value)
         if not files:
-            raise ValueError(
-                f"bloom index skips every file of version {v} for "
-                f"{col} = {value!r}; read without `eq` for an "
-                f"empty-result scan"
+            # every file's bloom rules the key out: the SQL answer is
+            # simply an empty result (schema preserved via a 0-row read
+            # of one pruned file) — probing absent keys is the ordinary
+            # case for existence checks, not an error
+            empty = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(all_files[0]["path"])
+                .limit(0)
             )
+            return empty.filter(F.col(col) == F.lit(value))
         out = spark.read.option("mergeSchema", "true").parquet(*_paths(files))
         out = out.filter(F.col(col) == F.lit(value))
         if between is not None:
@@ -537,6 +555,8 @@ def vacuum(path: str, keep_last: int = 2) -> list[str]:
             shutil.rmtree(full)
             removed.append(full)
     for fname in os.listdir(_manifest_dir(path)):
+        if not _MANIFEST_RE.fullmatch(fname):
+            continue
         v = int(fname[1:].split(".")[0])
         if v not in keep:
             os.remove(os.path.join(_manifest_dir(path), fname))
@@ -816,6 +836,8 @@ def version_at(path: str, ts: float) -> int:
     retained version is newer."""
     candidates = []
     for fname in os.listdir(_manifest_dir(path)):
+        if not _MANIFEST_RE.fullmatch(fname):
+            continue
         v = int(fname[1:].split(".")[0])
         mtime = os.stat(os.path.join(_manifest_dir(path), fname)).st_mtime
         if mtime <= ts:

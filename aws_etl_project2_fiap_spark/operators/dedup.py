@@ -693,6 +693,39 @@ def minhash_index_signatures(
     )
 
 
+def _check_index_params(
+    index_path: str, shingle_n: int, num_hashes: int, bands: int,
+    write: bool = False,
+) -> None:
+    """Persist/validate the signature parameters beside the index. A
+    probe or append whose (shingle_n, num_hashes, bands) differ from
+    the build's would produce band signatures that match NOTHING — a
+    silent all-clear over a corpus full of duplicates — so a mismatch
+    is a hard error, not a wrong answer."""
+    import json
+    import os
+
+    params = {"shingle_n": shingle_n, "num_hashes": num_hashes,
+              "bands": bands}
+    ppath = os.path.join(index_path, "_minhash_params.json")
+    if write:
+        os.makedirs(index_path, exist_ok=True)
+        with open(ppath, "w") as fh:
+            json.dump(params, fh)
+        return
+    try:
+        with open(ppath) as fh:
+            stored = json.load(fh)
+    except FileNotFoundError:
+        return  # pre-params index: caller's responsibility (documented)
+    if stored != params:
+        raise ValueError(
+            f"minhash index at {index_path} was built with {stored}; "
+            f"probing/appending with {params} would silently match "
+            f"nothing — use the stored parameters"
+        )
+
+
 def build_minhash_index(
     df: DataFrame,
     index_path: str,
@@ -704,9 +737,11 @@ def build_minhash_index(
 ) -> int:
     """Create the persisted signature index (versioned table v1) from
     the current corpus. One corpus pass; index size ≈ bands rows ×
-    (num_hashes+3) longs per doc."""
+    (num_hashes+3) longs per doc. The signature parameters persist in
+    a sidecar and later probes/appends are validated against them."""
     from ..io import versioned as V
 
+    _check_index_params(index_path, shingle_n, num_hashes, bands, write=True)
     return V.create_table(
         minhash_index_signatures(
             df, text_col, id_col, shingle_n, num_hashes, bands
@@ -730,6 +765,7 @@ def append_to_minhash_index(
     streaming.sinks.versioned_sink semantics."""
     from ..io import versioned as V
 
+    _check_index_params(index_path, shingle_n, num_hashes, bands)
     return V.append_table(
         minhash_index_signatures(
             df, text_col, id_col, shingle_n, num_hashes, bands
@@ -763,6 +799,7 @@ def probe_minhash_index(
     only. A pair colliding in several bands dedups via max()."""
     from ..io import versioned as V
 
+    _check_index_params(index_path, shingle_n, num_hashes, bands)
     idx = V.read_table(spark, index_path, version=version)
     q = minhash_index_signatures(
         batch, text_col, id_col, shingle_n, num_hashes, bands

@@ -537,7 +537,6 @@ def kmeans_refine_distributed(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     iters: int = 2,
 ) -> list[list[float]]:
     """Refine centroids with full-corpus Lloyd iterations, distributed.
@@ -653,10 +652,15 @@ def semantic_dedup(
         o = np.argsort(ids, kind="stable")
         ids_s = ids[o]
         mat_s = mat[o]
+        def _py(v):
+            # numpy scalar -> native Python so applyInPandas can encode
+            # ANY id type the schema declares (string ids crash int())
+            return v.item() if hasattr(v, "item") else v
+
         if n > max_cluster:
             sims = np.round(mat_s @ mat_s[0], 6)
             dropped = (sims >= threshold) & (np.arange(n) != 0)
-            dup_of = [None if not d else int(ids_s[0]) for d in dropped]
+            dup_of = [None if not d else _py(ids_s[0]) for d in dropped]
             return pd.DataFrame(
                 {"id": ids_s, "cluster": [cl] * n,
                  "keep": (~dropped).astype("int64"), "dup_of": dup_of}
@@ -665,7 +669,7 @@ def semantic_dedup(
         hit = np.tril(sims >= threshold, k=-1)
         has = hit.any(axis=1)
         first = hit.argmax(axis=1)
-        dup_of = [int(ids_s[j]) if h else None for h, j in zip(has, first)]
+        dup_of = [_py(ids_s[j]) if h else None for h, j in zip(has, first)]
         return pd.DataFrame(
             {"id": ids_s, "cluster": [cl] * n,
              "keep": (~has).astype("int64"), "dup_of": dup_of}

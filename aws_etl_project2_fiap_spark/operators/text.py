@@ -209,11 +209,11 @@ def gopher_rules(
     n_words = F.size(wds)
     nw = F.greatest(n_words, F.lit(1))
     mean_wl = F.length(F.regexp_replace(c, r"\s+", "")) / nw
-    n_hash = F.length(c) - F.length(F.expr(f"replace({text_col}, '#', '')"))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
     n_ell3 = (
-        F.length(c) - F.length(F.expr(f"replace({text_col}, '...', '')"))
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
     ) / 3
-    n_ellu = F.length(c) - F.length(F.expr(f"replace({text_col}, '…', '')"))
+    n_ellu = F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
     symbol_ratio = (n_hash + n_ell3 + n_ellu) / nw
     lines = F.split(c, "\n")
     n_lines = F.greatest(F.size(lines), F.lit(1))

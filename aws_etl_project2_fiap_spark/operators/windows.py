@@ -266,13 +266,14 @@ def ewma(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.select(*key_cols, *order_cols, value_col).schema.fields
     ) + f", {out_col} double"
-    # two independent literals, NOT (1 - alpha) computed at runtime: an
-    # exact-SQL oracle writes both coefficients as literals, and
-    # 1.0 - 0.2 in IEEE is not the same double as the literal 0.8 — the
-    # recurrence must use the identical doubles in the identical order
-    # on both sides to stay bit-reproducible
+    # alpha=0.2 pairs with the literal 0.8 (1.0-0.2 in IEEE is NOT the
+    # double the SQL literal 0.8 denotes — the oracle writes literals,
+    # so the engine must use the same doubles in the same order to be
+    # bit-reproducible). Other alphas use the computed complement; an
+    # oracle for them must write the same expression (1 - alpha), not a
+    # decimal literal.
     a = float(alpha)
-    b = float(str(1 - alpha)) if alpha != 0.2 else 0.8
+    b = 0.8 if alpha == 0.2 else 1.0 - a
 
     def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)

@@ -453,7 +453,7 @@ def stateful_ewma(
     stable ``applyInPandasWithState`` API — the state contract here (a
     2-field struct) ports to a TWS ValueState one-for-one."""
     a = float(alpha)
-    b = 0.8 if alpha == 0.2 else float(str(1 - alpha))
+    b = 0.8 if alpha == 0.2 else 1.0 - a  # see operators/windows.ewma
 
     if not ticks.isStreaming:
         from ..operators.windows import ewma as batch_ewma

@@ -242,10 +242,16 @@ def versioned_sink(
                     # to retry: nothing was committed)
                     continue
             else:
-                V.create_table(
-                    batch_df, table_path, extra={"batch_id": batch_id}
-                )
-                return
+                try:
+                    V.create_table(
+                        batch_df, table_path, extra={"batch_id": batch_id}
+                    )
+                    return
+                except (V.CommitConflict, FileExistsError):
+                    # another stream/batch writer created the table
+                    # between our pointer check and the v1 commit —
+                    # loop again and take the append path
+                    continue
         raise RuntimeError(
             f"versioned_sink: batch {batch_id} lost the commit race 5 "
             f"times on {table_path} — writer storm, investigate"

@@ -118,3 +118,13 @@ def test_signature_frame_shape(spark):
     rows = sig.collect()
     assert len(rows) == 3 * 4  # one row per (doc, band)
     assert all(len(r["mh"]) == 16 for r in rows)
+
+
+def test_probe_with_mismatched_params_raises(spark, index):
+    """Probing with different signature parameters would silently match
+    nothing — the persisted params make it a hard error instead."""
+    batch = spark.createDataFrame([(1, CORPUS[0][1])], "doc_id long, text string")
+    with pytest.raises(ValueError, match="built with"):
+        probe_minhash_index(spark, index, batch, num_hashes=32, bands=8)
+    with pytest.raises(ValueError, match="built with"):
+        append_to_minhash_index(batch, index, shingle_n=5)

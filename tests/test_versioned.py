@@ -630,9 +630,12 @@ def test_bloom_point_read_prunes_files(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["id"] == 142
 
-    # a value no file contains: every file's bloom rules it out
-    with pytest.raises(ValueError, match="skips every file"):
-        V.read_table(spark, path, eq=("id", 10_000))
+    # a value no file contains: every bloom rules it out -> the SQL
+    # answer is an EMPTY result with the table schema, not an error
+    # (existence probes on absent keys are the ordinary case)
+    missing = V.read_table(spark, path, eq=("id", 10_000))
+    assert missing.count() == 0
+    assert set(missing.columns) == {"id", "g", "v"}
 
 
 def test_bloom_exactness_against_full_scan(spark, tmp_path):
