@@ -191,6 +191,9 @@ def main() -> None:
             "event_time_tumbling_1h",
             # LLM-pipeline representatives at 10x
             "dedup_minhash_lsh", "text_paragraph_dedup", "text_langid",
+            # round-4 additions at 10x
+            "text_gopher_rules", "text_chunk_overlap", "window_hopping_2h",
+            "dedup_semantic",
         ]
         sf1_steady: dict[str, float] = {}
         for name in sf1_set:
