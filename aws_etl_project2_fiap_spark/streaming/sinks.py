@@ -182,6 +182,8 @@ def versioned_sink(
     query_name: str = "versioned_sink",
     rules: dict | None = None,
     quarantine_path: str | None = None,
+    dedup_keys: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Streaming appends into a versioned table (io/versioned.py): each
     micro-batch becomes one manifest commit, so the lakehouse loop —
@@ -202,7 +204,22 @@ def versioned_sink(
     aggregation pass: a batch with any violations is diverted to
     ``quarantine_path`` (parquet, batch-id subdir) instead of the
     table — bad deliveries never poison committed history, and the
-    quarantined bytes stay replayable after the rule/bug is fixed."""
+    quarantined bytes stay replayable after the rule/bug is fixed.
+
+    ``dedup_keys`` makes appends IDEMPOTENT BY CONTENT, not just by
+    batch id: each batch drops rows whose key(s) already exist in the
+    table (LEFT ANTI join against the current snapshot's key columns)
+    and duplicate keys within the batch keep one row — re-delivered or
+    overlapping crawls never commit the same document twice. The anti
+    join reads only the key columns (column-pruned scan); at 100 TB
+    amortize it with a persisted fingerprint index — the bloom
+    (operators/dedup.incremental_dedup_bloom) or MinHash
+    (probe_minhash_index) paths — and pass the surviving sliver here.
+
+    ``bloom_cols`` forwards to the commit so every batch's files get
+    per-file Bloom indexes (io/versioned.py) — point reads on the
+    ingested table stay prunable with zero extra passes (the index is
+    built from the just-written files)."""
     import os
 
     from ..io import versioned as V
@@ -210,6 +227,17 @@ def versioned_sink(
     def _append(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if dedup_keys and os.path.exists(V._pointer(table_path)):
+            existing = V.read_table(
+                batch_df.sparkSession, table_path
+            ).select(*dedup_keys)
+            batch_df = batch_df.dropDuplicates(dedup_keys).join(
+                existing, dedup_keys, "left_anti"
+            )
+            if batch_df.isEmpty():
+                return  # nothing novel: no commit, no empty version
+        elif dedup_keys:
+            batch_df = batch_df.dropDuplicates(dedup_keys)
         if rules:
             from ..operators.quality import check_rules
 
@@ -232,7 +260,8 @@ def versioned_sink(
                     return  # replayed batch: already committed
                 try:
                     V.append_table(
-                        batch_df, table_path, extra={"batch_id": batch_id}
+                        batch_df, table_path, extra={"batch_id": batch_id},
+                        bloom_cols=bloom_cols,
                     )
                     return
                 except V.CommitConflict:
@@ -244,7 +273,8 @@ def versioned_sink(
             else:
                 try:
                     V.create_table(
-                        batch_df, table_path, extra={"batch_id": batch_id}
+                        batch_df, table_path, extra={"batch_id": batch_id},
+                        bloom_cols=bloom_cols,
                     )
                     return
                 except (V.CommitConflict, FileExistsError):

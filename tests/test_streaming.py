@@ -694,11 +694,11 @@ def test_versioned_sink_retries_on_commit_conflict(spark, tmp_path, monkeypatch)
     real_append = V.append_table
     fired = {}
 
-    def conflicting_append(df, path, extra=None):
+    def conflicting_append(df, path, extra=None, **kw):
         if not fired.get("done"):
             fired["done"] = True
             raise V.CommitConflict("simulated concurrent commit")
-        return real_append(df, path, extra)
+        return real_append(df, path, extra, **kw)
 
     monkeypatch.setattr(V, "append_table", conflicting_append)
     _write_ticks(spark, landing, TICKS[4:])
@@ -757,3 +757,42 @@ def test_stateful_ewma_stream_matches_batch(spark, tmp_path):
     assert streamed == batch
     # hand-checked recurrence: BTC 100 -> 102 -> 105.6
     assert streamed["BTC"] == (3, round(0.2 * 120.0 + 0.8 * (0.2 * 110.0 + 0.8 * 100.0), 9))
+
+
+def test_versioned_sink_dedup_keys_content_idempotent(spark, tmp_path):
+    """dedup_keys: re-delivered and overlapping drops never commit the
+    same key twice; in-batch dup keys keep one row; all-dup batches
+    commit nothing (no empty version)."""
+    from aws_etl_project2_fiap_spark.io import versioned as V
+    from aws_etl_project2_fiap_spark.streaming.sinks import versioned_sink
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+
+    _write_ticks(spark, landing, TICKS[:4] + TICKS[:2])  # in-drop dups
+    versioned_sink(
+        file_source(spark, landing, TICK_SCHEMA), table,
+        str(tmp_path / "c1"), dedup_keys=["data_hora"],
+        bloom_cols=["preco_brl"],
+    ).awaitTermination()
+    assert V.read_table(spark, table).count() == 4  # in-batch dups dropped
+    v1 = V.current_version(table)
+
+    # overlapping second drop: 2 already-committed + 2 novel
+    _write_ticks(spark, landing, TICKS[2:])
+    versioned_sink(
+        file_source(spark, landing, TICK_SCHEMA), table,
+        str(tmp_path / "c1"), dedup_keys=["data_hora"],
+    ).awaitTermination()
+    out = V.read_table(spark, table)
+    assert out.count() == len(TICKS)  # each tick exactly once
+    assert out.select("data_hora").distinct().count() == len(TICKS)
+
+    # pure re-delivery (fresh checkpoint so batch-id dedup can't save us)
+    _write_ticks(spark, str(tmp_path / "landing2"), TICKS)
+    versioned_sink(
+        file_source(spark, str(tmp_path / "landing2"), TICK_SCHEMA), table,
+        str(tmp_path / "c2"), dedup_keys=["data_hora"],
+    ).awaitTermination()
+    assert V.read_table(spark, table).count() == len(TICKS)
+    assert V.current_version(table) >= v1  # and no duplicate content
