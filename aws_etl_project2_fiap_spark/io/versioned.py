@@ -245,6 +245,17 @@ def _bloom_might_contain(bpath: str, value) -> bool:
     return True
 
 
+
+def _indexed_cols(entries: list) -> list[str]:
+    """Bloom-indexed columns across a set of manifest entries — so a
+    copy-on-write rewrite re-indexes what the files it replaces had
+    (point-read pruning survives UPDATE/MERGE/DELETE)."""
+    cols: set[str] = set()
+    for f in entries:
+        cols.update(f.get("blooms", {}))
+    return sorted(cols)
+
+
 def prunable_eq(files: list, col: str, value) -> tuple[list, list]:
     """Split manifest entries into (kept, skipped) for ``col = value``:
     a file is skipped iff it carries a bloom for ``col`` that rules the
@@ -549,9 +560,11 @@ def update_table(
             "files_touched": 0,
             "files_reused": len(files),
         }
-    untouched = [f for f in files if f["path"] not in set(touched)]
+    touched_set = set(touched)
+    untouched = [f for f in files if f["path"] not in touched_set]
     rewritten = apply_update(spark.read.parquet(*touched), set_cols, where)
-    new_files = untouched + _write_batch(rewritten, path)
+    re_index = _indexed_cols([f for f in files if f["path"] in touched_set])
+    new_files = untouched + _write_batch(rewritten, path, re_index or None)
     version = _commit(path, new_files, expect_version=base_version)
     return {
         "version": version,
@@ -658,7 +671,8 @@ def merge_table(
         for r in matched_rows.select("__file").distinct().collect()
     ]
 
-    untouched = [f for f in files if f["path"] not in set(touched)]
+    touched_set = set(touched)
+    untouched = [f for f in files if f["path"] not in touched_set]
     if touched:
         scoped = spark.read.parquet(*touched)
     else:
@@ -682,8 +696,10 @@ def merge_table(
     n_updated = matched_rows.count()
     n_inserted = source.join(target.select(*keys), keys, "anti").count()
 
+    re_index = _indexed_cols([f for f in files if f["path"] in touched_set])
     version = _commit(
-        path, untouched + _write_batch(merged, path), expect_version=base_version
+        path, untouched + _write_batch(merged, path, re_index or None),
+        expect_version=base_version,
     )
     return {
         "version": version,
@@ -799,7 +815,8 @@ def delete_from(spark: SparkSession, path: str, where: Column) -> dict:
             "files_touched": 0,
             "files_reused": len(files),
         }
-    untouched = [f for f in files if f["path"] not in set(touched)]
+    touched_set = set(touched)
+    untouched = [f for f in files if f["path"] not in touched_set]
     # SQL DELETE keeps rows where the predicate is NULL (only TRUE rows
     # go). Under three-valued logic filter(~where) would ALSO drop the
     # NULL rows — coalesce to FALSE so they survive the rewrite, mirror
@@ -807,8 +824,9 @@ def delete_from(spark: SparkSession, path: str, where: Column) -> dict:
     kept_rows = spark.read.parquet(*touched).filter(
         ~F.coalesce(where, F.lit(False))
     )
+    re_index = _indexed_cols([f for f in files if f["path"] in touched_set])
     version = _commit(
-        path, untouched + _write_batch(kept_rows, path),
+        path, untouched + _write_batch(kept_rows, path, re_index or None),
         expect_version=base_version,
     )
     return {

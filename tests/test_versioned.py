@@ -754,3 +754,25 @@ def test_concurrent_appends_all_land_exactly_once(spark, tmp_path):
     rows = sorted(r["id"] for r in V.read_table(spark, path).collect())
     expected = [0] + [1000 * k + i for k in range(1, 9) for i in range(10)]
     assert rows == sorted(expected)  # exactly once each
+
+
+def test_rewrites_preserve_bloom_indexes(spark, tmp_path):
+    """UPDATE/DELETE rewrite touched files WITH fresh blooms for the
+    columns those files had indexed — point-read pruning survives
+    copy-on-write mutations."""
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), (F.col("id") * 2.0).alias("v")
+    )
+    path = str(tmp_path / "t")
+    V.create_table(df.repartitionByRange(3, "id"), path, bloom_cols=["id"])
+    V.update_table(spark, path, {"v": F.lit(-1.0)}, F.col("id") == 142)
+    files = V._read_manifest(path, V.current_version(path))["files"]
+    assert all("id" in f.get("blooms", {}) for f in files)  # incl. rewritten
+    out = V.read_table(spark, path, eq=("id", 142))
+    assert len(out.inputFiles()) == 1
+    assert [r["v"] for r in out.collect()] == [-1.0]
+
+    V.delete_from(spark, path, F.col("id") == 142)
+    files = V._read_manifest(path, V.current_version(path))["files"]
+    assert all("id" in f.get("blooms", {}) for f in files)
+    assert V.read_table(spark, path, eq=("id", 141)).count() == 1
