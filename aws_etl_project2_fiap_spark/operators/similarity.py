@@ -476,6 +476,34 @@ def save_ivf_index(
     )
 
 
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index: assign the
+    NEW batch against the SAVED quantizer and append under the same
+    ``cluster=`` partition layout — no rebuild, no touch of existing
+    inverted lists; probes see the union immediately through partition
+    discovery. The standard IVF maintenance loop (FAISS ``add``): the
+    quantizer is intentionally frozen — recall decays only if the data
+    distribution drifts far from the training sample, at which point a
+    rebuild (or kmeans_refine_distributed + reassign) is a deliberate
+    operation, not an implicit one."""
+    spark = df.sparkSession
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
+    )
+    centroids = [list(r["centroid"]) for r in cent_rows]
+    indexed = ivf_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+    (
+        indexed.write.partitionBy("cluster")
+        .mode("append")
+        .parquet(f"{path}/vectors")
+    )
+
+
 def load_ivf_index(spark, path: str):
     """Load (indexed_vectors, centroids) back; ``indexed_vectors`` is
     partition-discovered on ``cluster``, so `ivf_search`'s probe filter

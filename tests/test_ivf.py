@@ -181,3 +181,34 @@ def test_semantic_dedup_deterministic(spark):
     a = sorted(map(tuple, semantic_dedup(df, k=3, threshold=0.99).collect()))
     b = sorted(map(tuple, semantic_dedup(df, k=3, threshold=0.99).collect()))
     assert a == b
+
+
+def test_ivf_incremental_append(spark, tmp_path):
+    """append_to_ivf_index: new vectors join the saved index under the
+    frozen quantizer; probes see old+new through partition discovery
+    and exact-at-full-probe still holds over the union."""
+    from aws_etl_project2_fiap_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_search,
+        kmeans_fit,
+        knn_brute_force,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    e = _embeddings(spark)
+    first = e.filter(F.col("vec_id") < 250)
+    later = e.filter(F.col("vec_id") >= 250)
+    cents = kmeans_fit(first, k=8, iters=3)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(first, path, cents)
+
+    append_to_ivf_index(later, path)
+    indexed, loaded = load_ivf_index(spark, path)
+    assert loaded == cents
+    assert indexed.count() == e.count()
+
+    q = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    ann = [(r.id, r.sim) for r in ivf_search(indexed, cents, q, k=10, nprobe=8).collect()]
+    exact = [(r.id, r.sim) for r in knn_brute_force(e, q, k=10).collect()]
+    assert ann == exact  # full probe over old+new == brute force
