@@ -276,6 +276,122 @@ def prunable_eq(files: list, col: str, value) -> tuple[list, list]:
     return kept, skipped
 
 
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read deletes)
+#
+# A DV is a sidecar of deleted ROW POSITIONS for one immutable data file
+# (parquet `_metadata.row_index` is stable because data files are never
+# rewritten in place). A DV delete commits O(deleted rows) bytes instead
+# of rewriting the touched files — the Delta-3/Iceberg-v2 position-delete
+# idea. Production formats use roaring bitmaps; a sorted int64 array has
+# the same O(deleted) size for the selective deletes DVs are FOR — the
+# `mode="auto"` path rewrites any file whose deleted fraction crosses
+# ``rewrite_threshold``, so a DV never grows past that bound and the
+# merge-on-read anti-join stays broadcast-sized.
+# ---------------------------------------------------------------------------
+
+
+def _norm_file_path() -> Column:
+    """`_metadata.file_path` (a percent-encoded URI: file:/a/b%20c) as
+    the plain filesystem path manifests store — the JVM-side mirror of
+    :func:`_uri_to_path`, so DV pair joins and touched-file discovery
+    never leave codegen."""
+    return F.url_decode(
+        F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:/*", "/")
+    )
+
+
+def _write_dv(path: str, positions) -> dict:
+    """Persist sorted deleted positions for one data file; returns the
+    manifest ``dv`` dict. Lives in its own `_data/dv_*` dir so vacuum
+    treats DV generations exactly like batch dirs (superseded DVs are
+    reclaimed when no retained manifest references them)."""
+    import numpy as np
+
+    arr = np.asarray(sorted(set(int(p) for p in positions)), dtype="<i8")
+    dv_dir = os.path.join(path, "_data", f"dv_{uuid.uuid4().hex[:12]}")
+    os.makedirs(dv_dir, exist_ok=True)
+    dvpath = os.path.join(dv_dir, f"{uuid.uuid4().hex[:8]}.dv")
+    with open(dvpath, "wb") as fh:
+        fh.write(arr.tobytes())
+    return {"path": dvpath, "n": int(arr.size)}
+
+
+def _read_dv(dvpath: str):
+    import numpy as np
+
+    with open(dvpath, "rb") as fh:
+        return np.frombuffer(fh.read(), dtype="<i8")
+
+
+def _dv_pairs(spark: SparkSession, entries: list) -> DataFrame | None:
+    """(``__dv_file``, ``__dv_pos``) DataFrame of every deleted row in
+    ``entries``' DVs, or None when no entry carries one. Driver-side DV
+    reads are O(deleted rows), bounded by ``rewrite_threshold`` — the
+    same tier real formats keep their position deletes in."""
+    import pandas as pd
+
+    dvd = [f for f in entries if f.get("dv")]
+    if not dvd:
+        return None
+    frames = [
+        pd.DataFrame(
+            {"__dv_file": f["path"], "__dv_pos": _read_dv(f["dv"]["path"])}
+        )
+        for f in dvd
+    ]
+    pdf = pd.concat(frames, ignore_index=True)
+    pdf["__dv_pos"] = pdf["__dv_pos"].astype("int64")
+    return spark.createDataFrame(pdf)
+
+
+def _scan(
+    spark: SparkSession, entries: list, keep_meta: bool = False
+) -> DataFrame:
+    """The one snapshot scan every read AND mutation path goes through:
+    mergeSchema parquet read of the entries' files with their deletion
+    vectors applied (merge-on-read). With no DVs this is a plain scan —
+    zero overhead. With DVs, one broadcast anti-join on (file, position)
+    removes exactly the deleted rows; files without a DV can never match
+    a pair, so a single scan serves both populations.
+
+    ``keep_meta=True`` retains ``__file`` (manifest-normalized path) and
+    ``__pos`` (row index) for the copy-on-write discovery scans — which
+    MUST be DV-aware or UPDATE/MERGE/DELETE would match, count, and
+    resurrect rows that are already deleted."""
+    df = spark.read.option("mergeSchema", "true").parquet(*_paths(entries))
+    pairs = _dv_pairs(spark, entries)
+    if pairs is None and not keep_meta:
+        return df
+    df = df.withColumn("__file", _norm_file_path()).withColumn(
+        "__pos", F.col("_metadata.row_index")
+    )
+    if pairs is not None:
+        df = df.join(
+            F.broadcast(
+                pairs.withColumnsRenamed(
+                    {"__dv_file": "__file", "__dv_pos": "__pos"}
+                )
+            ),
+            ["__file", "__pos"],
+            "left_anti",
+        )
+    return df if keep_meta else df.drop("__file", "__pos")
+
+
+def _live_counts(entries: list) -> dict[str, int]:
+    """Physical row count minus DV size per file (footer metadata only
+    — no data read): the denominators for ``mode="auto"``'s per-file
+    DV-vs-rewrite decision."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in entries:
+        n = pq.ParquetFile(f["path"]).metadata.num_rows
+        out[f["path"]] = n - f.get("dv", {}).get("n", 0)
+    return out
+
+
 def _write_batch(
     df: DataFrame, path: str, bloom_cols: list[str] | None = None
 ) -> list[dict]:
@@ -485,7 +601,7 @@ def read_table(
                 .limit(0)
             )
             return empty.filter(F.col(col) == F.lit(value))
-        out = spark.read.option("mergeSchema", "true").parquet(*_paths(files))
+        out = _scan(spark, files)
         out = out.filter(F.col(col) == F.lit(value))
         if between is not None:
             preds = [between] if isinstance(between, tuple) else list(between)
@@ -503,15 +619,16 @@ def read_table(
                 f"predicate {preds} skips every file of version {v}; "
                 f"read without `between` for an empty-result scan"
             )
-        out = spark.read.option("mergeSchema", "true").parquet(*_paths(files))
+        out = _scan(spark, files)
         for col, lo, hi in preds:
             out = out.filter(F.col(col).between(lo, hi))
         return out
     if not files:
         raise ValueError(f"version {v} of {path} lists no files")
     # mergeSchema: appended batches may carry evolved (superset) schemas
-    # — §1.4's drift contract applies to versioned tables too
-    return spark.read.option("mergeSchema", "true").parquet(*_paths(files))
+    # — §1.4's drift contract applies to versioned tables too; _scan
+    # additionally applies any deletion vectors (merge-on-read)
+    return _scan(spark, files)
 
 
 def update_table(
@@ -539,19 +656,13 @@ def update_table(
     """
     base_version = current_version(path)
     files = _read_manifest(path, base_version)["files"]
-    df = spark.read.parquet(*_paths(files))
     # ONE discovery scan yields both the touched-file set and the match
     # count: per-file partial counts collapse to file-cardinality rows.
-    # _metadata.file_path is a URI (file:/... or file:///...); manifests
-    # hold plain paths — normalize both to the filesystem path.
-    per_file = (
-        df.withColumn("__file", F.col("_metadata.file_path"))
-        .filter(where)
-        .groupBy("__file")
-        .count()
-        .collect()
-    )
-    touched = [_uri_to_path(r["__file"]) for r in per_file]
+    # _scan applies deletion vectors and pre-normalizes the file path,
+    # so already-deleted rows can neither match nor be resurrected.
+    df = _scan(spark, files, keep_meta=True)
+    per_file = df.filter(where).groupBy("__file").count().collect()
+    touched = [r["__file"] for r in per_file]
     n_matched = sum(r["count"] for r in per_file)
     if not touched:
         return {
@@ -562,8 +673,11 @@ def update_table(
         }
     touched_set = set(touched)
     untouched = [f for f in files if f["path"] not in touched_set]
-    rewritten = apply_update(spark.read.parquet(*touched), set_cols, where)
-    re_index = _indexed_cols([f for f in files if f["path"] in touched_set])
+    touched_entries = [f for f in files if f["path"] in touched_set]
+    rewritten = apply_update(
+        _scan(spark, touched_entries), set_cols, where
+    )
+    re_index = _indexed_cols(touched_entries)
     new_files = untouched + _write_batch(rewritten, path, re_index or None)
     version = _commit(path, new_files, expect_version=base_version)
     return {
@@ -593,6 +707,8 @@ def vacuum(path: str, keep_last: int = 2) -> list[str]:
     for v in keep:
         for f in _read_manifest(path, v)["files"]:
             referenced.add(os.path.dirname(f["path"]))
+            if f.get("dv"):
+                referenced.add(os.path.dirname(f["dv"]["path"]))
     data_root = os.path.join(path, "_data")
     removed = []
     for b in sorted(os.listdir(data_root)):
@@ -638,7 +754,7 @@ def merge_table(
     """
     base_version = current_version(path)
     files = _read_manifest(path, base_version)["files"]
-    target = spark.read.parquet(*_paths(files))
+    target = _scan(spark, files)
     if sorted(source.columns) != sorted(target.columns):
         raise ValueError(
             f"source columns {source.columns} != target {target.columns}"
@@ -663,18 +779,18 @@ def merge_table(
             f"never match; filter or fill them before merging"
         )
 
-    matched_rows = target.withColumn(
-        "__file", F.col("_metadata.file_path")
-    ).join(F.broadcast(source.select(*keys)), keys, "semi")
+    matched_rows = _scan(spark, files, keep_meta=True).join(
+        F.broadcast(source.select(*keys)), keys, "semi"
+    )
     touched = [
-        _uri_to_path(r["__file"])
-        for r in matched_rows.select("__file").distinct().collect()
+        r["__file"] for r in matched_rows.select("__file").distinct().collect()
     ]
 
     touched_set = set(touched)
     untouched = [f for f in files if f["path"] not in touched_set]
+    touched_entries = [f for f in files if f["path"] in touched_set]
     if touched:
-        scoped = spark.read.parquet(*touched)
+        scoped = _scan(spark, touched_entries)
     else:
         scoped = target.limit(0)
 
@@ -696,7 +812,7 @@ def merge_table(
     n_updated = matched_rows.count()
     n_inserted = source.join(target.select(*keys), keys, "anti").count()
 
-    re_index = _indexed_cols([f for f in files if f["path"] in touched_set])
+    re_index = _indexed_cols(touched_entries)
     version = _commit(
         path, untouched + _write_batch(merged, path, re_index or None),
         expect_version=base_version,
@@ -752,11 +868,9 @@ def compact_table(
                     "compacted": 0}
         total = sum(os.path.getsize(f["path"]) for f in small)
         n = max(1, -(-total // max(small_only_bytes, 1)))
-        merged = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*_paths(small))
-            .coalesce(int(n))
-        )
+        # _scan applies any deletion vectors, so compacting small files
+        # also purges their DVs (the rewritten batch carries none)
+        merged = _scan(spark, small).coalesce(int(n))
         version = _commit(
             path, big + _write_batch(merged, path, bloom_cols),
             expect_version=base_version,
@@ -789,51 +903,121 @@ def compact_table(
     }
 
 
-def delete_from(spark: SparkSession, path: str, where: Column) -> dict:
-    """DELETE ... WHERE with file-level copy-on-write: files containing
-    matched rows are rewritten WITHOUT them; untouched files are
-    referenced. Same discovery scan, commit protocol, and optimistic-
-    concurrency token as :func:`update_table`; a file whose every row
-    matches simply contributes nothing to the new batch. Returns
-    {"version", "n_deleted", "files_touched", "files_reused"}."""
+def delete_from(
+    spark: SparkSession,
+    path: str,
+    where: Column,
+    mode: str = "cow",
+    rewrite_threshold: float = 0.5,
+) -> dict:
+    """DELETE ... WHERE. Three physical strategies, one SQL semantics
+    (rows where the predicate is NULL survive, as in SQL DELETE):
+
+    - ``mode="cow"`` (default): file-level copy-on-write — files
+      containing matched rows are rewritten WITHOUT them; untouched
+      files are referenced. Right for bulk deletes (retention sweeps)
+      where most of a touched file goes.
+    - ``mode="dv"``: merge-on-read — the commit writes only a deletion
+      vector (sorted row positions) per touched file; no data file is
+      rewritten. A GDPR point delete on a 100 TB table commits KILOBYTES
+      instead of rescanning/rewriting files. Readers apply DVs as one
+      broadcast anti-join; the next compaction (or a cow delete/update
+      of the same files) physically purges them.
+    - ``mode="auto"``: per-file decision, the way Delta chooses —
+      files whose matched fraction (of live rows) is below
+      ``rewrite_threshold`` get a DV, the rest are rewritten. Bounds
+      every DV to <threshold of its file, keeping the merge-on-read
+      join broadcast-sized no matter how many deletes accumulate.
+
+    Same discovery scan, commit protocol, and optimistic-concurrency
+    token as :func:`update_table`; discovery is DV-aware, so re-deleting
+    already-deleted rows matches nothing. Returns {"version",
+    "n_deleted", "files_touched", "files_reused", "files_dv",
+    "files_rewritten"}."""
+    if mode not in ("cow", "dv", "auto"):
+        raise ValueError(f"mode must be cow|dv|auto, got {mode!r}")
     base_version = current_version(path)
     files = _read_manifest(path, base_version)["files"]
-    df = spark.read.parquet(*_paths(files))
-    per_file = (
-        df.withColumn("__file", F.col("_metadata.file_path"))
-        .filter(where)
-        .groupBy("__file")
-        .count()
-        .collect()
-    )
-    touched = [_uri_to_path(r["__file"]) for r in per_file]
-    n_deleted = sum(r["count"] for r in per_file)
-    if not touched:
+    df = _scan(spark, files, keep_meta=True)
+    per_file = {
+        r["__file"]: r["count"]
+        for r in df.filter(where).groupBy("__file").count().collect()
+    }
+    n_deleted = sum(per_file.values())
+    if not per_file:
         return {
             "version": base_version,
             "n_deleted": 0,
             "files_touched": 0,
             "files_reused": len(files),
+            "files_dv": 0,
+            "files_rewritten": 0,
         }
-    touched_set = set(touched)
-    untouched = [f for f in files if f["path"] not in touched_set]
-    # SQL DELETE keeps rows where the predicate is NULL (only TRUE rows
-    # go). Under three-valued logic filter(~where) would ALSO drop the
-    # NULL rows — coalesce to FALSE so they survive the rewrite, mirror
-    # of apply_update's when(where, ...).otherwise(keep).
-    kept_rows = spark.read.parquet(*touched).filter(
-        ~F.coalesce(where, F.lit(False))
-    )
-    re_index = _indexed_cols([f for f in files if f["path"] in touched_set])
+    touched_entries = [f for f in files if f["path"] in per_file]
+    untouched = [f for f in files if f["path"] not in per_file]
+    if mode == "cow":
+        dv_targets, rw_targets = [], touched_entries
+    elif mode == "dv":
+        dv_targets, rw_targets = touched_entries, []
+    else:
+        live = _live_counts(touched_entries)
+        dv_targets = [
+            f
+            for f in touched_entries
+            if per_file[f["path"]] < rewrite_threshold * max(live[f["path"]], 1)
+        ]
+        rw_set = {f["path"] for f in touched_entries} - {
+            f["path"] for f in dv_targets
+        }
+        rw_targets = [f for f in touched_entries if f["path"] in rw_set]
+
+    new_entries: list[dict] = []
+    if dv_targets:
+        # positions scan restricted to the DV-target files only; the
+        # result is ≤ threshold × (their live rows) — bounded, and tiny
+        # for the selective deletes DV mode exists for
+        hits = (
+            _scan(spark, dv_targets, keep_meta=True)
+            .filter(where)
+            .select("__file", "__pos")
+            .toPandas()
+        )
+        by_file = {
+            k: g["__pos"].to_numpy() for k, g in hits.groupby("__file")
+        }
+        for f in dv_targets:
+            pos = by_file.get(f["path"])
+            if pos is None:
+                new_entries.append(f)
+                continue
+            if f.get("dv"):
+                import numpy as np
+
+                pos = np.concatenate([pos, _read_dv(f["dv"]["path"])])
+            entry = {k: v for k, v in f.items() if k != "dv"}
+            entry["dv"] = _write_dv(path, pos)
+            new_entries.append(entry)
+    batch: list[dict] = []
+    if rw_targets:
+        # SQL DELETE keeps rows where the predicate is NULL (only TRUE
+        # rows go). Under three-valued logic filter(~where) would ALSO
+        # drop the NULL rows — coalesce to FALSE so they survive the
+        # rewrite, mirror of apply_update's when(where).otherwise(keep).
+        kept_rows = _scan(spark, rw_targets).filter(
+            ~F.coalesce(where, F.lit(False))
+        )
+        re_index = _indexed_cols(rw_targets)
+        batch = _write_batch(kept_rows, path, re_index or None)
     version = _commit(
-        path, untouched + _write_batch(kept_rows, path, re_index or None),
-        expect_version=base_version,
+        path, untouched + new_entries + batch, expect_version=base_version
     )
     return {
         "version": version,
         "n_deleted": n_deleted,
-        "files_touched": len(touched),
+        "files_touched": len(touched_entries),
         "files_reused": len(untouched),
+        "files_dv": len(dv_targets),
+        "files_rewritten": len(rw_targets),
     }
 
 
@@ -845,6 +1029,8 @@ def table_changes(
 
     - rows in files ADDED between the versions → ``insert``
     - rows in files REMOVED → ``delete``
+    - positions newly covered by a file's DELETION VECTOR → ``delete``
+      (a merge-on-read DELETE changes no files, only DVs)
     - an UPDATE/MERGE rewrite shows up as delete+insert of the touched
       files' rows (net change = the modified rows; unchanged rows in a
       rewritten file appear on both sides and cancel for any consumer
@@ -856,21 +1042,62 @@ def table_changes(
     carries the file)."""
     lo = _read_manifest(path, from_version)["files"]
     hi = _read_manifest(path, to_version)["files"]
-    lo_paths = set(_paths(lo))
-    hi_paths = set(_paths(hi))
-    added = sorted(hi_paths - lo_paths)
-    removed = sorted(lo_paths - hi_paths)
+    lo_by_path = {f["path"]: f for f in lo}
+    hi_by_path = {f["path"]: f for f in hi}
+    added = [f for p, f in sorted(hi_by_path.items()) if p not in lo_by_path]
+    removed = [f for p, f in sorted(lo_by_path.items()) if p not in hi_by_path]
     parts = []
     if added:
+        # an added file read under the TO manifest's DVs: rows deleted
+        # again before to_version were never visible in this range
         parts.append(
-            spark.read.option("mergeSchema", "true").parquet(*added)
-            .withColumn("_change_type", F.lit("insert"))
+            _scan(spark, added).withColumn("_change_type", F.lit("insert"))
         )
     if removed:
+        # a removed file's rows as the FROM version saw them (its DVs)
         parts.append(
-            spark.read.option("mergeSchema", "true").parquet(*removed)
+            _scan(spark, removed).withColumn("_change_type", F.lit("delete"))
+        )
+    # DV-only deltas: a file present in both versions whose deletion
+    # vector GREW emits `delete` rows for the newly-deleted positions —
+    # without this, a merge-on-read DELETE commit (which adds/removes no
+    # files) would be invisible to the change feed.
+    import numpy as np
+
+    dv_pairs = []
+    for p in sorted(set(lo_by_path) & set(hi_by_path)):
+        lo_dv, hi_dv = lo_by_path[p].get("dv"), hi_by_path[p].get("dv")
+        if hi_dv is None or (lo_dv and lo_dv["path"] == hi_dv["path"]):
+            continue
+        old = _read_dv(lo_dv["path"]) if lo_dv else np.array([], dtype="<i8")
+        fresh = np.setdiff1d(_read_dv(hi_dv["path"]), old)
+        if fresh.size:
+            dv_pairs.append((p, fresh))
+    if dv_pairs:
+        import pandas as pd
+
+        pairs_pdf = pd.concat(
+            [
+                pd.DataFrame({"__file": p, "__pos": pos.astype("int64")})
+                for p, pos in dv_pairs
+            ],
+            ignore_index=True,
+        )
+        common_entries = [lo_by_path[p] for p, _ in dv_pairs]
+        rows = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*_paths(common_entries))
+            .withColumn("__file", _norm_file_path())
+            .withColumn("__pos", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(spark.createDataFrame(pairs_pdf)),
+                ["__file", "__pos"],
+                "semi",
+            )
+            .drop("__file", "__pos")
             .withColumn("_change_type", F.lit("delete"))
         )
+        parts.append(rows)
     if not parts:
         empty = read_table(spark, path, version=to_version).limit(0)
         return empty.withColumn("_change_type", F.lit(""))

@@ -4749,6 +4749,55 @@ def k_bloom_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ver_op.read_table(spark, work, eq=("p_partkey", 77))
 
 
+@defquery(
+    "k_dv_delete_readback",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
+    GROUP BY o_orderpriority
+    """,
+)
+def k_dv_delete_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (deletion vectors) on a versioned table,
+    end-to-end (io/versioned.py `delete_from(mode="dv")`): orders is
+    committed as a versioned table, a predicate DELETE writes only
+    per-file position sidecars — zero data files rewritten — and the
+    read-back aggregates the surviving rows. The oracle is the same
+    NOT(predicate) aggregation on the source table (with SQL NULL
+    semantics: predicate-NULL rows survive both sides), proving the
+    DV anti-join is exact.
+
+    Scale: the delete commits O(deleted rows) bytes instead of
+    rewriting the touched files — the GDPR-point-delete shape on a
+    100 TB table; readers apply DVs as one broadcast anti-join and the
+    next OPTIMIZE purges them (tests/test_versioned_dv.py)."""
+    from .io import versioned as ver_op
+
+    work = _scratch_dir("dv_readback")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    ver_op.create_table(o.repartitionByRange(8, "o_orderkey"), work)
+    res = ver_op.delete_from(
+        spark,
+        work,
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000.0),
+        mode="dv",
+    )
+    assert res["files_rewritten"] == 0  # merge-on-read: sidecars only
+    return (
+        ver_op.read_table(spark, work)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 # =====================================================================
 # Entry-point accessors (driver contract)
 # =====================================================================
