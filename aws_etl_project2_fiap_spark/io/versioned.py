@@ -89,11 +89,24 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _stat_key(v):
+    """Canonical JSON-encodable form of a stats value or probe value.
+    date/datetime map to ISO-8601 strings — lexicographic order equals
+    chronological order, so [min, max] comparisons against equally
+    canonicalized probes stay exact. Everything else passes through."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat()
+    return v
+
+
 def _file_stats(fpath: str) -> dict:
     """Per-column [min, max] from the parquet footer (primitive,
-    JSON-encodable columns only) — collected once at write time so the
-    read path can skip files without opening them. The same metadata
-    the open table formats keep in their logs."""
+    JSON-encodable columns only; date/timestamp as ISO strings) —
+    collected once at write time so the read path can skip files
+    without opening them. The same metadata the open table formats
+    keep in their logs."""
     import math
 
     import pyarrow.parquet as pq
@@ -120,7 +133,7 @@ def _file_stats(fpath: str) -> dict:
             if st is None or not st.has_min_max:
                 bad.add(name)
                 continue
-            mn, mx = st.min, st.max
+            mn, mx = _stat_key(st.min), _stat_key(st.max)
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
@@ -393,11 +406,24 @@ def _live_counts(entries: list) -> dict[str, int]:
 
 
 def _write_batch(
-    df: DataFrame, path: str, bloom_cols: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    num_files: int | None = None,
 ) -> list[dict]:
     """Write df as a new immutable batch dir; return one manifest entry
     per file: {"path", "stats": {col: [min, max]}, "blooms": {col:
-    bloom_path}} (blooms only for ``bloom_cols``)."""
+    bloom_path}} (blooms only for ``bloom_cols``).
+
+    ``cluster_by`` range-partitions + sorts the batch on those columns
+    before writing, so each file's footer [min, max] is TIGHT on them —
+    the layout that turns manifest-stats pruning (and partition
+    overwrite's whole-file drops) from best-effort into near-exact."""
+    if cluster_by:
+        n = num_files or df.sparkSession.sparkContext.defaultParallelism
+        cols = [F.col(c) for c in cluster_by]
+        df = df.repartitionByRange(int(n), *cols).sortWithinPartitions(*cols)
     batch = os.path.join(path, "_data", f"b_{uuid.uuid4().hex[:12]}")
     df.write.mode("error").parquet(batch)
     entries = []
@@ -491,13 +517,20 @@ def create_table(
     path: str,
     extra: dict | None = None,
     bloom_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    num_files: int | None = None,
 ) -> int:
     """Create version 1 from ``df``. Fails if the table exists.
-    ``bloom_cols`` adds per-file Bloom indexes for equality skipping."""
+    ``bloom_cols`` adds per-file Bloom indexes for equality skipping;
+    ``cluster_by`` writes the batch range-clustered on those columns
+    (tight per-file stats → manifest pruning + whole-file partition
+    overwrites)."""
     if os.path.exists(_pointer(path)):
         raise FileExistsError(f"versioned table already exists at {path}")
     os.makedirs(path, exist_ok=True)
-    return _commit(path, _write_batch(df, path, bloom_cols), extra)
+    return _commit(
+        path, _write_batch(df, path, bloom_cols, cluster_by, num_files), extra
+    )
 
 
 def append_table(
@@ -505,6 +538,8 @@ def append_table(
     path: str,
     extra: dict | None = None,
     bloom_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    num_files: int | None = None,
 ) -> int:
     """Append-only commit: new batch files + every current file.
 
@@ -516,9 +551,85 @@ def append_table(
     base_version = current_version(path)
     files = _read_manifest(path, base_version)["files"]
     return _commit(
-        path, files + _write_batch(df, path, bloom_cols), extra,
+        path,
+        files + _write_batch(df, path, bloom_cols, cluster_by, num_files),
+        extra,
         expect_version=base_version,
     )
+
+
+def overwrite_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    part_col: str,
+    bloom_cols: list[str] | None = None,
+) -> dict:
+    """Dynamic partition overwrite on a versioned table: replace exactly
+    the ``part_col`` values present in ``df`` (the K1 overwrite-by-day
+    contract — idempotent daily re-loads — at the lakehouse layer, with
+    history retained).
+
+    File-level mechanics, driven by the manifest's write-time stats:
+
+    - files whose [min, max] can't contain any incoming value are
+      REFERENCED untouched (zero IO);
+    - files fully inside the incoming value set (min == max == a value —
+      the common case under a ``cluster_by=[part_col]`` layout) are
+      DROPPED whole, no read;
+    - straddling files (unclustered layouts, or stats-less columns) are
+      rewritten keeping only rows OUTSIDE the incoming values — the
+      DV-aware scan, so prior merge-on-read deletes survive;
+    - the incoming data lands as its own batch, clustered on
+      ``part_col`` so the NEXT overwrite of these partitions drops
+      whole files instead of rewriting.
+
+    The distinct-value collect is bounded by the delivery's partition
+    count (a day-grain reload is 1, a backfill dozens — never rows).
+    Same optimistic-concurrency token as every other mutation. Returns
+    {"version", "partitions", "files_dropped", "files_rewritten",
+    "files_reused"}."""
+    base_version = current_version(path)
+    files = _read_manifest(path, base_version)["files"]
+    values = [r[0] for r in df.select(part_col).distinct().collect()]
+    if any(v is None for v in values):
+        raise ValueError(
+            f"overwrite_partitions: NULL in partition column {part_col!r}"
+        )
+    keys = {_stat_key(v) for v in values}
+    untouched, dropped, straddle = [], [], []
+    for f in files:
+        st = f.get("stats", {}).get(part_col)
+        if st is not None and not any(st[0] <= k <= st[1] for k in keys):
+            untouched.append(f)
+        elif st is not None and st[0] == st[1] and st[0] in keys:
+            dropped.append(f)
+        else:
+            straddle.append(f)
+    new_entries: list[dict] = []
+    if straddle:
+        # NULL-partition rows in a straddling file are NOT being
+        # overwritten (incoming NULLs are rejected above) — keep them;
+        # bare ~isin would drop them under three-valued logic
+        kept = _scan(spark, straddle).filter(
+            F.col(part_col).isNull() | ~F.col(part_col).isin(values)
+        )
+        re_index = _indexed_cols(straddle)
+        new_entries += _write_batch(kept, path, re_index or None)
+    new_entries += _write_batch(
+        df, path, bloom_cols, cluster_by=[part_col],
+        num_files=max(len(values), 1),
+    )
+    version = _commit(
+        path, untouched + new_entries, expect_version=base_version
+    )
+    return {
+        "version": version,
+        "partitions": len(values),
+        "files_dropped": len(dropped),
+        "files_rewritten": len(straddle),
+        "files_reused": len(untouched),
+    }
 
 
 def committed_batch_ids(path: str) -> set[int]:
@@ -543,6 +654,7 @@ def prunable(files: list, col: str, lo, hi) -> tuple[list, list]:
     skipped iff its [min, max] cannot overlap [lo, hi]. Files without
     stats for ``col`` are conservatively kept."""
     kept, skipped = [], []
+    lo, hi = _stat_key(lo), _stat_key(hi)
     for f in files:
         st = f.get("stats", {}).get(col)
         if st is not None and (st[0] > hi or st[1] < lo):

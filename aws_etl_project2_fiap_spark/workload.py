@@ -4798,6 +4798,60 @@ def k_dv_delete_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery(
+    "k_partition_overwrite_readback",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+           count(*) AS n,
+           round(sum(CASE WHEN strftime(o_orderdate, '%Y-%m') = '1995-03'
+                          THEN o_totalprice * 2 ELSE o_totalprice END),
+                 2) AS total
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+    GROUP BY 1
+    """,
+)
+def k_partition_overwrite_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite on a versioned table, end-to-end
+    (io/versioned.overwrite_partitions): six months of orders are
+    committed month-clustered, then a corrected delivery (March prices
+    doubled) overwrites exactly the '1995-03' partition — whole-file
+    drops under the clustered layout, untouched months referenced by
+    path. The oracle reproduces the post-overwrite state with a CASE on
+    the source table, proving the partition replacement is exact: no
+    March original survives, no other month is disturbed.
+
+    Scale: the K1 overwrite-by-day ingest contract on the manifest log —
+    a daily re-load commits O(one partition) IO against a 100 TB table,
+    idempotently (tests/test_versioned_partitions.py)."""
+    from .io import versioned as ver_op
+
+    work = _scratch_dir("pow_readback")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between("1995-01-01", "1995-06-30"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+            "o_totalprice",
+        )
+    )
+    ver_op.create_table(o, work, cluster_by=["mon"], num_files=6)
+    delivery = o.filter(F.col("mon") == "1995-03").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    res = ver_op.overwrite_partitions(spark, delivery, work, "mon")
+    assert res["files_rewritten"] == 0  # clustered: whole-file drops
+    return (
+        ver_op.read_table(spark, work)
+        .groupBy("mon")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 # =====================================================================
 # Entry-point accessors (driver contract)
 # =====================================================================
