@@ -11,10 +11,16 @@ everything ever ingested, while the incremental fold scans just the
 delta plus the (already tiny) rollup rows of the affected partitions.
 
 Correctness hinges on the aggregates being ALGEBRAIC (mergeable from
-partials): count/sum merge by sum, min/max by min/max. Non-mergeable
-aggregates (exact median/distinct) need sketches (HLL — see
-`agg_approx_distinct`) or a re-aggregation of the affected partitions'
-raw data. The supported spec keeps the contract explicit.
+partials): count/sum merge by sum, min/max by min/max. COUNT DISTINCT
+is not algebraic — the rollup carries a mergeable HLL SKETCH instead
+(kind ``approx_distinct``): the Datasketches binary from
+``hll_sketch_agg`` lives in the rollup row, folds via
+``hll_union_agg`` (set union — re-delivered values never double-count,
+unlike a sum of partial counts), and reads back through
+:func:`finalize_rollup`'s ``hll_sketch_estimate``. The incremental
+estimate is BIT-IDENTICAL to a full recompute's, because sketch union
+is associative/commutative/idempotent. Exact medians/distincts still
+need a raw re-aggregation; the supported spec keeps that explicit.
 
 Test coverage: tests/test_rollup.py (untouched partitions stay
 byte-identical; merged result equals a full recompute); the
@@ -28,8 +34,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-# out_name -> (kind, source column); kind ∈ {count, sum, min, max}
+# out_name -> (kind, source column);
+# kind ∈ {count, sum, min, max, approx_distinct}
 AggSpec = dict[str, tuple[str, str | None]]
+
+# Datasketches HLL precision: 2^12 registers ≈ 1.6% relative std error,
+# 4 KB max per (group, column) sketch — rollup rows stay tiny
+_HLL_LG_K = 12
 
 
 def _init_exprs(aggs: AggSpec) -> list[Column]:
@@ -39,15 +50,39 @@ def _init_exprs(aggs: AggSpec) -> list[Column]:
             out.append(F.count(F.lit(1)).alias(name))
         elif kind in ("sum", "min", "max"):
             out.append(getattr(F, kind)(src).alias(name))
+        elif kind == "approx_distinct":
+            out.append(F.hll_sketch_agg(src, _HLL_LG_K).alias(name))
         else:
             raise ValueError(f"non-mergeable aggregate kind: {kind}")
     return out
 
 
 def _merge_exprs(aggs: AggSpec) -> list[Column]:
-    # partial-to-final merge: counts and sums re-sum, min/max re-min/max
-    merge_fn = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    # partial-to-final merge: counts and sums re-sum, min/max
+    # re-min/max, HLL sketches set-union (idempotent: overlapping
+    # deliveries never inflate the distinct estimate)
+    merge_fn = {
+        "count": F.sum,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "approx_distinct": lambda c: F.hll_union_agg(c, True),
+    }
     return [merge_fn[kind](name).alias(name) for name, (kind, _) in aggs.items()]
+
+
+def finalize_rollup(df: DataFrame, aggs: AggSpec) -> DataFrame:
+    """Query-time view of a rollup: sketch columns estimate to BIGINT
+    counts, everything else passes through. Keep the STORED rollup in
+    sketch form — estimating is lossy and un-mergeable, so it happens
+    only at the read edge."""
+    cols = []
+    for c in df.columns:
+        if c in aggs and aggs[c][0] == "approx_distinct":
+            cols.append(F.hll_sketch_estimate(F.col(c)).alias(c))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
 
 
 def init_rollup(

@@ -98,3 +98,90 @@ def test_empty_delta_is_a_noop(spark, tmp_path):
         spark, o.filter(F.lit(False)), rollup, "om", ["o_orderpriority"], AGGS
     ) == []
     assert _partition_files(rollup) == before
+
+
+# -- mergeable HLL sketches (kind "approx_distinct") -------------------
+
+HLL_AGGS = {
+    "n_orders": ("count", None),
+    "n_cust": ("approx_distinct", "o_custkey"),
+}
+
+
+def test_hll_incremental_equals_full_recompute_exactly(spark, tmp_path):
+    # sketch union is associative/commutative/idempotent → the folded
+    # rollup's ESTIMATES are bit-identical to a from-scratch rollup's
+    from aws_etl_project2_fiap_spark.io.rollup import finalize_rollup
+
+    o = _orders(spark)
+    inc_path = str(tmp_path / "inc")
+    full_path = str(tmp_path / "full")
+    init_rollup(
+        o.filter(F.col("om") < "1997-01"), inc_path, "om",
+        ["o_orderpriority"], HLL_AGGS,
+    )
+    incremental_rollup(
+        spark, o.filter(F.col("om") >= "1997-01"), inc_path, "om",
+        ["o_orderpriority"], HLL_AGGS,
+    )
+    init_rollup(o, full_path, "om", ["o_orderpriority"], HLL_AGGS)
+
+    def estimates(path):
+        df = finalize_rollup(spark.read.parquet(path), HLL_AGGS)
+        return {
+            (r["om"], r["o_orderpriority"]): (r["n_orders"], r["n_cust"])
+            for r in df.collect()
+        }
+
+    assert estimates(inc_path) == estimates(full_path)
+
+
+def test_hll_overlapping_redelivery_does_not_double_count(spark, tmp_path):
+    # the same batch folded twice: counts inflate (documented: count is
+    # a sum) but the DISTINCT estimate is idempotent — union of a set
+    # with itself
+    from aws_etl_project2_fiap_spark.io.rollup import finalize_rollup
+
+    o = _orders(spark)
+    some_month = o.agg(F.max("om")).collect()[0][0]
+    batch = o.filter(F.col("om") == some_month)
+    path = str(tmp_path / "r")
+    init_rollup(batch, path, "om", ["o_orderpriority"], HLL_AGGS)
+    first = {
+        (r["om"], r["o_orderpriority"]): r["n_cust"]
+        for r in finalize_rollup(
+            spark.read.parquet(path), HLL_AGGS
+        ).collect()
+    }
+    incremental_rollup(spark, batch, path, "om", ["o_orderpriority"], HLL_AGGS)
+    again = {
+        (r["om"], r["o_orderpriority"]): r["n_cust"]
+        for r in finalize_rollup(
+            spark.read.parquet(path), HLL_AGGS
+        ).collect()
+    }
+    assert first == again
+
+
+def test_hll_estimate_close_to_exact(spark, tmp_path):
+    from aws_etl_project2_fiap_spark.io.rollup import finalize_rollup
+
+    o = _orders(spark)
+    path = str(tmp_path / "r")
+    init_rollup(o, path, "om", [], HLL_AGGS)
+    got = {
+        r["om"]: r["n_cust"]
+        for r in finalize_rollup(spark.read.parquet(path), HLL_AGGS).collect()
+    }
+    exact = {
+        r["om"]: r["n"]
+        for r in o.groupBy("om")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for k in exact:
+        # lgK=12 → ~1.6% rse; allow 5 sigma plus small-count slack
+        assert abs(got[k] - exact[k]) <= max(5, 0.08 * exact[k]), (
+            k, got[k], exact[k],
+        )
