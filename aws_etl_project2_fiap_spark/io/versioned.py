@@ -512,6 +512,84 @@ def _commit(
     return version
 
 
+class ConstraintViolation(ValueError):
+    """A write's rows break one or more of the table's CHECK
+    constraints; nothing was committed."""
+
+
+def _constraints_path(path: str) -> str:
+    return os.path.join(path, "_constraints.json")
+
+
+def table_constraints(path: str) -> dict[str, str]:
+    """The table's CHECK constraints: {name: sql_boolean_expr}."""
+    try:
+        with open(_constraints_path(path)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
+
+
+def _save_constraints(path: str, cons: dict[str, str]) -> None:
+    tmp = _constraints_path(path) + f".tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(cons, fh)
+    os.replace(tmp, _constraints_path(path))
+
+
+def _enforce_constraints(df: DataFrame, path: str) -> None:
+    """Verify ``df`` (the rows a commit is about to introduce) against
+    the table's CHECK constraints in ONE aggregation pass — O(rules)
+    state, cost one scan of the DELTA, never the table. SQL CHECK
+    semantics: a row passes when the expression is TRUE or NULL
+    (unknown is not a violation — unlike the stricter expectations
+    gate in operators/quality.py, which is the right tool when unknown
+    must fail). Raises :class:`ConstraintViolation` with per-rule
+    counts; the caller commits nothing."""
+    cons = table_constraints(path)
+    if not cons:
+        return
+    row = df.agg(
+        *[
+            F.count_if(~F.coalesce(F.expr(e), F.lit(True))).alias(n)
+            for n, e in cons.items()
+        ]
+    ).collect()[0]
+    bad = {n: int(row[n]) for n in cons if row[n]}
+    if bad:
+        raise ConstraintViolation(
+            f"write to {path} violates CHECK constraint(s) "
+            f"{ {n: f'{c} rows' for n, c in bad.items()} } — "
+            f"{ {n: cons[n] for n in bad} }"
+        )
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> None:
+    """Attach a named CHECK constraint (a SQL boolean expression over
+    the table's columns). The EXISTING data is validated first — one
+    scan, like Delta's ADD CONSTRAINT — so a constraint can never be
+    born already broken; every subsequent append/overwrite/merge/update
+    validates its delta before committing."""
+    current = table_constraints(path)
+    # validate ONLY the new rule against existing data (the current
+    # rules already held at their own add/commit time)
+    _save_constraints(path, {name: expr})
+    try:
+        _enforce_constraints(read_table(spark, path), path)
+    except ConstraintViolation:
+        _save_constraints(path, current)
+        raise
+    _save_constraints(path, {**current, name: expr})
+
+
+def drop_constraint(path: str, name: str) -> None:
+    cons = table_constraints(path)
+    cons.pop(name, None)
+    _save_constraints(path, cons)
+
+
 def create_table(
     df: DataFrame,
     path: str,
@@ -519,15 +597,24 @@ def create_table(
     bloom_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
     num_files: int | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Create version 1 from ``df``. Fails if the table exists.
     ``bloom_cols`` adds per-file Bloom indexes for equality skipping;
     ``cluster_by`` writes the batch range-clustered on those columns
     (tight per-file stats → manifest pruning + whole-file partition
-    overwrites)."""
+    overwrites); ``constraints`` attaches CHECK constraints ({name:
+    sql_bool_expr}) validated against ``df`` and every later write."""
     if os.path.exists(_pointer(path)):
         raise FileExistsError(f"versioned table already exists at {path}")
     os.makedirs(path, exist_ok=True)
+    if constraints:
+        _save_constraints(path, dict(constraints))
+        try:
+            _enforce_constraints(df, path)
+        except ConstraintViolation:
+            os.remove(_constraints_path(path))
+            raise
     return _commit(
         path, _write_batch(df, path, bloom_cols, cluster_by, num_files), extra
     )
@@ -548,6 +635,7 @@ def append_table(
     would otherwise resurrect the files that commit removed (lost
     update). On :class:`CommitConflict`, re-read and retry — the batch
     files already written are reusable garbage at worst."""
+    _enforce_constraints(df, path)
     base_version = current_version(path)
     files = _read_manifest(path, base_version)["files"]
     return _commit(
@@ -589,6 +677,7 @@ def overwrite_partitions(
     Same optimistic-concurrency token as every other mutation. Returns
     {"version", "partitions", "files_dropped", "files_rewritten",
     "files_reused"}."""
+    _enforce_constraints(df, path)
     base_version = current_version(path)
     files = _read_manifest(path, base_version)["files"]
     values = [r[0] for r in df.select(part_col).distinct().collect()]
@@ -670,6 +759,7 @@ def overwrite_table(df: DataFrame, path: str) -> int:
     a concurrent commit — but it still carries the token so two racing
     writers can't both mint the same version number (the second manifest
     write would clobber the first's JSON)."""
+    _enforce_constraints(df, path)
     base_version = current_version(path)
     return _commit(path, _write_batch(df, path), expect_version=base_version)
 
@@ -789,6 +879,9 @@ def update_table(
     rewritten = apply_update(
         _scan(spark, touched_entries), set_cols, where
     )
+    # the UPDATE may write constraint-breaking values; check the
+    # rewritten (touched-files-only) slice before anything commits
+    _enforce_constraints(rewritten, path)
     re_index = _indexed_cols(touched_entries)
     new_files = untouched + _write_batch(rewritten, path, re_index or None)
     version = _commit(path, new_files, expect_version=base_version)
@@ -921,6 +1014,7 @@ def merge_table(
         for c in t_cols
         ]
     )
+    _enforce_constraints(merged, path)
     n_updated = matched_rows.count()
     n_inserted = source.join(target.select(*keys), keys, "anti").count()
 

@@ -264,6 +264,17 @@ def versioned_sink(
                         bloom_cols=bloom_cols,
                     )
                     return
+                except V.ConstraintViolation:
+                    # the table's own CHECK constraints reject the batch
+                    # — same quarantine contract as the `rules` gate:
+                    # bad deliveries never poison committed history and
+                    # stay replayable after the upstream bug is fixed
+                    dst = os.path.join(
+                        quarantine_path or f"{table_path}_quarantine",
+                        f"batch_{batch_id}",
+                    )
+                    batch_df.write.mode("overwrite").parquet(dst)
+                    return
                 except V.CommitConflict:
                     # a concurrent UPDATE/OPTIMIZE moved the pointer
                     # between our snapshot read and commit — re-read the
