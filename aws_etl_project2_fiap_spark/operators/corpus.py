@@ -105,3 +105,66 @@ def pack_sequences(
     return df.withColumn(
         seq_col, F.floor(start_offset / F.lit(budget)).cast("long")
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+    shard_col: str = "shard",
+    order_col: str = "shard_order",
+) -> DataFrame:
+    """Deterministic training-shard assignment: every row gets a shard
+    in [0, n_shards) and a stable intra-shard order key, both pure
+    functions of (seed, id) — the global-shuffle-then-shard step of a
+    training-data export, with three properties RNG-based shuffles
+    can't give:
+
+    - REPRODUCIBLE across runs, engines, and partitionings (no RNG
+      state per executor; `sample_md5_per_source` uses the same
+      hash-rank trick for sampling);
+    - UNIFORM: md5 bits are equidistributed, so shards balance to
+      ~±sqrt(n) regardless of id clustering (sequential crawl ids,
+      hot sources);
+    - SHUFFLED: hash order is uncorrelated with every natural order
+      (source, time, id), so each shard and each intra-shard sequence
+      is an unbiased sample of the corpus — what curriculum-free
+      training wants.
+
+    Changing ``seed`` reshuffles everything. Scale: one codegen
+    projection — the downstream write repartitions on ``shard_col``
+    (one shuffle) and sorts within partitions on ``order_col``.
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    shard = F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    return df.withColumn(shard_col, shard.cast("int")).withColumn(
+        order_col, key
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> None:
+    """Materialize a deterministic shard export: one directory per
+    shard (``shard=K/``), rows inside each file in shard order. One
+    shuffle on the shard key + per-partition sort; re-running with the
+    same seed is byte-stable up to parquet encoding."""
+    out = assign_shards(df, id_col, n_shards, seed)
+    (
+        # the dynamic-partition writer requires a sort on the partition
+        # column and would otherwise re-sort (unstably) over our order —
+        # sorting by (shard, order) satisfies that requirement exactly,
+        # so the writer elides its sort and the order key survives
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_order")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

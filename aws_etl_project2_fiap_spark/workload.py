@@ -4852,6 +4852,53 @@ def k_partition_overwrite_readback(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@defquery(
+    "corpus_shard_export",
+    """
+    WITH assigned AS (
+        SELECT n_chars,
+               md5(concat('42', ':', CAST(doc_id AS VARCHAR))) AS k,
+               (('0x' || substring(
+                    md5(concat('42', ':', CAST(doc_id AS VARCHAR))), 1, 8
+                ))::BIGINT % 8)::INT AS shard
+        FROM documents
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(k) AS first_key
+    FROM assigned
+    GROUP BY shard
+    """,
+)
+def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment
+    (operators/corpus.assign_shards): every document hashes to a shard
+    and a stable intra-shard order key as pure functions of (seed, id)
+    — the reproducible global-shuffle-then-shard step of a training
+    export, engine-portable (no RNG state). The oracle recomputes the
+    SAME md5-derived assignment in DuckDB, so the hash-match proves
+    the mapping bit-identical across engines, per shard: membership
+    count, char mass, and the first order key (a direct witness of the
+    md5 ordering).
+
+    Scale: assignment is one codegen projection; the export write is
+    one shuffle on the shard key + per-partition sort
+    (operators/corpus.write_shards)."""
+    from .operators.corpus import assign_shards
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        assign_shards(d, "doc_id", 8, seed=42)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("shard_order").alias("first_key"),
+        )
+    )
+
+
 # =====================================================================
 # Entry-point accessors (driver contract)
 # =====================================================================

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from aws_etl_project2_fiap_spark.operators import corpus
 
+from conftest import SF_ORACLE as SF
+
 
 def test_scrub_pii_patterns(spark):
     rows = [
@@ -207,3 +209,57 @@ def test_referential_check_counts_orphans(spark):
         child.filter("fk IS NOT NULL AND fk < 3"), "fk", parent, "pk"
     ).collect()[0]
     assert clean["violations"] == 0
+
+
+# -- deterministic shard export (assign_shards / write_shards) ---------
+
+
+def test_assign_shards_deterministic_and_uniform(spark):
+    from aws_etl_project2_fiap_spark.operators.corpus import assign_shards
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    a = assign_shards(d, "doc_id", 8, seed=42)
+    b = assign_shards(d.repartition(13), "doc_id", 8, seed=42)
+    # partitioning-independent: identical (id -> shard, order) mapping
+    assert (
+        a.select("doc_id", "shard", "shard_order")
+        .exceptAll(b.select("doc_id", "shard", "shard_order"))
+        .count()
+        == 0
+    )
+    counts = [r["count"] for r in a.groupBy("shard").count().collect()]
+    n = d.count()
+    assert len(counts) == 8
+    assert max(counts) < 2 * n / 8  # no pathological skew
+    # a different seed reshuffles
+    c = assign_shards(d, "doc_id", 8, seed=7)
+    moved = (
+        a.select("doc_id", "shard")
+        .join(c.select("doc_id", F.col("shard").alias("s2")), "doc_id")
+        .filter(F.col("shard") != F.col("s2"))
+        .count()
+    )
+    assert moved > n / 2
+
+
+def test_write_shards_layout_and_order(spark, tmp_path):
+    from aws_etl_project2_fiap_spark.operators.corpus import write_shards
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "shards")
+    write_shards(d, out, "doc_id", 4, seed=1)
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} == {
+        0, 1, 2, 3,
+    }
+    # rows inside each shard file are in shard_order (read order = file
+    # order for a single parquet file)
+    import pandas as pd
+    from pathlib import Path
+
+    for part_dir in Path(out).glob("shard=*"):
+        files = list(part_dir.glob("*.parquet"))
+        assert len(files) == 1  # one file per shard
+        pdf = pd.read_parquet(files[0])
+        assert list(pdf["shard_order"]) == sorted(pdf["shard_order"])
