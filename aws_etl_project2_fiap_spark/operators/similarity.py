@@ -707,3 +707,194 @@ def semantic_dedup(
         _dedup_cluster,
         f"id {id_type}, cluster int, keep long, dup_of {id_type}",
     )
+
+
+# -- product quantization (IVF-PQ: memory-bounded ANN) -----------------
+#
+# IVF prunes WHICH vectors a probe reads; PQ shrinks WHAT is stored per
+# vector: the residual (vector − its cluster centroid) splits into m
+# subvectors, each encoded as the id of its nearest codeword in a
+# per-subspace codebook (ksub entries) — m bytes per vector instead of
+# 4·dim, a 32× cut at dim=64/m=8. Search is ADC (asymmetric distance
+# computation): per probed cluster, one (m × ksub) lookup table of
+# exact subspace distances from the query's residual to every codeword;
+# a vector's approximate distance is m table lookups summed — no float
+# vector is ever read. The optional rerank joins the short candidate
+# list back to the raw vectors for exact ordering (the FAISS
+# IndexIVFPQ + refine recipe).
+
+
+def pq_train(
+    df: DataFrame,
+    centroids: list[list[float]],
+    m: int = 8,
+    ksub: int = 32,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_limit: int = 10_000,
+):
+    """Train per-subspace codebooks on RESIDUALS (vector − assigned
+    coarse centroid) from a bounded hash-sample — same deterministic
+    sampling and driver-side Lloyd as :func:`kmeans_fit`, same FAISS
+    rationale: codebook quality converges on a sample, so training is
+    O(sample) regardless of table size. Returns an m-list of
+    (ksub × dim/m) codebooks."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(sample_limit)
+        .collect()
+    )
+    mat = np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
+    cent = np.asarray(centroids, dtype=np.float64)
+    d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    resid = mat - cent[d2.argmin(axis=1)]
+    dim = resid.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = resid[:, j * dsub : (j + 1) * dsub]
+        k = min(ksub, len(sub))
+        cb = sub[:k].copy()
+        for _ in range(iters):
+            dd = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = dd.argmin(axis=1)
+            for c in range(k):
+                sel = sub[a == c]
+                if len(sel):
+                    cb[c] = sel.mean(axis=0)
+        books.append(cb)
+    return [b.tolist() for b in books]
+
+
+def pq_encode(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster, code) — the complete PQ index row: coarse assign +
+    residual encode in ONE Arrow pass over the vectors (the only full
+    scan an index build needs). ``code`` is array<smallint> of length m
+    (values < ksub ≤ 256 — byte-range; smallint is the narrowest
+    parquet-friendly array element)."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+
+    schema = "id long, cluster int, code array<smallint>"
+
+    def _encode(it):
+        for pdf in it:
+            mat = np.stack(pdf["v"].values).astype(np.float64)
+            d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cl = d2.argmin(axis=1)
+            resid = mat - c[cl]
+            codes = np.empty((len(mat), m), dtype=np.int16)
+            for j in range(m):
+                sub = resid[:, j * dsub : (j + 1) * dsub]
+                dd = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = dd.argmin(axis=1).astype(np.int16)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "cluster": cl.astype(np.int32),
+                    "code": list(codes),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return src.mapInPandas(_encode, schema)
+
+
+def ivf_pq_search(
+    encoded: DataFrame,
+    centroids: list[list[float]],
+    codebooks,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the PQ codes of the ``nprobe`` nearest clusters.
+
+    The per-cluster (m × ksub) distance tables are tiny (nprobe·m·ksub
+    floats) and computed driver-side from the query alone, then closed
+    over by ONE vectorized Arrow pass that scores every candidate code
+    with m table lookups — the scan reads (id, cluster, code): bytes
+    per row = m + 12, never the raw vectors. With the index partitioned
+    by ``cluster`` the probe filter is partition pruning, same as
+    :func:`ivf_search`.
+
+    ``rerank`` (the raw-vector table) refines the top
+    ``k × rerank_factor`` ADC candidates with exact cosine — a
+    broadcast-semi-join-sized second touch that restores exact ordering
+    among the survivors (FAISS refine). Returns (id, sim) like
+    ivf_search, or (id, approx_d2) when rerank is None."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(((c - q) ** 2).sum(axis=1), kind="stable")
+    probe = [int(x) for x in order[:nprobe]]
+    # LUT[cluster][j, code] = ||(q - centroid)_j - codeword||²
+    luts = {}
+    for cl in probe:
+        rq = q - c[cl]
+        lut = np.empty((m, books[0].shape[0]), dtype=np.float64)
+        for j in range(m):
+            lut[j, : books[j].shape[0]] = (
+                (rq[j * dsub : (j + 1) * dsub][None, :] - books[j]) ** 2
+            ).sum(axis=1)
+        luts[cl] = lut
+
+    def _adc(it):
+        idx = np.arange(m)
+        for pdf in it:
+            codes = np.stack(pdf["code"].values).astype(np.int64)
+            dist = np.empty(len(pdf), dtype=np.float64)
+            cls = pdf["cluster"].values
+            for cl in np.unique(cls):
+                sel = cls == cl
+                lut = luts[int(cl)]
+                dist[sel] = lut[idx, codes[sel]].sum(axis=1)
+            yield pd.DataFrame({"id": pdf["id"].values, "approx_d2": dist})
+
+    cands = (
+        encoded.filter(F.col("cluster").isin(probe))
+        .mapInPandas(_adc, "id long, approx_d2 double")
+        .orderBy(F.asc("approx_d2"), F.asc("id"))
+        .limit(k * rerank_factor if rerank is not None else k)
+    )
+    if rerank is None:
+        return cands.select("id", F.round("approx_d2", 6).alias("approx_d2"))
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        rerank.select(F.col(id_col).alias("id"), F.col(vec_col))
+        .join(F.broadcast(cands.select("id")), "id")
+        .select(
+            "id",
+            F.round(
+                F.nanvl(cosine(F.col(vec_col), qcol), F.lit(-1.0)), 6
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("id"))
+        .limit(k)
+    )

@@ -2114,6 +2114,27 @@ def similarity_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.ivf_search(idx, cents, list(q), k=10, nprobe=4)
 
 
+@defquery("similarity_ivfpq_knn", None)  # PQ codes: not ANSI SQL
+def similarity_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k with exact rerank: the coarse quantizer
+    prunes to nprobe clusters, residual product-quantization codes
+    (m=8 bytes/vector vs 256 raw — 32×) score candidates by ADC table
+    lookups without touching a float vector, and the short candidate
+    list reranks against the raw table (FAISS IndexIVFPQ + refine).
+    Rows-only; recall and the memory claim are asserted in
+    tests/test_ivf.py. At 100 TB the code table is the only per-vector
+    state the scan reads — the difference between an index that fits
+    page cache and one that doesn't."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = sim_op.kmeans_fit(e, k=16, iters=3)
+    books = sim_op.pq_train(e, cents, m=8, ksub=32)
+    enc = sim_op.pq_encode(e, cents, books)
+    q = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    return sim_op.ivf_pq_search(
+        enc, cents, books, list(q), k=10, nprobe=8, rerank=e
+    )
+
+
 @defquery(
     "similarity_pairs_exact",
     """

@@ -212,3 +212,68 @@ def test_ivf_incremental_append(spark, tmp_path):
     ann = [(r.id, r.sim) for r in ivf_search(indexed, cents, q, k=10, nprobe=8).collect()]
     exact = [(r.id, r.sim) for r in knn_brute_force(e, q, k=10).collect()]
     assert ann == exact  # full probe over old+new == brute force
+
+
+# -- product quantization (IVF-PQ) -------------------------------------
+
+
+def test_pq_deterministic(spark):
+    e = _embeddings(spark)
+    cents = sim.kmeans_fit(e, k=8, iters=2)
+    b1 = sim.pq_train(e, cents, m=8, ksub=16, iters=3)
+    b2 = sim.pq_train(e, cents, m=8, ksub=16, iters=3)
+    assert b1 == b2
+
+
+def test_pq_code_is_m_bytes_per_vector(spark):
+    e = _embeddings(spark)
+    cents = sim.kmeans_fit(e, k=8, iters=2)
+    books = sim.pq_train(e, cents, m=8, ksub=32)
+    enc = sim.pq_encode(e, cents, books)
+    rows = enc.collect()
+    assert len(rows) == e.count()
+    for r in rows[:20]:
+        assert len(r["code"]) == 8
+        assert all(0 <= c < 32 for c in r["code"])
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    e = _embeddings(spark)
+    cents = sim.kmeans_fit(e, k=4, iters=1)
+    with _pytest.raises(ValueError, match="not divisible"):
+        sim.pq_train(e, cents, m=7)
+
+
+def test_ivfpq_rerank_recall(spark):
+    """full probe + rerank: the exact-cosine rerank of ADC candidates
+    recovers >= 8 of the true top-10 (candidate list = 4k)."""
+    e = _embeddings(spark)
+    cents = sim.kmeans_fit(e, k=8, iters=3)
+    books = sim.pq_train(e, cents, m=8, ksub=32)
+    enc = sim.pq_encode(e, cents, books)
+    hits = 0
+    for qid in (0, 7, 99):
+        q = list(e.filter(F.col("vec_id") == qid).first()["embedding"])
+        exact = {r["id"] for r in sim.knn_brute_force(e, q, k=10).collect()}
+        got = {
+            r["id"]
+            for r in sim.ivf_pq_search(
+                enc, cents, books, q, k=10, nprobe=8, rerank=e
+            ).collect()
+        }
+        hits += len(exact & got)
+    assert hits >= 24  # >= 80% mean recall@10 across queries
+
+
+def test_ivfpq_adc_self_match(spark):
+    """ADC without rerank still puts the query vector itself first
+    (its own code has the minimal table distance)."""
+    e = _embeddings(spark)
+    cents = sim.kmeans_fit(e, k=8, iters=3)
+    books = sim.pq_train(e, cents, m=8, ksub=32)
+    enc = sim.pq_encode(e, cents, books)
+    q = list(e.filter(F.col("vec_id") == 42).first()["embedding"])
+    top = sim.ivf_pq_search(enc, cents, books, q, k=3, nprobe=8).collect()
+    assert top[0]["id"] == 42
