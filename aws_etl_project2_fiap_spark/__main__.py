@@ -13,6 +13,7 @@ from the reference's scripts drives day-to-day.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
@@ -175,6 +176,66 @@ def cmd_consume(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """DELETE FROM a versioned table (SQL boolean predicate); mode dv
+    commits only deletion-vector sidecars, auto decides per file."""
+    from pyspark.sql import functions as F
+
+    from .io import versioned as V
+
+    spark = _session()
+    res = V.delete_from(
+        spark, args.table, F.expr(args.where), mode=args.mode,
+        rewrite_threshold=args.rewrite_threshold,
+    )
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_optimize(args) -> int:
+    """OPTIMIZE a versioned table: full compaction (optionally
+    z-ordered) or incremental small-file merge."""
+    from .io import versioned as V
+
+    spark = _session()
+    res = V.compact_table(
+        spark, args.table,
+        target_files=args.target_files,
+        zorder_by=args.zorder_by or None,
+        small_only_bytes=args.small_only_bytes,
+    )
+    print(json.dumps(res))
+    return 0
+
+
+def cmd_constraint(args) -> int:
+    """List / add / drop CHECK constraints on a versioned table."""
+    from .io import versioned as V
+
+    if args.action == "list":
+        print(json.dumps(V.table_constraints(args.table), indent=2))
+    elif args.action == "add":
+        spark = _session()
+        V.add_constraint(spark, args.table, args.name, args.expr)
+        print(f"added CHECK {args.name}: {args.expr}")
+    else:
+        V.drop_constraint(args.table, args.name)
+        print(f"dropped CHECK {args.name}")
+    return 0
+
+
+def cmd_clone(args) -> int:
+    from .io import versioned as V
+
+    spark = _session()
+    v = V.clone_table(
+        spark, args.src, args.dst, version=args.version, deep=args.deep
+    )
+    kind = "deep" if args.deep else "shallow"
+    print(f"{kind} clone of {args.src} -> {args.dst} (v{v})")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="aws_etl_project2_fiap_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -239,6 +300,34 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--wide", action="store_true")
     p.set_defaults(fn=cmd_changes)
+
+    p = sub.add_parser("delete", help="DELETE FROM a versioned table")
+    p.add_argument("table")
+    p.add_argument("where", help="SQL boolean predicate, e.g. \"v < 0\"")
+    p.add_argument("--mode", default="cow", choices=["cow", "dv", "auto"])
+    p.add_argument("--rewrite-threshold", type=float, default=0.5)
+    p.set_defaults(fn=cmd_delete)
+
+    p = sub.add_parser("optimize", help="compact a versioned table")
+    p.add_argument("table")
+    p.add_argument("--target-files", type=int, default=None)
+    p.add_argument("--zorder-by", nargs="*", default=None)
+    p.add_argument("--small-only-bytes", type=int, default=None)
+    p.set_defaults(fn=cmd_optimize)
+
+    p = sub.add_parser("constraint", help="CHECK constraints on a table")
+    p.add_argument("action", choices=["list", "add", "drop"])
+    p.add_argument("table")
+    p.add_argument("name", nargs="?")
+    p.add_argument("expr", nargs="?")
+    p.set_defaults(fn=cmd_constraint)
+
+    p = sub.add_parser("clone", help="clone a versioned table")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--deep", action="store_true")
+    p.set_defaults(fn=cmd_clone)
 
     args = ap.parse_args(argv)
     return args.fn(args)

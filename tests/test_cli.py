@@ -94,3 +94,39 @@ def test_cli_consume(spark, capsys, tmp_path):
     assert main(["consume", path, cursor]) == 0
     out = capsys.readouterr().out
     assert "delivered 2 rows" in out and "v1 -> v2" in out
+
+
+def test_cli_delete_optimize_constraint_clone(spark, capsys, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_project2_fiap_spark.io import versioned as V
+
+    path = str(tmp_path / "t")
+    V.create_table(
+        spark.range(0, 100).select(
+            F.col("id"), (F.col("id") * 1.0).alias("v")
+        ),
+        path,
+    )
+    # dv delete via CLI
+    assert main(["delete", path, "id < 10", "--mode", "dv"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_deleted"] == 10 and res["files_rewritten"] == 0
+    assert V.read_table(spark, path).count() == 90
+    # optimize purges the DV
+    assert main(["optimize", path, "--target-files", "1"]) == 0
+    capsys.readouterr()
+    files = V._read_manifest(path, V.current_version(path))["files"]
+    assert all("dv" not in f for f in files)
+    # constraints
+    assert main(["constraint", "add", path, "v_nonneg", "v >= 0"]) == 0
+    assert main(["constraint", "list", path]) == 0
+    assert "v_nonneg" in capsys.readouterr().out
+    assert main(["constraint", "drop", path, "v_nonneg"]) == 0
+    capsys.readouterr()
+    # shallow clone
+    dst = str(tmp_path / "c")
+    assert main(["clone", path, dst]) == 0
+    assert V.read_table(spark, dst).count() == 90
