@@ -1227,6 +1227,45 @@ def delete_from(
     }
 
 
+def table_count(path: str, version: int | None = None) -> int:
+    """Exact row count of a version WITHOUT a Spark job: parquet footer
+    ``num_rows`` summed over the manifest's files, minus deletion-vector
+    sizes. O(files) driver-side metadata reads — the `SELECT COUNT(*)`
+    a 100 TB table answers in milliseconds because the log already
+    knows (the same trick Delta/Iceberg pull from their stats). Any
+    predicate beyond `TRUE` goes through :func:`read_table`."""
+    import pyarrow.parquet as pq
+
+    v = current_version(path) if version is None else version
+    files = _read_manifest(path, v)["files"]
+    total = 0
+    for f in files:
+        total += pq.ParquetFile(f["path"]).metadata.num_rows
+        total -= f.get("dv", {}).get("n", 0)
+    return total
+
+
+def table_column_minmax(
+    path: str, col: str, version: int | None = None
+) -> tuple:
+    """(min, max) of a column from manifest stats alone — None when any
+    file lacks stats for it (conservative: no wrong answer from a
+    statless file). DV caveat: deleted rows may have held the extremes,
+    so the result is a BOUND (correct envelope), exact when the version
+    carries no DVs — callers needing exactness after DV deletes read
+    the table."""
+    v = current_version(path) if version is None else version
+    files = _read_manifest(path, v)["files"]
+    lo = hi = None
+    for f in files:
+        st = f.get("stats", {}).get(col)
+        if st is None:
+            return None
+        lo = st[0] if lo is None else min(lo, st[0])
+        hi = st[1] if hi is None else max(hi, st[1])
+    return (lo, hi)
+
+
 def table_changes(
     spark: SparkSession, path: str, from_version: int, to_version: int
 ) -> DataFrame:

@@ -1,0 +1,121 @@
+"""Versioned table as a streaming source
+(streaming/table_source.VersionedTableDataSource).
+
+The claims under test:
+
+- the first micro-batch delivers the full snapshot, later batches
+  deliver ONLY the rows appended since the committed offset (the
+  table version IS the offset);
+- a deletion-vector DELETE commit delivers nothing (insert feed), and
+  a snapshot read through the source applies DVs;
+- batch mode reads any version (time travel through the source);
+- metadata-only aggregates (table_count / table_column_minmax) answer
+  from the manifest without a Spark job and stay DV-exact.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aws_etl_project2_fiap_spark.io import versioned as V
+from aws_etl_project2_fiap_spark.streaming.table_source import (
+    VersionedTableDataSource,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.range(0, 50).select(
+        F.col("id"), (F.col("id") * 1.0).alias("v")
+    )
+    path = str(tmp_path / "tbl")
+    V.create_table(df, path)
+    spark.dataSource.register(VersionedTableDataSource)
+    return path
+
+
+def _run_stream(spark, path, ckpt, out_dir):
+    """One availableNow pass into a parquet sink (memory sinks can't
+    resume from a checkpoint); returns the rows of THIS run only."""
+    import glob
+
+    before = set(glob.glob(f"{out_dir}/*.parquet"))
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    fresh = [
+        f
+        for f in set(glob.glob(f"{out_dir}/*.parquet")) - before
+    ]
+    if not fresh:
+        return spark.createDataFrame([], "id long, v double")
+    return spark.read.parquet(*fresh)
+
+
+def test_snapshot_then_deltas(spark, table, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    got = _run_stream(spark, table, ckpt, out)
+    assert got.count() == 50  # first batch = full snapshot
+    V.append_table(
+        spark.range(50, 60).select(
+            F.col("id"), (F.col("id") * 1.0).alias("v")
+        ),
+        table,
+    )
+    got = _run_stream(spark, table, ckpt, out)
+    # same checkpoint: only the appended rows arrive
+    assert sorted(r["id"] for r in got.collect()) == list(range(50, 60))
+
+
+def test_dv_delete_delivers_nothing_but_filters_snapshot(
+    spark, table, tmp_path
+):
+    V.delete_from(spark, table, F.col("id") < 5, mode="dv")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    got = _run_stream(spark, table, ckpt, out)
+    # snapshot through the source applies the DV
+    assert got.count() == 45
+    V.delete_from(spark, table, F.col("id") < 10, mode="dv")
+    got = _run_stream(spark, table, ckpt, out)
+    assert got.count() == 0  # delete-only commit: insert feed is empty
+
+
+def test_batch_mode_time_travel(spark, table):
+    V.append_table(
+        spark.range(50, 60).select(
+            F.col("id"), (F.col("id") * 1.0).alias("v")
+        ),
+        table,
+    )
+    cur = (
+        spark.read.format("versioned_table").option("path", table).load()
+    )
+    old = (
+        spark.read.format("versioned_table")
+        .option("path", table)
+        .option("version", "1")
+        .load()
+    )
+    assert cur.count() == 60 and old.count() == 50
+
+
+def test_metadata_only_aggregates(spark, table):
+    assert V.table_count(table) == 50
+    assert V.table_column_minmax(table, "id") == (0, 49)
+    V.delete_from(spark, table, F.col("id") < 7, mode="dv")
+    assert V.table_count(table) == 43  # DV-exact without a scan
+    assert V.table_count(table, version=1) == 50
+    lo, hi = V.table_column_minmax(table, "v")
+    assert lo == 0.0 and hi == 49.0
