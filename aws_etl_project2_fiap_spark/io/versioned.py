@@ -1109,6 +1109,48 @@ def compact_table(
     }
 
 
+def reorg_table(
+    spark: SparkSession, path: str, min_dv_fraction: float = 0.0
+) -> dict:
+    """REORG ... APPLY (PURGE): physically rewrite ONLY the files
+    carrying deletion vectors (optionally only those whose deleted
+    fraction is ≥ ``min_dv_fraction``), dropping their DVs; every
+    clean file is referenced untouched. The targeted maintenance
+    companion to :func:`compact_table` — cost ∝ DV'd bytes, so it can
+    run on a schedule forever while merge-on-read deletes accumulate.
+    Returns {"version", "files_purged", "files_reused"}."""
+    base_version = current_version(path)
+    files = _read_manifest(path, base_version)["files"]
+    live = None
+    targets = []
+    for f in files:
+        if not f.get("dv"):
+            continue
+        if min_dv_fraction > 0:
+            if live is None:
+                live = _live_counts([x for x in files if x.get("dv")])
+            total = live[f["path"]] + f["dv"]["n"]
+            if f["dv"]["n"] < min_dv_fraction * max(total, 1):
+                continue
+        targets.append(f)
+    if not targets:
+        return {"version": base_version, "files_purged": 0,
+                "files_reused": len(files)}
+    target_paths = {f["path"] for f in targets}
+    untouched = [f for f in files if f["path"] not in target_paths]
+    rewritten = _scan(spark, targets)
+    re_index = _indexed_cols(targets)
+    version = _commit(
+        path, untouched + _write_batch(rewritten, path, re_index or None),
+        expect_version=base_version,
+    )
+    return {
+        "version": version,
+        "files_purged": len(targets),
+        "files_reused": len(untouched),
+    }
+
+
 def delete_from(
     spark: SparkSession,
     path: str,

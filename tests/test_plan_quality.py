@@ -408,3 +408,86 @@ def test_index_probe_plan_no_corpus_shuffle(spark, tmp_path):
     # the streamed (index) side below the join has no exchange; the only
     # exchanges in the plan serve the broadcast build + final group
     assert "ShuffledHashJoin" not in p
+
+
+def test_dv_scan_is_broadcast_anti_join(spark, tmp_path):
+    """Merge-on-read DV application must plan as a BROADCAST anti-join
+    on (file, position) — a SortMergeJoin here would shuffle the whole
+    table to subtract a kilobyte-sized delete set."""
+    from aws_etl_project2_fiap_spark.io import versioned as V
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 1.0).alias("v")
+    )
+    V.create_table(df.repartitionByRange(4, "id"), path)
+    V.delete_from(spark, path, F.col("id") % 97 == 0, mode="dv")
+    p = plan(V.read_table(spark, path))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_dv_free_scan_has_no_join(spark, tmp_path):
+    """A table without DVs must read as a plain scan — zero
+    merge-on-read overhead when nothing was deleted."""
+    from aws_etl_project2_fiap_spark.io import versioned as V
+
+    path = str(tmp_path / "t")
+    V.create_table(spark.range(0, 100).select("id"), path)
+    p = plan(V.read_table(spark, path))
+    assert "Join" not in p and "Exchange" not in p
+
+
+def test_shard_assignment_is_shuffle_free_projection(spark):
+    """assign_shards must fold into the scan: md5 + conv are codegen
+    expressions, no Exchange, no Python stage."""
+    from aws_etl_project2_fiap_spark.operators.corpus import assign_shards
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(assign_shards(d, "doc_id", 8, seed=42))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_ivfpq_rerank_is_broadcast_join(spark):
+    """The exact rerank joins a k×factor candidate list against the
+    raw vectors — must broadcast the candidates, never shuffle the
+    vector table."""
+    from aws_etl_project2_fiap_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = sim.kmeans_fit(e, k=8, iters=2)
+    books = sim.pq_train(e, cents, m=8, ksub=16, iters=2)
+    enc = sim.pq_encode(e, cents, books)
+    q = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    out = sim.ivf_pq_search(enc, cents, books, q, k=5, nprobe=8, rerank=e)
+    p = plan(out)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_partition_overwrite_readback_prunes(spark):
+    """After a clustered partition overwrite, a month-selective read
+    of the versioned table must hit a subset of files (manifest-level
+    skipping feeds the scan a pruned file list)."""
+    from aws_etl_project2_fiap_spark.io import versioned as V
+
+    import tempfile
+
+    from aws_etl_project2_fiap_spark.workload import t as _t
+
+    with tempfile.TemporaryDirectory() as work:
+        path = f"{work}/t"
+        o = (
+            _t(spark, SF, "orders")
+            .filter(F.col("o_orderdate").between("1995-01-01", "1995-06-30"))
+            .select(
+                "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+                "o_totalprice",
+            )
+        )
+        V.create_table(o, path, cluster_by=["mon"], num_files=6)
+        pruned = V.read_table(spark, path, between=("mon", "1995-03", "1995-03"))
+        full = V.read_table(spark, path)
+        assert len(pruned.inputFiles()) < len(full.inputFiles())

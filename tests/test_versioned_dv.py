@@ -209,3 +209,26 @@ def test_dv_commit_carries_concurrency_token(spark, table):
     with pytest.raises(V.CommitConflict):
         V._commit(table, V._read_manifest(table, base)["files"],
                   expect_version=base)
+
+
+def test_reorg_purges_only_dv_files(spark, table):
+    # DV one file's rows (g=1), leave the others clean
+    V.delete_from(spark, table, (F.col("g") == 1) & (F.col("id") < 20),
+                  mode="dv")
+    before = {f["path"] for f in V._read_manifest(table, 2)["files"]}
+    res = V.reorg_table(spark, table)
+    assert res["files_purged"] == 1 and res["files_reused"] == 2
+    files = V._read_manifest(table, res["version"])["files"]
+    assert all("dv" not in f for f in files)
+    # the two clean files are REFERENCED (same paths), one is new
+    kept = {f["path"] for f in files} & before
+    assert len(kept) == 2
+    assert V.read_table(spark, table).count() == 293
+
+
+def test_reorg_threshold_skips_lightly_deleted_files(spark, table):
+    V.delete_from(spark, table, F.col("id") == 1, mode="dv")  # 1% of g=1
+    res = V.reorg_table(spark, table, min_dv_fraction=0.5)
+    assert res["files_purged"] == 0
+    # still readable, DV still applied
+    assert V.read_table(spark, table).count() == 299
