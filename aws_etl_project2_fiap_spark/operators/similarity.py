@@ -898,3 +898,66 @@ def ivf_pq_search(
         .orderBy(F.desc("sim"), F.asc("id"))
         .limit(k)
     )
+
+
+def save_ivf_pq_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF-PQ index: codes land under
+    ``path/codes/cluster=<c>/`` (partition pruning per probe, same as
+    :func:`save_ivf_index`), quantizer under ``path/centroids``,
+    codebooks under ``path/codebooks``. The stored per-vector state is
+    (id, m-byte code) — the 32× storage cut is what makes the ANN scan
+    page-cache-resident at 100 TB; raw vectors stay in the source table
+    for the rerank join only."""
+    spark = df.sparkSession
+    enc = pq_encode(df, centroids, codebooks, vec_col=vec_col, id_col=id_col)
+    enc.write.partitionBy("cluster").mode("overwrite").parquet(f"{path}/codes")
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    (
+        spark.createDataFrame(
+            cent_rows, "centroid_id: int, centroid: array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+    book_rows = [
+        (j, ci, [float(x) for x in code])
+        for j, book in enumerate(codebooks)
+        for ci, code in enumerate(book)
+    ]
+    (
+        spark.createDataFrame(
+            book_rows, "subspace: int, code_id: int, codeword: array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/codebooks")
+    )
+
+
+def load_ivf_pq_index(spark, path: str):
+    """(encoded_codes, centroids, codebooks) back from disk; ``codes``
+    is partition-discovered on ``cluster`` so the probe filter prunes
+    directories."""
+    enc = spark.read.parquet(f"{path}/codes")
+    cent = [
+        list(r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids")
+        .orderBy("centroid_id")
+        .collect()
+    ]
+    rows = spark.read.parquet(f"{path}/codebooks").orderBy(
+        "subspace", "code_id"
+    ).collect()
+    m = max(r["subspace"] for r in rows) + 1
+    books = [[] for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]].append(list(r["codeword"]))
+    return enc, cent, books

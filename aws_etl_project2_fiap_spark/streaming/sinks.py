@@ -305,3 +305,69 @@ def versioned_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enriched_versioned_sink(
+    df: DataFrame,
+    dim_table_path: str,
+    keys: list[str],
+    out_table_path: str,
+    checkpoint: str,
+    query_name: str = "enriched_versioned_sink",
+    how: str = "left",
+) -> StreamingQuery:
+    """Stream-static ENRICHMENT where the static side is a versioned
+    table re-resolved EVERY micro-batch: each batch joins against the
+    dimension table's then-current snapshot (io/versioned.read_table
+    resolves the manifest at plan time, so an SCD correction committed
+    between batches is picked up by the next batch — the behavior a
+    native stream-static join over a fixed file list cannot give), and
+    the enriched rows append to ``out_table_path`` through the same
+    exactly-once batch-id commit protocol as :func:`versioned_sink`.
+
+    Scale: the dimension read is manifest-resolved (column-pruned to
+    the join keys + payload) and delivery-sized batches broadcast
+    against it under AQE; the output commit is one manifest append.
+    """
+    import os
+
+    from ..io import versioned as V
+
+    def _enrich(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dim = V.read_table(batch_df.sparkSession, dim_table_path)
+        enriched = batch_df.join(dim, keys, how)
+        for attempt in range(5):
+            if os.path.exists(V._pointer(out_table_path)):
+                if batch_id in V.committed_batch_ids(out_table_path):
+                    return
+                try:
+                    V.append_table(
+                        enriched, out_table_path,
+                        extra={"batch_id": batch_id},
+                    )
+                    return
+                except V.CommitConflict:
+                    continue
+            else:
+                try:
+                    V.create_table(
+                        enriched, out_table_path,
+                        extra={"batch_id": batch_id},
+                    )
+                    return
+                except (V.CommitConflict, FileExistsError):
+                    continue
+        raise RuntimeError(
+            f"enriched_versioned_sink: batch {batch_id} lost the commit "
+            f"race 5 times on {out_table_path}"
+        )
+
+    return (
+        df.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

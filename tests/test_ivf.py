@@ -277,3 +277,31 @@ def test_ivfpq_adc_self_match(spark):
     q = list(e.filter(F.col("vec_id") == 42).first()["embedding"])
     top = sim.ivf_pq_search(enc, cents, books, q, k=3, nprobe=8).collect()
     assert top[0]["id"] == 42
+
+
+def test_ivfpq_index_persists_and_prunes(spark, tmp_path):
+    """save/load round-trip; the probe plan prunes cluster partitions
+    (PartitionFilters on the codes scan) and results match in-memory."""
+    e = _embeddings(spark)
+    cents = sim.kmeans_fit(e, k=8, iters=3)
+    books = sim.pq_train(e, cents, m=8, ksub=32)
+    path = str(tmp_path / "pq_idx")
+    sim.save_ivf_pq_index(e, path, cents, books)
+    enc2, cents2, books2 = sim.load_ivf_pq_index(spark, path)
+    assert cents2 == cents and books2 == books
+    q = list(e.filter(F.col("vec_id") == 7).first()["embedding"])
+    mem = sim.ivf_pq_search(
+        sim.pq_encode(e, cents, books), cents, books, q, k=5, nprobe=2,
+        rerank=e,
+    ).collect()
+    disk = sim.ivf_pq_search(
+        enc2, cents2, books2, q, k=5, nprobe=2, rerank=e
+    ).collect()
+    assert [r["id"] for r in mem] == [r["id"] for r in disk]
+    # partition pruning: the probe filter lands in PartitionFilters
+    probe_df = enc2.filter(F.col("cluster").isin([0, 1]))
+    s = probe_df._sc._jvm.PythonSQLUtils.explainString(
+        probe_df._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in s.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cluster" in ln for ln in pf), s

@@ -119,3 +119,59 @@ def test_metadata_only_aggregates(spark, table):
     assert V.table_count(table, version=1) == 50
     lo, hi = V.table_column_minmax(table, "v")
     assert lo == 0.0 and hi == 49.0
+
+
+def test_enriched_versioned_sink_sees_dim_updates(spark, tmp_path):
+    """Stream-static enrich re-resolves the dimension snapshot per
+    batch: an SCD correction committed between batches changes the
+    NEXT batch's join, and the output lands exactly-once."""
+    import os
+
+    from aws_etl_project2_fiap_spark.streaming.sinks import (
+        enriched_versioned_sink,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src_dir = str(tmp_path / "arrivals")
+    os.makedirs(src_dir)
+    V.create_table(
+        spark.createDataFrame(
+            [(1, "bronze"), (2, "silver")], "cust long, tier string"
+        ),
+        dim_path,
+    )
+
+    def deliver(batch_rows, subdir):
+        spark.createDataFrame(
+            batch_rows, "cust long, amount double"
+        ).write.mode("overwrite").parquet(os.path.join(src_dir, subdir))
+
+    def run():
+        stream = spark.readStream.schema(
+            "cust long, amount double"
+        ).parquet(src_dir + "/*")
+        q = enriched_versioned_sink(
+            stream, dim_path, ["cust"], out_path, ckpt
+        )
+        q.awaitTermination(120)
+
+    deliver([(1, 10.0), (2, 20.0)], "b1")
+    run()
+    got = {
+        (r["cust"], r["tier"])
+        for r in V.read_table(spark, out_path).collect()
+    }
+    assert got == {(1, "bronze"), (2, "silver")}
+
+    # SCD correction between batches: cust 1 upgraded
+    V.update_table(
+        spark, dim_path, {"tier": F.lit("gold")}, F.col("cust") == 1
+    )
+    deliver([(1, 30.0)], "b2")
+    run()
+    rows = V.read_table(spark, out_path).filter(F.col("amount") == 30.0)
+    assert [r["tier"] for r in rows.collect()] == ["gold"]
+    # earlier batch's enrichment is unchanged (append, not rewrite)
+    assert V.read_table(spark, out_path).count() == 3
