@@ -26,6 +26,12 @@ def _op():
         st.tuples(st.just("update"), st.integers(0, 3)),
         st.tuples(st.just("merge"), st.integers(0, 3)),
         st.tuples(st.just("rollback"), st.just(0)),
+        # deletes in all three physical modes + the DV purge — the
+        # model can't tell them apart, which is exactly the claim
+        st.tuples(st.just("delete_cow"), st.integers(0, 6)),
+        st.tuples(st.just("delete_dv"), st.integers(0, 6)),
+        st.tuples(st.just("delete_auto"), st.integers(0, 6)),
+        st.tuples(st.just("reorg"), st.just(0)),
     )
 
 
@@ -77,6 +83,21 @@ def test_versioned_ops_match_model(spark, tmp_path_factory, ops):
             df = spark.createDataFrame(rows, "id long, g long, v double")
             ver = V.merge_table(spark, path, df, keys=["id"])["version"]
             model.update({r[0]: (r[1], r[2]) for r in rows})
+        elif kind.startswith("delete_"):
+            mode = kind.split("_", 1)[1]
+            res = V.delete_from(
+                spark, path, F.col("id") % 7 == arg, mode=mode,
+            )
+            ver = res["version"]
+            expected = len([i for i in model if i % 7 == arg])
+            assert res["n_deleted"] == expected, kind
+            model = {i: r for i, r in model.items() if i % 7 != arg}
+            if ver in history:  # no-match delete: no new version
+                continue
+        elif kind == "reorg":
+            ver = V.reorg_table(spark, path)["version"]
+            if ver in history:  # nothing DV'd: no new version
+                continue
         else:  # rollback to v1
             ver = V.rollback(path, 1)
             model = dict(history[1])
