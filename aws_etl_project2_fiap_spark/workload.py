@@ -2114,6 +2114,33 @@ def similarity_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.ivf_search(idx, cents, list(q), k=10, nprobe=4)
 
 
+@defquery("text_bpe_tokens", None)  # trained BPE: not ANSI SQL
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-exact token accounting under a TRAINED BPE tokenizer
+    (operators/tokenizer.py): merges learned from a bounded hash-sample
+    of the corpus, applied in one Arrow pass, aggregated per language —
+    total tokens and the chars-per-token compression the tokenizer
+    actually achieves on this corpus (the number a training-data budget
+    is priced in). Rows-only; determinism, losslessness, and
+    reference-agreement are pinned in tests/test_tokenizer.py."""
+    from .operators.tokenizer import bpe_tokenize, bpe_train
+
+    d = t(spark, sf_dir, "documents")
+    merges = bpe_train(d, num_merges=200, sample_limit=1_000)
+    counts = bpe_tokenize(d, merges)
+    return (
+        counts.join(d.select(F.col("doc_id").alias("id"), "lang", "n_chars"), "id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
 @defquery("similarity_ivfpq_knn", None)  # PQ codes: not ANSI SQL
 def similarity_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate top-k with exact rerank: the coarse quantizer
