@@ -371,25 +371,47 @@ def _scan(
     ``keep_meta=True`` retains ``__file`` (manifest-normalized path) and
     ``__pos`` (row index) for the copy-on-write discovery scans — which
     MUST be DV-aware or UPDATE/MERGE/DELETE would match, count, and
-    resurrect rows that are already deleted."""
-    df = spark.read.option("mergeSchema", "true").parquet(*_paths(entries))
+    resurrect rows that are already deleted.
+
+    Read-path cost model (measured at tiled sf1): only the DV-CARRYING
+    files pay the merge-on-read tax — clean files go through a separate
+    plain scan and the two legs union, so a point delete that DV'd 3 of
+    10,000 files adds the metadata projection + anti-join to 3 files'
+    rows and nothing else. ``keep_meta`` scans (mutation discovery)
+    need the meta columns on every row anyway, so they stay single-leg."""
+    reader = spark.read.option("mergeSchema", "true")
+    dvd = [f for f in entries if f.get("dv")]
+    if not dvd and not keep_meta:
+        return reader.parquet(*_paths(entries))
     pairs = _dv_pairs(spark, entries)
-    if pairs is None and not keep_meta:
-        return df
-    df = df.withColumn("__file", _norm_file_path()).withColumn(
-        "__pos", F.col("_metadata.row_index")
-    )
-    if pairs is not None:
-        df = df.join(
-            F.broadcast(
-                pairs.withColumnsRenamed(
-                    {"__dv_file": "__file", "__dv_pos": "__pos"}
-                )
-            ),
-            ["__file", "__pos"],
-            "left_anti",
+
+    def _with_dv_applied(subset, its_pairs):
+        df = (
+            reader.parquet(*_paths(subset))
+            .withColumn("__file", _norm_file_path())
+            .withColumn("__pos", F.col("_metadata.row_index"))
         )
-    return df if keep_meta else df.drop("__file", "__pos")
+        if its_pairs is not None:
+            df = df.join(
+                F.broadcast(
+                    its_pairs.withColumnsRenamed(
+                        {"__dv_file": "__file", "__dv_pos": "__pos"}
+                    )
+                ),
+                ["__file", "__pos"],
+                "left_anti",
+            )
+        return df
+
+    if keep_meta:
+        return _with_dv_applied(entries, pairs)
+    clean = [f for f in entries if not f.get("dv")]
+    out = _with_dv_applied(dvd, pairs).drop("__file", "__pos")
+    if clean:
+        out = reader.parquet(*_paths(clean)).unionByName(
+            out, allowMissingColumns=True
+        )
+    return out
 
 
 def _live_counts(entries: list) -> dict[str, int]:
