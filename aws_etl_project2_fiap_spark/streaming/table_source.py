@@ -7,7 +7,9 @@ INSERTED since the last committed offset, where an offset is simply the
 table VERSION — the engine owns replay and exactly-once, the source
 only answers "rows between version A and B", which the manifest log
 answers by FILE DIFF (cost ∝ files added, never table size or history
-length).
+length). Reads are EXECUTOR-SIDE: the planner emits one input
+partition per added file, so a snapshot or a wide backfill scales with
+the cluster, not the driver.
 
 Contracts (same as io/versioned.consume_changes, the batch consumer):
 
@@ -17,171 +19,202 @@ Contracts (same as io/versioned.consume_changes, the batch consumer):
   reconcile, Delta's ``ignoreChanges`` caveat);
 - DELETE-only commits (including deletion-vector commits) deliver
   nothing — this is the INSERT feed; the delete feed is
-  ``table_changes``;
-- replay of a committed offset range (``readBetweenOffsets``) is
-  bit-stable while the manifests are retained; a range older than
-  vacuum retention raises with the resync instruction.
+  ``table_changes``. Snapshot/insert reads apply each file's DV;
+- replay of a committed offset range is bit-stable while the manifests
+  are retained; a range older than vacuum retention raises with the
+  resync instruction.
 
-This uses the SimpleDataSourceStreamReader (driver-side reads) — right
-for delivery-sized commits; a 100 TB initial snapshot should start the
-stream AT a version (``startVersion``) after seeding by batch copy, or
-use the partition-planning DataSourceStreamReader variant of the same
-offset contract.
+WORKER-SHIPPING CONSTRAINT (why this module looks the way it does):
+Spark pickles a registered Python DataSource class and unpickles it in
+python worker processes that do NOT have this package on their path
+(the round driver loads the repo by file path). cloudpickle only
+serializes a class BY VALUE when it is not importable by qualname —
+so the class is defined inside :func:`build_versioned_table_source`,
+and every method touches ONLY stdlib + pyarrow + numpy (the manifest
+format is read inline with json/os). Importing anything from this
+package inside a method would silently re-introduce the
+ModuleNotFoundError-on-worker failure class (empirically verified).
 """
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import (
-    DataSource,
-    DataSourceReader,
-    SimpleDataSourceStreamReader,
-)
 
+def build_versioned_table_source():
+    """Return the (by-value-picklable) DataSource class. Register with
+    ``spark.dataSource.register(build_versioned_table_source())``."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
 
-def _arrow_to_ddl(schema) -> str:
-    """Spark DDL string from a pyarrow schema (primitive columns)."""
-    import pyarrow as pa
+    # -- self-contained manifest/DV helpers (stdlib + pyarrow only) ----
 
-    out = []
-    for field in schema:
-        t = field.type
-        if pa.types.is_int64(t) or pa.types.is_uint32(t):
-            s = "long"
-        elif pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
-            s = "int"
-        elif pa.types.is_float64(t):
-            s = "double"
-        elif pa.types.is_float32(t):
-            s = "float"
-        elif pa.types.is_string(t) or pa.types.is_large_string(t):
-            s = "string"
-        elif pa.types.is_boolean(t):
-            s = "boolean"
-        elif pa.types.is_date(t):
-            s = "date"
-        elif pa.types.is_timestamp(t):
-            s = "timestamp"
-        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
-            s = "binary"
-        else:
-            raise ValueError(
-                f"versioned_table source: unsupported column type {t} "
-                f"({field.name}) — project it away before streaming"
-            )
-        out.append(f"`{field.name}` {s}")
-    return ", ".join(out)
-
-
-def _live_rows(entry: dict, columns: list[str]):
-    """Rows of one manifest entry as tuples (DV positions removed) —
-    pyarrow read, driver-side."""
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    from ..io.versioned import _read_dv
-
-    tbl = pq.read_table(entry["path"], columns=columns)
-    if entry.get("dv"):
-        mask = np.ones(tbl.num_rows, dtype=bool)
-        pos = _read_dv(entry["dv"]["path"])
-        mask[pos[pos < tbl.num_rows]] = False
-        tbl = tbl.filter(mask)
-    cols = [tbl.column(c).to_pylist() for c in columns]
-    return zip(*cols) if cols else iter(())
-
-
-class _VersionedTableStreamReader(SimpleDataSourceStreamReader):
-    """Offset = {"version": N} — the table's own commit log is the
-    offset space, so source progress is human-auditable (`history`)."""
-
-    def __init__(self, options, columns: list[str]):
-        self.path = options["path"]
-        self.columns = columns
-        self.start_version = int(options.get("startversion", "0"))
-
-    def initialOffset(self) -> dict:
-        return {"version": self.start_version}
-
-    def _inserted_entries(self, lo: int, hi: int) -> list[dict]:
-        from ..io import versioned as V
-
+    def _current_version(path: str) -> int:
         import os
 
-        if lo > 0 and not os.path.exists(
-            os.path.join(V._manifest_dir(self.path), f"v{lo}.json")
-        ):
+        with open(os.path.join(path, "_CURRENT")) as fh:
+            return int(fh.read().strip())
+
+    def _manifest_files(path: str, version: int) -> list:
+        import json
+        import os
+
+        mpath = os.path.join(path, "_manifests", f"v{version}.json")
+        if not os.path.exists(mpath):
             raise ValueError(
-                f"versioned_table source: offset v{lo} of {self.path} "
-                f"predates vacuum retention — restart the stream with a "
-                f"fresh checkpoint (full-snapshot resync)"
+                f"versioned_table source: v{version} of {path} predates "
+                f"vacuum retention — restart with a fresh checkpoint "
+                f"(full-snapshot resync)"
             )
-        hi_files = V._read_manifest(self.path, hi)["files"]
+        with open(mpath) as fh:
+            return json.load(fh)["files"]
+
+    def _inserted_entries(path: str, lo: int, hi: int) -> list:
+        hi_files = _manifest_files(path, hi)
         if lo == 0:
             return hi_files
-        lo_paths = {f["path"] for f in V._read_manifest(self.path, lo)["files"]}
+        lo_paths = {f["path"] for f in _manifest_files(path, lo)}
         return [f for f in hi_files if f["path"] not in lo_paths]
 
-    def read(self, start: dict):
-        from ..io import versioned as V
-
-        lo = start["version"]
-        hi = V.current_version(self.path)
-        if hi == lo:
-            return iter(()), {"version": lo}
-        rows = []
-        for entry in self._inserted_entries(lo, hi):
-            rows.extend(_live_rows(entry, self.columns))
-        return iter(rows), {"version": hi}
-
-    def readBetweenOffsets(self, start: dict, end: dict):
-        rows = []
-        for entry in self._inserted_entries(start["version"], end["version"]):
-            rows.extend(_live_rows(entry, self.columns))
-        return iter(rows)
-
-
-class _VersionedTableBatchReader(DataSourceReader):
-    def __init__(self, options, columns: list[str]):
-        self.path = options["path"]
-        self.columns = columns
-        self.version = options.get("version")
-
-    def read(self, partition):
-        from ..io import versioned as V
-
-        v = int(self.version) if self.version else V.current_version(self.path)
-        for entry in V._read_manifest(self.path, v)["files"]:
-            yield from _live_rows(entry, self.columns)
-
-
-class VersionedTableDataSource(DataSource):
-    """``format("versioned_table")`` — a versioned table as a batch or
-    streaming source. Options: ``path`` (required), ``startVersion``
-    (stream: first offset; 0 = snapshot-then-deltas), ``version``
-    (batch: time travel)."""
-
-    @classmethod
-    def name(cls) -> str:
-        return "versioned_table"
-
-    def _columns(self):
+    def _entry_rows(entry: dict, columns: list):
+        """One file's live rows as tuples (DV positions removed) —
+        pyarrow read; runs on EXECUTORS."""
+        import numpy as np
         import pyarrow.parquet as pq
 
-        from ..io import versioned as V
+        tbl = pq.read_table(entry["path"], columns=columns)
+        dv = entry.get("dv")
+        if dv:
+            with open(dv["path"], "rb") as fh:
+                pos = np.frombuffer(fh.read(), dtype="<i8")
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[pos[pos < tbl.num_rows]] = False
+            tbl = tbl.filter(mask)
+        cols = [tbl.column(c).to_pylist() for c in columns]
+        yield from (zip(*cols) if cols else iter(()))
 
-        v = V.current_version(self.options["path"])
-        first = V._read_manifest(self.options["path"], v)["files"][0]
+    def _table_columns(path: str):
+        import pyarrow.parquet as pq
+
+        first = _manifest_files(path, _current_version(path))[0]
         return pq.read_schema(first["path"])
 
-    def schema(self) -> str:
-        return _arrow_to_ddl(self._columns())
+    def _arrow_to_ddl(schema) -> str:
+        import pyarrow as pa
 
-    def reader(self, schema) -> DataSourceReader:
-        return _VersionedTableBatchReader(
-            self.options, [f.name for f in self._columns()]
-        )
+        out = []
+        for field in schema:
+            t = field.type
+            if pa.types.is_int64(t) or pa.types.is_uint32(t):
+                s = "long"
+            elif (
+                pa.types.is_int32(t)
+                or pa.types.is_int16(t)
+                or pa.types.is_int8(t)
+            ):
+                s = "int"
+            elif pa.types.is_float64(t):
+                s = "double"
+            elif pa.types.is_float32(t):
+                s = "float"
+            elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                s = "string"
+            elif pa.types.is_boolean(t):
+                s = "boolean"
+            elif pa.types.is_date(t):
+                s = "date"
+            elif pa.types.is_timestamp(t):
+                s = "timestamp"
+            elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+                s = "binary"
+            else:
+                raise ValueError(
+                    f"versioned_table source: unsupported column type "
+                    f"{t} ({field.name}) — project it away first"
+                )
+            out.append(f"`{field.name}` {s}")
+        return ", ".join(out)
 
-    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
-        return _VersionedTableStreamReader(
-            self.options, [f.name for f in self._columns()]
-        )
+    class _BatchReader(DataSourceReader):
+        """Time-travel batch read through the source: the file list is
+        resolved ONCE at plan time (snapshot isolation), one input
+        partition per file (executor-parallel)."""
+
+        def __init__(self, options, columns):
+            path = options["path"]
+            v = int(options.get("version") or _current_version(path))
+            self.entries = _manifest_files(path, v)
+            self.columns = columns
+
+        def partitions(self):
+            return [InputPartition(e) for e in self.entries]
+
+        def read(self, partition):
+            yield from _entry_rows(partition.value, self.columns)
+
+    class _StreamReader(DataSourceStreamReader):
+        """Offset = {"version": N} — the table's commit log IS the
+        offset space, so source progress is auditable with `history`.
+        partitions() plans one InputPartition per ADDED file; reads run
+        on executors."""
+
+        def __init__(self, options, columns):
+            self.path = options["path"]
+            self.columns = columns
+            self.start_version = int(options.get("startversion", "0"))
+
+        def initialOffset(self) -> dict:
+            return {"version": self.start_version}
+
+        def latestOffset(self) -> dict:
+            return {"version": _current_version(self.path)}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = start["version"], end["version"]
+            if hi == lo:
+                return []
+            return [
+                InputPartition(e)
+                for e in _inserted_entries(self.path, lo, hi)
+            ]
+
+        def read(self, partition):
+            yield from _entry_rows(partition.value, self.columns)
+
+        def commit(self, end: dict) -> None:
+            pass  # the checkpoint owns progress; nothing to reclaim
+
+    class VersionedTableDataSource(DataSource):
+        """``format("versioned_table")`` — a versioned table as a batch
+        or streaming source. Options: ``path`` (required),
+        ``startVersion`` (stream: first offset; 0 = snapshot-then-
+        deltas), ``version`` (batch: time travel)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "versioned_table"
+
+        def schema(self) -> str:
+            return _arrow_to_ddl(_table_columns(self.options["path"]))
+
+        def reader(self, schema) -> DataSourceReader:
+            return _BatchReader(
+                self.options,
+                [f.name for f in _table_columns(self.options["path"])],
+            )
+
+        def streamReader(self, schema) -> DataSourceStreamReader:
+            return _StreamReader(
+                self.options,
+                [f.name for f in _table_columns(self.options["path"])],
+            )
+
+    return VersionedTableDataSource
+
+
+# instantiated through the factory so cloudpickle ships it BY VALUE
+# (qualname points into the factory's locals — never importable, so
+# workers reconstruct it from the pickle instead of importing us)
+VersionedTableDataSource = build_versioned_table_source()

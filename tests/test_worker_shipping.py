@@ -38,6 +38,8 @@ PYTHON_STAGE_QUERIES = [
     "suite_corpus_ops",  # bloom build/probe + batch kNN scorer
     "suite_text",  # multimodal features decode + sentence UDTF
     "suite_window_frames",  # EWMA applyInPandas recurrence
+    "similarity_ivfpq_knn",  # PQ encode + ADC mapInPandas stages
+    "text_bpe_tokens",  # BPE encode mapInPandas
 ]
 
 _DRIVER_SCRIPT = r"""
@@ -91,3 +93,70 @@ def test_catalog_python_stages_run_without_repo_on_worker_path(tmp_path):
         f"{proc.stderr[-2000:]}"
     )
     assert "WORKER-SHIP OK" in proc.stdout
+
+
+_DATASOURCE_SCRIPT = r"""
+import importlib.util, sys, shutil
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", {entry_path!r})
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sys.path.insert(0, {repo!r})
+from aws_etl_project2_fiap_spark.io import versioned as V
+from aws_etl_project2_fiap_spark.streaming.table_source import (
+    VersionedTableDataSource,
+)
+import pyspark.sql.functions as F
+sys.path.remove({repo!r})
+base = {base!r}
+V.create_table(spark.range(0, 100).select(F.col("id")), base + "/t")
+V.delete_from(spark, base + "/t", F.col("id") < 5, mode="dv")
+spark.dataSource.register(VersionedTableDataSource)
+n = spark.read.format("versioned_table").option("path", base + "/t").load().count()
+assert n == 95, n
+q = (spark.readStream.format("versioned_table").option("path", base + "/t")
+     .load().writeStream.format("parquet").option("path", base + "/out")
+     .option("checkpointLocation", base + "/ckpt")
+     .trigger(availableNow=True).start())
+q.awaitTermination(120)
+m = spark.read.parquet(base + "/out").count()
+assert m == 95, m
+print("DATASOURCE-SHIP OK")
+"""
+
+
+def test_table_source_runs_without_repo_on_worker_path(tmp_path):
+    """The registered DataSource class must ship BY VALUE: Spark
+    unpickles it in python workers that cannot import this package
+    (the factory-scoped class + stdlib-only methods contract in
+    streaming/table_source.py). A module-level class here fails with
+    ModuleNotFoundError — the regression this pins."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and os.path.abspath(p) != REPO
+    )
+    script = _DATASOURCE_SCRIPT.format(
+        entry_path=os.path.join(REPO, "__spark_entry__.py"),
+        repo=REPO,
+        base=str(tmp_path / "ds"),
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, (
+        f"versioned_table DataSource failed in the driver's loading "
+        f"mode:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+    assert "DATASOURCE-SHIP OK" in proc.stdout
