@@ -4947,6 +4947,55 @@ def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery(
+    "k_table_source_readback",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE NOT (o_orderpriority = '1-URGENT')
+    GROUP BY o_orderstatus
+    """,
+)
+def k_table_source_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned table read back through the custom ``versioned_table``
+    DataSource (streaming/table_source.py) after a merge-on-read
+    DELETE: the batch reader plans one executor partition per manifest
+    file and applies deletion vectors worker-side — the oracle is the
+    same NOT(predicate) aggregation on the source table, so the
+    hash-match proves the DataSource path (manifest resolution,
+    per-file partitions, DV masks, schema mapping) end-to-end exact.
+
+    Scale: the same reader is the streaming source's read path (offset
+    = table version, partitions = file diff), so this gate covers both."""
+    from .io import versioned as ver_op
+    from .streaming.table_source import VersionedTableDataSource
+
+    work = _scratch_dir("tsrc_readback")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    ver_op.create_table(o.repartitionByRange(8, "o_orderkey"), work)
+    ver_op.delete_from(
+        spark, work, F.col("o_orderpriority") == "1-URGENT", mode="dv"
+    )
+    try:
+        spark.dataSource.register(VersionedTableDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("versioned_table")
+        .option("path", work)
+        .load()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 # =====================================================================
 # Entry-point accessors (driver contract)
 # =====================================================================
