@@ -135,7 +135,10 @@ def cmd_table(args) -> int:
 def cmd_vacuum(args) -> int:
     from .io import versioned as V
 
-    removed = V.vacuum(args.table, keep_last=args.keep_last)
+    removed = V.vacuum(
+        args.table, keep_last=args.keep_last,
+        keep_seconds=getattr(args, "keep_seconds", None),
+    )
     for d in removed:
         print(f"removed {d}")
     print(f"-- {len(removed)} batch dirs reclaimed; "
@@ -224,6 +227,14 @@ def cmd_constraint(args) -> int:
     return 0
 
 
+def cmd_describe(args) -> int:
+    """DESCRIBE DETAIL of a versioned table — metadata only, no job."""
+    from .io import versioned as V
+
+    print(json.dumps(V.describe_table(args.table), indent=2))
+    return 0
+
+
 def cmd_clone(args) -> int:
     from .io import versioned as V
 
@@ -281,7 +292,15 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("vacuum", help="reclaim old versioned-table batches")
     p.add_argument("table")
     p.add_argument("--keep-last", type=int, default=2)
+    p.add_argument(
+        "--keep-seconds", type=float, default=None,
+        help="also retain every version newer than this wall-clock window",
+    )
     p.set_defaults(fn=cmd_vacuum)
+
+    p = sub.add_parser("describe", help="DESCRIBE DETAIL (metadata only)")
+    p.add_argument("table")
+    p.set_defaults(fn=cmd_describe)
 
     p = sub.add_parser(
         "consume",

@@ -923,13 +923,34 @@ def rollback(path: str, version: int) -> int:
     return _commit(path, files, expect_version=base_version)
 
 
-def vacuum(path: str, keep_last: int = 2) -> list[str]:
-    """Delete batch dirs unreferenced by the ``keep_last`` most recent
-    manifests (and drop the older manifests). Returns removed dirs.
-    Safe order: referenced set is computed from the manifests KEPT, so
-    a crash mid-vacuum only leaves garbage, never dangling manifests."""
+def vacuum(
+    path: str, keep_last: int = 2, keep_seconds: float | None = None
+) -> list[str]:
+    """Delete batch dirs unreferenced by the retained manifests (and
+    drop the older manifests). Retention is the UNION of two policies —
+    the ``keep_last`` most recent versions AND (with ``keep_seconds``)
+    every version committed within that window (manifest mtime, set by
+    the atomic commit) — so a time-travel/CDF consumer is guaranteed a
+    horizon in wall-clock terms, not just commit counts, no matter how
+    bursty the commit rate. Returns removed dirs. Safe order:
+    referenced set is computed from the manifests KEPT, so a crash
+    mid-vacuum only leaves garbage, never dangling manifests."""
+    import time
+
     current = current_version(path)
     keep = [v for v in range(current - keep_last + 1, current + 1) if v >= 1]
+    if keep_seconds is not None:
+        cutoff = time.time() - keep_seconds
+        for fname in os.listdir(_manifest_dir(path)):
+            if not _MANIFEST_RE.fullmatch(fname):
+                continue
+            v = int(fname[1:].split(".")[0])
+            mtime = os.stat(
+                os.path.join(_manifest_dir(path), fname)
+            ).st_mtime
+            if mtime >= cutoff and v not in keep:
+                keep.append(v)
+        keep.sort()
     referenced: set[str] = set()
     for v in keep:
         for f in _read_manifest(path, v)["files"]:
@@ -1128,6 +1149,32 @@ def compact_table(
     return {
         "version": version,
         "files": len(_read_manifest(path, version)["files"]),
+    }
+
+
+def describe_table(path: str) -> dict:
+    """DESCRIBE DETAIL from metadata alone (no Spark job): current
+    version, file/byte counts, live rows, DV debt, indexes,
+    constraints, retained history span."""
+    v = current_version(path)
+    files = _read_manifest(path, v)["files"]
+    versions = sorted(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(_manifest_dir(path))
+        if _MANIFEST_RE.fullmatch(f)
+    )
+    bloom_cols = _indexed_cols(files)
+    return {
+        "path": path,
+        "version": v,
+        "num_files": len(files),
+        "total_bytes": sum(os.path.getsize(f["path"]) for f in files),
+        "num_rows": table_count(path, version=v),
+        "files_with_dv": sum(1 for f in files if f.get("dv")),
+        "dv_deleted_rows": sum(f.get("dv", {}).get("n", 0) for f in files),
+        "bloom_indexed_cols": bloom_cols,
+        "constraints": table_constraints(path),
+        "retained_versions": [versions[0], versions[-1]] if versions else [],
     }
 
 

@@ -776,3 +776,39 @@ def test_rewrites_preserve_bloom_indexes(spark, tmp_path):
     files = V._read_manifest(path, V.current_version(path))["files"]
     assert all("id" in f.get("blooms", {}) for f in files)
     assert V.read_table(spark, path, eq=("id", 141)).count() == 1
+
+
+def test_time_based_vacuum_retains_recent_versions(spark, table):
+    # five quick commits: count-based keep_last=1 alone would reclaim
+    # v1-v4, but every manifest is seconds old — the wall-clock window
+    # must retain them all
+    for i in range(4):
+        V.append_table(
+            spark.range(1000 + i, 1001 + i).select(
+                F.col("id"), (F.col("id") % 3).alias("g"),
+                (F.col("id") * 2.0).alias("v"),
+            ),
+            table,
+        )
+    removed = V.vacuum(table, keep_last=1, keep_seconds=3600)
+    assert removed == []
+    for v in range(1, 6):
+        assert V.read_table(spark, table, version=v).count() == 300 + (v - 1)
+    # appends REFERENCE old batches, so nothing is reclaimable until a
+    # rewrite supersedes them; compact then count-based vacuum reclaims
+    V.compact_table(spark, table, target_files=1)
+    removed = V.vacuum(table, keep_last=1)
+    assert removed  # superseded batches reclaimed
+    assert V.read_table(spark, table).count() == 304
+
+
+def test_describe_table_metadata_only(spark, table):
+    V.delete_from(spark, table, F.col("id") < 10, mode="dv")
+    V.add_constraint(spark, table, "v_nonneg", "v >= 0")
+    d = V.describe_table(table)
+    assert d["version"] == 2
+    assert d["num_rows"] == 290
+    assert d["files_with_dv"] >= 1 and d["dv_deleted_rows"] == 10
+    assert d["constraints"] == {"v_nonneg": "v >= 0"}
+    assert d["num_files"] == 3 and d["total_bytes"] > 0
+    assert d["retained_versions"] == [1, 2]
