@@ -217,7 +217,15 @@ def cmd_constraint(args) -> int:
 
     if args.action == "list":
         print(json.dumps(V.table_constraints(args.table), indent=2))
-    elif args.action == "add":
+        return 0
+    if not args.name or (args.action == "add" and not args.expr):
+        print(
+            f"constraint {args.action} needs NAME"
+            + (" and EXPR" if args.action == "add" else ""),
+            file=sys.stderr,
+        )
+        return 2
+    if args.action == "add":
         spark = _session()
         V.add_constraint(spark, args.table, args.name, args.expr)
         print(f"added CHECK {args.name}: {args.expr}")

@@ -96,7 +96,13 @@ def _stat_key(v):
     canonicalized probes stay exact. Everything else passes through."""
     import datetime as _dt
 
-    if isinstance(v, (_dt.date, _dt.datetime)):
+    if isinstance(v, _dt.datetime):
+        # sep=" " matches the SQL-typical string form; a "T"-separated
+        # ISO string would compare lexicographically wrong against
+        # space-separated probes (ord("T") > ord(" ")) and turn a safe
+        # non-prune into a wrong prune
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
         return v.isoformat()
     return v
 
@@ -151,6 +157,28 @@ def _file_stats(fpath: str) -> dict:
             lo[name] = mn if name not in lo else min(lo[name], mn)
             hi[name] = mx if name not in hi else max(hi[name], mx)
     return {c: [lo[c], hi[c]] for c in lo if c not in bad}
+
+
+def _null_cols(fpath: str) -> list[str]:
+    """Top-level columns with ≥1 NULL (or unknown null_count) in the
+    file — parquet min/max stats EXCLUDE nulls, so any whole-file
+    decision keyed on min==max must also know whether NULL rows hide
+    beside that single value. Unknown counts conservatively report as
+    nullable."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_metadata(fpath)
+    out: set = set()
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            if "." in col.path_in_schema:
+                continue
+            st = col.statistics
+            if st is None or st.null_count is None or st.null_count > 0:
+                out.add(col.path_in_schema)
+    return sorted(out)
 
 
 
@@ -309,8 +337,16 @@ def _norm_file_path() -> Column:
     the plain filesystem path manifests store — the JVM-side mirror of
     :func:`_uri_to_path`, so DV pair joins and touched-file discovery
     never leave codegen."""
+    # url_decode is form-urlencoded ('+' -> space), but a literal '+'
+    # in a URI path is NOT an encoded space — pre-escape it so paths
+    # containing '+' keep matching their manifest entries (the Python
+    # side's urllib.unquote leaves '+' alone)
     return F.url_decode(
-        F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:/*", "/")
+        F.regexp_replace(
+            F.regexp_replace(F.col("_metadata.file_path"), "^[a-z]+:/*", "/"),
+            "\\+",
+            "%2B",
+        )
     )
 
 
@@ -454,7 +490,8 @@ def _write_batch(
         for f in os.listdir(batch)
         if f.endswith(".parquet")
     ):
-        entry = {"path": p, "stats": _file_stats(p)}
+        entry = {"path": p, "stats": _file_stats(p),
+                 "null_cols": _null_cols(p)}
         blooms = {}
         for col in bloom_cols or []:
             bpath = _write_bloom(p, col)
@@ -559,7 +596,9 @@ def _save_constraints(path: str, cons: dict[str, str]) -> None:
     os.replace(tmp, _constraints_path(path))
 
 
-def _enforce_constraints(df: DataFrame, path: str) -> None:
+def _enforce_constraints(
+    df: DataFrame, path: str, cons: dict[str, str] | None = None
+) -> None:
     """Verify ``df`` (the rows a commit is about to introduce) against
     the table's CHECK constraints in ONE aggregation pass — O(rules)
     state, cost one scan of the DELTA, never the table. SQL CHECK
@@ -568,7 +607,8 @@ def _enforce_constraints(df: DataFrame, path: str) -> None:
     gate in operators/quality.py, which is the right tool when unknown
     must fail). Raises :class:`ConstraintViolation` with per-rule
     counts; the caller commits nothing."""
-    cons = table_constraints(path)
+    if cons is None:
+        cons = table_constraints(path)
     if not cons:
         return
     row = df.agg(
@@ -594,15 +634,15 @@ def add_constraint(
     scan, like Delta's ADD CONSTRAINT — so a constraint can never be
     born already broken; every subsequent append/overwrite/merge/update
     validates its delta before committing."""
+    if not name or not expr:
+        raise ValueError("add_constraint needs a non-empty name and expr")
     current = table_constraints(path)
     # validate ONLY the new rule against existing data (the current
-    # rules already held at their own add/commit time)
-    _save_constraints(path, {name: expr})
-    try:
-        _enforce_constraints(read_table(spark, path), path)
-    except ConstraintViolation:
-        _save_constraints(path, current)
-        raise
+    # rules already held at their own add/commit time) — WITHOUT
+    # touching the constraints file: a typo'd column raises
+    # AnalysisException here and must leave the rule set untouched,
+    # and concurrent writers keep enforcing the existing rules
+    _enforce_constraints(read_table(spark, path), path, {name: expr})
     _save_constraints(path, {**current, name: expr})
 
 
@@ -631,12 +671,8 @@ def create_table(
         raise FileExistsError(f"versioned table already exists at {path}")
     os.makedirs(path, exist_ok=True)
     if constraints:
+        _enforce_constraints(df, path, dict(constraints))
         _save_constraints(path, dict(constraints))
-        try:
-            _enforce_constraints(df, path)
-        except ConstraintViolation:
-            os.remove(_constraints_path(path))
-            raise
     return _commit(
         path, _write_batch(df, path, bloom_cols, cluster_by, num_files), extra
     )
@@ -711,9 +747,17 @@ def overwrite_partitions(
     untouched, dropped, straddle = [], [], []
     for f in files:
         st = f.get("stats", {}).get(part_col)
+        # parquet min/max EXCLUDE nulls: a file whose every non-null row
+        # is one overwritten value may still hold NULL-partition rows,
+        # which are NOT being overwritten — whole-file decisions need
+        # the write-time null census (absent in old manifests →
+        # conservative straddle rewrite)
+        no_nulls = "null_cols" in f and part_col not in f["null_cols"]
+        # non-overlap → referenced untouched regardless of nulls (its
+        # NULL rows aren't overwritten and the file isn't replaced)
         if st is not None and not any(st[0] <= k <= st[1] for k in keys):
             untouched.append(f)
-        elif st is not None and st[0] == st[1] and st[0] in keys:
+        elif st is not None and no_nulls and st[0] == st[1] and st[0] in keys:
             dropped.append(f)
         else:
             straddle.append(f)
@@ -1241,10 +1285,13 @@ def delete_from(
       broadcast anti-join; the next compaction (or a cow delete/update
       of the same files) physically purges them.
     - ``mode="auto"``: per-file decision, the way Delta chooses —
-      files whose matched fraction (of live rows) is below
-      ``rewrite_threshold`` get a DV, the rest are rewritten. Bounds
-      every DV to <threshold of its file, keeping the merge-on-read
-      join broadcast-sized no matter how many deletes accumulate.
+      a file gets a DV only while its CUMULATIVE deleted fraction
+      (existing DV + this delete, over physical rows) stays below
+      ``rewrite_threshold``; past it the file is rewritten (with its
+      DV applied). The bound is against physical rows precisely so
+      repeated just-under-threshold deletes cannot ratchet a DV toward
+      100% of a file — total DV debt stays < threshold of the table,
+      keeping the merge-on-read join broadcast-sized.
 
     Same discovery scan, commit protocol, and optimistic-concurrency
     token as :func:`update_table`; discovery is DV-aware, so re-deleting
@@ -1256,10 +1303,23 @@ def delete_from(
     base_version = current_version(path)
     files = _read_manifest(path, base_version)["files"]
     df = _scan(spark, files, keep_meta=True)
-    per_file = {
-        r["__file"]: r["count"]
-        for r in df.filter(where).groupBy("__file").count().collect()
-    }
+    hits_pdf = None
+    if mode == "dv":
+        # one discovery scan yields counts AND positions: every matched
+        # row becomes a DV entry anyway, so the result is bounded by
+        # the delete size — no second pass over the touched files
+        hits_pdf = (
+            df.filter(where).select("__file", "__pos").toPandas()
+        )
+        per_file = {
+            k: int(v)
+            for k, v in hits_pdf.groupby("__file").size().items()
+        }
+    else:
+        per_file = {
+            r["__file"]: r["count"]
+            for r in df.filter(where).groupBy("__file").count().collect()
+        }
     n_deleted = sum(per_file.values())
     if not per_file:
         return {
@@ -1281,7 +1341,11 @@ def delete_from(
         dv_targets = [
             f
             for f in touched_entries
-            if per_file[f["path"]] < rewrite_threshold * max(live[f["path"]], 1)
+            # cumulative DV fraction of PHYSICAL rows: existing debt +
+            # this delete; live+dv["n"] reconstructs the physical count
+            if per_file[f["path"]] + f.get("dv", {}).get("n", 0)
+            < rewrite_threshold
+            * max(live[f["path"]] + f.get("dv", {}).get("n", 0), 1)
         ]
         rw_set = {f["path"] for f in touched_entries} - {
             f["path"] for f in dv_targets
@@ -1290,15 +1354,19 @@ def delete_from(
 
     new_entries: list[dict] = []
     if dv_targets:
-        # positions scan restricted to the DV-target files only; the
-        # result is ≤ threshold × (their live rows) — bounded, and tiny
-        # for the selective deletes DV mode exists for
-        hits = (
-            _scan(spark, dv_targets, keep_meta=True)
-            .filter(where)
-            .select("__file", "__pos")
-            .toPandas()
-        )
+        if hits_pdf is not None:
+            hits = hits_pdf  # dv mode: reuse the single discovery scan
+        else:
+            # auto mode: positions scan restricted to the DV-target
+            # files only (rewrite-bound files may hold huge match
+            # counts whose positions we must NOT materialize); the
+            # result is ≤ threshold × (their physical rows) — bounded
+            hits = (
+                _scan(spark, dv_targets, keep_meta=True)
+                .filter(where)
+                .select("__file", "__pos")
+                .toPandas()
+            )
         by_file = {
             k: g["__pos"].to_numpy() for k, g in hits.groupby("__file")
         }

@@ -315,6 +315,7 @@ def enriched_versioned_sink(
     checkpoint: str,
     query_name: str = "enriched_versioned_sink",
     how: str = "left",
+    quarantine_path: str | None = None,
 ) -> StreamingQuery:
     """Stream-static ENRICHMENT where the static side is a versioned
     table re-resolved EVERY micro-batch: each batch joins against the
@@ -338,6 +339,19 @@ def enriched_versioned_sink(
             return
         dim = V.read_table(batch_df.sparkSession, dim_table_path)
         enriched = batch_df.join(dim, keys, how)
+
+        def _quarantine() -> None:
+            # the OUT table's CHECK constraints reject the enriched
+            # batch (e.g. a left join's NULL dim payload): divert, same
+            # replayable contract as versioned_sink — an uncaught raise
+            # here would poison-pill the checkpoint (the batch replays
+            # and fails forever)
+            dst = os.path.join(
+                quarantine_path or f"{out_table_path}_quarantine",
+                f"batch_{batch_id}",
+            )
+            enriched.write.mode("overwrite").parquet(dst)
+
         for attempt in range(5):
             if os.path.exists(V._pointer(out_table_path)):
                 if batch_id in V.committed_batch_ids(out_table_path):
@@ -348,6 +362,9 @@ def enriched_versioned_sink(
                         extra={"batch_id": batch_id},
                     )
                     return
+                except V.ConstraintViolation:
+                    _quarantine()
+                    return
                 except V.CommitConflict:
                     continue
             else:
@@ -356,6 +373,9 @@ def enriched_versioned_sink(
                         enriched, out_table_path,
                         extra={"batch_id": batch_id},
                     )
+                    return
+                except V.ConstraintViolation:
+                    _quarantine()
                     return
                 except (V.CommitConflict, FileExistsError):
                     continue

@@ -80,11 +80,19 @@ def build_versioned_table_source():
 
     def _entry_rows(entry: dict, columns: list):
         """One file's live rows as tuples (DV positions removed) —
-        pyarrow read; runs on EXECUTORS."""
+        pyarrow read; runs on EXECUTORS. Honors the table's schema-
+        evolution contract: a pre-evolution file simply lacks the newer
+        columns, whose cells fill with NULL (the same superset-schema
+        read io/versioned's mergeSchema path performs)."""
         import numpy as np
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(entry["path"], columns=columns)
+        present = [
+            c
+            for c in columns
+            if c in set(pq.read_schema(entry["path"]).names)
+        ]
+        tbl = pq.read_table(entry["path"], columns=present)
         dv = entry.get("dv")
         if dv:
             with open(dv["path"], "rb") as fh:
@@ -92,14 +100,23 @@ def build_versioned_table_source():
             mask = np.ones(tbl.num_rows, dtype=bool)
             mask[pos[pos < tbl.num_rows]] = False
             tbl = tbl.filter(mask)
-        cols = [tbl.column(c).to_pylist() for c in columns]
+        n = tbl.num_rows
+        data = {c: tbl.column(c).to_pylist() for c in present}
+        cols = [data.get(c, [None] * n) for c in columns]
         yield from (zip(*cols) if cols else iter(()))
 
     def _table_columns(path: str):
+        """SUPERSET schema across the current manifest's files (the
+        mergeSchema contract): field order = first appearance, type =
+        first file carrying the field. One footer read per file —
+        O(files) driver-side, no data read."""
         import pyarrow.parquet as pq
 
-        first = _manifest_files(path, _current_version(path))[0]
-        return pq.read_schema(first["path"])
+        fields: dict = {}
+        for entry in _manifest_files(path, _current_version(path)):
+            for field in pq.read_schema(entry["path"]):
+                fields.setdefault(field.name, field)
+        return list(fields.values())
 
     def _arrow_to_ddl(schema) -> str:
         import pyarrow as pa
