@@ -73,6 +73,11 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        # the JVM's 1g default survives sf0.01 (the driver's gate SF)
+        # but OOM-kills mid-catalog at sf0.1 — size the heap so this
+        # tool can also validate at bench scale
+        .config("spark.driver.memory", os.environ.get(
+            "DRIVER_SIM_MEM", "12g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
