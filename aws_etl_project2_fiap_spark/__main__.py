@@ -235,6 +235,18 @@ def cmd_constraint(args) -> int:
     return 0
 
 
+def cmd_reorg(args) -> int:
+    """REORG APPLY (PURGE): rewrite only DV-carrying files."""
+    from .io import versioned as V
+
+    spark = _session()
+    res = V.reorg_table(
+        spark, args.table, min_dv_fraction=args.min_dv_fraction
+    )
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_describe(args) -> int:
     """DESCRIBE DETAIL of a versioned table — metadata only, no job."""
     from .io import versioned as V
@@ -309,6 +321,11 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("describe", help="DESCRIBE DETAIL (metadata only)")
     p.add_argument("table")
     p.set_defaults(fn=cmd_describe)
+
+    p = sub.add_parser("reorg", help="purge deletion vectors (REORG)")
+    p.add_argument("table")
+    p.add_argument("--min-dv-fraction", type=float, default=0.0)
+    p.set_defaults(fn=cmd_reorg)
 
     p = sub.add_parser(
         "consume",

@@ -130,3 +130,21 @@ def test_cli_delete_optimize_constraint_clone(spark, capsys, tmp_path):
     dst = str(tmp_path / "c")
     assert main(["clone", path, dst]) == 0
     assert V.read_table(spark, dst).count() == 90
+
+
+def test_cli_reorg_and_describe(spark, capsys, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_project2_fiap_spark.io import versioned as V
+
+    path = str(tmp_path / "t")
+    V.create_table(spark.range(0, 50).select("id").coalesce(1), path)
+    V.delete_from(spark, path, F.col("id") < 5, mode="dv")
+    assert main(["reorg", path]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["files_purged"] == 1
+    assert main(["describe", path]) == 0
+    d = _json.loads(capsys.readouterr().out)
+    assert d["num_rows"] == 45 and d["files_with_dv"] == 0
