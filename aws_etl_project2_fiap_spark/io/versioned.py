@@ -97,6 +97,13 @@ def _stat_key(v):
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
+        # tz-aware values (pyarrow reports TIMESTAMP_MICROS stats as
+        # UTC-aware) normalize to UTC-naive FIRST: a raw isoformat()
+        # would append "+00:00", which compares lexicographically
+        # GREATER than an equal naive/string probe and would wrongly
+        # prune a file whose min equals the inclusive upper bound
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         # sep=" " matches the SQL-typical string form; a "T"-separated
         # ISO string would compare lexicographically wrong against
         # space-separated probes (ord("T") > ord(" ")) and turn a safe
@@ -371,6 +378,66 @@ def _read_dv(dvpath: str):
 
     with open(dvpath, "rb") as fh:
         return np.frombuffer(fh.read(), dtype="<i8")
+
+
+def _write_dvs_distributed(
+    spark: SparkSession,
+    positions: DataFrame,
+    path: str,
+    existing_dv: dict[str, str],
+) -> list:
+    """Write one DV sidecar per touched file from EXECUTOR tasks.
+
+    ``positions`` is a (``__file``, ``__pos``) DataFrame of matched
+    rows. One ``applyInPandas`` task per file groups its positions,
+    unions them with the file's existing DV (read executor-side from
+    ``existing_dv[file]`` — sidecars live on the same shared storage as
+    the data files), and writes the new sidecar in the byte-identical
+    format of :func:`_write_dv` (sorted distinct little-endian int64).
+    The driver receives only {file, dv_path, n, n_new} — O(touched
+    files), never O(deleted rows): cluster-side cost scales with the
+    delete, driver cost with the file count, the shape Delta writes its
+    DVs in. Returns the collected rows."""
+    dv_root = os.path.join(path, "_data", f"dv_{uuid.uuid4().hex[:12]}")
+    os.makedirs(dv_root, exist_ok=True)
+    bc = spark.sparkContext.broadcast(dict(existing_dv))
+
+    def _write_one(key, pdf):
+        import os as _os
+        import uuid as _uuid
+
+        import numpy as np
+        import pandas as pd
+
+        fpath = key[0]
+        pos = pdf["__pos"].to_numpy(dtype="int64")
+        n_new = int(pos.size)
+        old = bc.value.get(fpath)
+        if old:
+            with open(old, "rb") as fh:
+                pos = np.concatenate(
+                    [pos, np.frombuffer(fh.read(), dtype="<i8")]
+                )
+        arr = np.unique(pos.astype("<i8"))
+        dvp = _os.path.join(dv_root, f"{_uuid.uuid4().hex[:8]}.dv")
+        with open(dvp, "wb") as fh:
+            fh.write(arr.tobytes())
+        return pd.DataFrame(
+            {
+                "file": [fpath],
+                "dv_path": [dvp],
+                "n": [int(arr.size)],
+                "n_new": [n_new],
+            }
+        )
+
+    return (
+        positions.groupBy("__file")
+        .applyInPandas(
+            _write_one, "file string, dv_path string, n long, n_new long"
+        )
+        .collect()
+    )
 
 
 def _dv_pairs(spark: SparkSession, entries: list) -> DataFrame | None:
@@ -1281,7 +1348,10 @@ def delete_from(
     - ``mode="dv"``: merge-on-read — the commit writes only a deletion
       vector (sorted row positions) per touched file; no data file is
       rewritten. A GDPR point delete on a 100 TB table commits KILOBYTES
-      instead of rescanning/rewriting files. Readers apply DVs as one
+      instead of rescanning/rewriting files. Sidecars are written from
+      EXECUTOR tasks (one per touched file); the driver handles only
+      O(touched files) records, so a broad predicate in dv mode costs
+      cluster time, never driver memory. Readers apply DVs as one
       broadcast anti-join; the next compaction (or a cow delete/update
       of the same files) physically purges them.
     - ``mode="auto"``: per-file decision, the way Delta chooses —
@@ -1303,18 +1373,25 @@ def delete_from(
     base_version = current_version(path)
     files = _read_manifest(path, base_version)["files"]
     df = _scan(spark, files, keep_meta=True)
-    hits_pdf = None
+    dv_rows = None  # executor-written sidecar records (O(files) each)
     if mode == "dv":
-        # one discovery scan yields counts AND positions: every matched
-        # row becomes a DV entry anyway, so the result is bounded by
-        # the delete size — no second pass over the touched files
-        hits_pdf = (
-            df.filter(where).select("__file", "__pos").toPandas()
+        # ONE distributed pass: the discovery scan's matched positions
+        # group by file into executor tasks that write the sidecars
+        # (_write_dvs_distributed) — the matched rows never leave the
+        # cluster; the driver receives only {file, dv_path, n, n_new}
+        # rows, so even an accidentally-broad dv-mode predicate costs
+        # the driver O(touched files), not O(deleted rows)
+        dv_rows = _write_dvs_distributed(
+            spark,
+            df.filter(where).select("__file", "__pos"),
+            path,
+            {
+                f["path"]: f["dv"]["path"]
+                for f in files
+                if f.get("dv")
+            },
         )
-        per_file = {
-            k: int(v)
-            for k, v in hits_pdf.groupby("__file").size().items()
-        }
+        per_file = {r["file"]: int(r["n_new"]) for r in dv_rows}
     else:
         per_file = {
             r["__file"]: r["count"]
@@ -1354,33 +1431,32 @@ def delete_from(
 
     new_entries: list[dict] = []
     if dv_targets:
-        if hits_pdf is not None:
-            hits = hits_pdf  # dv mode: reuse the single discovery scan
-        else:
+        if dv_rows is None:
             # auto mode: positions scan restricted to the DV-target
             # files only (rewrite-bound files may hold huge match
-            # counts whose positions we must NOT materialize); the
-            # result is ≤ threshold × (their physical rows) — bounded
-            hits = (
+            # counts that need not flow into the sidecar stage);
+            # sidecars are still written executor-side — the existing
+            # DV union happens inside each file's task
+            dv_rows = _write_dvs_distributed(
+                spark,
                 _scan(spark, dv_targets, keep_meta=True)
                 .filter(where)
-                .select("__file", "__pos")
-                .toPandas()
+                .select("__file", "__pos"),
+                path,
+                {
+                    f["path"]: f["dv"]["path"]
+                    for f in dv_targets
+                    if f.get("dv")
+                },
             )
-        by_file = {
-            k: g["__pos"].to_numpy() for k, g in hits.groupby("__file")
-        }
+        by_file = {r["file"]: r for r in dv_rows}
         for f in dv_targets:
-            pos = by_file.get(f["path"])
-            if pos is None:
+            r = by_file.get(f["path"])
+            if r is None:
                 new_entries.append(f)
                 continue
-            if f.get("dv"):
-                import numpy as np
-
-                pos = np.concatenate([pos, _read_dv(f["dv"]["path"])])
             entry = {k: v for k, v in f.items() if k != "dv"}
-            entry["dv"] = _write_dv(path, pos)
+            entry["dv"] = {"path": r["dv_path"], "n": int(r["n"])}
             new_entries.append(entry)
     batch: list[dict] = []
     if rw_targets:

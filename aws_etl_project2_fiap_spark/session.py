@@ -64,6 +64,13 @@ def build_session(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # --- keep parquet scans tight ---
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (the legacy default) writes NO min/max statistics, which
+        # silently disables every timestamp-column pruning tier — footer
+        # stats, manifest skipping (io/versioned), partition overwrite's
+        # whole-file drops. MICROS is the modern interchange type and
+        # restores per-column stats; round-trip precision is unchanged
+        # (Spark timestamps are micros internally).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # --- runtime bloom-filter join pruning: pin on, independent of
         # the Spark default. A selective join side injects a bloom

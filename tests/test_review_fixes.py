@@ -125,6 +125,27 @@ def test_timestamp_stats_prune_with_sql_string_probes(spark, tmp_path):
         "id long, ev timestamp",
     )
     V.create_table(df.repartitionByRange(2, "ev"), path)
+    # the feature must actually FIRE: TIMESTAMP_MICROS output (session
+    # config) gives timestamp columns real footer min/max, so the
+    # manifest carries usable stats and prunable() skips the June file
+    # for a March probe — with INT96 (no stats) this test would pass
+    # vacuously, never exercising the canonicalization it documents
+    files = V._read_manifest(path, 1)["files"]
+    assert all(f.get("stats", {}).get("ev") for f in files), (
+        "timestamp stats missing from manifest — pruning is inert"
+    )
+    kept, skipped = V.prunable(
+        files, "ev", "1995-03-01 00:00:00", "1995-03-01 12:00:00"
+    )
+    assert len(skipped) >= 1, "in-range probe pruned no file"
+    # inclusive-boundary safety: a probe whose upper bound EQUALS a
+    # file's min must keep that file (the tz-suffix bug pruned it)
+    june_min = min(
+        f["stats"]["ev"][0] for f in files
+        if f["stats"]["ev"][0].startswith("1995-06")
+    )
+    kept_b, _ = V.prunable(files, "ev", "1995-01-01 00:00:00", june_min)
+    assert len(kept_b) == len(files)
     got = V.read_table(
         spark, path,
         between=("ev", "1995-03-01 00:00:00", "1995-03-01 12:00:00"),

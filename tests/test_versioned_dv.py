@@ -232,3 +232,57 @@ def test_reorg_threshold_skips_lightly_deleted_files(spark, table):
     assert res["files_purged"] == 0
     # still readable, DV still applied
     assert V.read_table(spark, table).count() == 299
+
+
+def test_dv_sidecars_written_executor_side_driver_gets_o_files(
+    spark, table, monkeypatch
+):
+    """The dv/auto DELETE path must never materialize matched row
+    positions on the driver: sidecars are written by applyInPandas
+    tasks and the driver collects only {file, dv_path, n} records.
+    Guard: any toPandas() during delete_from fails the test."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **kw):
+        raise AssertionError(
+            "delete_from materialized a DataFrame on the driver via "
+            "toPandas() — DV sidecar writes must stay executor-side"
+        )
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    res = V.delete_from(spark, table, F.col("id") < 150, mode="dv")
+    assert res["n_deleted"] == 150 and res["files_rewritten"] == 0
+    monkeypatch.undo()
+    assert V.read_table(spark, table).count() == 150
+    # auto mode's DV leg is executor-side too
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    res2 = V.delete_from(
+        spark, table, (F.col("id") >= 150) & (F.col("id") < 160),
+        mode="auto", rewrite_threshold=0.9,  # above the 50% existing debt
+    )
+    assert res2["files_dv"] >= 1 and res2["n_deleted"] == 10
+    monkeypatch.undo()
+    assert V.read_table(spark, table).count() == 140
+
+
+def test_dv_sidecar_format_byte_identical_to_driver_writer(
+    spark, tmp_path
+):
+    """Executor-written sidecars use the exact _write_dv byte format
+    (sorted distinct little-endian int64) — a reader cannot tell which
+    path produced a DV, and existing-DV union composes."""
+    import numpy as np
+
+    table = str(tmp_path / "one_file_tbl")
+    V.create_table(spark.range(0, 100).select("id").coalesce(1), table)
+    V.delete_from(spark, table, F.col("id").isin([5, 3, 1]), mode="dv")
+    V.delete_from(spark, table, F.col("id").isin([2, 3, 4]), mode="dv")
+    files = V._read_manifest(table, V.current_version(table))["files"]
+    dvs = [f["dv"] for f in files if f.get("dv")]
+    assert len(dvs) == 1
+    arr = V._read_dv(dvs[0]["path"])
+    assert arr.dtype == np.dtype("<i8")
+    assert arr.tolist() == [1, 2, 3, 4, 5]  # sorted, distinct, unioned
+    assert dvs[0]["n"] == 5
+    ref = V._write_dv(table, [4, 2, 5, 1, 3, 3])
+    assert V._read_dv(ref["path"]).tobytes() == arr.tobytes()
