@@ -1531,6 +1531,9 @@ def table_changes(
     - rows in files REMOVED → ``delete``
     - positions newly covered by a file's DELETION VECTOR → ``delete``
       (a merge-on-read DELETE changes no files, only DVs)
+    - positions no longer covered by a file's DV → ``insert`` (a
+      ``rollback`` past a DV delete resurrects those rows; consumers
+      must see the un-delete or their cursors drift from table state)
     - an UPDATE/MERGE rewrite shows up as delete+insert of the touched
       files' rows (net change = the modified rows; unchanged rows in a
       rewritten file appear on both sides and cancel for any consumer
@@ -1558,46 +1561,61 @@ def table_changes(
         parts.append(
             _scan(spark, removed).withColumn("_change_type", F.lit("delete"))
         )
-    # DV-only deltas: a file present in both versions whose deletion
-    # vector GREW emits `delete` rows for the newly-deleted positions —
-    # without this, a merge-on-read DELETE commit (which adds/removes no
-    # files) would be invisible to the change feed.
+    # DV-only deltas for files present in BOTH versions:
+    # - positions newly covered by the TO version's deletion vector →
+    #   `delete` rows (a merge-on-read DELETE adds/removes no files and
+    #   would otherwise be invisible to the feed);
+    # - positions covered at FROM but no longer at TO (a rollback() to
+    #   a pre-delete version shrinks or drops the DV) → `insert` rows:
+    #   those rows became visible again, and a consumer that missed the
+    #   un-delete would drift from table state forever.
     import numpy as np
 
-    dv_pairs = []
+    dv_pairs = []  # (path, positions, change_type)
+    empty = np.array([], dtype="<i8")
     for p in sorted(set(lo_by_path) & set(hi_by_path)):
         lo_dv, hi_dv = lo_by_path[p].get("dv"), hi_by_path[p].get("dv")
-        if hi_dv is None or (lo_dv and lo_dv["path"] == hi_dv["path"]):
-            continue
-        old = _read_dv(lo_dv["path"]) if lo_dv else np.array([], dtype="<i8")
-        fresh = np.setdiff1d(_read_dv(hi_dv["path"]), old)
+        if (lo_dv or {}).get("path") == (hi_dv or {}).get("path"):
+            continue  # same sidecar (or none on either side): no delta
+        old = _read_dv(lo_dv["path"]) if lo_dv else empty
+        new = _read_dv(hi_dv["path"]) if hi_dv else empty
+        fresh = np.setdiff1d(new, old)  # newly deleted
         if fresh.size:
-            dv_pairs.append((p, fresh))
+            dv_pairs.append((p, fresh, "delete"))
+        resurrected = np.setdiff1d(old, new)  # un-deleted (rollback)
+        if resurrected.size:
+            dv_pairs.append((p, resurrected, "insert"))
     if dv_pairs:
         import pandas as pd
 
-        pairs_pdf = pd.concat(
-            [
-                pd.DataFrame({"__file": p, "__pos": pos.astype("int64")})
-                for p, pos in dv_pairs
-            ],
-            ignore_index=True,
-        )
-        common_entries = [lo_by_path[p] for p, _ in dv_pairs]
-        rows = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*_paths(common_entries))
-            .withColumn("__file", _norm_file_path())
-            .withColumn("__pos", F.col("_metadata.row_index"))
-            .join(
-                F.broadcast(spark.createDataFrame(pairs_pdf)),
-                ["__file", "__pos"],
-                "semi",
+        for change_type in ("delete", "insert"):
+            batch = [
+                (p, pos) for p, pos, ct in dv_pairs if ct == change_type
+            ]
+            if not batch:
+                continue
+            pairs_pdf = pd.concat(
+                [
+                    pd.DataFrame({"__file": p, "__pos": pos.astype("int64")})
+                    for p, pos in batch
+                ],
+                ignore_index=True,
             )
-            .drop("__file", "__pos")
-            .withColumn("_change_type", F.lit("delete"))
-        )
-        parts.append(rows)
+            entries = [lo_by_path[p] for p, _ in batch]
+            rows = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*_paths(entries))
+                .withColumn("__file", _norm_file_path())
+                .withColumn("__pos", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(spark.createDataFrame(pairs_pdf)),
+                    ["__file", "__pos"],
+                    "semi",
+                )
+                .drop("__file", "__pos")
+                .withColumn("_change_type", F.lit(change_type))
+            )
+            parts.append(rows)
     if not parts:
         empty = read_table(spark, path, version=to_version).limit(0)
         return empty.withColumn("_change_type", F.lit(""))

@@ -507,17 +507,25 @@ def _bloom_positions(h64, m_bits: int, k: int):
     return _make_positions(m_bits, k)(h64)
 
 
-def bloom_build(fp_df: DataFrame, fp_col: str, m_bits: int, k: int = 6) -> bytes:
+def bloom_build(
+    fp_df: DataFrame, fp_col: str, m_bits: int, k: int = 6, fan_in: int = 8
+) -> bytes:
     """Build a Bloom filter bitmap over an int64 fingerprint column.
 
     Each partition folds its keys into a local ``m_bits/8``-byte numpy
-    bitmap inside ``mapInPandas`` (Arrow batches, no per-row Python) and
-    emits ONE row; the per-partition bitmaps are OR-merged on the
-    driver. Driver traffic is ``num_partitions x m/8`` bytes — for the
-    1%-FPP regime that's ~1.2 GB total at a billion corpus keys, and on
-    a real cluster the merge tree-reduces (`RDD.treeAggregate` shape)
-    instead of fanning into the driver; local mode keeps the flat merge.
+    bitmap inside ``mapInPandas`` (Arrow batches, no per-row Python)
+    and emits ONE row; the per-partition bitmaps then OR-merge through
+    a LOG-DEPTH tree of ``applyInPandas`` rounds — every round groups
+    ``fan_in`` bitmaps per task and emits one — until a single bitmap
+    remains, which is the only row the driver ever collects. Driver
+    traffic is ``m/8`` bytes REGARDLESS of partition count (at the
+    1%-FPP / 1e9-key regime: one ~1.2 GB bitmap, not one per
+    partition); cluster traffic is a geometric series ≤
+    ``num_partitions x m/8 x fan_in/(fan_in-1)``. The whole tree is
+    one lazy plan — a single job executes fold + merge rounds.
     """
+    import math as _math
+
     n_bytes = m_bits // 8
     positions = _make_positions(m_bits, k)
     col = fp_col
@@ -535,13 +543,31 @@ def bloom_build(fp_df: DataFrame, fp_col: str, m_bits: int, k: int = 6) -> bytes
                 )
         yield pd.DataFrame({"bitmap": [bits.tobytes()]})
 
-    rows = fp_df.select(fp_col).mapInPandas(
-        per_partition, "bitmap binary"
-    ).collect()
-    merged = np.zeros(m_bits // 8, dtype=np.uint8)
-    for r in rows:
-        merged |= np.frombuffer(r["bitmap"], dtype=np.uint8)
-    return merged.tobytes()
+    def or_group(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+        for b in pdf["bitmap"].iloc[1:]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"i": [key[0]], "bitmap": [acc.tobytes()]})
+
+    parts = fp_df.select(fp_col).mapInPandas(per_partition, "bitmap binary")
+    # one bitmap row per input partition, keyed by its partition id;
+    # each round divides the key space by fan_in and ORs within groups
+    cur = parts.select(
+        F.spark_partition_id().cast("long").alias("i"), "bitmap"
+    )
+    n = max(1, parts.rdd.getNumPartitions())
+    for _ in range(max(1, _math.ceil(_math.log(max(n, 2), fan_in)))):
+        cur = (
+            cur.withColumn("i", (F.col("i") / fan_in).cast("long"))
+            .groupBy("i")
+            .applyInPandas(or_group, "i long, bitmap binary")
+        )
+    rows = cur.collect()
+    assert len(rows) == 1, f"bloom merge tree left {len(rows)} bitmaps"
+    return rows[0]["bitmap"]
 
 
 def bloom_might_contain(spark, bitmap: bytes, m_bits: int, k: int = 6):

@@ -105,15 +105,19 @@ def build_versioned_table_source():
         cols = [data.get(c, [None] * n) for c in columns]
         yield from (zip(*cols) if cols else iter(()))
 
-    def _table_columns(path: str):
-        """SUPERSET schema across the current manifest's files (the
-        mergeSchema contract): field order = first appearance, type =
-        first file carrying the field. One footer read per file —
-        O(files) driver-side, no data read."""
+    def _table_columns(path: str, version=None):
+        """SUPERSET schema across a version's files (the mergeSchema
+        contract): field order = first appearance, type = first file
+        carrying the field. One footer read per file — O(files)
+        driver-side, no data read. ``version`` defaults to current;
+        a time-travel batch read MUST pass the requested version, or
+        columns added after it would leak into the schema (NULL-filled)
+        and diverge from read_table(version=v)."""
         import pyarrow.parquet as pq
 
         fields: dict = {}
-        for entry in _manifest_files(path, _current_version(path)):
+        v = _current_version(path) if version is None else int(version)
+        for entry in _manifest_files(path, v):
             for field in pq.read_schema(entry["path"]):
                 fields.setdefault(field.name, field)
         return list(fields.values())
@@ -213,13 +217,27 @@ def build_versioned_table_source():
         def name(cls) -> str:
             return "versioned_table"
 
+        def _batch_version(self):
+            # batch time travel: schema AND columns resolve at the SAME
+            # version the reader serves (None = current) — resolving at
+            # current would expose later-added columns for old versions
+            v = self.options.get("version")
+            return int(v) if v else None
+
         def schema(self) -> str:
-            return _arrow_to_ddl(_table_columns(self.options["path"]))
+            return _arrow_to_ddl(
+                _table_columns(self.options["path"], self._batch_version())
+            )
 
         def reader(self, schema) -> DataSourceReader:
             return _BatchReader(
                 self.options,
-                [f.name for f in _table_columns(self.options["path"])],
+                [
+                    f.name
+                    for f in _table_columns(
+                        self.options["path"], self._batch_version()
+                    )
+                ],
             )
 
         def streamReader(self, schema) -> DataSourceStreamReader:

@@ -113,3 +113,43 @@ def test_probe_vectorized_roundtrip_numpy():
     for pos in _bloom_positions(keys, m_bits, 6):
         hit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
     assert hit.all()
+
+
+def test_bloom_build_invariant_to_partition_count(spark):
+    """The tree merge must yield the SAME bitmap for any partitioning
+    and any fan-in — and equal a single-partition build (the numpy
+    ground truth: one partition's fold IS the reference bitmap)."""
+    from aws_etl_project2_fiap_spark.operators.dedup import bloom_build
+
+    df = spark.range(0, 5000).select(F.xxhash64("id").alias("fp"))
+    m_bits = 1 << 14
+    ref = bloom_build(df.repartition(1), "fp", m_bits)
+    for n_parts, fan in [(7, 2), (13, 8), (32, 4), (3, 16)]:
+        got = bloom_build(df.repartition(n_parts), "fp", m_bits, fan_in=fan)
+        assert got == ref, f"bitmap differs at {n_parts} parts fan {fan}"
+
+
+def test_bloom_merge_driver_receives_one_bitmap(spark, monkeypatch):
+    """The docstring's promise is structural: collect() during
+    bloom_build must return exactly ONE row (one bitmap), regardless
+    of how many partitions folded — the log-depth applyInPandas tree
+    does every other merge cluster-side."""
+    # patch the CLASSIC concrete class: pyspark.sql.DataFrame is the
+    # abstract base in Spark 4 and its subclass overrides collect
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from aws_etl_project2_fiap_spark.operators.dedup import bloom_build
+
+    seen = []
+    orig = DataFrame.collect
+
+    def spy(self, *a, **kw):
+        rows = orig(self, *a, **kw)
+        seen.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    df = spark.range(0, 2000).select(F.xxhash64("id").alias("fp"))
+    bloom_build(df.repartition(24), "fp", 1 << 13)
+    monkeypatch.undo()
+    assert seen == [1], f"driver collected {seen} rows, expected [1]"

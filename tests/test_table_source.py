@@ -175,3 +175,39 @@ def test_enriched_versioned_sink_sees_dim_updates(spark, tmp_path):
     assert [r["tier"] for r in rows.collect()] == ["gold"]
     # earlier batch's enrichment is unchanged (append, not rewrite)
     assert V.read_table(spark, out_path).count() == 3
+
+
+def test_batch_time_travel_schema_resolves_at_requested_version(
+    spark, tmp_path
+):
+    """A time-travel read through the DataSource must expose the
+    REQUESTED version's column set — not the current version's (which
+    would leak later-added columns as NULL), matching
+    read_table(version=v)."""
+    from aws_etl_project2_fiap_spark.io import versioned as V
+    from aws_etl_project2_fiap_spark.streaming.table_source import (
+        VersionedTableDataSource,
+    )
+
+    path = str(tmp_path / "tt")
+    V.create_table(
+        spark.createDataFrame([(1, 10.0)], "id long, v double"), path
+    )
+    V.append_table(
+        spark.createDataFrame(
+            [(2, 20.0, "x")], "id long, v double, tag string"
+        ),
+        path,
+    )
+    spark.dataSource.register(VersionedTableDataSource)
+    old = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("version", "1")
+        .load()
+    )
+    assert old.columns == V.read_table(spark, path, version=1).columns
+    assert "tag" not in old.columns
+    assert [tuple(r) for r in old.collect()] == [(1, 10.0)]
+    cur = spark.read.format("versioned_table").option("path", path).load()
+    assert set(cur.columns) == {"id", "v", "tag"}

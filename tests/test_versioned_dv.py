@@ -241,7 +241,11 @@ def test_dv_sidecars_written_executor_side_driver_gets_o_files(
     positions on the driver: sidecars are written by applyInPandas
     tasks and the driver collects only {file, dv_path, n} records.
     Guard: any toPandas() during delete_from fails the test."""
-    from pyspark.sql import DataFrame
+    # the classic concrete class — patching the abstract base
+    # (pyspark.sql.DataFrame) would be inert in Spark 4
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    assert DataFrame.toPandas is not None
 
     def _boom(self, *a, **kw):
         raise AssertionError(
@@ -286,3 +290,34 @@ def test_dv_sidecar_format_byte_identical_to_driver_writer(
     assert dvs[0]["n"] == 5
     ref = V._write_dv(table, [4, 2, 5, 1, 3, 3])
     assert V._read_dv(ref["path"]).tobytes() == arr.tobytes()
+
+
+def test_change_feed_emits_rollback_resurrections_as_inserts(
+    spark, table
+):
+    """rollback() past a DV delete makes those rows visible again —
+    the change feed must emit them as `insert`, or a consumer's view
+    diverges from table state forever (the un-delete bug)."""
+    V.delete_from(spark, table, F.col("id").isin(3, 7), mode="dv")  # v2
+    V.rollback(table, 1)  # v3: DV gone, rows 3 and 7 live again
+    rows = V.table_changes(spark, table, 2, 3).select(
+        "id", "_change_type"
+    ).collect()
+    assert sorted((r["id"], r["_change_type"]) for r in rows) == [
+        (3, "insert"),
+        (7, "insert"),
+    ]
+    # partial shrink: delete {3,7,11} then roll back to the {3,7} DV
+    V.delete_from(spark, table, F.col("id").isin(3, 7), mode="dv")  # v4
+    V.delete_from(spark, table, F.col("id") == 11, mode="dv")  # v5
+    V.rollback(table, 4)  # v6: 11 resurrected, 3 and 7 still deleted
+    rows = V.table_changes(spark, table, 5, 6).select(
+        "id", "_change_type"
+    ).collect()
+    assert sorted((r["id"], r["_change_type"]) for r in rows) == [
+        (11, "insert")
+    ]
+    # and the consumer loop delivers the resurrected row
+    assert sorted(_ids(spark, table)) == [
+        i for i in range(300) if i not in (3, 7)
+    ]
