@@ -264,19 +264,41 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash fingerprint per doc: per-token 64-bit hash, bit-vote
     (+1 if bit set, −1 otherwise), sign per bit → fingerprint.
 
     Implemented as explode → groupBy(id) with 64 conditional sums —
     one shuffle, all JVM expressions. Returns (id, simhash).
+
+    ``token_hash``: ``"xxhash64"`` (default — fastest, one JVM hash per
+    token) or ``"md5"`` — the ENGINE-PORTABLE variant: the 64-bit token
+    hash is the first 16 hex chars of md5(token), reassembled as two
+    32-bit words (Spark's wrapping ``shiftleft`` rebuilds the signed
+    long; an ANSI engine votes on the hi/lo words directly), so an
+    external oracle (DuckDB, Trino) reproduces fingerprints
+    bit-identically. Same plan shape either way.
     """
     def bit_mask(b: int):
         # bit 63 is the sign bit: use min-long's two's-complement pattern
         return F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
 
+    if token_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"token_hash must be xxhash64|md5, got {token_hash!r}")
     tok = tokens(df, text_col, id_col)
-    hashed = tok.select("id", F.xxhash64("tok").alias("h"))
+    if token_hash == "md5":
+        m = F.md5(F.col("tok").cast("binary"))
+        hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+        h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:
+        h = F.xxhash64("tok")
+    hashed = tok.select("id", h.alias("h"))
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(bit_mask(b)) != 0, 1).otherwise(-1)
@@ -297,6 +319,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup PAIRS via pigeonhole blocking.
 
@@ -314,7 +337,7 @@ def simhash_near_dup_pairs(
             f"pigeonhole needs max_hamming < blocks ({max_hamming} >= {blocks})"
         )
     width = 64 // blocks
-    fp = simhash(df, text_col, id_col)
+    fp = simhash(df, text_col, id_col, token_hash=token_hash)
     slices = F.array(
         *[
             F.struct(

@@ -24,6 +24,23 @@ def _unit_hash(key: Column, salt: str) -> Column:
     )
 
 
+def _unit_hash_md5(key: Column, salt: str) -> Column:
+    """ENGINE-PORTABLE uniform in [0, 1): the first 13 hex chars of
+    md5('<salt>:<key>') are 52 bits — exactly representable in a double
+    — divided by 2^52 (one IEEE division, exact for a power of two).
+    Bit-identical in any engine with md5 + IEEE doubles (the
+    sample_weighted discipline), so membership can be differentially
+    verified by an external SQL oracle. Costlier than xxhash64 (md5 +
+    hex decode, still whole-stage codegen), so the JVM hash stays the
+    default and this serves cross-engine-reproducible pipelines."""
+    s = F.md5(
+        F.concat_ws(":", F.lit(salt), key.cast("string")).cast("binary")
+    )
+    return F.conv(F.substring(s, 1, 13), 16, 10).cast("double") / F.lit(
+        float(1 << 52)
+    )
+
+
 def hash_sample(
     df: DataFrame, rate: float, key_col: str, salt: str = "sample"
 ) -> DataFrame:
@@ -39,14 +56,18 @@ def stratified_hash_sample(
     key_col: str,
     default_rate: float = 0.0,
     salt: str = "strata",
+    portable: bool = False,
 ) -> DataFrame:
     """Per-stratum rates (e.g. downsample web text, keep all code):
     the dataset-mixing primitive. Strata not in ``rates`` get
-    ``default_rate``."""
+    ``default_rate``. ``portable=True`` derives membership from
+    md5 instead of xxhash64 (:func:`_unit_hash_md5`) so an external
+    engine reproduces the exact sample."""
     rate = F.lit(default_rate)
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
-    return df.filter(_unit_hash(F.col(key_col), salt) < rate)
+    unit = _unit_hash_md5 if portable else _unit_hash
+    return df.filter(unit(F.col(key_col), salt) < rate)
 
 
 def train_test_split(

@@ -47,8 +47,13 @@ def test_bench_emits_one_json_line_at_smallest_sf():
     json_lines = [
         ln for ln in proc.stdout.splitlines() if ln.startswith("{")
     ]
-    assert len(json_lines) == 1, proc.stdout[-1000:]
-    payload = json.loads(json_lines[0])
+    # the core line prints early AND as the final line (truncation-safe
+    # capture contract — see bench.py docstring): every JSON line must
+    # parse, and the LAST one is the authoritative full payload
+    assert 1 <= len(json_lines) <= 2, proc.stdout[-1000:]
+    for ln in json_lines:
+        json.loads(ln)
+    payload = json.loads(json_lines[-1])
     for key in ("metric", "value", "unit", "queries", "queries_steady", "sf"):
         assert key in payload, f"missing {key}"
     assert payload["unit"] == "sec" and payload["value"] > 0

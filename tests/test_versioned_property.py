@@ -107,3 +107,123 @@ def test_versioned_ops_match_model(spark, tmp_path_factory, ops):
     # the time-travel contract: every retained version == its snapshot
     for ver, snap in history.items():
         assert _read_rows(spark, path, version=ver) == snap, f"v{ver}"
+
+
+# ---------------------------------------------------------------------
+# Mixed-workload multi-writer stress (round-5): the commit CAS was
+# stress-tested for racing APPENDS only; real tables see concurrent
+# UPDATE + DELETE (dv and cow) + MERGE + OPTIMIZE + REORG. Hypothesis
+# draws the op mix; each op instance targets its OWN disjoint id slice
+# so the final state is deterministic regardless of interleaving — any
+# divergence is a lost update, a resurrection, or metadata drift, never
+# an ordering ambiguity.
+# ---------------------------------------------------------------------
+
+_MIXED_OPS = st.lists(
+    st.sampled_from(
+        ["update", "delete_dv", "delete_cow", "delete_auto",
+         "merge", "append", "compact", "reorg"]
+    ),
+    min_size=3,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_MIXED_OPS)
+def test_concurrent_mixed_writers_preserve_invariants(
+    spark, tmp_path_factory, ops
+):
+    import threading
+
+    path = str(tmp_path_factory.mktemp("mixed") / "tbl")
+    n0 = 1000
+    V.create_table(
+        spark.range(0, n0)
+        .select(F.col("id"), F.col("id").cast("double").alias("val"))
+        .repartitionByRange(4, "id"),
+        path,
+    )
+    expected = {i: float(i) for i in range(n0)}
+    errors: list = []
+
+    def run_with_retry(fn):
+        for _ in range(80):
+            try:
+                fn()
+                return
+            except V.CommitConflict:
+                continue
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+                return
+        errors.append(RuntimeError("writer starved"))
+
+    workers = []
+    for i, op in enumerate(ops):
+        lo, hi = i * 100, i * 100 + 50  # disjoint slice per instance
+        if op == "update":
+            for k in range(lo, hi):
+                expected[k] = -1.0
+            fn = (lambda lo=lo, hi=hi: V.update_table(
+                spark, path, {"val": F.lit(-1.0)},
+                (F.col("id") >= lo) & (F.col("id") < hi)))
+        elif op in ("delete_dv", "delete_cow", "delete_auto"):
+            for k in range(lo, hi):
+                expected.pop(k, None)
+            mode = op.split("_")[1]
+            fn = (lambda lo=lo, hi=hi, mode=mode: V.delete_from(
+                spark, path,
+                (F.col("id") >= lo) & (F.col("id") < hi), mode=mode))
+        elif op == "merge":
+            src_ids = list(range(lo, hi)) + list(
+                range(10_000 + lo, 10_000 + lo + 10)
+            )
+            for k in src_ids:
+                expected[k] = 777.0
+            fn = (lambda src_ids=tuple(src_ids): V.merge_table(
+                spark, path,
+                spark.createDataFrame(
+                    [(k, 777.0) for k in src_ids], "id long, val double"
+                ),
+                keys=["id"]))
+        elif op == "append":
+            new_ids = range(20_000 + i * 100, 20_000 + i * 100 + 25)
+            for k in new_ids:
+                expected[k] = 5.0
+            fn = (lambda new_ids=tuple(new_ids): V.append_table(
+                spark.createDataFrame(
+                    [(k, 5.0) for k in new_ids], "id long, val double"
+                ),
+                path))
+        elif op == "compact":
+            fn = lambda: V.compact_table(spark, path, target_files=2)
+        else:  # reorg
+            fn = lambda: V.reorg_table(spark, path)
+        workers.append(threading.Thread(target=run_with_retry, args=(fn,)))
+
+    for th in workers:
+        th.start()
+    for th in workers:
+        th.join()
+    assert errors == [], errors
+
+    # no lost update, no resurrection, nothing duplicated
+    got = {
+        r["id"]: r["val"] for r in V.read_table(spark, path).collect()
+    }
+    assert got == expected
+    # metadata consistent with data: footer-count minus DV debt equals
+    # the visible row count, and DESCRIBE runs clean
+    assert V.table_count(path) == len(expected)
+    detail = V.describe_table(path)
+    assert detail["num_rows"] == len(expected)
+    # every commit minted a distinct version (no clobbered manifests):
+    # the log replays linearly to the current pointer
+    cur = V.current_version(path)
+    for v in range(1, cur + 1):
+        V._read_manifest(path, v)
