@@ -255,6 +255,30 @@ def cmd_describe(args) -> int:
     return 0
 
 
+def cmd_column(args) -> int:
+    """ALTER TABLE column surface: metadata-only rename/drop via the
+    manifest column mapping (io/versioned.rename_column/drop_column) —
+    zero data IO at any table size."""
+    from .io import versioned as V
+
+    if args.action == "rename":
+        if not (args.name and args.new_name):
+            print("column rename needs <old> <new>", file=sys.stderr)
+            return 2
+        v = V.rename_column(args.table, args.name, args.new_name)
+        print(f"renamed {args.name} -> {args.new_name} (v{v}, metadata-only)")
+    elif args.action == "drop":
+        if not args.name:
+            print("column drop needs <name>", file=sys.stderr)
+            return 2
+        v = V.drop_column(args.table, args.name)
+        print(f"dropped {args.name} (v{v}, metadata-only)")
+    else:  # list
+        m = V.table_mapping(args.table)
+        print(json.dumps(m if m is not None else "identity (no mapping)"))
+    return 0
+
+
 def cmd_clone(args) -> int:
     from .io import versioned as V
 
@@ -365,6 +389,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("name", nargs="?")
     p.add_argument("expr", nargs="?")
     p.set_defaults(fn=cmd_constraint)
+
+    p = sub.add_parser(
+        "column", help="metadata-only column rename/drop (column mapping)"
+    )
+    p.add_argument("action", choices=["list", "rename", "drop"])
+    p.add_argument("table")
+    p.add_argument("name", nargs="?")
+    p.add_argument("new_name", nargs="?")
+    p.set_defaults(fn=cmd_column)
 
     p = sub.add_parser("clone", help="clone a versioned table")
     p.add_argument("src")

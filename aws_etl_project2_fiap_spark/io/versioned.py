@@ -79,6 +79,68 @@ def _pointer(path: str) -> str:
     return os.path.join(path, "_CURRENT")
 
 
+# ---------------------------------------------------------------------
+# Column mapping (metadata-only RENAME / DROP — the Delta "column
+# mapping" / Iceberg field-id idea on this log)
+#
+# A manifest may carry ``"column_mapping": {logical: physical}``.
+# PHYSICAL names are frozen at first write and never change; a RENAME
+# or DROP commits a new manifest with an updated mapping and the SAME
+# file list — zero data IO on a 100 TB table. Readers project
+# physical → logical after the scan; writers (append/update/merge/
+# overwrite rewrites) translate logical → physical before writing, so
+# every data file keeps the physical schema forever. No mapping key
+# (the common case) means identity — zero overhead on any path.
+# Time travel reads each version under ITS OWN mapping (v1 before a
+# rename shows the old name), because the mapping lives in the
+# manifest, not a table-level sidecar.
+# ---------------------------------------------------------------------
+
+
+def _apply_mapping(df: DataFrame, mapping: dict | None) -> DataFrame:
+    """Physical → logical projection (keeps ``__file``/``__pos`` meta
+    columns when present). Identity when the table has no mapping."""
+    if not mapping:
+        return df
+    cols = [F.col(phys).alias(log) for log, phys in mapping.items()]
+    meta = [F.col(c) for c in ("__file", "__pos") if c in df.columns]
+    return df.select(*cols, *meta)
+
+
+def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
+    """Logical → physical rename before a write, so data files keep the
+    frozen physical schema. Columns of ``df`` not in the mapping (a
+    schema-evolution append adding a new column) pass through under
+    their own name — the caller must extend the mapping identically."""
+    if not mapping:
+        return df
+    return df.select(
+        *[
+            F.col(c).alias(mapping[c]) if c in mapping else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _phys_col(mapping: dict | None, col: str) -> str:
+    """Physical name of a logical column (stats/bloom entries are keyed
+    by physical names — they were computed from written files)."""
+    return mapping[col] if mapping and col in mapping else col
+
+
+def _superset_columns(files: list) -> list[str]:
+    """Logical = physical column names before any mapping exists: the
+    union of every file's parquet schema, first-appearance order.
+    O(files) footer reads, no data IO (the mergeSchema contract)."""
+    import pyarrow.parquet as pq
+
+    seen: dict[str, None] = {}
+    for f in files:
+        for name in pq.read_schema(f["path"]).names:
+            seen.setdefault(name, None)
+    return list(seen)
+
+
 def current_version(path: str) -> int:
     with open(_pointer(path)) as fh:
         return int(fh.read().strip())
@@ -611,7 +673,19 @@ def _commit(
             f"table {path} moved to v{version - 1} while this writer "
             f"worked from v{expect_version}; re-read and retry"
         )
-    manifest = {"version": version, "files": files, **(extra or {})}
+    # column mapping is table STATE, not per-commit payload: every
+    # commit inherits the previous manifest's mapping unless the caller
+    # sets it explicitly (rename/drop pass the new mapping; rollback
+    # passes the target version's; None clears it)
+    extra = dict(extra or {})
+    if "column_mapping" not in extra:
+        if version > 1:
+            prev = _read_manifest(path, version - 1).get("column_mapping")
+            if prev:
+                extra["column_mapping"] = prev
+    elif extra["column_mapping"] is None:
+        del extra["column_mapping"]
+    manifest = {"version": version, "files": files, **extra}
     mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
     # tmp lives OUTSIDE _manifests: every consumer listdirs that dir and
     # json-parses what it finds — a half-written tmp there would crash
@@ -762,7 +836,27 @@ def append_table(
     files already written are reusable garbage at worst."""
     _enforce_constraints(df, path)
     base_version = current_version(path)
-    files = _read_manifest(path, base_version)["files"]
+    manifest = _read_manifest(path, base_version)
+    files = manifest["files"]
+    mapping = manifest.get("column_mapping")
+    if mapping:
+        # schema evolution under a mapping: new logical columns join the
+        # mapping with a FRESH physical name when their name collides
+        # with a retired physical name still present in old files (else
+        # the old column's bytes would leak into the new logical column)
+        mapping = dict(mapping)
+        for c in df.columns:
+            if c not in mapping:
+                phys = (
+                    c
+                    if c not in mapping.values()
+                    else f"{c}_p{uuid.uuid4().hex[:6]}"
+                )
+                mapping[c] = phys
+        extra = {**(extra or {}), "column_mapping": mapping}
+        df = _to_physical(df, mapping)
+        bloom_cols = [mapping.get(c, c) for c in (bloom_cols or [])] or None
+        cluster_by = [mapping.get(c, c) for c in (cluster_by or [])] or None
     return _commit(
         path,
         files + _write_batch(df, path, bloom_cols, cluster_by, num_files),
@@ -804,8 +898,11 @@ def overwrite_partitions(
     "files_reused"}."""
     _enforce_constraints(df, path)
     base_version = current_version(path)
-    files = _read_manifest(path, base_version)["files"]
+    manifest = _read_manifest(path, base_version)
+    files = manifest["files"]
+    mapping = manifest.get("column_mapping")
     values = [r[0] for r in df.select(part_col).distinct().collect()]
+    phys_part = _phys_col(mapping, part_col)
     if any(v is None for v in values):
         raise ValueError(
             f"overwrite_partitions: NULL in partition column {part_col!r}"
@@ -813,13 +910,13 @@ def overwrite_partitions(
     keys = {_stat_key(v) for v in values}
     untouched, dropped, straddle = [], [], []
     for f in files:
-        st = f.get("stats", {}).get(part_col)
+        st = f.get("stats", {}).get(phys_part)
         # parquet min/max EXCLUDE nulls: a file whose every non-null row
         # is one overwritten value may still hold NULL-partition rows,
         # which are NOT being overwritten — whole-file decisions need
         # the write-time null census (absent in old manifests →
         # conservative straddle rewrite)
-        no_nulls = "null_cols" in f and part_col not in f["null_cols"]
+        no_nulls = "null_cols" in f and phys_part not in f["null_cols"]
         # non-overlap → referenced untouched regardless of nulls (its
         # NULL rows aren't overwritten and the file isn't replaced)
         if st is not None and not any(st[0] <= k <= st[1] for k in keys):
@@ -833,13 +930,17 @@ def overwrite_partitions(
         # NULL-partition rows in a straddling file are NOT being
         # overwritten (incoming NULLs are rejected above) — keep them;
         # bare ~isin would drop them under three-valued logic
+        # physical-level rewrite: straddle files are filtered on the
+        # PHYSICAL partition column and re-written unchanged otherwise
         kept = _scan(spark, straddle).filter(
-            F.col(part_col).isNull() | ~F.col(part_col).isin(values)
+            F.col(phys_part).isNull() | ~F.col(phys_part).isin(values)
         )
         re_index = _indexed_cols(straddle)
         new_entries += _write_batch(kept, path, re_index or None)
     new_entries += _write_batch(
-        df, path, bloom_cols, cluster_by=[part_col],
+        _to_physical(df, mapping), path,
+        [_phys_col(mapping, c) for c in (bloom_cols or [])] or None,
+        cluster_by=[phys_part],
         num_files=max(len(values), 1),
     )
     version = _commit(
@@ -894,7 +995,12 @@ def overwrite_table(df: DataFrame, path: str) -> int:
     write would clobber the first's JSON)."""
     _enforce_constraints(df, path)
     base_version = current_version(path)
-    return _commit(path, _write_batch(df, path), expect_version=base_version)
+    mapping = _read_manifest(path, base_version).get("column_mapping")
+    return _commit(
+        path,
+        _write_batch(_to_physical(df, mapping), path),
+        expect_version=base_version,
+    )
 
 
 def read_table(
@@ -916,7 +1022,9 @@ def read_table(
     With a z-ordered or range-partitioned layout a selective predicate
     prunes all but O(matching) files."""
     v = current_version(path) if version is None else version
-    files = _read_manifest(path, v)["files"]
+    m = _read_manifest(path, v)
+    files = m["files"]
+    mapping = m.get("column_mapping")  # stats/blooms key PHYSICAL names
     if eq is not None:
         # Bloom-index point-read: drop every file whose per-file bloom
         # provably lacks the value (no false negatives; the exact
@@ -924,19 +1032,20 @@ def read_table(
         # can't do this on a high-cardinality unclustered key.
         col, value = eq
         all_files = files
-        files, _ = prunable_eq(files, col, value)
+        files, _ = prunable_eq(files, _phys_col(mapping, col), value)
         if not files:
             # every file's bloom rules the key out: the SQL answer is
             # simply an empty result (schema preserved via a 0-row read
             # of one pruned file) — probing absent keys is the ordinary
             # case for existence checks, not an error
-            empty = (
+            empty = _apply_mapping(
                 spark.read.option("mergeSchema", "true")
                 .parquet(all_files[0]["path"])
-                .limit(0)
+                .limit(0),
+                mapping,
             )
             return empty.filter(F.col(col) == F.lit(value))
-        out = _scan(spark, files)
+        out = _apply_mapping(_scan(spark, files), mapping)
         out = out.filter(F.col(col) == F.lit(value))
         if between is not None:
             preds = [between] if isinstance(between, tuple) else list(between)
@@ -948,13 +1057,13 @@ def read_table(
         # every predicate independently drops non-overlapping files
         preds = [between] if isinstance(between, tuple) else list(between)
         for col, lo, hi in preds:
-            files, _ = prunable(files, col, lo, hi)
+            files, _ = prunable(files, _phys_col(mapping, col), lo, hi)
         if not files:
             raise ValueError(
                 f"predicate {preds} skips every file of version {v}; "
                 f"read without `between` for an empty-result scan"
             )
-        out = _scan(spark, files)
+        out = _apply_mapping(_scan(spark, files), mapping)
         for col, lo, hi in preds:
             out = out.filter(F.col(col).between(lo, hi))
         return out
@@ -963,7 +1072,7 @@ def read_table(
     # mergeSchema: appended batches may carry evolved (superset) schemas
     # — §1.4's drift contract applies to versioned tables too; _scan
     # additionally applies any deletion vectors (merge-on-read)
-    return _scan(spark, files)
+    return _apply_mapping(_scan(spark, files), mapping)
 
 
 def update_table(
@@ -990,12 +1099,15 @@ def update_table(
     Returns {"version", "n_matched", "files_touched", "files_reused"}.
     """
     base_version = current_version(path)
-    files = _read_manifest(path, base_version)["files"]
+    manifest = _read_manifest(path, base_version)
+    files = manifest["files"]
+    mapping = manifest.get("column_mapping")
     # ONE discovery scan yields both the touched-file set and the match
     # count: per-file partial counts collapse to file-cardinality rows.
     # _scan applies deletion vectors and pre-normalizes the file path,
     # so already-deleted rows can neither match nor be resurrected.
-    df = _scan(spark, files, keep_meta=True)
+    # The mapping projection makes the predicate's LOGICAL names work.
+    df = _apply_mapping(_scan(spark, files, keep_meta=True), mapping)
     per_file = df.filter(where).groupBy("__file").count().collect()
     touched = [r["__file"] for r in per_file]
     n_matched = sum(r["count"] for r in per_file)
@@ -1010,13 +1122,17 @@ def update_table(
     untouched = [f for f in files if f["path"] not in touched_set]
     touched_entries = [f for f in files if f["path"] in touched_set]
     rewritten = apply_update(
-        _scan(spark, touched_entries), set_cols, where
+        _apply_mapping(_scan(spark, touched_entries), mapping),
+        set_cols,
+        where,
     )
     # the UPDATE may write constraint-breaking values; check the
     # rewritten (touched-files-only) slice before anything commits
     _enforce_constraints(rewritten, path)
     re_index = _indexed_cols(touched_entries)
-    new_files = untouched + _write_batch(rewritten, path, re_index or None)
+    new_files = untouched + _write_batch(
+        _to_physical(rewritten, mapping), path, re_index or None
+    )
     version = _commit(path, new_files, expect_version=base_version)
     return {
         "version": version,
@@ -1028,10 +1144,86 @@ def update_table(
 
 def rollback(path: str, version: int) -> int:
     """Re-commit an old version's file list as the new current version
-    (history stays linear; nothing is deleted)."""
+    (history stays linear; nothing is deleted). The target version's
+    column mapping is restored with it (None clears a later rename)."""
     base_version = current_version(path)
-    files = _read_manifest(path, version)["files"]
-    return _commit(path, files, expect_version=base_version)
+    m = _read_manifest(path, version)
+    return _commit(
+        path,
+        m["files"],
+        extra={"column_mapping": m.get("column_mapping")},
+        expect_version=base_version,
+    )
+
+
+def table_mapping(path: str, version: int | None = None) -> dict | None:
+    """The version's column mapping {logical: physical}, or None when
+    logical == physical (no rename/drop ever committed)."""
+    v = current_version(path) if version is None else version
+    return _read_manifest(path, v).get("column_mapping")
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN — METADATA-ONLY: commits the same
+    file list with an updated column mapping; zero data IO at any
+    table size. Readers of this and later versions see ``new``;
+    earlier versions keep showing ``old`` (the mapping is part of each
+    manifest). Constraints referencing the old name are rejected —
+    rename or drop them first."""
+    base_version = current_version(path)
+    m = _read_manifest(path, base_version)
+    mapping = m.get("column_mapping") or {
+        c: c for c in _superset_columns(m["files"])
+    }
+    if old not in mapping:
+        raise ValueError(f"no column {old!r} in {sorted(mapping)}")
+    if new in mapping:
+        raise ValueError(f"column {new!r} already exists")
+    for cname, expr in table_constraints(path).items():
+        if old in expr:
+            raise ValueError(
+                f"constraint {cname!r} ({expr}) references {old!r}; "
+                f"drop or rewrite it before renaming"
+            )
+    new_mapping = {
+        (new if k == old else k): v for k, v in mapping.items()
+    }
+    return _commit(
+        path,
+        m["files"],
+        extra={"column_mapping": new_mapping},
+        expect_version=base_version,
+    )
+
+
+def drop_column(path: str, col: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — METADATA-ONLY: the column leaves
+    the mapping (readers stop seeing it); the physical bytes remain in
+    existing files until natural rewrites (compaction, CoW mutations)
+    age them out — exactly Delta's drop-with-column-mapping shape.
+    Earlier versions still show the column (time travel)."""
+    base_version = current_version(path)
+    m = _read_manifest(path, base_version)
+    mapping = m.get("column_mapping") or {
+        c: c for c in _superset_columns(m["files"])
+    }
+    if col not in mapping:
+        raise ValueError(f"no column {col!r} in {sorted(mapping)}")
+    if len(mapping) == 1:
+        raise ValueError("cannot drop the last visible column")
+    for cname, expr in table_constraints(path).items():
+        if col in expr:
+            raise ValueError(
+                f"constraint {cname!r} ({expr}) references {col!r}; "
+                f"drop it before dropping the column"
+            )
+    new_mapping = {k: v for k, v in mapping.items() if k != col}
+    return _commit(
+        path,
+        m["files"],
+        extra={"column_mapping": new_mapping},
+        expect_version=base_version,
+    )
 
 
 def vacuum(
@@ -1112,8 +1304,10 @@ def merge_table(
     "inserted"}.
     """
     base_version = current_version(path)
-    files = _read_manifest(path, base_version)["files"]
-    target = _scan(spark, files)
+    manifest = _read_manifest(path, base_version)
+    files = manifest["files"]
+    mapping = manifest.get("column_mapping")
+    target = _apply_mapping(_scan(spark, files), mapping)
     if sorted(source.columns) != sorted(target.columns):
         raise ValueError(
             f"source columns {source.columns} != target {target.columns}"
@@ -1138,9 +1332,9 @@ def merge_table(
             f"never match; filter or fill them before merging"
         )
 
-    matched_rows = _scan(spark, files, keep_meta=True).join(
-        F.broadcast(source.select(*keys)), keys, "semi"
-    )
+    matched_rows = _apply_mapping(
+        _scan(spark, files, keep_meta=True), mapping
+    ).join(F.broadcast(source.select(*keys)), keys, "semi")
     touched = [
         r["__file"] for r in matched_rows.select("__file").distinct().collect()
     ]
@@ -1149,7 +1343,7 @@ def merge_table(
     untouched = [f for f in files if f["path"] not in touched_set]
     touched_entries = [f for f in files if f["path"] in touched_set]
     if touched:
-        scoped = _scan(spark, touched_entries)
+        scoped = _apply_mapping(_scan(spark, touched_entries), mapping)
     else:
         scoped = target.limit(0)
 
@@ -1174,7 +1368,9 @@ def merge_table(
 
     re_index = _indexed_cols(touched_entries)
     version = _commit(
-        path, untouched + _write_batch(merged, path, re_index or None),
+        path,
+        untouched
+        + _write_batch(_to_physical(merged, mapping), path, re_index or None),
         expect_version=base_version,
     )
     return {
@@ -1231,14 +1427,26 @@ def compact_table(
         # _scan applies any deletion vectors, so compacting small files
         # also purges their DVs (the rewritten batch carries none)
         merged = _scan(spark, small).coalesce(int(n))
+        mapping = _read_manifest(path, base_version).get("column_mapping")
         version = _commit(
-            path, big + _write_batch(merged, path, bloom_cols),
+            path,
+            big
+            + _write_batch(
+                merged, path,
+                [_phys_col(mapping, c) for c in (bloom_cols or [])] or None,
+            ),
             expect_version=base_version,
         )
         return {"version": version,
                 "files": len(_read_manifest(path, version)["files"]),
                 "compacted": len(small)}
-    df = read_table(spark, path, version=base_version)
+    # PHYSICAL-level rewrite (mapping untouched, logical view identical):
+    # scanning without the mapping projection keeps the frozen physical
+    # schema in the rewritten files, same as reorg
+    mapping = _read_manifest(path, base_version).get("column_mapping")
+    df = _scan(spark, _read_manifest(path, base_version)["files"])
+    zorder_by = [_phys_col(mapping, c) for c in (zorder_by or [])] or None
+    bloom_cols = [_phys_col(mapping, c) for c in (bloom_cols or [])] or None
     n = target_files or max(1, len(df.inputFiles()) // 4)
     if zorder_by:
         zcol = "__zv__"
@@ -1268,7 +1476,8 @@ def describe_table(path: str) -> dict:
     version, file/byte counts, live rows, DV debt, indexes,
     constraints, retained history span."""
     v = current_version(path)
-    files = _read_manifest(path, v)["files"]
+    manifest = _read_manifest(path, v)
+    files = manifest["files"]
     versions = sorted(
         int(f[1:].split(".")[0])
         for f in os.listdir(_manifest_dir(path))
@@ -1284,6 +1493,7 @@ def describe_table(path: str) -> dict:
         "files_with_dv": sum(1 for f in files if f.get("dv")),
         "dv_deleted_rows": sum(f.get("dv", {}).get("n", 0) for f in files),
         "bloom_indexed_cols": bloom_cols,
+        "column_mapping": manifest.get("column_mapping"),
         "constraints": table_constraints(path),
         "retained_versions": [versions[0], versions[-1]] if versions else [],
     }
@@ -1371,8 +1581,10 @@ def delete_from(
     if mode not in ("cow", "dv", "auto"):
         raise ValueError(f"mode must be cow|dv|auto, got {mode!r}")
     base_version = current_version(path)
-    files = _read_manifest(path, base_version)["files"]
-    df = _scan(spark, files, keep_meta=True)
+    manifest = _read_manifest(path, base_version)
+    files = manifest["files"]
+    mapping = manifest.get("column_mapping")
+    df = _apply_mapping(_scan(spark, files, keep_meta=True), mapping)
     dv_rows = None  # executor-written sidecar records (O(files) each)
     if mode == "dv":
         # ONE distributed pass: the discovery scan's matched positions
@@ -1439,7 +1651,9 @@ def delete_from(
             # DV union happens inside each file's task
             dv_rows = _write_dvs_distributed(
                 spark,
-                _scan(spark, dv_targets, keep_meta=True)
+                _apply_mapping(
+                    _scan(spark, dv_targets, keep_meta=True), mapping
+                )
                 .filter(where)
                 .select("__file", "__pos"),
                 path,
@@ -1464,11 +1678,13 @@ def delete_from(
         # rows go). Under three-valued logic filter(~where) would ALSO
         # drop the NULL rows — coalesce to FALSE so they survive the
         # rewrite, mirror of apply_update's when(where).otherwise(keep).
-        kept_rows = _scan(spark, rw_targets).filter(
+        kept_rows = _apply_mapping(_scan(spark, rw_targets), mapping).filter(
             ~F.coalesce(where, F.lit(False))
         )
         re_index = _indexed_cols(rw_targets)
-        batch = _write_batch(kept_rows, path, re_index or None)
+        batch = _write_batch(
+            _to_physical(kept_rows, mapping), path, re_index or None
+        )
     version = _commit(
         path, untouched + new_entries + batch, expect_version=base_version
     )
@@ -1510,7 +1726,9 @@ def table_column_minmax(
     carries no DVs — callers needing exactness after DV deletes read
     the table."""
     v = current_version(path) if version is None else version
-    files = _read_manifest(path, v)["files"]
+    m = _read_manifest(path, v)
+    files = m["files"]
+    col = _phys_col(m.get("column_mapping"), col)
     lo = hi = None
     for f in files:
         st = f.get("stats", {}).get(col)
@@ -1544,7 +1762,13 @@ def table_changes(
     ``_commit_version`` columns (the version whose manifest first/last
     carries the file)."""
     lo = _read_manifest(path, from_version)["files"]
-    hi = _read_manifest(path, to_version)["files"]
+    hi_manifest = _read_manifest(path, to_version)
+    hi = hi_manifest["files"]
+    # all legs project under the TO version's mapping: physical names
+    # never change, so the rows of removed (FROM-side) files alias
+    # identically — a consumer always sees the feed in the destination
+    # version's logical schema
+    mapping = hi_manifest.get("column_mapping")
     lo_by_path = {f["path"]: f for f in lo}
     hi_by_path = {f["path"]: f for f in hi}
     added = [f for p, f in sorted(hi_by_path.items()) if p not in lo_by_path]
@@ -1554,12 +1778,16 @@ def table_changes(
         # an added file read under the TO manifest's DVs: rows deleted
         # again before to_version were never visible in this range
         parts.append(
-            _scan(spark, added).withColumn("_change_type", F.lit("insert"))
+            _apply_mapping(_scan(spark, added), mapping).withColumn(
+                "_change_type", F.lit("insert")
+            )
         )
     if removed:
         # a removed file's rows as the FROM version saw them (its DVs)
         parts.append(
-            _scan(spark, removed).withColumn("_change_type", F.lit("delete"))
+            _apply_mapping(_scan(spark, removed), mapping).withColumn(
+                "_change_type", F.lit("delete")
+            )
         )
     # DV-only deltas for files present in BOTH versions:
     # - positions newly covered by the TO version's deletion vector →
@@ -1602,7 +1830,7 @@ def table_changes(
                 ignore_index=True,
             )
             entries = [lo_by_path[p] for p, _ in batch]
-            rows = (
+            rows = _apply_mapping(
                 spark.read.option("mergeSchema", "true")
                 .parquet(*_paths(entries))
                 .withColumn("__file", _norm_file_path())
@@ -1612,9 +1840,9 @@ def table_changes(
                     ["__file", "__pos"],
                     "semi",
                 )
-                .drop("__file", "__pos")
-                .withColumn("_change_type", F.lit(change_type))
-            )
+                .drop("__file", "__pos"),
+                mapping,
+            ).withColumn("_change_type", F.lit(change_type))
             parts.append(rows)
     if not parts:
         empty = read_table(spark, path, version=to_version).limit(0)
@@ -1670,9 +1898,17 @@ def clone_table(
     v = current_version(src) if version is None else version
     if deep:
         return create_table(read_table(spark, src, version=v), dst)
-    files = _read_manifest(src, v)["files"]
+    m = _read_manifest(src, v)
     os.makedirs(dst, exist_ok=True)
-    return _commit(dst, files, extra={"cloned_from": src, "clone_version": v})
+    return _commit(
+        dst,
+        m["files"],
+        extra={
+            "cloned_from": src,
+            "clone_version": v,
+            "column_mapping": m.get("column_mapping"),
+        },
+    )
 
 
 def consume_changes(

@@ -57,7 +57,7 @@ def build_versioned_table_source():
         with open(os.path.join(path, "_CURRENT")) as fh:
             return int(fh.read().strip())
 
-    def _manifest_files(path: str, version: int) -> list:
+    def _manifest(path: str, version: int) -> dict:
         import json
         import os
 
@@ -69,7 +69,10 @@ def build_versioned_table_source():
                 f"(full-snapshot resync)"
             )
         with open(mpath) as fh:
-            return json.load(fh)["files"]
+            return json.load(fh)
+
+    def _manifest_files(path: str, version: int) -> list:
+        return _manifest(path, version)["files"]
 
     def _inserted_entries(path: str, lo: int, hi: int) -> list:
         hi_files = _manifest_files(path, hi)
@@ -113,14 +116,35 @@ def build_versioned_table_source():
         a time-travel batch read MUST pass the requested version, or
         columns added after it would leak into the schema (NULL-filled)
         and diverge from read_table(version=v)."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         fields: dict = {}
         v = _current_version(path) if version is None else int(version)
-        for entry in _manifest_files(path, v):
+        m = _manifest(path, v)
+        for entry in m["files"]:
             for field in pq.read_schema(entry["path"]):
                 fields.setdefault(field.name, field)
+        mapping = m.get("column_mapping")
+        if mapping:
+            # column mapping: files hold frozen PHYSICAL names; the
+            # source exposes the version's LOGICAL names (renames/drops
+            # are metadata-only — io/versioned.py rename_column)
+            return [
+                pa.field(log, fields[phys].type)
+                for log, phys in mapping.items()
+                if phys in fields
+            ]
         return list(fields.values())
+
+    def _physical_columns(path: str, version=None) -> list:
+        """Physical column names to READ, aligned 1:1 with
+        _table_columns' logical field order."""
+        v = _current_version(path) if version is None else int(version)
+        mapping = _manifest(path, v).get("column_mapping")
+        if mapping:
+            return list(mapping.values())
+        return [f.name for f in _table_columns(path, v)]
 
     def _arrow_to_ddl(schema) -> str:
         import pyarrow as pa
@@ -230,20 +254,20 @@ def build_versioned_table_source():
             )
 
         def reader(self, schema) -> DataSourceReader:
+            # readers receive PHYSICAL names (what the files store);
+            # the DDL above already exposes the logical names in the
+            # same order, so tuples line up
             return _BatchReader(
                 self.options,
-                [
-                    f.name
-                    for f in _table_columns(
-                        self.options["path"], self._batch_version()
-                    )
-                ],
+                _physical_columns(
+                    self.options["path"], self._batch_version()
+                ),
             )
 
         def streamReader(self, schema) -> DataSourceStreamReader:
             return _StreamReader(
                 self.options,
-                [f.name for f in _table_columns(self.options["path"])],
+                _physical_columns(self.options["path"]),
             )
 
     return VersionedTableDataSource

@@ -1,0 +1,257 @@
+"""Column mapping on versioned tables (metadata-only RENAME / DROP —
+the Delta column-mapping / Iceberg field-id shape on this log).
+
+The claims under test:
+
+- RENAME/DROP commit a new manifest with the SAME file list (zero data
+  IO) and every read path shows the new logical schema;
+- physical names are FROZEN: rewrites (UPDATE/DELETE/MERGE/compact)
+  keep writing the original physical schema, so old and new files stay
+  mergeSchema-compatible forever;
+- time travel reads each version under ITS OWN mapping; rollback
+  restores the target version's mapping;
+- stats/bloom pruning, partition overwrite, the change feed, and the
+  versioned_table DataSource all honor the mapping;
+- appends after a rename use logical names; a NEW column whose name
+  collides with a retired physical name gets a fresh physical name
+  (no byte leakage from the old column).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from aws_etl_project2_fiap_spark.io import versioned as V
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    path = str(tmp_path / "tbl")
+    V.create_table(df.repartitionByRange(3, "id"), path)
+    return path
+
+
+def test_rename_is_metadata_only_and_time_travels(spark, table):
+    files_before = {f["path"] for f in V._read_manifest(table, 1)["files"]}
+    v2 = V.rename_column(table, "v", "price")
+    assert v2 == 2
+    files_after = {f["path"] for f in V._read_manifest(table, 2)["files"]}
+    assert files_before == files_after  # zero data IO
+    cur = V.read_table(spark, table)
+    assert cur.columns == ["id", "g", "price"]
+    assert cur.filter(F.col("price") == 4.0).count() == 1
+    old = V.read_table(spark, table, version=1)
+    assert old.columns == ["id", "g", "v"]  # v1 under v1's (no) mapping
+    assert V.table_mapping(table) == {"id": "id", "g": "g", "price": "v"}
+
+
+def test_rename_guards(spark, table):
+    with pytest.raises(ValueError, match="no column"):
+        V.rename_column(table, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        V.rename_column(table, "v", "g")
+    V.add_constraint(spark, table, "v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        V.rename_column(table, "v", "price")
+    V.drop_constraint(table, "v_pos")
+    V.rename_column(table, "v", "price")
+
+
+def test_mutations_use_logical_names_and_keep_physical_schema(
+    spark, table
+):
+    V.rename_column(table, "v", "price")
+    res = V.update_table(
+        spark, table, {"price": F.lit(-1.0)}, F.col("price") == 4.0
+    )
+    assert res["n_matched"] == 1
+    res = V.delete_from(spark, table, F.col("price") > 500.0, mode="cow")
+    assert res["n_deleted"] == 49  # ids 251..299
+    res = V.delete_from(spark, table, F.col("id") == 7, mode="dv")
+    assert res["files_dv"] == 1
+    got = V.read_table(spark, table)
+    assert got.columns == ["id", "g", "price"]
+    assert got.count() == 250
+    assert got.filter(F.col("price") == -1.0).count() == 1
+    # every data file still carries the FROZEN physical name "v"
+    for f in V._read_manifest(table, V.current_version(table))["files"]:
+        names = pq.read_schema(f["path"]).names
+        assert "v" in names and "price" not in names
+
+
+def test_merge_after_rename(spark, table):
+    V.rename_column(table, "v", "price")
+    src = spark.createDataFrame(
+        [(5, 2, 555.0), (9000, 0, 1.0)], "id long, g long, price double"
+    )
+    res = V.merge_table(spark, table, src, keys=["id"])
+    assert res["updated"] == 1 and res["inserted"] == 1
+    got = {
+        r["id"]: r["price"]
+        for r in V.read_table(spark, table)
+        .filter(F.col("id").isin(5, 9000))
+        .collect()
+    }
+    assert got == {5: 555.0, 9000: 1.0}
+
+
+def test_pruning_paths_translate_to_physical_stats(spark, tmp_path):
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") * 2.0).alias("v")
+    )
+    path = str(tmp_path / "t")
+    V.create_table(
+        df.repartitionByRange(3, "id"), path, bloom_cols=["id"]
+    )
+    V.rename_column(path, "id", "key")
+    # between= prunes on the physical stats and filters logically
+    got = V.read_table(spark, path, between=("key", 10, 20))
+    assert len(got.inputFiles()) == 1
+    assert sorted(r["key"] for r in got.collect()) == list(range(10, 21))
+    # bloom eq= point read under the logical name
+    hit = V.read_table(spark, path, eq=("key", 42))
+    assert len(hit.inputFiles()) == 1
+    assert [r["key"] for r in hit.collect()] == [42]
+    assert V.table_column_minmax(path, "key") == (0, 299)
+
+
+def test_append_after_rename_and_collision_gets_fresh_physical(
+    spark, table
+):
+    V.rename_column(table, "v", "price")
+    V.append_table(
+        spark.createDataFrame(
+            [(1000, 0, 9.0)], "id long, g long, price double"
+        ),
+        table,
+    )
+    assert V.read_table(spark, table).filter(
+        F.col("id") == 1000
+    ).collect()[0]["price"] == 9.0
+    # new column literally named "v" (the RETIRED physical name) must
+    # NOT alias onto the old column's bytes
+    V.append_table(
+        spark.createDataFrame(
+            [(2000, 0, 1.0, "fresh")], "id long, g long, price double, v string"
+        ),
+        table,
+    )
+    m = V.table_mapping(table)
+    assert m["price"] == "v" and m["v"] != "v"  # fresh physical name
+    got = V.read_table(spark, table)
+    rows = {r["id"]: (r["price"], r["v"]) for r in got.filter(
+        F.col("id").isin(0, 2000)
+    ).collect()}
+    assert rows[2000] == (1.0, "fresh")
+    assert rows[0] == (0.0, None)  # old rows: new column NULL, no leak
+
+
+def test_drop_column_metadata_only(spark, table):
+    V.drop_column(table, "g")
+    cur = V.read_table(spark, table)
+    assert cur.columns == ["id", "v"]
+    assert V.read_table(spark, table, version=1).columns == ["id", "g", "v"]
+    with pytest.raises(ValueError, match="no column"):
+        V.drop_column(table, "g")
+    # physical bytes still in the old files; a CoW rewrite ages them out
+    V.delete_from(spark, table, F.col("id") < 100, mode="cow")
+    files = V._read_manifest(table, V.current_version(table))["files"]
+    rewritten = [
+        f for f in files
+        if "g" not in pq.read_schema(f["path"]).names
+    ]
+    assert rewritten  # at least the rewritten file dropped the bytes
+    assert V.read_table(spark, table).columns == ["id", "v"]
+
+
+def test_rollback_restores_mapping(spark, table):
+    V.rename_column(table, "v", "price")  # v2
+    V.rollback(table, 1)  # v3: mapping cleared
+    assert V.read_table(spark, table).columns == ["id", "g", "v"]
+    assert V.table_mapping(table) is None
+    V.rename_column(table, "v", "cost")  # v4
+    V.rollback(table, 2)  # v5: the v2 mapping (price) restored
+    assert V.read_table(spark, table).columns == ["id", "g", "price"]
+
+
+def test_change_feed_and_clone_under_mapping(spark, table, tmp_path):
+    V.rename_column(table, "v", "price")  # v2
+    V.append_table(
+        spark.createDataFrame(
+            [(5000, 1, 3.0)], "id long, g long, price double"
+        ),
+        table,
+    )  # v3
+    ch = V.table_changes(spark, table, 2, 3)
+    assert set(ch.columns) == {"id", "g", "price", "_change_type"}
+    assert [r["id"] for r in ch.collect()] == [5000]
+    clone = str(tmp_path / "clone")
+    V.clone_table(spark, table, clone)
+    assert V.read_table(spark, clone).columns == ["id", "g", "price"]
+
+
+def test_compact_and_reorg_preserve_logical_view(spark, table):
+    V.rename_column(table, "v", "price")
+    V.delete_from(spark, table, F.col("id") == 3, mode="dv")
+    before = V.read_table(spark, table).orderBy("id").collect()
+    V.compact_table(spark, table, target_files=2)
+    assert V.read_table(spark, table).orderBy("id").collect() == before
+    assert V.table_mapping(table)["price"] == "v"
+    V.delete_from(spark, table, F.col("id") == 4, mode="dv")
+    V.reorg_table(spark, table)
+    got = V.read_table(spark, table)
+    assert got.columns == ["id", "g", "price"]
+    assert got.count() == 298
+
+
+def test_overwrite_partitions_on_renamed_column(spark, tmp_path):
+    df = spark.range(0, 90).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("day"),
+        F.lit(1.0).alias("v"),
+    )
+    path = str(tmp_path / "t")
+    V.create_table(df, path, cluster_by=["day"], num_files=3)
+    V.rename_column(path, "day", "dt")
+    delivery = spark.range(0, 30).select(
+        F.col("id"), F.lit("1").alias("dt"), F.lit(7.0).alias("v")
+    )
+    res = V.overwrite_partitions(spark, delivery, path, "dt")
+    assert res["files_rewritten"] == 0  # clustered: whole-file drop
+    got = V.read_table(spark, path)
+    assert got.filter(F.col("dt") == "1").count() == 30
+    assert got.filter((F.col("dt") == "1") & (F.col("v") != 7.0)).count() == 0
+    assert got.filter(F.col("dt") != "1").count() == 60
+
+
+def test_table_source_reads_logical_names(spark, table):
+    from aws_etl_project2_fiap_spark.streaming.table_source import (
+        VersionedTableDataSource,
+    )
+
+    V.rename_column(table, "v", "price")
+    try:
+        spark.dataSource.register(VersionedTableDataSource)
+    except Exception:
+        pass
+    got = (
+        spark.read.format("versioned_table").option("path", table).load()
+    )
+    assert got.columns == ["id", "g", "price"]
+    assert got.count() == 300
+    # time travel through the source: v1 under v1's schema
+    old = (
+        spark.read.format("versioned_table")
+        .option("path", table)
+        .option("version", "1")
+        .load()
+    )
+    assert old.columns == ["id", "g", "v"]
