@@ -531,19 +531,26 @@ def _bloom_positions(h64, m_bits: int, k: int):
 
 
 def bloom_build(
-    fp_df: DataFrame, fp_col: str, m_bits: int, k: int = 6, fan_in: int = 8
+    fp_df: DataFrame,
+    fp_col: str,
+    m_bits: int,
+    k: int = 6,
+    fan_in: int = 8,
+    segment_bytes: int = 64 << 20,
 ) -> bytes:
     """Build a Bloom filter bitmap over an int64 fingerprint column.
 
     Each partition folds its keys into a local ``m_bits/8``-byte numpy
     bitmap inside ``mapInPandas`` (Arrow batches, no per-row Python)
-    and emits ONE row; the per-partition bitmaps then OR-merge through
-    a LOG-DEPTH tree of ``applyInPandas`` rounds — every round groups
-    ``fan_in`` bitmaps per task and emits one — until a single bitmap
-    remains, which is the only row the driver ever collects. Driver
-    traffic is ``m/8`` bytes REGARDLESS of partition count (at the
-    1%-FPP / 1e9-key regime: one ~1.2 GB bitmap, not one per
-    partition); cluster traffic is a geometric series ≤
+    and emits it as SEGMENT rows of ``segment_bytes`` each (a single
+    binary cell caps at 2 GB in Arrow — the 1e9-key / 1%-FPP regime's
+    ~2 GB bitmap must not ride in one cell); the per-partition
+    segments then OR-merge through a LOG-DEPTH tree of
+    ``applyInPandas`` rounds — every round groups ``fan_in`` bitmaps
+    per (group, segment) task and emits one — until a single bitmap
+    remains, which the driver collects as O(m/segment_bytes) segment
+    rows and concatenates. Driver traffic is ``m/8`` bytes REGARDLESS
+    of partition count; cluster traffic is a geometric series ≤
     ``num_partitions x m/8 x fan_in/(fan_in-1)``. The whole tree is
     one lazy plan — a single job executes fold + merge rounds.
     """
@@ -552,6 +559,7 @@ def bloom_build(
     n_bytes = m_bits // 8
     positions = _make_positions(m_bits, k)
     col = fp_col
+    seg = min(segment_bytes, n_bytes)
 
     def per_partition(batches):
         import numpy as np
@@ -564,7 +572,15 @@ def bloom_build(
                 np.bitwise_or.at(
                     bits, pos >> 3, np.left_shift(1, (pos & 7)).astype(np.uint8)
                 )
-        yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+        yield pd.DataFrame(
+            {
+                "seg": list(range(0, n_bytes, seg)),
+                "bitmap": [
+                    bits[off : off + seg].tobytes()
+                    for off in range(0, n_bytes, seg)
+                ],
+            }
+        )
 
     def or_group(key, pdf):
         import numpy as np
@@ -573,24 +589,32 @@ def bloom_build(
         acc = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
         for b in pdf["bitmap"].iloc[1:]:
             acc |= np.frombuffer(b, dtype=np.uint8)
-        return pd.DataFrame({"i": [key[0]], "bitmap": [acc.tobytes()]})
+        return pd.DataFrame(
+            {"i": [key[0]], "seg": [key[1]], "bitmap": [acc.tobytes()]}
+        )
 
-    parts = fp_df.select(fp_col).mapInPandas(per_partition, "bitmap binary")
-    # one bitmap row per input partition, keyed by its partition id;
-    # each round divides the key space by fan_in and ORs within groups
+    parts = fp_df.select(fp_col).mapInPandas(
+        per_partition, "seg long, bitmap binary"
+    )
+    # one row per (partition, segment), keyed by partition id; each
+    # round divides the key space by fan_in and ORs within
+    # (group, segment) — segments of one bitmap merge independently
     cur = parts.select(
-        F.spark_partition_id().cast("long").alias("i"), "bitmap"
+        F.spark_partition_id().cast("long").alias("i"), "seg", "bitmap"
     )
     n = max(1, parts.rdd.getNumPartitions())
     for _ in range(max(1, _math.ceil(_math.log(max(n, 2), fan_in)))):
         cur = (
             cur.withColumn("i", (F.col("i") / fan_in).cast("long"))
-            .groupBy("i")
-            .applyInPandas(or_group, "i long, bitmap binary")
+            .groupBy("i", "seg")
+            .applyInPandas(or_group, "i long, seg long, bitmap binary")
         )
     rows = cur.collect()
-    assert len(rows) == 1, f"bloom merge tree left {len(rows)} bitmaps"
-    return rows[0]["bitmap"]
+    n_segs = -(-n_bytes // seg)
+    assert len(rows) == n_segs, (
+        f"bloom merge tree left {len(rows)} rows, expected {n_segs} segments"
+    )
+    return b"".join(r["bitmap"] for r in sorted(rows, key=lambda r: r["seg"]))
 
 
 def bloom_might_contain(spark, bitmap: bytes, m_bits: int, k: int = 6):

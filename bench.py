@@ -233,9 +233,15 @@ def main() -> None:
         for name in sf1_set:
             fn = DEFS[name].spark
             fn(spark, tiled).count()  # warm
-            t0 = time.perf_counter()
-            fn(spark, tiled).count()
-            sf1_steady[name] = round(time.perf_counter() - t0, 3)
+            # best of two, same as the sf0.1 steady column: a single
+            # sample at sub-second scale flags scheduler/GC blips (and
+            # any co-tenant load) as gate violations
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, tiled).count()
+                runs.append(time.perf_counter() - t0)
+            sf1_steady[name] = round(min(runs), 3)
         payload["sf1_queries_steady"] = sf1_steady
         payload["sf1_steady_total"] = round(sum(sf1_steady.values()), 3)
         # per-query 2x regression gate at sf1 (BASELINE.md "sf1

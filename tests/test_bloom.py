@@ -153,3 +153,18 @@ def test_bloom_merge_driver_receives_one_bitmap(spark, monkeypatch):
     bloom_build(df.repartition(24), "fp", 1 << 13)
     monkeypatch.undo()
     assert seen == [1], f"driver collected {seen} rows, expected [1]"
+
+
+def test_bloom_build_segmented_bitmap_identical(spark):
+    """Big bitmaps ride as fixed-size SEGMENT rows (Arrow caps a binary
+    cell at 2 GB): forcing tiny segments must reproduce the unsegmented
+    bitmap bit-for-bit, across partitionings."""
+    from aws_etl_project2_fiap_spark.operators.dedup import bloom_build
+
+    df = spark.range(0, 3000).select(F.xxhash64("id").alias("fp"))
+    m_bits = 1 << 14  # 2048 bytes
+    ref = bloom_build(df.repartition(1), "fp", m_bits)
+    got = bloom_build(
+        df.repartition(9), "fp", m_bits, segment_bytes=256
+    )  # 8 segments
+    assert got == ref
