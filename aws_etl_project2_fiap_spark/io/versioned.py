@@ -1281,16 +1281,38 @@ def merge_table(
     path: str,
     source: DataFrame,
     keys: list[str],
+    when_matched: str | dict = "replace",
+    matched_condition: Column | None = None,
+    insert_unmatched: bool = True,
 ) -> dict:
-    """MERGE INTO a versioned table with file-level copy-on-write.
+    """MERGE INTO a versioned table with file-level copy-on-write and
+    Delta-style clauses.
 
-    Semantics match io/update.py ``merge_into`` (matched target rows
-    replaced by the source row; unmatched source rows inserted), but
-    the rewrite is scoped to FILES, not the table:
+    ``when_matched``:
+
+    - ``"replace"`` (default): matched target rows replaced by the
+      source row — the io/update.py ``merge_into`` contract;
+    - ``"delete"``: matched target rows are DELETED (``WHEN MATCHED
+      THEN DELETE``). The source may then carry only the key columns;
+    - a dict ``{col: Column}``: conditional column update — each
+      expression may reference both sides via the ``t``/``s`` aliases
+      (``F.col("s.amount") + F.col("t.amount")``); unlisted columns
+      keep their target values.
+
+    ``matched_condition`` (a Column over the ``t``/``s`` aliases)
+    restricts the matched clause: matched rows where it is false/NULL
+    keep their target values (or survive a delete). ``WHEN MATCHED AND
+    <cond>``. ``insert_unmatched=False`` drops the ``WHEN NOT MATCHED
+    THEN INSERT`` clause.
+
+    Physical plan, identical for every clause shape:
 
     1. one metadata-augmented semi-probe finds the target files that
        contain any merge-key match — a BROADCAST hash probe when the
-       source is delivery-sized, so the target scan is the only big IO;
+       source is delivery-sized, so the target scan is the only big IO
+       (files whose matches all fail ``matched_condition`` are still
+       rewritten byte-identically — the probe sees keys, not the
+       condition);
     2. only those files are re-read and merged (full-outer on keys
        restricted to their rows); unmatched-in-source inserts ride in
        the same new batch;
@@ -1301,17 +1323,36 @@ def merge_table(
     z-ordered layouts) costs O(matched files + delivery), never a table
     rewrite. Unique-key source enforced (a dup key would fan out).
     Returns {"version", "files_touched", "files_reused", "updated",
-    "inserted"}.
+    "deleted", "inserted"}.
     """
+    if not (when_matched in ("replace", "delete")
+            or isinstance(when_matched, dict)):
+        raise ValueError(
+            f"when_matched must be 'replace', 'delete', or a "
+            f"{{col: Column}} dict, got {when_matched!r}"
+        )
     base_version = current_version(path)
     manifest = _read_manifest(path, base_version)
     files = manifest["files"]
     mapping = manifest.get("column_mapping")
     target = _apply_mapping(_scan(spark, files), mapping)
-    if sorted(source.columns) != sorted(target.columns):
+    keys_only_source = (
+        when_matched == "delete"
+        and not insert_unmatched
+        and sorted(source.columns) == sorted(keys)
+    )
+    if not keys_only_source and sorted(source.columns) != sorted(
+        target.columns
+    ):
         raise ValueError(
             f"source columns {source.columns} != target {target.columns}"
         )
+    if isinstance(when_matched, dict):
+        bad = set(when_matched) - (set(target.columns) - set(keys))
+        if bad:
+            raise ValueError(
+                f"when_matched updates unknown/key columns {sorted(bad)}"
+            )
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
     if dup:
         raise ValueError(
@@ -1352,19 +1393,64 @@ def merge_table(
     src = source.alias("s")
     joined = tgt.join(src, keys, "full_outer")
     s_present = F.col(f"s.{keys[0]}").isNotNull()
-    merged = joined.select(
-        *[
-            F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
-            if c in keys
-            else F.when(s_present, F.col(f"s.{c}"))
-            .otherwise(F.col(f"t.{c}"))
-            .alias(c)
-        for c in t_cols
-        ]
+    t_present = F.col(f"t.{keys[0]}").isNotNull()
+    matched = s_present & t_present
+    # SQL clause semantics: a NULL condition does not fire the clause
+    cond = (
+        F.lit(True)
+        if matched_condition is None
+        else F.coalesce(matched_condition, F.lit(False))
     )
+    act = matched & cond  # rows where the matched clause fires
+    if not insert_unmatched:
+        joined = joined.filter(t_present)
+
+    def _src(c):
+        # a keys-only delete source has no non-key columns to read
+        return (
+            F.col(f"s.{c}") if c in set(source.columns) else F.lit(None)
+        )
+
+    if when_matched == "delete":
+        merged = joined.filter(~act).select(
+            *[
+                F.coalesce(F.col(f"t.{c}"), _src(c)).alias(c)
+                if c in keys
+                else F.when(s_present & ~t_present, _src(c))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in t_cols
+            ]
+        )
+    else:
+        upd = (
+            {c: F.col(f"s.{c}") for c in t_cols if c not in keys}
+            if when_matched == "replace"
+            else dict(when_matched)
+        )
+        merged = joined.select(
+            *[
+                F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
+                if c in keys
+                else F.when(act, upd.get(c, F.col(f"t.{c}")))
+                .when(s_present & ~t_present, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in t_cols
+            ]
+        )
     _enforce_constraints(merged, path)
-    n_updated = matched_rows.count()
-    n_inserted = source.join(target.select(*keys), keys, "anti").count()
+    if matched_condition is None:
+        n_acted = matched_rows.count()
+    else:
+        n_acted = joined.filter(act).count()
+    n_updated = 0 if when_matched == "delete" else n_acted
+    n_deleted = n_acted if when_matched == "delete" else 0
+    n_inserted = (
+        source.join(target.select(*keys), keys, "anti").count()
+        if insert_unmatched
+        else 0
+    )
 
     re_index = _indexed_cols(touched_entries)
     version = _commit(
@@ -1378,6 +1464,7 @@ def merge_table(
         "files_touched": len(touched),
         "files_reused": len(untouched),
         "updated": n_updated,
+        "deleted": n_deleted,
         "inserted": n_inserted,
     }
 

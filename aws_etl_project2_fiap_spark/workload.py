@@ -5127,6 +5127,63 @@ def k_table_source_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery(
+    "k_merge_clauses_readback",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(CASE WHEN o_orderkey % 97 = 0
+                               AND o_totalprice < 150000.0
+                          THEN o_totalprice * 2
+                          ELSE o_totalprice END),
+                 2) AS total
+    FROM orders
+    WHERE o_orderkey % 101 <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def k_merge_clauses_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE clauses end-to-end
+    (io/versioned.merge_table when_matched / matched_condition): a
+    conditional UPDATE merge (WHEN MATCHED AND t.o_totalprice < 150k
+    THEN SET price = s.price * 2, expressions over both aliases, no
+    insert clause) followed by a keys-only DELETE merge (WHEN MATCHED
+    THEN DELETE — the GDPR delete-list shape). The oracle reproduces
+    the post-merge state with a CASE + NOT filter on the source table,
+    proving both clause semantics and their composition exact — file-
+    level CoW scoping, condition three-valued logic, and the keys-only
+    source path included."""
+    from .io import versioned as ver_op
+
+    work = _scratch_dir("merge_clauses")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ver_op.create_table(o.repartitionByRange(8, "o_orderkey"), work)
+    delivery = o.filter(F.col("o_orderkey") % 97 == 0)
+    r1 = ver_op.merge_table(
+        spark, work, delivery, keys=["o_orderkey"],
+        when_matched={"o_totalprice": F.col("s.o_totalprice") * 2},
+        matched_condition=F.col("t.o_totalprice") < 150000.0,
+        insert_unmatched=False,
+    )
+    assert r1["inserted"] == 0 and r1["deleted"] == 0
+    dels = o.filter(F.col("o_orderkey") % 101 == 0).select("o_orderkey")
+    r2 = ver_op.merge_table(
+        spark, work, dels, keys=["o_orderkey"],
+        when_matched="delete", insert_unmatched=False,
+    )
+    assert r2["updated"] == 0 and r2["inserted"] == 0
+    return (
+        ver_op.read_table(spark, work)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 # =====================================================================
 # Entry-point accessors (driver contract)
 # =====================================================================

@@ -1,0 +1,155 @@
+"""Delta-style MERGE clauses on versioned tables
+(io/versioned.merge_table when_matched / matched_condition /
+insert_unmatched).
+
+Claims: each clause shape produces exactly the SQL MERGE result on the
+visible rows, file-level CoW scoping still holds (untouched files are
+referenced), counts report the rows the clause actually acted on, and
+a NULL matched_condition does not fire the clause (SQL three-valued
+semantics).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aws_etl_project2_fiap_spark.io import versioned as V
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    path = str(tmp_path / "tbl")
+    V.create_table(df.repartitionByRange(3, "id"), path)
+    return path
+
+
+def _rows(spark, path):
+    return {
+        r["id"]: (r["g"], r["v"])
+        for r in V.read_table(spark, path).collect()
+    }
+
+
+def test_when_matched_delete_with_insert(spark, table):
+    src = spark.createDataFrame(
+        [(5, 0, 0.0), (7, 0, 0.0), (9000, 1, 42.0)],
+        "id long, g long, v double",
+    )
+    res = V.merge_table(spark, table, src, keys=["id"], when_matched="delete")
+    assert res["deleted"] == 2 and res["inserted"] == 1
+    assert res["updated"] == 0
+    got = _rows(spark, table)
+    assert 5 not in got and 7 not in got
+    assert got[9000] == (1, 42.0)
+    assert len(got) == 299  # 300 - 2 + 1
+
+
+def test_when_matched_delete_keys_only_source(spark, table):
+    """WHEN MATCHED THEN DELETE with no insert clause accepts a
+    keys-only source — the GDPR delete-list shape."""
+    src = spark.createDataFrame([(1,), (2,), (9999,)], "id long")
+    res = V.merge_table(
+        spark, table, src, keys=["id"],
+        when_matched="delete", insert_unmatched=False,
+    )
+    assert res["deleted"] == 2 and res["inserted"] == 0
+    got = _rows(spark, table)
+    assert 1 not in got and 2 not in got and len(got) == 298
+    # file scoping: only the file(s) holding ids 1,2 were rewritten
+    assert res["files_reused"] >= 2
+
+
+def test_conditional_update_dict(spark, table):
+    """WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v + t.v:
+    expressions see both sides; non-firing matched rows keep target
+    values; unmatched source rows insert."""
+    src = spark.createDataFrame(
+        [(10, 1, 100.0), (11, 2, 0.5), (8000, 0, 7.0)],
+        "id long, g long, v double",
+    )
+    res = V.merge_table(
+        spark, table, src, keys=["id"],
+        when_matched={"v": F.col("s.v") + F.col("t.v")},
+        matched_condition=F.col("s.v") > F.col("t.v"),
+    )
+    assert res["updated"] == 1 and res["inserted"] == 1
+    got = _rows(spark, table)
+    assert got[10] == (1, 110.0)  # fired: 100 + 10, g kept from target
+    assert got[11] == (2, 11.0)  # condition false: target row intact
+    assert got[8000] == (0, 7.0)
+
+
+def test_null_condition_does_not_fire(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None)], "id long, v double"
+    )
+    path = str(tmp_path / "t")
+    V.create_table(df, path)
+    src = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "id long, v double"
+    )
+    # t.v IS NULL for id=2 -> condition NULL -> clause must not fire
+    res = V.merge_table(
+        spark, path, src, keys=["id"],
+        when_matched="delete",
+        matched_condition=F.col("t.v") > 5.0,
+        insert_unmatched=False,
+    )
+    assert res["deleted"] == 1
+    got = {r["id"] for r in V.read_table(spark, path).collect()}
+    assert got == {2}
+
+
+def test_replace_with_condition_and_no_insert(spark, table):
+    src = spark.createDataFrame(
+        [(20, 9, -1.0), (21, 9, -1.0), (7777, 9, -1.0)],
+        "id long, g long, v double",
+    )
+    res = V.merge_table(
+        spark, table, src, keys=["id"],
+        when_matched="replace",
+        matched_condition=F.col("t.id") == 20,
+        insert_unmatched=False,
+    )
+    assert res["updated"] == 1 and res["inserted"] == 0
+    got = _rows(spark, table)
+    assert got[20] == (9, -1.0)  # replaced
+    assert got[21] == (0, 21.0)  # matched, condition false: intact
+    assert 7777 not in got
+    assert len(got) == 300
+
+
+def test_clauses_compose_with_column_mapping(spark, table):
+    V.rename_column(table, "v", "price")
+    src = spark.createDataFrame(
+        [(30, 0, 0.0)], "id long, g long, price double"
+    )
+    res = V.merge_table(
+        spark, table, src, keys=["id"], when_matched="delete",
+        insert_unmatched=False,
+    )
+    assert res["deleted"] == 1
+    got = V.read_table(spark, table)
+    assert got.columns == ["id", "g", "price"]
+    assert got.filter(F.col("id") == 30).count() == 0
+
+
+def test_bad_clause_args_rejected(spark, table):
+    src = spark.createDataFrame([(1, 0, 0.0)], "id long, g long, v double")
+    with pytest.raises(ValueError, match="when_matched"):
+        V.merge_table(spark, table, src, keys=["id"], when_matched="upsert")
+    with pytest.raises(ValueError, match="unknown/key"):
+        V.merge_table(
+            spark, table, src, keys=["id"], when_matched={"id": F.lit(0)}
+        )
+    # keys-only source only allowed for delete-without-insert
+    keys_only = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="source columns"):
+        V.merge_table(spark, table, keys_only, keys=["id"])
