@@ -1281,12 +1281,15 @@ def merge_table(
     path: str,
     source: DataFrame,
     keys: list[str],
-    when_matched: str | dict = "replace",
+    when_matched: str | dict | None = "replace",
     matched_condition: Column | None = None,
     insert_unmatched: bool = True,
+    when_not_matched_by_source: str | dict | None = None,
+    not_matched_by_source_condition: Column | None = None,
+    extra: dict | None = None,
 ) -> dict:
     """MERGE INTO a versioned table with file-level copy-on-write and
-    Delta-style clauses.
+    the full Delta-style clause triad.
 
     ``when_matched``:
 
@@ -1297,7 +1300,9 @@ def merge_table(
     - a dict ``{col: Column}``: conditional column update — each
       expression may reference both sides via the ``t``/``s`` aliases
       (``F.col("s.amount") + F.col("t.amount")``); unlisted columns
-      keep their target values.
+      keep their target values;
+    - ``None``: no matched clause — matched target rows keep their
+      values (lets a keys-only source drive pure by-source sweeps).
 
     ``matched_condition`` (a Column over the ``t``/``s`` aliases)
     restricts the matched clause: matched rows where it is false/NULL
@@ -1305,39 +1310,75 @@ def merge_table(
     <cond>``. ``insert_unmatched=False`` drops the ``WHEN NOT MATCHED
     THEN INSERT`` clause.
 
-    Physical plan, identical for every clause shape:
+    ``when_not_matched_by_source`` (``WHEN NOT MATCHED BY SOURCE``):
+    acts on TARGET rows whose key has no source match — ``"delete"``
+    or a ``{col: Column}`` update whose expressions see only the ``t``
+    alias (there is no source row; ``s.*`` would read NULL).
+    ``not_matched_by_source_condition`` restricts it the same way.
+    With a full-column source, ``when_matched="replace"`` +
+    ``when_not_matched_by_source="delete"`` is the full-snapshot sync;
+    with a keys-only source and ``when_matched=None`` it is a
+    retain-list sweep (delete everything NOT on the list).
+
+    Physical plan:
 
     1. one metadata-augmented semi-probe finds the target files that
        contain any merge-key match — a BROADCAST hash probe when the
        source is delivery-sized, so the target scan is the only big IO
        (files whose matches all fail ``matched_condition`` are still
        rewritten byte-identically — the probe sees keys, not the
-       condition);
+       condition); a by-source clause adds the anti-probe: files
+       holding any row that FIRES the clause (condition applied in the
+       probe, so a stats-prunable condition — e.g. a date range —
+       confines the rewrite; an unconditional by-source clause is a
+       full-table-shape rewrite by SQL semantics, same as Delta);
     2. only those files are re-read and merged (full-outer on keys
        restricted to their rows); unmatched-in-source inserts ride in
        the same new batch;
-    3. manifest = (current − matched files) + merged batch; pointer
+    3. manifest = (current − touched files) + merged batch; pointer
        flip is atomic, history retained.
 
     A delivery whose keys cluster into few files (date-partitioned or
     z-ordered layouts) costs O(matched files + delivery), never a table
     rewrite. Unique-key source enforced (a dup key would fan out).
     Returns {"version", "files_touched", "files_reused", "updated",
-    "deleted", "inserted"}.
+    "deleted", "inserted"} — by-source actions fold into "updated" /
+    "deleted" by kind.
     """
-    if not (when_matched in ("replace", "delete")
+    if not (when_matched in ("replace", "delete", None)
             or isinstance(when_matched, dict)):
         raise ValueError(
-            f"when_matched must be 'replace', 'delete', or a "
-            f"{{col: Column}} dict, got {when_matched!r}"
+            f"when_matched must be 'replace', 'delete', a "
+            f"{{col: Column}} dict, or None, got {when_matched!r}"
         )
+    if not (when_not_matched_by_source in ("delete", None)
+            or isinstance(when_not_matched_by_source, dict)):
+        raise ValueError(
+            f"when_not_matched_by_source must be 'delete', a "
+            f"{{col: Column}} dict, or None, got "
+            f"{when_not_matched_by_source!r}"
+        )
+    if when_matched is None and matched_condition is not None:
+        raise ValueError("matched_condition requires a matched clause")
+    if (when_not_matched_by_source is None
+            and not_matched_by_source_condition is not None):
+        raise ValueError(
+            "not_matched_by_source_condition requires a "
+            "when_not_matched_by_source clause"
+        )
+    if (when_matched is None and when_not_matched_by_source is None
+            and not insert_unmatched):
+        raise ValueError("merge with no clauses would be a no-op")
     base_version = current_version(path)
     manifest = _read_manifest(path, base_version)
     files = manifest["files"]
     mapping = manifest.get("column_mapping")
     target = _apply_mapping(_scan(spark, files), mapping)
+    # a keys-only source suffices when no clause reads source values:
+    # matched-delete / no matched clause, no insert (by-source clauses
+    # see only the target side by construction)
     keys_only_source = (
-        when_matched == "delete"
+        when_matched in ("delete", None)
         and not insert_unmatched
         and sorted(source.columns) == sorted(keys)
     )
@@ -1347,12 +1388,16 @@ def merge_table(
         raise ValueError(
             f"source columns {source.columns} != target {target.columns}"
         )
-    if isinstance(when_matched, dict):
-        bad = set(when_matched) - (set(target.columns) - set(keys))
-        if bad:
-            raise ValueError(
-                f"when_matched updates unknown/key columns {sorted(bad)}"
-            )
+    for label, clause in (
+        ("when_matched", when_matched),
+        ("when_not_matched_by_source", when_not_matched_by_source),
+    ):
+        if isinstance(clause, dict):
+            bad = set(clause) - (set(target.columns) - set(keys))
+            if bad:
+                raise ValueError(
+                    f"{label} updates unknown/key columns {sorted(bad)}"
+                )
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
     if dup:
         raise ValueError(
@@ -1379,6 +1424,25 @@ def merge_table(
     touched = [
         r["__file"] for r in matched_rows.select("__file").distinct().collect()
     ]
+    if when_not_matched_by_source is not None:
+        # anti-probe: files holding any target row the by-source clause
+        # FIRES on — the condition filters inside the probe, so a
+        # selective (stats-prunable) condition confines the rewrite to
+        # the files it can actually touch
+        anti = _apply_mapping(
+            _scan(spark, files, keep_meta=True), mapping
+        ).alias("t").join(F.broadcast(source.select(*keys)), keys, "anti")
+        if not_matched_by_source_condition is not None:
+            anti = anti.filter(
+                F.coalesce(not_matched_by_source_condition, F.lit(False))
+            )
+        touched = sorted(
+            set(touched)
+            | {
+                r["__file"]
+                for r in anti.select("__file").distinct().collect()
+            }
+        )
 
     touched_set = set(touched)
     untouched = [f for f in files if f["path"] not in touched_set]
@@ -1402,50 +1466,74 @@ def merge_table(
         else F.coalesce(matched_condition, F.lit(False))
     )
     act = matched & cond  # rows where the matched clause fires
+    bs_cond = (
+        F.lit(True)
+        if not_matched_by_source_condition is None
+        else F.coalesce(not_matched_by_source_condition, F.lit(False))
+    )
+    # rows where the by-source clause fires (never overlaps `act`)
+    bs_act = (
+        (t_present & ~s_present & bs_cond)
+        if when_not_matched_by_source is not None
+        else F.lit(False)
+    )
     if not insert_unmatched:
         joined = joined.filter(t_present)
 
     def _src(c):
-        # a keys-only delete source has no non-key columns to read
+        # a keys-only source has no non-key columns to read
         return (
             F.col(f"s.{c}") if c in set(source.columns) else F.lit(None)
         )
 
+    drop = F.lit(False)
     if when_matched == "delete":
-        merged = joined.filter(~act).select(
-            *[
-                F.coalesce(F.col(f"t.{c}"), _src(c)).alias(c)
-                if c in keys
-                else F.when(s_present & ~t_present, _src(c))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-                for c in t_cols
-            ]
-        )
-    else:
-        upd = (
-            {c: F.col(f"s.{c}") for c in t_cols if c not in keys}
-            if when_matched == "replace"
-            else dict(when_matched)
-        )
-        merged = joined.select(
-            *[
-                F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
-                if c in keys
-                else F.when(act, upd.get(c, F.col(f"t.{c}")))
-                .when(s_present & ~t_present, F.col(f"s.{c}"))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-                for c in t_cols
-            ]
-        )
+        drop = drop | act
+    if when_not_matched_by_source == "delete":
+        drop = drop | bs_act
+    kept = joined.filter(~drop)
+    upd_m = (
+        {c: F.col(f"s.{c}") for c in t_cols if c not in keys}
+        if when_matched == "replace"
+        else dict(when_matched) if isinstance(when_matched, dict) else None
+    )
+    upd_bs = (
+        dict(when_not_matched_by_source)
+        if isinstance(when_not_matched_by_source, dict)
+        else None
+    )
+
+    def _merged_col(c):
+        if c in keys:
+            return F.coalesce(F.col(f"t.{c}"), _src(c)).alias(c)
+        # the three firing predicates are mutually exclusive, so the
+        # when-chain order is immaterial
+        e = F.when(s_present & ~t_present, _src(c))
+        if upd_m is not None:
+            e = e.when(act, upd_m.get(c, F.col(f"t.{c}")))
+        if upd_bs is not None:
+            e = e.when(bs_act, upd_bs.get(c, F.col(f"t.{c}")))
+        return e.otherwise(F.col(f"t.{c}")).alias(c)
+
+    merged = kept.select(*[_merged_col(c) for c in t_cols])
     _enforce_constraints(merged, path)
-    if matched_condition is None:
+    if when_matched is None:
+        n_acted = 0
+    elif matched_condition is None:
         n_acted = matched_rows.count()
     else:
         n_acted = joined.filter(act).count()
-    n_updated = 0 if when_matched == "delete" else n_acted
-    n_deleted = n_acted if when_matched == "delete" else 0
+    n_bs = (
+        joined.filter(bs_act).count()
+        if when_not_matched_by_source is not None
+        else 0
+    )
+    n_updated = (0 if when_matched in ("delete", None) else n_acted) + (
+        n_bs if isinstance(when_not_matched_by_source, dict) else 0
+    )
+    n_deleted = (n_acted if when_matched == "delete" else 0) + (
+        n_bs if when_not_matched_by_source == "delete" else 0
+    )
     n_inserted = (
         source.join(target.select(*keys), keys, "anti").count()
         if insert_unmatched
@@ -1457,6 +1545,7 @@ def merge_table(
         path,
         untouched
         + _write_batch(_to_physical(merged, mapping), path, re_index or None),
+        extra=extra,
         expect_version=base_version,
     )
     return {
@@ -2056,3 +2145,95 @@ def consume_changes(
         json.dump({"version": current}, fh)
     os.replace(tmp, cursor_path)
     return {"from": last, "to": current, "delivered": True, "committed": True}
+
+
+def replicate_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    keys: list[str],
+    cursor_path: str,
+) -> dict:
+    """Incrementally replicate a key-unique versioned table into
+    another versioned table by APPLYING its change feed — upserts AND
+    deletes, unlike :func:`consume_changes` (insert-only delivery).
+    The Delta "CDF + MERGE replication" recipe on this log:
+
+    - diff cursor → current via :func:`table_changes` (cost ∝ changed
+      files, not table size);
+    - reconcile on ``keys``: the feed's file-diff granularity re-emits
+      every row of a rewritten file as delete+insert, so a key on the
+      insert side is an UPSERT with its TO-version row (the insert leg
+      reads added files under the TO manifest's DVs — already the
+      final visible state), and a key ONLY on the delete side is a
+      true DELETE;
+    - apply as two scoped merges: ``merge_table(when_matched=
+      "replace")`` for upserts, then a keys-only ``when_matched=
+      "delete"`` merge — both file-level CoW, both broadcast-probed,
+      so a delivery-sized change set touches only the replica files
+      holding those keys;
+    - commit the cursor AFTER both merges: at-least-once, and a replay
+      is idempotent (re-replacing identical rows and re-deleting
+      absent keys are both no-ops row-wise).
+
+    First run (no cursor) seeds the replica with the full current
+    snapshot. A cursor behind vacuum retention raises, same contract as
+    ``consume_changes``. Returns {"from", "to", "upserted",
+    "deleted"}.
+    """
+    current = current_version(src_path)
+    try:
+        with open(cursor_path) as fh:
+            last = int(json.load(fh)["version"])
+    except FileNotFoundError:
+        last = 0
+    if current == last:
+        return {"from": last, "to": current, "upserted": 0, "deleted": 0}
+    if last > 0 and not os.path.exists(
+        os.path.join(_manifest_dir(src_path), f"v{last}.json")
+    ):
+        raise ValueError(
+            f"cursor at v{last} of {src_path} predates retention "
+            f"(vacuumed); delete {cursor_path} to resync the replica "
+            f"from a full snapshot"
+        )
+    n_up = n_del = 0
+    if last == 0:
+        snap = read_table(spark, src_path, version=current)
+        if os.path.exists(os.path.join(dst_path, "_CURRENT")):
+            # re-seed an existing replica idempotently: full-sync merge
+            merge_table(
+                spark, dst_path, snap, keys,
+                when_matched="replace",
+                when_not_matched_by_source="delete",
+            )
+        else:
+            create_table(snap, dst_path)
+        n_up = snap.count()
+    else:
+        feed = table_changes(spark, src_path, last, current)
+        ups = feed.filter(F.col("_change_type") == "insert").drop(
+            "_change_type", "_commit_version"
+        )
+        del_keys = (
+            feed.filter(F.col("_change_type") == "delete")
+            .select(*keys)
+            .distinct()
+            .join(ups.select(*keys), keys, "anti")
+        )
+        if ups.limit(1).collect():
+            r = merge_table(
+                spark, dst_path, ups, keys, when_matched="replace"
+            )
+            n_up = r["updated"] + r["inserted"]
+        if del_keys.limit(1).collect():
+            r = merge_table(
+                spark, dst_path, del_keys, keys,
+                when_matched="delete", insert_unmatched=False,
+            )
+            n_del = r["deleted"]
+    tmp = cursor_path + f".tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": current}, fh)
+    os.replace(tmp, cursor_path)
+    return {"from": last, "to": current, "upserted": n_up, "deleted": n_del}

@@ -11,6 +11,7 @@ and ``partitionBy`` gives the Hive layout the batch side already uses.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -114,6 +115,101 @@ def upsert_sink(
 
     return (
         df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cdc_apply_sink(
+    df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    checkpoint: str,
+    op_col: str = "_op",
+    order_col: str | None = None,
+    query_name: str = "cdc_apply_sink",
+) -> StreamingQuery:
+    """Apply an op-coded change stream (CDC) to a VERSIONED table —
+    the Delta ``foreachBatch`` + ``MERGE`` recipe with real delete
+    support, upgrading :func:`upsert_sink` (plain-parquet, upserts
+    only) to the lakehouse layer.
+
+    Each input row carries ``op_col``: ``"delete"`` removes the row's
+    key from the table; any other value upserts the row (its data
+    columns, ``op_col`` dropped, must match the table's columns — the
+    Debezium c/u/d shape collapsed to upsert/delete). Per micro-batch:
+
+    - ``order_col`` (an event/sequence data column) picks the winner
+      when a batch holds several ops per key (keep-latest, so a
+      late-arriving upsert cannot resurrect a newer delete); without
+      it the source must be key-unique per batch (the merge enforces
+      this — a dup key raises rather than fanning out);
+    - upserts apply as ``merge_table(when_matched="replace")``,
+      deletes as a keys-only ``when_matched="delete"`` merge — both
+      broadcast-probed file-level CoW, so a delivery-sized batch
+      touches only the files holding its keys;
+    - exactly-once: the batch's FINAL commit records its ``batch_id``
+      in the manifest; a replayed batch (foreachBatch is
+      at-least-once) is skipped when its id is committed, and a crash
+      BETWEEN the two merges replays safely because re-replacing
+      identical rows is row-idempotent and the delete merge then
+      completes the batch;
+    - :class:`~..io.versioned.CommitConflict` from a concurrent writer
+      retries the whole batch against the new snapshot (nothing was
+      half-applied: each merge is one atomic commit).
+
+    First batch creates the table from its upserts (deletes in the
+    seed batch refer to rows that never existed — after keep-latest
+    they are no-ops by construction)."""
+    import os
+
+    from ..io import versioned as V
+    from ..operators.dedup import keep_latest
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if order_col is not None:
+            batch_df = keep_latest(batch_df, keys, order_col)
+        ups = batch_df.filter(F.col(op_col) != "delete").drop(op_col)
+        dels = batch_df.filter(F.col(op_col) == "delete").select(*keys)
+        for _attempt in range(5):
+            try:
+                if not os.path.exists(V._pointer(table_path)):
+                    if ups.isEmpty():
+                        return  # delete-only seed batch: nothing exists
+                    V.create_table(
+                        ups, table_path, extra={"batch_id": batch_id}
+                    )
+                    return
+                if batch_id in V.committed_batch_ids(table_path):
+                    return  # replayed batch: already fully committed
+                has_dels = not dels.isEmpty()
+                if not ups.isEmpty():
+                    V.merge_table(
+                        spark, table_path, ups, keys,
+                        when_matched="replace",
+                        extra=None if has_dels else {"batch_id": batch_id},
+                    )
+                if has_dels:
+                    V.merge_table(
+                        spark, table_path, dels, keys,
+                        when_matched="delete", insert_unmatched=False,
+                        extra={"batch_id": batch_id},
+                    )
+                return
+            except V.CommitConflict:
+                continue
+        raise RuntimeError(
+            f"cdc_apply_sink: batch {batch_id} lost the commit race 5 "
+            f"times on {table_path} — writer storm, investigate"
+        )
+
+    return (
+        df.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint)
         .queryName(query_name)
         .trigger(availableNow=True)

@@ -5184,6 +5184,114 @@ def k_merge_clauses_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery(
+    "k_merge_sync_readback",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(CASE WHEN o_orderkey % 3 <> 0
+                          THEN o_totalprice + 1.0
+                          ELSE o_totalprice END),
+                 2) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 3 = 0 AND o_orderpriority = '1-URGENT')
+    GROUP BY o_orderpriority
+    """,
+)
+def k_merge_sync_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-snapshot sync in ONE merge (io/versioned.merge_table
+    WHEN NOT MATCHED BY SOURCE): the source is a revised snapshot
+    (orders with o_orderkey % 3 <> 0, price + 1); matched target rows
+    are replaced, and target rows ABSENT from the snapshot are deleted
+    only where the by-source condition fires (t.o_orderpriority =
+    '1-URGENT') — the conditional-retention sync shape. The oracle
+    reproduces the post-merge state with a CASE + NOT filter, proving
+    by-source anti-probe semantics, its condition, and the fold of
+    by-source deletes into the same commit as the replaces."""
+    from .io import versioned as ver_op
+
+    work = _scratch_dir("merge_sync")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ver_op.create_table(o.repartitionByRange(8, "o_orderkey"), work)
+    snapshot = o.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    res = ver_op.merge_table(
+        spark, work, snapshot, keys=["o_orderkey"],
+        when_matched="replace",
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition=(
+            F.col("t.o_orderpriority") == "1-URGENT"
+        ),
+    )
+    assert res["inserted"] == 0
+    return (
+        ver_op.read_table(spark, work)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@defquery(
+    "k_replicate_readback",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(CASE WHEN o_orderkey % 7 = 0
+                          THEN o_totalprice + 5.0
+                          ELSE o_totalprice END),
+                 2) AS total
+    FROM orders
+    WHERE o_orderkey % 11 <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def k_replicate_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDF replication end-to-end
+    (io/versioned.replicate_table): seed a replica from a source
+    table's snapshot, then mutate the SOURCE with a copy-on-write
+    UPDATE (price + 5 where o_orderkey % 7 = 0) and a merge-on-read
+    DV DELETE (o_orderkey % 11 = 0) and replicate again — the replica
+    must equal the post-mutation source, with the rewritten file's
+    delete+insert churn reconciled on the key and the DV delta applied
+    as true deletes. The oracle reproduces the final source state from
+    the raw table, so the aggregate proves the REPLICA's contents."""
+    from .io import versioned as ver_op
+
+    work = _scratch_dir("replicate")
+    src = f"{work}/src"
+    dst = f"{work}/dst"
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ver_op.create_table(o.repartitionByRange(8, "o_orderkey"), src)
+    cur = f"{work}/cursor.json"
+    ver_op.replicate_table(spark, src, dst, ["o_orderkey"], cur)
+    ver_op.update_table(
+        spark, src,
+        {"o_totalprice": F.col("o_totalprice") + 5.0},
+        F.col("o_orderkey") % 7 == 0,
+    )
+    ver_op.delete_from(
+        spark, src, F.col("o_orderkey") % 11 == 0, mode="dv"
+    )
+    res = ver_op.replicate_table(spark, src, dst, ["o_orderkey"], cur)
+    assert res["deleted"] > 0
+    return (
+        ver_op.read_table(spark, dst)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 # =====================================================================
 # Entry-point accessors (driver contract)
 # =====================================================================

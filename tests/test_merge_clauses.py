@@ -153,3 +153,109 @@ def test_bad_clause_args_rejected(spark, table):
     keys_only = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="source columns"):
         V.merge_table(spark, table, keys_only, keys=["id"])
+
+
+def test_not_matched_by_source_delete_full_sync(spark, table):
+    """Full-snapshot sync: replace matched, insert new, delete target
+    rows absent from the source — one merge."""
+    src = spark.createDataFrame(
+        [(i, 9, float(i)) for i in range(0, 100)] + [(5000, 9, 1.0)],
+        "id long, g long, v double",
+    )
+    res = V.merge_table(
+        spark, table, src, keys=["id"],
+        when_matched="replace",
+        when_not_matched_by_source="delete",
+    )
+    assert res["updated"] == 100
+    assert res["deleted"] == 200  # ids 100..299 vanish
+    assert res["inserted"] == 1
+    got = _rows(spark, table)
+    assert len(got) == 101
+    assert got[50] == (9, 50.0) and got[5000] == (9, 1.0)
+    assert 150 not in got
+
+
+def test_retain_list_keys_only_sweep(spark, table):
+    """Keys-only retain list: when_matched=None keeps listed rows
+    untouched, by-source delete sweeps the rest."""
+    src = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    res = V.merge_table(
+        spark, table, src, keys=["id"],
+        when_matched=None, insert_unmatched=False,
+        when_not_matched_by_source="delete",
+    )
+    assert res["deleted"] == 290 and res["updated"] == 0
+    assert res["inserted"] == 0
+    got = _rows(spark, table)
+    assert set(got) == set(range(10))
+    assert got[3] == (0, 3.0)  # retained rows byte-for-byte intact
+
+
+def test_not_matched_by_source_update_with_condition(spark, table):
+    """WHEN NOT MATCHED BY SOURCE AND t.g = 1 THEN SET v = -t.v:
+    expressions see the target alias; condition confines both the
+    action and the file rewrite."""
+    src = spark.createDataFrame(
+        [(0, 0, 99.0)], "id long, g long, v double"
+    )
+    res = V.merge_table(
+        spark, table, src, keys=["id"],
+        when_matched="replace",
+        when_not_matched_by_source={"v": -F.col("t.v")},
+        not_matched_by_source_condition=F.col("t.g") == 1,
+    )
+    # 300 rows, id 0 matched-replaced; g==1 is ids 1,4,7,... (100 rows,
+    # minus id 0 which matched — id 0 has g 0, so none excluded)
+    assert res["deleted"] == 0 and res["inserted"] == 0
+    assert res["updated"] == 1 + 100
+    got = _rows(spark, table)
+    assert got[0] == (0, 99.0)
+    assert got[1] == (1, -1.0) and got[4] == (1, -4.0)
+    assert got[2] == (2, 2.0)  # condition false: intact
+    assert len(got) == 300
+
+
+def test_by_source_counts_fold_and_args_validated(spark, table):
+    src = spark.createDataFrame([(1, 0, 0.0)], "id long, g long, v double")
+    with pytest.raises(ValueError, match="when_not_matched_by_source"):
+        V.merge_table(
+            spark, table, src, keys=["id"],
+            when_not_matched_by_source="replace",
+        )
+    with pytest.raises(ValueError, match="requires a"):
+        V.merge_table(
+            spark, table, src, keys=["id"],
+            not_matched_by_source_condition=F.lit(True),
+        )
+    with pytest.raises(ValueError, match="no-op"):
+        V.merge_table(
+            spark, table, src, keys=["id"],
+            when_matched=None, insert_unmatched=False,
+        )
+    with pytest.raises(ValueError, match="unknown/key"):
+        V.merge_table(
+            spark, table, src, keys=["id"],
+            when_not_matched_by_source={"id": F.lit(0)},
+        )
+
+
+def test_by_source_file_scoping_with_selective_condition(spark, tmp_path):
+    """A stats-selective by-source condition leaves files it cannot
+    touch referenced, not rewritten."""
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") * 1.0).alias("v")
+    )
+    path = str(tmp_path / "scoped")
+    V.create_table(df.repartitionByRange(4, "id"), path)
+    src = spark.createDataFrame([(398,), (399,)], "id long")
+    res = V.merge_table(
+        spark, path, src, keys=["id"],
+        when_matched=None, insert_unmatched=False,
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition=F.col("t.id") >= 390,
+    )
+    assert res["deleted"] == 8  # 390..397
+    # only the last range file is touched; the other 3 are referenced
+    assert res["files_reused"] == 3 and res["files_touched"] == 1
+    assert V.read_table(spark, path).count() == 392

@@ -796,3 +796,97 @@ def test_versioned_sink_dedup_keys_content_idempotent(spark, tmp_path):
     ).awaitTermination()
     assert V.read_table(spark, table).count() == len(TICKS)
     assert V.current_version(table) >= v1  # and no duplicate content
+
+
+CDC_SCHEMA = "id long, v double, seq long, _op string"
+
+
+def _drop_cdc(spark, path, rows):
+    spark.createDataFrame(rows, CDC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_cdc_apply_sink_upserts_and_deletes(spark, tmp_path):
+    """Op-coded change stream applies to a versioned table: upserts
+    replace/insert, deletes remove, each batch is atomic commits with
+    the final one carrying the batch id."""
+    from aws_etl_project2_fiap_spark.io import versioned as V
+    from aws_etl_project2_fiap_spark.streaming.sinks import cdc_apply_sink
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _drop_cdc(spark, landing, [
+        (1, 10.0, 1, "c"), (2, 20.0, 1, "c"), (3, 30.0, 1, "c"),
+    ])
+    cdc_apply_sink(
+        file_source(spark, landing, CDC_SCHEMA), table, ["id"], ckpt,
+        order_col="seq",
+    ).awaitTermination()
+    got = {r["id"]: r["v"] for r in V.read_table(spark, table).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0}
+
+    # update 1, delete 2, insert 4 — one mixed batch
+    _drop_cdc(spark, landing, [
+        (1, 11.0, 2, "u"), (2, None, 2, "delete"), (4, 40.0, 2, "c"),
+    ])
+    cdc_apply_sink(
+        file_source(spark, landing, CDC_SCHEMA), table, ["id"], ckpt,
+        order_col="seq",
+    ).awaitTermination()
+    got = {r["id"]: r["v"] for r in V.read_table(spark, table).collect()}
+    assert got == {1: 11.0, 3: 30.0, 4: 40.0}
+    assert len(V.committed_batch_ids(table)) == 2  # final commits only
+
+
+def test_cdc_apply_sink_replay_guard(spark, tmp_path):
+    """Checkpoint loss replays the same batch id: the manifest guard
+    skips it (no duplicate versions, no resurrection)."""
+    from aws_etl_project2_fiap_spark.io import versioned as V
+    from aws_etl_project2_fiap_spark.streaming.sinks import cdc_apply_sink
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+
+    _drop_cdc(spark, landing, [(1, 10.0, 1, "c"), (2, 20.0, 1, "c")])
+    cdc_apply_sink(
+        file_source(spark, landing, CDC_SCHEMA), table, ["id"],
+        str(tmp_path / "c1"), order_col="seq",
+    ).awaitTermination()
+    v1 = V.current_version(table)
+    cdc_apply_sink(
+        file_source(spark, landing, CDC_SCHEMA), table, ["id"],
+        str(tmp_path / "c2"), order_col="seq",
+    ).awaitTermination()
+    assert V.current_version(table) == v1
+    assert V.read_table(spark, table).count() == 2
+
+
+def test_cdc_apply_sink_order_col_picks_winner(spark, tmp_path):
+    """Several ops per key in one batch: keep-latest by order_col —
+    a later delete beats an earlier upsert and vice versa."""
+    from aws_etl_project2_fiap_spark.io import versioned as V
+    from aws_etl_project2_fiap_spark.streaming.sinks import cdc_apply_sink
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+
+    _drop_cdc(spark, landing, [(1, 10.0, 1, "c"), (2, 20.0, 1, "c")])
+    cdc_apply_sink(
+        file_source(spark, landing, CDC_SCHEMA), table, ["id"],
+        str(tmp_path / "c1"), order_col="seq",
+    ).awaitTermination()
+    # key 1: upsert@2 then delete@3 -> deleted; key 2: delete@2 then
+    # upsert@3 -> lives with the later value
+    _drop_cdc(spark, landing, [
+        (1, 12.0, 2, "u"), (1, None, 3, "delete"),
+        (2, None, 2, "delete"), (2, 22.0, 3, "u"),
+    ])
+    cdc_apply_sink(
+        file_source(spark, landing, CDC_SCHEMA), table, ["id"],
+        str(tmp_path / "c1"), order_col="seq",
+    ).awaitTermination()
+    got = {r["id"]: r["v"] for r in V.read_table(spark, table).collect()}
+    assert got == {2: 22.0}
