@@ -1287,6 +1287,7 @@ def merge_table(
     when_not_matched_by_source: str | dict | None = None,
     not_matched_by_source_condition: Column | None = None,
     extra: dict | None = None,
+    schema_evolution: bool = False,
 ) -> dict:
     """MERGE INTO a versioned table with file-level copy-on-write and
     the full Delta-style clause triad.
@@ -1320,13 +1321,23 @@ def merge_table(
     with a keys-only source and ``when_matched=None`` it is a
     retain-list sweep (delete everything NOT on the list).
 
+    ``schema_evolution=True`` (Delta autoMerge): the source may carry
+    NEW columns — they join the table (NULL for rows in untouched/old
+    files, which readers superset-union) — and may OMIT target columns
+    (kept on update, NULL on insert). Under a column mapping, new
+    logical columns mint non-colliding physical names, same rule as
+    ``append_table``.
+
     Physical plan:
 
-    1. one metadata-augmented semi-probe finds the target files that
-       contain any merge-key match — a BROADCAST hash probe when the
-       source is delivery-sized, so the target scan is the only big IO
-       (files whose matches all fail ``matched_condition`` are still
-       rewritten byte-identically — the probe sees keys, not the
+    1. the source's merge-key envelope (one O(keys) driver row)
+       prunes files whose write-time min/max stats cannot intersect it
+       — a range-clustered delivery never even SCANS the files it
+       can't touch; the surviving files take a metadata-augmented
+       semi-probe for actual key matches — a BROADCAST hash probe when
+       the source is delivery-sized, so the target scan is the only
+       big IO (files whose matches all fail ``matched_condition`` are
+       still rewritten byte-identically — the probe sees keys, not the
        condition); a by-source clause adds the anti-probe: files
        holding any row that FIRES the clause (condition applied in the
        probe, so a stats-prunable condition — e.g. a date range —
@@ -1382,7 +1393,17 @@ def merge_table(
         and not insert_unmatched
         and sorted(source.columns) == sorted(keys)
     )
-    if not keys_only_source and sorted(source.columns) != sorted(
+    new_cols: list[str] = []
+    if schema_evolution:
+        # Delta autoMerge semantics: NEW source columns join the table
+        # (NULL for untouched/old rows — reads already superset-union
+        # file schemas); target-only columns persist (kept on update,
+        # NULL on insert). Keys must exist on both sides.
+        miss = [k for k in keys if k not in source.columns]
+        if miss:
+            raise ValueError(f"source lacks merge key(s) {miss}")
+        new_cols = [c for c in source.columns if c not in target.columns]
+    elif not keys_only_source and sorted(source.columns) != sorted(
         target.columns
     ):
         raise ValueError(
@@ -1393,7 +1414,9 @@ def merge_table(
         ("when_not_matched_by_source", when_not_matched_by_source),
     ):
         if isinstance(clause, dict):
-            bad = set(clause) - (set(target.columns) - set(keys))
+            bad = set(clause) - (
+                (set(target.columns) | set(new_cols)) - set(keys)
+            )
             if bad:
                 raise ValueError(
                     f"{label} updates unknown/key columns {sorted(bad)}"
@@ -1418,12 +1441,43 @@ def merge_table(
             f"never match; filter or fill them before merging"
         )
 
-    matched_rows = _apply_mapping(
-        _scan(spark, files, keep_meta=True), mapping
-    ).join(F.broadcast(source.select(*keys)), keys, "semi")
-    touched = [
-        r["__file"] for r in matched_rows.select("__file").distinct().collect()
-    ]
+    # stats-pruned probe (the Delta MERGE scan-pruning idea): a file
+    # whose write-time [min, max] for ANY merge key cannot intersect
+    # the source's key envelope can hold no match — compute the
+    # envelope in one O(keys)-wide driver row and drop those files
+    # BEFORE the probe scan. A delivery keyed into a narrow range of a
+    # range-partitioned/z-ordered table probes (and rewrites) only the
+    # files it can touch; the envelope is useless for scattered keys
+    # and the probe then degrades gracefully to the full scan.
+    env = source.select(
+        *[
+            c
+            for i, k in enumerate(keys)
+            for c in (
+                F.min(k).alias(f"__lo{i}"),
+                F.max(k).alias(f"__hi{i}"),
+            )
+        ]
+    ).collect()[0]
+    probe_entries = files
+    for i, k in enumerate(keys):
+        lo, hi = env[f"__lo{i}"], env[f"__hi{i}"]
+        if lo is None:
+            continue  # empty source: nothing prunes, probe finds 0
+        probe_entries = prunable(
+            probe_entries, _phys_col(mapping, k), lo, hi
+        )[0]
+    if probe_entries:
+        matched_rows = _apply_mapping(
+            _scan(spark, probe_entries, keep_meta=True), mapping
+        ).join(F.broadcast(source.select(*keys)), keys, "semi")
+        touched = [
+            r["__file"]
+            for r in matched_rows.select("__file").distinct().collect()
+        ]
+    else:
+        matched_rows = None
+        touched = []
     if when_not_matched_by_source is not None:
         # anti-probe: files holding any target row the by-source clause
         # FIRES on — the condition filters inside the probe, so a
@@ -1481,10 +1535,14 @@ def merge_table(
         joined = joined.filter(t_present)
 
     def _src(c):
-        # a keys-only source has no non-key columns to read
+        # a keys-only / narrower source has no such column to read
         return (
             F.col(f"s.{c}") if c in set(source.columns) else F.lit(None)
         )
+
+    def _tgt(c):
+        # a schema-evolution NEW column has no target side yet
+        return F.col(f"t.{c}") if c in set(t_cols) else F.lit(None)
 
     drop = F.lit(False)
     if when_matched == "delete":
@@ -1492,8 +1550,13 @@ def merge_table(
     if when_not_matched_by_source == "delete":
         drop = drop | bs_act
     kept = joined.filter(~drop)
+    out_cols = t_cols + new_cols
     upd_m = (
-        {c: F.col(f"s.{c}") for c in t_cols if c not in keys}
+        {
+            c: F.col(f"s.{c}")
+            for c in out_cols
+            if c not in keys and c in set(source.columns)
+        }
         if when_matched == "replace"
         else dict(when_matched) if isinstance(when_matched, dict) else None
     )
@@ -1510,14 +1573,29 @@ def merge_table(
         # when-chain order is immaterial
         e = F.when(s_present & ~t_present, _src(c))
         if upd_m is not None:
-            e = e.when(act, upd_m.get(c, F.col(f"t.{c}")))
+            e = e.when(act, upd_m.get(c, _tgt(c)))
         if upd_bs is not None:
-            e = e.when(bs_act, upd_bs.get(c, F.col(f"t.{c}")))
-        return e.otherwise(F.col(f"t.{c}")).alias(c)
+            e = e.when(bs_act, upd_bs.get(c, _tgt(c)))
+        return e.otherwise(_tgt(c)).alias(c)
 
-    merged = kept.select(*[_merged_col(c) for c in t_cols])
+    merged = kept.select(*[_merged_col(c) for c in out_cols])
+    if new_cols and mapping:
+        # evolution under a column mapping: new logical columns join
+        # the mapping, minting a fresh physical name on collision with
+        # a retired physical name (same rule as append_table — old
+        # files' bytes must not leak into the new logical column)
+        mapping = dict(mapping)
+        for c in new_cols:
+            if c not in mapping:
+                phys = (
+                    c
+                    if c not in mapping.values()
+                    else f"{c}_p{uuid.uuid4().hex[:6]}"
+                )
+                mapping[c] = phys
+        extra = {**(extra or {}), "column_mapping": mapping}
     _enforce_constraints(merged, path)
-    if when_matched is None:
+    if when_matched is None or matched_rows is None:
         n_acted = 0
     elif matched_condition is None:
         n_acted = matched_rows.count()
@@ -1552,6 +1630,7 @@ def merge_table(
         "version": version,
         "files_touched": len(touched),
         "files_reused": len(untouched),
+        "files_probed": len(probe_entries),
         "updated": n_updated,
         "deleted": n_deleted,
         "inserted": n_inserted,

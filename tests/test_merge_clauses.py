@@ -259,3 +259,113 @@ def test_by_source_file_scoping_with_selective_condition(spark, tmp_path):
     # only the last range file is touched; the other 3 are referenced
     assert res["files_reused"] == 3 and res["files_touched"] == 1
     assert V.read_table(spark, path).count() == 392
+
+
+def test_merge_probe_prunes_by_key_stats(spark, tmp_path):
+    """A range-clustered table + narrow-keyed delivery: the probe must
+    skip files whose key stats cannot intersect the source envelope —
+    files_probed < total files, result identical to SQL MERGE."""
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 1.0).alias("v")
+    )
+    path = str(tmp_path / "pruned")
+    V.create_table(df.repartitionByRange(10, "id"), path)
+    src = spark.createDataFrame(
+        [(5, -5.0), (17, -17.0)], "id long, v double"
+    )
+    res = V.merge_table(spark, path, src, keys=["id"])
+    # envelope [5, 17] intersects only the first range file
+    assert res["files_probed"] == 1
+    assert res["files_touched"] == 1
+    assert res["updated"] == 2 and res["inserted"] == 0
+    got = {r["id"]: r["v"] for r in V.read_table(spark, path).collect()}
+    assert got[5] == -5.0 and got[17] == -17.0
+    assert len(got) == 1000
+    # append-shaped delivery (all keys above the table max): every
+    # file prunes, the probe runs on nothing, pure insert commit
+    src2 = spark.createDataFrame(
+        [(2000, 1.0), (2001, 2.0)], "id long, v double"
+    )
+    res2 = V.merge_table(spark, path, src2, keys=["id"])
+    assert res2["files_probed"] == 0 and res2["files_touched"] == 0
+    assert res2["inserted"] == 2 and res2["updated"] == 0
+    assert V.read_table(spark, path).count() == 1002
+
+
+def test_merge_probe_pruning_multi_key_and_no_stats_fallback(
+    spark, tmp_path
+):
+    """Multi-key merges prune on every key's envelope; entries without
+    stats are conservatively probed (never skipped)."""
+    df = spark.range(0, 400).select(
+        (F.col("id") % 4).alias("a"), F.col("id").alias("b"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    path = str(tmp_path / "mk")
+    V.create_table(df.repartitionByRange(4, "b"), path)
+    src = spark.createDataFrame(
+        [(1, 101, -1.0), (2, 102, -2.0)], "a long, b long, v double"
+    )
+    res = V.merge_table(spark, path, src, keys=["a", "b"])
+    assert res["files_probed"] < 4  # b-envelope [101,102] prunes
+    assert res["updated"] == 2 and res["inserted"] == 0
+    # strip stats from the manifest: pruning must degrade to full probe
+    ver = V.current_version(path)
+    m = V._read_manifest(path, ver)
+    for f in m["files"]:
+        f.pop("stats", None)
+    import json as _json
+    import os as _os
+    mp = _os.path.join(V._manifest_dir(path), f"v{ver}.json")
+    with open(mp, "w") as fh:
+        _json.dump(m, fh)
+    res2 = V.merge_table(spark, path, src, keys=["a", "b"])
+    assert res2["files_probed"] == res2["files_touched"] + res2["files_reused"]
+    assert res2["updated"] == 2
+
+
+def test_schema_evolution_new_and_missing_columns(spark, table):
+    """schema_evolution=True: a NEW source column lands (NULL for
+    untouched rows), an OMITTED target column survives updates and is
+    NULL on inserts."""
+    src = spark.createDataFrame(
+        [(5, 50.0, "x"), (9000, 90.0, "y")],
+        "id long, v double, tag string",  # no g, new tag
+    )
+    res = V.merge_table(
+        spark, table, src, keys=["id"], schema_evolution=True
+    )
+    assert res["updated"] == 1 and res["inserted"] == 1
+    got = V.read_table(spark, table)
+    assert set(got.columns) == {"id", "g", "v", "tag"}
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[5]["v"] == 50.0 and rows[5]["tag"] == "x"
+    assert rows[5]["g"] == 2  # omitted column kept on update
+    assert rows[9000]["tag"] == "y" and rows[9000]["g"] is None
+    assert rows[17]["tag"] is None  # untouched file: NULL-filled
+    assert len(rows) == 301
+
+
+def test_schema_evolution_composes_with_column_mapping(spark, table):
+    """Evolution under a rename: the new logical column must not leak
+    the retired physical column's bytes."""
+    V.rename_column(table, "v", "price")
+    # new logical column named like the RETIRED physical name "v"
+    src = spark.createDataFrame(
+        [(7, 7.5, 77.0)], "id long, price double, v double"
+    )
+    V.merge_table(spark, table, src, keys=["id"], schema_evolution=True)
+    got = V.read_table(spark, table)
+    assert set(got.columns) == {"id", "g", "price", "v"}
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[7]["price"] == 7.5 and rows[7]["v"] == 77.0
+    # old rows: the NEW "v" is NULL — not the retired physical bytes
+    assert rows[8]["v"] is None and rows[8]["price"] == 8.0
+
+
+def test_schema_evolution_requires_keys(spark, table):
+    src = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="merge key"):
+        V.merge_table(
+            spark, table, src, keys=["id"], schema_evolution=True
+        )
