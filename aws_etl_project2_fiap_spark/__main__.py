@@ -81,26 +81,28 @@ def cmd_sql(args) -> int:
 
 
 def cmd_history(args) -> int:
-    """Versioned-table log: one line per retained version."""
+    """DESCRIBE HISTORY: one line per retained version (operation,
+    commit time, file count, commit extras)."""
+    import datetime
     import json
-    import os
 
     from .io import versioned as V
 
     current = V.current_version(args.table)
-    mdir = V._manifest_dir(args.table)
-    versions = sorted(
-        int(f[1:].split(".")[0]) for f in os.listdir(mdir)
-    )
-    for v in versions:
-        m = V._read_manifest(args.table, v)
-        extra = {
-            k: m[k] for k in m if k not in ("version", "files")
+    for rec in reversed(V.table_history(args.table)):
+        mark = "*" if rec["version"] == current else " "
+        ts = datetime.datetime.fromtimestamp(
+            rec["timestamp"]
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        extras = {
+            k: v
+            for k, v in rec.items()
+            if k not in ("version", "operation", "timestamp", "n_files")
         }
-        mark = "*" if v == current else " "
         print(
-            f"{mark} v{v:<4d} {len(m['files']):4d} files"
-            + (f"  {json.dumps(extra)}" if extra else "")
+            f"{mark} v{rec['version']:<4d} {ts}  "
+            f"{(rec['operation'] or '-'):<24s} {rec['n_files']:4d} files"
+            + (f"  {json.dumps(extras)}" if extras else "")
         )
     print(f"-- current: v{current}; read any version with "
           f"`table --version N`")

@@ -266,6 +266,10 @@ def _null_cols(fpath: str) -> list[str]:
 # reclaims blooms with their batch dirs (same directory).
 
 _BLOOM_HASHES = 7
+# merge-probe bloom pruning collects the source's distinct key values
+# to the driver; past this bound the collect is skipped entirely (the
+# probe scan absorbs the cost) — deliveries, not tables, fit under it
+_MERGE_BLOOM_PROBE_CAP = 100_000
 # two independent 16-byte hash keys for pandas' vectorized SipHash —
 # the double-hashing scheme h1 + i*h2 derives all k probe positions
 _BLOOM_K1 = "spark-graft-blm1"
@@ -364,6 +368,47 @@ def _indexed_cols(entries: list) -> list[str]:
     for f in entries:
         cols.update(f.get("blooms", {}))
     return sorted(cols)
+
+
+def prunable_eq_any(files: list, col: str, values) -> tuple[list, list]:
+    """Split manifest entries into (kept, skipped) for ``col IN
+    (values)``: a file is skipped iff its bloom for ``col`` rules out
+    EVERY value. The merge-probe complement to :func:`prunable_eq` —
+    one vectorized (h1, h2) batch over all values, then per file a
+    numpy AND-fold over the hash positions, so cost is
+    O(files × values) bitmap lookups with no per-value Python loop.
+    Files without a bloom are conservatively kept; float/bool/NULL
+    values (unindexable, see prunable_eq) keep everything."""
+    import numpy as np
+
+    vals = list(values)
+    if not vals or any(
+        v is None or isinstance(v, (float, bool)) for v in vals
+    ):
+        return list(files), []
+    h1, h2 = _bloom_hash_pair(vals)
+    h1 = h1.astype(np.uint64)
+    h2 = h2.astype(np.uint64)
+    kept, skipped = [], []
+    for f in files:
+        bpath = f.get("blooms", {}).get(col)
+        if not (bpath and os.path.exists(bpath)):
+            kept.append(f)
+            continue
+        with open(bpath, "rb") as fh:
+            m_bits = np.uint64(int.from_bytes(fh.read(8), "big"))
+            bitmap = np.frombuffer(fh.read(), dtype=np.uint8)
+        present = np.ones(len(vals), dtype=bool)
+        for i in range(_BLOOM_HASHES):
+            pos = (h1 + np.uint64(i) * h2) % m_bits
+            present &= (
+                (bitmap[(pos // np.uint64(8)).astype(np.int64)]
+                 >> (pos % np.uint64(8)).astype(np.uint8)) & 1
+            ).astype(bool)
+            if not present.any():
+                break
+        (kept if present.any() else skipped).append(f)
+    return kept, skipped
 
 
 def prunable_eq(files: list, col: str, value) -> tuple[list, list]:
@@ -642,10 +687,12 @@ def _commit(
     files: list[str],
     extra: dict | None = None,
     expect_version: int | None = None,
+    operation: str | None = None,
 ) -> int:
     """Write the next manifest, then atomically flip the pointer.
     ``extra`` lands in the manifest verbatim (e.g. a streaming
-    batch_id for replay detection).
+    batch_id for replay detection); ``operation`` tags the commit with
+    the mutation that produced it (DESCRIBE HISTORY surface).
 
     ``expect_version`` is the optimistic-concurrency token: the version
     this writer's snapshot was read from. If another commit moved the
@@ -685,6 +732,8 @@ def _commit(
                 extra["column_mapping"] = prev
     elif extra["column_mapping"] is None:
         del extra["column_mapping"]
+    if operation is not None:
+        extra.setdefault("operation", operation)
     manifest = {"version": version, "files": files, **extra}
     mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
     # tmp lives OUTSIDE _manifests: every consumer listdirs that dir and
@@ -815,7 +864,8 @@ def create_table(
         _enforce_constraints(df, path, dict(constraints))
         _save_constraints(path, dict(constraints))
     return _commit(
-        path, _write_batch(df, path, bloom_cols, cluster_by, num_files), extra
+        path, _write_batch(df, path, bloom_cols, cluster_by, num_files),
+        extra, operation="CREATE",
     )
 
 
@@ -862,6 +912,7 @@ def append_table(
         files + _write_batch(df, path, bloom_cols, cluster_by, num_files),
         extra,
         expect_version=base_version,
+        operation="APPEND",
     )
 
 
@@ -944,7 +995,8 @@ def overwrite_partitions(
         num_files=max(len(values), 1),
     )
     version = _commit(
-        path, untouched + new_entries, expect_version=base_version
+        path, untouched + new_entries, expect_version=base_version,
+        operation="OVERWRITE_PARTITIONS",
     )
     return {
         "version": version,
@@ -1000,6 +1052,7 @@ def overwrite_table(df: DataFrame, path: str) -> int:
         path,
         _write_batch(_to_physical(df, mapping), path),
         expect_version=base_version,
+        operation="OVERWRITE",
     )
 
 
@@ -1133,7 +1186,9 @@ def update_table(
     new_files = untouched + _write_batch(
         _to_physical(rewritten, mapping), path, re_index or None
     )
-    version = _commit(path, new_files, expect_version=base_version)
+    version = _commit(
+        path, new_files, expect_version=base_version, operation="UPDATE"
+    )
     return {
         "version": version,
         "n_matched": n_matched,
@@ -1153,6 +1208,7 @@ def rollback(path: str, version: int) -> int:
         m["files"],
         extra={"column_mapping": m.get("column_mapping")},
         expect_version=base_version,
+        operation=f"ROLLBACK(v{version})",
     )
 
 
@@ -1193,6 +1249,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         m["files"],
         extra={"column_mapping": new_mapping},
         expect_version=base_version,
+        operation=f"RENAME_COLUMN({old}->{new})",
     )
 
 
@@ -1223,6 +1280,7 @@ def drop_column(path: str, col: str) -> int:
         m["files"],
         extra={"column_mapping": new_mapping},
         expect_version=base_version,
+        operation=f"DROP_COLUMN({col})",
     )
 
 
@@ -1467,6 +1525,24 @@ def merge_table(
         probe_entries = prunable(
             probe_entries, _phys_col(mapping, k), lo, hi
         )[0]
+    # bloom-index pruning catches what the envelope can't: SCATTERED
+    # keys. For each bloom-indexed key column, collect the source's
+    # distinct values (bounded — past the cap the collect is skipped,
+    # the probe scan absorbs it) and drop every file whose bloom rules
+    # out ALL of them — the point-read index applied to a batch probe
+    for k in keys:
+        pcol = _phys_col(mapping, k)
+        if not any(f.get("blooms", {}).get(pcol) for f in probe_entries):
+            continue
+        rows = (
+            source.select(k).distinct()
+            .limit(_MERGE_BLOOM_PROBE_CAP + 1).collect()
+        )
+        if len(rows) > _MERGE_BLOOM_PROBE_CAP:
+            continue  # not delivery-sized on this key: skip, stay cheap
+        probe_entries = prunable_eq_any(
+            probe_entries, pcol, [r[0] for r in rows]
+        )[0]
     if probe_entries:
         matched_rows = _apply_mapping(
             _scan(spark, probe_entries, keep_meta=True), mapping
@@ -1625,6 +1701,7 @@ def merge_table(
         + _write_batch(_to_physical(merged, mapping), path, re_index or None),
         extra=extra,
         expect_version=base_version,
+        operation="MERGE",
     )
     return {
         "version": version,
@@ -1691,6 +1768,7 @@ def compact_table(
                 [_phys_col(mapping, c) for c in (bloom_cols or [])] or None,
             ),
             expect_version=base_version,
+            operation="OPTIMIZE",
         )
         return {"version": version,
                 "files": len(_read_manifest(path, version)["files"]),
@@ -1718,7 +1796,8 @@ def compact_table(
     # token from the snapshot read: OPTIMIZE that raced an UPDATE/DELETE
     # must not resurrect the pre-update files it compacted
     version = _commit(
-        path, _write_batch(df, path, bloom_cols), expect_version=base_version
+        path, _write_batch(df, path, bloom_cols),
+        expect_version=base_version, operation="OPTIMIZE",
     )
     return {
         "version": version,
@@ -1787,7 +1866,7 @@ def reorg_table(
     re_index = _indexed_cols(targets)
     version = _commit(
         path, untouched + _write_batch(rewritten, path, re_index or None),
-        expect_version=base_version,
+        expect_version=base_version, operation="REORG",
     )
     return {
         "version": version,
@@ -1941,7 +2020,8 @@ def delete_from(
             _to_physical(kept_rows, mapping), path, re_index or None
         )
     version = _commit(
-        path, untouched + new_entries + batch, expect_version=base_version
+        path, untouched + new_entries + batch,
+        expect_version=base_version, operation="DELETE",
     )
     return {
         "version": version,
@@ -2108,6 +2188,35 @@ def table_changes(
     return out
 
 
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one record per retained version, newest
+    first — {"version", "operation", "timestamp" (commit mtime, epoch
+    seconds), "n_files", plus any commit extras (batch_id,
+    cloned_from, ...)}. Pure manifest metadata — O(retained versions)
+    driver reads, no Spark job, any table size. Versions before the
+    vacuum horizon are gone with their manifests (their absence IS the
+    retention signal)."""
+    out = []
+    mdir = _manifest_dir(path)
+    for name in os.listdir(mdir):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        mpath = os.path.join(mdir, name)
+        with open(mpath) as fh:
+            m = json.load(fh)
+        rec = {
+            "version": m["version"],
+            "operation": m.get("operation"),
+            "timestamp": os.path.getmtime(mpath),
+            "n_files": len(m["files"]),
+        }
+        for k, v in m.items():
+            if k not in ("version", "files", "operation", "column_mapping"):
+                rec[k] = v
+        out.append(rec)
+    return sorted(out, key=lambda r: -r["version"])
+
+
 def version_at(path: str, ts: float) -> int:
     """Version current AS OF a unix timestamp: the newest retained
     manifest committed at-or-before ``ts`` (manifest file mtime is the
@@ -2163,6 +2272,7 @@ def clone_table(
             "clone_version": v,
             "column_mapping": m.get("column_mapping"),
         },
+        operation="CLONE",
     )
 
 

@@ -486,11 +486,11 @@ def test_rollback_stale_snapshot_raises_commit_conflict(spark, table):
     real_commit = V._commit
     calls = {}
 
-    def racing_commit(path, files, extra=None, expect_version=None):
+    def racing_commit(path, files, extra=None, expect_version=None, **kw):
         if not calls.get("done"):
             calls["done"] = True
             real_commit(path, files)  # interloper wins first
-        return real_commit(path, files, extra, expect_version)
+        return real_commit(path, files, extra, expect_version, **kw)
 
     import unittest.mock as mock
 
@@ -812,3 +812,33 @@ def test_describe_table_metadata_only(spark, table):
     assert d["constraints"] == {"v_nonneg": "v >= 0"}
     assert d["num_files"] == 3 and d["total_bytes"] > 0
     assert d["retained_versions"] == [1, 2]
+
+
+def test_table_history_records_operations(spark, tmp_path):
+    """DESCRIBE HISTORY: every mutation tags its commit; records are
+    newest-first, metadata-only, and carry commit extras."""
+    path = str(tmp_path / "hist")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 1.0).alias("v")
+    )
+    V.create_table(df.repartitionByRange(2, "id"), path)
+    V.append_table(
+        spark.createDataFrame([(500, 1.0)], "id long, v double"),
+        path, extra={"batch_id": 7},
+    )
+    V.update_table(spark, path, {"v": F.lit(0.0)}, F.col("id") == 1)
+    V.delete_from(spark, path, F.col("id") == 2, mode="dv")
+    V.merge_table(
+        spark, path,
+        spark.createDataFrame([(3, 9.0)], "id long, v double"),
+        keys=["id"],
+    )
+    V.rollback(path, 2)
+    hist = V.table_history(path)
+    assert [h["version"] for h in hist] == [6, 5, 4, 3, 2, 1]
+    ops = {h["version"]: h["operation"] for h in hist}
+    assert ops[1] == "CREATE" and ops[2] == "APPEND"
+    assert ops[3] == "UPDATE" and ops[4] == "DELETE"
+    assert ops[5] == "MERGE" and ops[6] == "ROLLBACK(v2)"
+    assert hist[4]["batch_id"] == 7  # commit extras surface
+    assert all(h["timestamp"] > 0 and h["n_files"] >= 1 for h in hist)

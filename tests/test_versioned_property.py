@@ -32,6 +32,11 @@ def _op():
         st.tuples(st.just("delete_dv"), st.integers(0, 6)),
         st.tuples(st.just("delete_auto"), st.integers(0, 6)),
         st.tuples(st.just("reorg"), st.just(0)),
+        # round-5 merge clauses: matched-delete (keys-only source),
+        # conditional dict update, and the by-source retain sweep
+        st.tuples(st.just("merge_delete"), st.integers(0, 4)),
+        st.tuples(st.just("merge_cond"), st.integers(0, 2)),
+        st.tuples(st.just("merge_bysrc"), st.integers(0, 2)),
     )
 
 
@@ -83,6 +88,61 @@ def test_versioned_ops_match_model(spark, tmp_path_factory, ops):
             df = spark.createDataFrame(rows, "id long, g long, v double")
             ver = V.merge_table(spark, path, df, keys=["id"])["version"]
             model.update({r[0]: (r[1], r[2]) for r in rows})
+        elif kind == "merge_delete":
+            # keys-only WHEN MATCHED THEN DELETE (GDPR list shape):
+            # listed keys may or may not exist; absent keys are no-ops
+            hit = [i for i in sorted(model) if i % 5 == arg][:3]
+            listed = hit + [999_999]  # one never-present key
+            df = spark.createDataFrame([(i,) for i in listed], "id long")
+            res = V.merge_table(
+                spark, path, df, keys=["id"],
+                when_matched="delete", insert_unmatched=False,
+            )
+            ver = res["version"]
+            assert res["deleted"] == len(hit), kind
+            for i in hit:
+                model.pop(i)
+        elif kind == "merge_cond":
+            # WHEN MATCHED AND t.g == arg THEN SET v = t.v + 1000:
+            # non-firing matched rows stay intact, one insert rides
+            hit = sorted(model)[:4]
+            rows = [(i, 7, -5.0) for i in hit] + [(next_id, 7, -5.0)]
+            next_id += 1
+            df = spark.createDataFrame(rows, "id long, g long, v double")
+            res = V.merge_table(
+                spark, path, df, keys=["id"],
+                when_matched={"v": F.col("t.v") + 1000},
+                matched_condition=F.col("t.g") == arg,
+            )
+            ver = res["version"]
+            fired = [i for i in hit if model[i][0] == arg]
+            assert res["updated"] == len(fired), kind
+            assert res["inserted"] == 1, kind
+            for i in fired:
+                g, v = model[i]
+                model[i] = (g, v + 1000)
+            model[rows[-1][0]] = (7, -5.0)
+        elif kind == "merge_bysrc":
+            # retain sweep: WHEN NOT MATCHED BY SOURCE AND t.g == arg
+            # THEN DELETE with a keys-only list and no matched clause
+            keep = sorted(model)[:5]
+            df = spark.createDataFrame([(i,) for i in keep], "id long")
+            res = V.merge_table(
+                spark, path, df, keys=["id"],
+                when_matched=None, insert_unmatched=False,
+                when_not_matched_by_source="delete",
+                not_matched_by_source_condition=F.col("t.g") == arg,
+            )
+            ver = res["version"]
+            swept = [
+                i for i, (g, _v) in model.items()
+                if g == arg and i not in set(keep)
+            ]
+            assert res["deleted"] == len(swept), kind
+            for i in swept:
+                model.pop(i)
+            if ver in history:  # nothing swept: no new version
+                continue
         elif kind.startswith("delete_"):
             mode = kind.split("_", 1)[1]
             res = V.delete_from(
