@@ -181,6 +181,23 @@ def cmd_consume(args) -> int:
     return 0
 
 
+def cmd_replicate(args) -> int:
+    """One incremental replication pass: apply the source table's
+    change feed (upserts AND deletes, key-reconciled) to the replica
+    (io/versioned.replicate_table)."""
+    from .io import versioned as V
+
+    spark = _session()
+    res = V.replicate_table(
+        spark, args.src, args.dst, args.keys.split(","), args.cursor
+    )
+    print(
+        f"-- v{res['from']} -> v{res['to']}: "
+        f"{res['upserted']} upserted, {res['deleted']} deleted"
+    )
+    return 0
+
+
 def cmd_delete(args) -> int:
     """DELETE FROM a versioned table (SQL boolean predicate); mode dv
     commits only deletion-vector sidecars, auto decides per file."""
@@ -377,6 +394,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mode", default="cow", choices=["cow", "dv", "auto"])
     p.add_argument("--rewrite-threshold", type=float, default=0.5)
     p.set_defaults(fn=cmd_delete)
+
+    p = sub.add_parser(
+        "replicate", help="apply a table's change feed to a replica"
+    )
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("cursor", help="cursor JSON path (replica's progress)")
+    p.add_argument("--keys", required=True,
+                   help="comma-separated unique key column(s)")
+    p.set_defaults(fn=cmd_replicate)
 
     p = sub.add_parser("optimize", help="compact a versioned table")
     p.add_argument("table")

@@ -217,6 +217,82 @@ def cdc_apply_sink(
     )
 
 
+def cdf_replica_sink(
+    df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    checkpoint: str,
+    query_name: str = "cdf_replica_sink",
+) -> StreamingQuery:
+    """Continuous replication: apply a ``versioned_table`` CDC stream
+    (``option("feed", "cdc")`` — rows + ``_change_type``) to a replica
+    versioned table. The streaming half of
+    :func:`~..io.versioned.replicate_table`, with the same
+    key-reconciliation: a rewritten file re-emits its rows as
+    delete+insert in ONE batch, so a key on the insert side is an
+    UPSERT with its final value and a key ONLY on the delete side is a
+    true DELETE — applying ops blindly (``cdc_apply_sink``) would let
+    the delete leg kill the just-upserted key. Replay guard and
+    conflict retry as in :func:`cdc_apply_sink`; a replayed batch is
+    row-idempotent by the same argument as ``replicate_table``."""
+    import os
+
+    from ..io import versioned as V
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ups = batch_df.filter(
+            F.col("_change_type") == "insert"
+        ).drop("_change_type", "_commit_version")
+        dels = (
+            batch_df.filter(F.col("_change_type") == "delete")
+            .select(*keys)
+            .distinct()
+            .join(ups.select(*keys), keys, "anti")
+        )
+        for _attempt in range(5):
+            try:
+                if not os.path.exists(V._pointer(table_path)):
+                    if ups.isEmpty():
+                        return
+                    V.create_table(
+                        ups, table_path, extra={"batch_id": batch_id}
+                    )
+                    return
+                if batch_id in V.committed_batch_ids(table_path):
+                    return
+                has_dels = not dels.isEmpty()
+                if not ups.isEmpty():
+                    V.merge_table(
+                        spark, table_path, ups, keys,
+                        when_matched="replace",
+                        extra=None if has_dels else {"batch_id": batch_id},
+                    )
+                if has_dels:
+                    V.merge_table(
+                        spark, table_path, dels, keys,
+                        when_matched="delete", insert_unmatched=False,
+                        extra={"batch_id": batch_id},
+                    )
+                return
+            except V.CommitConflict:
+                continue
+        raise RuntimeError(
+            f"cdf_replica_sink: batch {batch_id} lost the commit race "
+            f"5 times on {table_path} — writer storm, investigate"
+        )
+
+    return (
+        df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def rollup_sink(
     df: DataFrame,
     rollup_path: str,

@@ -18,8 +18,11 @@ Contracts (same as io/versioned.consume_changes, the batch consumer):
   files (file-diff granularity — consumers keying on a unique id
   reconcile, Delta's ``ignoreChanges`` caveat);
 - DELETE-only commits (including deletion-vector commits) deliver
-  nothing — this is the INSERT feed; the delete feed is
-  ``table_changes``. Snapshot/insert reads apply each file's DV;
+  nothing on the default INSERT feed; ``option("feed", "cdc")``
+  streams the full CHANGE feed instead — rows + ``_change_type`` +
+  ``_commit_version``, deletes and rollback un-deletes included (the
+  Delta ``readChangeFeed`` shape; the batch form is
+  ``table_changes``). Snapshot/insert reads apply each file's DV;
 - replay of a committed offset range is bit-stable while the manifests
   are retained; a range older than vacuum retention raises with the
   resync instruction.
@@ -107,6 +110,76 @@ def build_versioned_table_source():
         data = {c: tbl.column(c).to_pylist() for c in present}
         cols = [data.get(c, [None] * n) for c in columns]
         yield from (zip(*cols) if cols else iter(()))
+
+    def _dv_positions(entry):
+        import numpy as np
+
+        dv = entry.get("dv")
+        if not dv:
+            return np.array([], dtype="<i8")
+        with open(dv["path"], "rb") as fh:
+            return np.frombuffer(fh.read(), dtype="<i8")
+
+    def _entry_rows_at(entry: dict, columns: list, positions: list):
+        """One file's rows AT the given positions (no DV applied —
+        the positions themselves are the DV delta being emitted)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        present = [
+            c
+            for c in columns
+            if c in set(pq.read_schema(entry["path"]).names)
+        ]
+        tbl = pq.read_table(entry["path"], columns=present)
+        mask = np.zeros(tbl.num_rows, dtype=bool)
+        pos = np.asarray(positions, dtype="int64")
+        mask[pos[pos < tbl.num_rows]] = True
+        tbl = tbl.filter(mask)
+        n = tbl.num_rows
+        data = {c: tbl.column(c).to_pylist() for c in present}
+        cols = [data.get(c, [None] * n) for c in columns]
+        yield from (zip(*cols) if cols else iter(()))
+
+    def _cdc_parts(path: str, lo: int, hi: int) -> list:
+        """CDC partition payloads for the version range (lo, hi] —
+        the table_changes file-diff expressed as plain-dict partitions
+        (worker-shippable): added files → insert, removed files →
+        delete (as the FROM version saw them, its DV applied), DV
+        growth on a common file → position-sliced deletes, DV shrink
+        (rollback un-delete) → position-sliced inserts. _commit_version
+        is the range END (micro-batches normally span one commit)."""
+        import numpy as np
+
+        hi_files = _manifest_files(path, hi)
+        if lo == 0:
+            return [
+                {"kind": "insert", "entry": e, "v": hi} for e in hi_files
+            ]
+        lo_by = {f["path"]: f for f in _manifest_files(path, lo)}
+        hi_by = {f["path"]: f for f in hi_files}
+        parts = []
+        for p in sorted(set(hi_by) - set(lo_by)):
+            parts.append({"kind": "insert", "entry": hi_by[p], "v": hi})
+        for p in sorted(set(lo_by) - set(hi_by)):
+            parts.append({"kind": "delete", "entry": lo_by[p], "v": hi})
+        for p in sorted(set(lo_by) & set(hi_by)):
+            lo_pos = _dv_positions(lo_by[p])
+            hi_pos = _dv_positions(hi_by[p])
+            grown = np.setdiff1d(hi_pos, lo_pos)
+            shrunk = np.setdiff1d(lo_pos, hi_pos)
+            base = {k: v for k, v in hi_by[p].items() if k != "dv"}
+            if grown.size:
+                parts.append({
+                    "kind": "delete", "entry": base,
+                    "positions": grown.tolist(), "v": hi,
+                })
+            if shrunk.size:
+                parts.append({
+                    "kind": "insert", "entry": base,
+                    "positions": shrunk.tolist(), "v": hi,
+                })
+        return parts
 
     def _table_columns(path: str, version=None):
         """SUPERSET schema across a version's files (the mergeSchema
@@ -209,6 +282,7 @@ def build_versioned_table_source():
             self.path = options["path"]
             self.columns = columns
             self.start_version = int(options.get("startversion", "0"))
+            self.cdc = options.get("feed", "").lower() == "cdc"
 
         def initialOffset(self) -> dict:
             return {"version": self.start_version}
@@ -220,13 +294,29 @@ def build_versioned_table_source():
             lo, hi = start["version"], end["version"]
             if hi == lo:
                 return []
+            if self.cdc:
+                return [
+                    InputPartition(p)
+                    for p in _cdc_parts(self.path, lo, hi)
+                ]
             return [
                 InputPartition(e)
                 for e in _inserted_entries(self.path, lo, hi)
             ]
 
         def read(self, partition):
-            yield from _entry_rows(partition.value, self.columns)
+            v = partition.value
+            if isinstance(v, dict) and "kind" in v:
+                pos = v.get("positions")
+                rows = (
+                    _entry_rows_at(v["entry"], self.columns, pos)
+                    if pos is not None
+                    else _entry_rows(v["entry"], self.columns)
+                )
+                for r in rows:
+                    yield (*r, v["kind"], v["v"])
+            else:
+                yield from _entry_rows(v, self.columns)
 
         def commit(self, end: dict) -> None:
             pass  # the checkpoint owns progress; nothing to reclaim
@@ -235,7 +325,12 @@ def build_versioned_table_source():
         """``format("versioned_table")`` — a versioned table as a batch
         or streaming source. Options: ``path`` (required),
         ``startVersion`` (stream: first offset; 0 = snapshot-then-
-        deltas), ``version`` (batch: time travel)."""
+        deltas), ``version`` (batch: time travel), ``feed``
+        ("inserts" default; "cdc" streams the CHANGE feed — rows plus
+        ``_change_type``/``_commit_version``, deletes included, the
+        Delta readChangeFeed shape; pair with
+        ``streaming.sinks.cdf_replica_sink`` for continuous
+        replication)."""
 
         @classmethod
         def name(cls) -> str:
@@ -249,11 +344,23 @@ def build_versioned_table_source():
             return int(v) if v else None
 
         def schema(self) -> str:
-            return _arrow_to_ddl(
+            ddl = _arrow_to_ddl(
                 _table_columns(self.options["path"], self._batch_version())
             )
+            if self.options.get("feed", "").lower() == "cdc":
+                # the change feed rides two metadata columns: the rows
+                # INSERTED and DELETED in each version range, reconciled
+                # downstream on a key (delete+insert churn of a
+                # rewritten file cancels for keyed consumers)
+                ddl += ", `_change_type` string, `_commit_version` long"
+            return ddl
 
         def reader(self, schema) -> DataSourceReader:
+            if self.options.get("feed", "").lower() == "cdc":
+                raise ValueError(
+                    "feed=cdc is a STREAMING feed; for a batch change "
+                    "feed use io.versioned.table_changes"
+                )
             # readers receive PHYSICAL names (what the files store);
             # the DDL above already exposes the logical names in the
             # same order, so tuples line up

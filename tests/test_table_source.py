@@ -211,3 +211,115 @@ def test_batch_time_travel_schema_resolves_at_requested_version(
     assert [tuple(r) for r in old.collect()] == [(1, 10.0)]
     cur = spark.read.format("versioned_table").option("path", path).load()
     assert set(cur.columns) == {"id", "v", "tag"}
+
+
+def _run_cdc_stream(spark, path, ckpt, out_dir):
+    """One availableNow CDC pass into a parquet sink; rows of THIS run."""
+    import glob
+
+    before = set(glob.glob(f"{out_dir}/*.parquet"))
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", path)
+        .option("feed", "cdc")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    fresh = list(set(glob.glob(f"{out_dir}/*.parquet")) - before)
+    if not fresh:
+        return spark.createDataFrame(
+            [], "id long, v double, _change_type string, _commit_version long"
+        )
+    return spark.read.parquet(*fresh)
+
+
+def test_cdc_feed_emits_deletes_and_churn(spark, table, tmp_path):
+    """feed=cdc: snapshot arrives as inserts; a DV delete arrives as
+    true deletes; a CoW update arrives as delete+insert churn that
+    reconciles on the key."""
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    got = _run_cdc_stream(spark, table, ckpt, out)
+    assert got.count() == 50
+    assert got.filter(F.col("_change_type") != "insert").count() == 0
+
+    V.delete_from(spark, table, F.col("id") < 5, mode="dv")
+    got = _run_cdc_stream(spark, table, ckpt, out)
+    rows = got.collect()
+    assert {r["_change_type"] for r in rows} == {"delete"}
+    assert sorted(r["id"] for r in rows) == [0, 1, 2, 3, 4]
+
+    V.update_table(spark, table, {"v": F.lit(-1.0)}, F.col("id") == 7)
+    got = _run_cdc_stream(spark, table, ckpt, out)
+    ins = {r["id"]: r["v"] for r in got.filter(
+        F.col("_change_type") == "insert").collect()}
+    dels = {r["id"] for r in got.filter(
+        F.col("_change_type") == "delete").collect()}
+    assert ins[7] == -1.0
+    # churn: every deleted key reappears on the insert side except none
+    assert dels <= set(ins)
+
+
+def test_cdc_rollback_emits_undeletes(spark, table, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _run_cdc_stream(spark, table, ckpt, out)  # v1 snapshot
+    V.delete_from(spark, table, F.col("id") < 3, mode="dv")  # v2
+    _run_cdc_stream(spark, table, ckpt, out)
+    V.rollback(table, 1)  # v3: un-deletes 0,1,2
+    got = _run_cdc_stream(spark, table, ckpt, out)
+    rows = got.collect()
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert sorted(r["id"] for r in rows) == [0, 1, 2]
+
+
+def test_streaming_replication_end_to_end(spark, table, tmp_path):
+    """CDC source + cdf_replica_sink = continuous replication: after
+    each drained pass the replica equals the source — including
+    updates, DV deletes, and appends."""
+    from aws_etl_project2_fiap_spark.streaming.sinks import (
+        cdf_replica_sink,
+    )
+
+    replica = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "ckpt")
+
+    def replicate():
+        q = cdf_replica_sink(
+            spark.readStream.format("versioned_table")
+            .option("path", table)
+            .option("feed", "cdc")
+            .load(),
+            replica, ["id"], ckpt,
+        )
+        q.awaitTermination(120)
+
+    def same():
+        a = {tuple(r) for r in V.read_table(spark, table).collect()}
+        b = {tuple(r) for r in V.read_table(spark, replica).collect()}
+        return a == b
+
+    replicate()
+    assert same()
+    V.update_table(spark, table, {"v": F.lit(9.0)}, F.col("id") < 10)
+    V.delete_from(spark, table, F.col("id").between(20, 29), mode="dv")
+    V.append_table(
+        spark.createDataFrame([(100, 1.0)], "id long, v double"), table
+    )
+    replicate()
+    assert same()
+    # replay with a fresh checkpoint: batch ids repeat, guard holds
+    v_before = V.current_version(replica)
+    q = cdf_replica_sink(
+        spark.readStream.format("versioned_table")
+        .option("path", table).option("feed", "cdc").load(),
+        replica, ["id"], str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+    assert V.current_version(replica) == v_before
+    assert same()
