@@ -369,3 +369,70 @@ def test_schema_evolution_requires_keys(spark, table):
         V.merge_table(
             spark, table, src, keys=["id"], schema_evolution=True
         )
+
+
+def test_merge_probe_bloom_prunes_scattered_keys(spark, tmp_path):
+    """Scattered merge keys defeat the min/max envelope; per-file bloom
+    indexes must still prune the files that cannot hold any key."""
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 1.0).alias("v")
+    )
+    path = str(tmp_path / "bloomed")
+    V.create_table(
+        df.repartitionByRange(10, "id"), path, bloom_cols=["id"]
+    )
+    # keys 3 and 997: envelope [3, 997] spans every file, blooms don't
+    src = spark.createDataFrame(
+        [(3, -3.0), (997, -997.0)], "id long, v double"
+    )
+    res = V.merge_table(spark, path, src, keys=["id"])
+    assert res["files_probed"] == 2  # first + last file only
+    assert res["files_touched"] == 2 and res["updated"] == 2
+    got = {r["id"]: r["v"] for r in V.read_table(spark, path).collect()}
+    assert got[3] == -3.0 and got[997] == -997.0 and got[500] == 500.0
+    assert len(got) == 1000
+
+
+def test_merge_bloom_pruning_caps_at_delivery_size(
+    spark, tmp_path, monkeypatch
+):
+    """Past the distinct-key cap the driver collect must be skipped
+    (conservative full probe), never attempted."""
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 1.0).alias("v")
+    )
+    path = str(tmp_path / "capped")
+    V.create_table(df.coalesce(2), path, bloom_cols=["id"])
+    monkeypatch.setattr(V, "_MERGE_BLOOM_PROBE_CAP", 1)
+    src = spark.createDataFrame(
+        [(1, -1.0), (50, -50.0)], "id long, v double"
+    )
+    res = V.merge_table(spark, path, src, keys=["id"])
+    assert res["files_probed"] == 2  # cap hit: no bloom pruning
+    assert res["updated"] == 2
+    got = {r["id"]: r["v"] for r in V.read_table(spark, path).collect()}
+    assert got[1] == -1.0 and got[50] == -50.0
+
+
+def test_prunable_eq_any_agrees_with_single_probe(spark, tmp_path):
+    """The vectorized any-of bloom check must equal the OR of
+    per-value prunable_eq decisions on every file."""
+    df = spark.range(0, 600).select(
+        F.col("id"), F.concat(F.lit("k"), F.col("id")).alias("s")
+    )
+    path = str(tmp_path / "agree")
+    V.create_table(
+        df.repartitionByRange(6, "id"), path, bloom_cols=["id", "s"]
+    )
+    files = V._read_manifest(path, 1)["files"]
+    for col, probes in [("id", [5, 300, 9999]), ("s", ["k5", "nope"])]:
+        kept_any = {
+            f["path"]
+            for f in V.prunable_eq_any(files, col, probes)[0]
+        }
+        kept_or = set()
+        for p in probes:
+            kept_or |= {
+                f["path"] for f in V.prunable_eq(files, col, p)[0]
+            }
+        assert kept_any == kept_or
