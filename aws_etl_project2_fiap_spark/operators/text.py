@@ -378,3 +378,120 @@ def paragraph_dedup(
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Exact duplicate-span removal: delete every k-token span that
+    already occurred earlier in the corpus (first occurrence by
+    (doc, position) survives), then reassemble each document from its
+    surviving tokens — the ExactSubstr dedup of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed at token granularity as pure DataFrame algebra instead
+    of a suffix array.
+
+    Semantics:
+    - tokens = split on single spaces, empty tokens dropped;
+    - every k-token shingle that occurs >1 time in the corpus marks its
+      token range [pos, pos+k) for removal at every occurrence EXCEPT
+      the globally-first one (min (doc, pos) by struct order);
+    - overlapping/adjacent marked ranges union per document
+      (gaps-and-islands over a running max);
+    - output: (id, text, n_removed) for every input document — a doc
+      whose content was entirely first-occurrence has n_removed = 0, a
+      fully-duplicated doc comes back with empty text.
+
+    Scale shape (the reason this isn't a suffix array): shingle
+    extraction is per-row JVM higher-order functions (no shuffle);
+    the first-occurrence choice is groupBy(shingle).agg(min(struct)) —
+    map-side partial aggregation absorbs hot boilerplate shingles
+    BEFORE the exchange, unlike a row_number window which would ship
+    every occurrence of a hot shingle to one reducer; the join back to
+    occurrences is on the same key (AQE handles residual skew); island
+    merging and reassembly shuffle once on the doc id (per-doc state is
+    bounded by doc length). Production would shuffle xxhash64(shingle)
+    instead of the string — grouping by the string here keeps the
+    operator bit-identical to its SQL oracle, and the string key is
+    still exact (no collision risk at any scale).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    d = df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    # sequence(1, size-k+1) would DESCEND for short docs (Spark
+    # generates a reverse range when stop < start, feeding slice an
+    # out-of-domain start) — guard short docs to an empty shingle set
+    n_sh = F.size("__t") - F.lit(k) + 1
+    starts = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = d.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.array_join(F.slice("__t", i, k), " "),
+            )
+        ).alias("__pos", "__g"),
+    )
+    firsts = shingles.groupBy("__g").agg(
+        F.min(F.struct(F.col("__id").alias("d"), F.col("__pos").alias("p"))).alias(
+            "__f"
+        ),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    dups = (
+        shingles.join(firsts, "__g")
+        .filter(
+            (F.col("__n") > 1)
+            & ~(
+                (F.col("__id") == F.col("__f.d"))
+                & (F.col("__pos") == F.col("__f.p"))
+            )
+        )
+        .select("__id", F.col("__pos").alias("__s"), (F.col("__pos") + k).alias("__e"))
+    )
+    # gaps-and-islands: union overlapping [s, e) ranges per doc
+    by_doc = Window.partitionBy("__id").orderBy("__s", "__e")
+    runmax = F.max("__e").over(
+        by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        dups.withColumn(
+            "__new", F.when(runmax.isNull() | (F.col("__s") > runmax), 1).otherwise(0)
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                by_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("__id", "__isl")
+        .agg(F.min("__s").alias("s"), F.max("__e").alias("e"))
+        .groupBy("__id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("__iv"))
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__t"), lambda x, i: F.struct(x.alias("tok"), i.alias("idx"))
+        ),
+        lambda s: ~F.coalesce(
+            F.exists(
+                F.col("__iv"),
+                lambda v: (s["idx"] >= v["s"]) & (s["idx"] < v["e"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return (
+        d.join(islands, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.array_join(
+                F.transform(kept, lambda s: s["tok"]), " "
+            ).alias(text_col),
+            (F.size("__t") - F.size(kept)).alias("n_removed"),
+        )
+    )

@@ -5292,6 +5292,63 @@ def k_replicate_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery(
+    "dedup_span_exact",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             array_to_string(t[u.i:u.i+7], ' ') AS g
+      FROM toks, UNNEST(range(1, greatest(len(t) - 6, 1))) AS u(i)
+    ),
+    firsts AS (
+      SELECT g, min(struct_pack(d := doc_id, p := pos)) AS f,
+             count(*) AS n
+      FROM sh GROUP BY g
+    ),
+    removed AS (
+      SELECT DISTINCT sh.doc_id, sh.pos + u.j AS idx
+      FROM sh JOIN firsts USING (g), UNNEST(range(0, 8)) AS u(j)
+      WHERE firsts.n > 1
+        AND NOT (sh.doc_id = f.d AND sh.pos = f.p)
+    ),
+    tk AS (
+      SELECT doc_id, t[u.i] AS tok, u.i - 1 AS idx
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT tk.doc_id,
+             string_agg(tk.tok, ' ' ORDER BY tk.idx) AS text,
+             count(*) AS nk
+      FROM tk LEFT JOIN removed r
+        ON tk.doc_id = r.doc_id AND tk.idx = r.idx
+      WHERE r.idx IS NULL
+      GROUP BY tk.doc_id
+    )
+    SELECT toks.doc_id,
+           coalesce(kept.text, '') AS text,
+           len(toks.t) - coalesce(kept.nk, 0) AS n_removed
+    FROM toks LEFT JOIN kept USING (doc_id)
+    """,
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span removal (ExactSubstr, Lee et al. 2022): every
+    8-token span that already occurred earlier in the corpus is deleted
+    from its later occurrences and the documents are reassembled — the
+    sub-document dedup that catches boilerplate a whole-doc or paragraph
+    pass misses. DataFrame algebra, not a suffix array: shingles via JVM
+    higher-order functions (no shuffle), first-occurrence via
+    groupBy(shingle).min(struct) with map-side partial agg (hot
+    boilerplate shingles combine BEFORE the exchange), interval union +
+    reassembly on one doc-keyed shuffle. See operators/text.span_dedup."""
+    return text_op.span_dedup(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=8
+    ).withColumn("n_removed", F.col("n_removed").cast("long"))
+
+
 # =====================================================================
 # Entry-point accessors (driver contract)
 # =====================================================================

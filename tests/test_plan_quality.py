@@ -82,7 +82,7 @@ def test_jvm_only_queries_have_no_python_stage(spark):
         "a1_top5_7day_sum", "agg_pricing_summary", "join_star_revenue",
         "window_top3_per_cust", "sessionize_30m", "asof_join_ticks",
         "dedup_exact", "dedup_minhash_lsh", "text_langid", "text_quality",
-        "similarity_knn",
+        "similarity_knn", "dedup_span_exact",
     ]:
         p = plan(DEFS[name].spark(spark, SF))
         assert "BatchEvalPython" not in p, f"{name} fell into row-Python"
