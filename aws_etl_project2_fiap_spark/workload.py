@@ -2272,6 +2272,35 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery("text_quality_model", None)  # SGD-trained weights: not ANSI SQL
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators/quality_model): a fastText-
+    style logistic regression over hashed word 1-2-grams, trained
+    driver-side on the corpus's own Gopher-rule keep flags (the
+    distill-the-heuristic bootstrap), then applied in one Arrow-batched
+    map pass — scan-only at 100 TB, weights broadcast by closure
+    (~0.5 MB). Returns per-(lang, heuristic-keep) agreement stats: how
+    often the learned model and the rule gate agree, and the mean model
+    score. Rows-only; separability, determinism, and driver/executor
+    agreement are pinned in tests/test_quality_model.py."""
+    from .operators.quality_model import quality_score, quality_train
+
+    d = t(spark, sf_dir, "documents")
+    labels = text_op.gopher_rules(d, min_words=10, min_stopwords=1).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    labeled = d.join(labels, "doc_id")
+    model = quality_train(labeled, "label", sample_limit=2_000)
+    scored = quality_score(labeled, model)
+    return scored.groupBy("lang", "label").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            (F.col("q_keep") == F.col("label")).cast("long")
+        ).alias("n_agree"),
+        F.round(F.avg("q_score"), 4).alias("mean_score"),
+    )
+
+
 @defquery("similarity_ivfpq_knn", None)  # PQ codes: not ANSI SQL
 def similarity_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate top-k with exact rerank: the coarse quantizer

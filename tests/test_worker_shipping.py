@@ -40,6 +40,7 @@ PYTHON_STAGE_QUERIES = [
     "suite_window_frames",  # EWMA applyInPandas recurrence
     "similarity_ivfpq_knn",  # PQ encode + ADC mapInPandas stages
     "text_bpe_tokens",  # BPE encode mapInPandas
+    "text_quality_model",  # classifier scoring mapInPandas
     "k_table_source_readback",  # custom DataSource read on executors
 ]
 
