@@ -82,6 +82,8 @@ HEADLINE = [
     # the steady-state cost the operator exists to deliver)
     "dedup_index_build",
     "dedup_index_probe",
+    # round-5 addition: corpus-wide exact duplicate-span removal
+    "dedup_span_exact",
 ]
 
 
