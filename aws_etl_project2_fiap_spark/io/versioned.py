@@ -146,9 +146,45 @@ def current_version(path: str) -> int:
         return int(fh.read().strip())
 
 
+# Every Nth commit writes a FULL file-list manifest (a checkpoint); the
+# commits between encode only the delta vs their parent ({put, drop}).
+# Rationale at 100 TB: a snapshot manifest is O(table files) — at ~200
+# bytes/entry a million-file table pays ~200 MB of manifest WRITE per
+# commit, so a busy table writes more log than data. A delta commit is
+# O(touched files) — a streaming append or a pruned MERGE writes a few
+# hundred bytes — while the bounded chain (< _CHECKPOINT_EVERY tiny
+# driver-side JSON reads, in practice one OS page each) keeps
+# resolution O(1)-ish. The same economics as Delta's JSON-actions +
+# parquet-checkpoint log, without a new file format.
+_CHECKPOINT_EVERY = 16
+
+
 def _read_manifest(path: str, version: int) -> dict:
+    """Manifest of ``version`` with ``files`` fully RESOLVED: a delta
+    manifest replays {put, drop} onto its parent (recursively, bounded
+    by the checkpoint interval). Resolution is deterministic — base
+    order is preserved, changed entries are replaced in place, new
+    files append in put order — so repeated reads (and the streaming
+    source's executor-side replica of this logic) see identical file
+    lists."""
     with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as fh:
-        return json.load(fh)
+        m = json.load(fh)
+    delta = m.pop("delta", None)
+    if delta is not None:
+        base = _read_manifest(path, delta["base"])
+        dropped = set(delta.get("drop", ()))
+        put = {f["path"]: f for f in delta.get("put", ())}
+        files = []
+        for f in base["files"]:
+            p = f["path"]
+            if p in dropped:
+                continue
+            files.append(put.pop(p, f))
+        for f in delta.get("put", ()):
+            if f["path"] in put:  # genuinely new file (not a replacement)
+                files.append(put.pop(f["path"]))
+        m["files"] = files
+    return m
 
 
 def _stat_key(v):
@@ -734,7 +770,28 @@ def _commit(
         del extra["column_mapping"]
     if operation is not None:
         extra.setdefault("operation", operation)
-    manifest = {"version": version, "files": files, **extra}
+    manifest = {"version": version, "n_files": len(files), **extra}
+    # delta-encode between checkpoints: O(touched files) commit bytes
+    # instead of O(table files) — see _CHECKPOINT_EVERY. Checkpoint
+    # versions (and v1, and anything whose parent is unreadable) stay
+    # full snapshots so every chain resolves within one interval.
+    delta = None
+    if version > 1 and version % _CHECKPOINT_EVERY != 0:
+        try:
+            parent_files = _read_manifest(path, version - 1)["files"]
+        except (FileNotFoundError, KeyError, ValueError):
+            parent_files = None
+        if parent_files is not None:
+            old_by = {f["path"]: f for f in parent_files}
+            new_paths = {f["path"] for f in files}
+            put = [f for f in files if old_by.get(f["path"]) != f]
+            drop = [p for p in old_by if p not in new_paths]
+            if len(put) + len(drop) < len(files):
+                delta = {"base": version - 1, "put": put, "drop": drop}
+    if delta is not None:
+        manifest["delta"] = delta
+    else:
+        manifest["files"] = files
     mpath = os.path.join(_manifest_dir(path), f"v{version}.json")
     # tmp lives OUTSIDE _manifests: every consumer listdirs that dir and
     # json-parses what it finds — a half-written tmp there would crash
@@ -1312,6 +1369,24 @@ def vacuum(
             if mtime >= cutoff and v not in keep:
                 keep.append(v)
         keep.sort()
+    # a retained DELTA manifest whose base chain is about to be dropped
+    # must be materialized to a full snapshot FIRST (resolve while the
+    # chain still exists, rewrite atomically). mtime is restored after
+    # the rewrite — it is the commit timestamp version_at()/retention
+    # key on, and materialization is not a new commit.
+    keep_set = set(keep)
+    for v in keep:
+        mpath = os.path.join(_manifest_dir(path), f"v{v}.json")
+        with open(mpath) as fh:
+            raw = json.load(fh)
+        if "delta" in raw and raw["delta"]["base"] not in keep_set:
+            full = _read_manifest(path, v)  # resolves via the old chain
+            st_ = os.stat(mpath)
+            tmp = mpath + f".tmp_{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(full, fh)
+            os.replace(tmp, mpath)
+            os.utime(mpath, (st_.st_atime, st_.st_mtime))
     referenced: set[str] = set()
     for v in keep:
         for f in _read_manifest(path, v)["files"]:
@@ -2208,10 +2283,15 @@ def table_history(path: str) -> list[dict]:
             "version": m["version"],
             "operation": m.get("operation"),
             "timestamp": os.path.getmtime(mpath),
-            "n_files": len(m["files"]),
+            # delta commits carry n_files explicitly (their file list
+            # is implicit); pre-delta full manifests fall back to len
+            "n_files": m.get("n_files", len(m.get("files", ()))),
         }
         for k, v in m.items():
-            if k not in ("version", "files", "operation", "column_mapping"):
+            if k not in (
+                "version", "files", "operation", "column_mapping",
+                "delta", "n_files",
+            ):
                 rec[k] = v
         out.append(rec)
     return sorted(out, key=lambda r: -r["version"])

@@ -72,7 +72,28 @@ def build_versioned_table_source():
                 f"(full-snapshot resync)"
             )
         with open(mpath) as fh:
-            return json.load(fh)
+            m = json.load(fh)
+        # delta-encoded commit (io/versioned._CHECKPOINT_EVERY): replay
+        # {put, drop} onto the parent — same deterministic resolution
+        # order as io/versioned._read_manifest, replicated here because
+        # this closure must stay self-contained (executors can't import
+        # the package under driver-path loading)
+        delta = m.pop("delta", None)
+        if delta is not None:
+            base = _manifest(path, delta["base"])
+            dropped = set(delta.get("drop", ()))
+            put = {f["path"]: f for f in delta.get("put", ())}
+            files = []
+            for f in base["files"]:
+                p = f["path"]
+                if p in dropped:
+                    continue
+                files.append(put.pop(p, f))
+            for f in delta.get("put", ()):
+                if f["path"] in put:
+                    files.append(put.pop(f["path"]))
+            m["files"] = files
+        return m
 
     def _manifest_files(path: str, version: int) -> list:
         return _manifest(path, version)["files"]
