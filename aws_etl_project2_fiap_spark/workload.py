@@ -1779,7 +1779,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import semantic_dedup
 
     e = t(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, k=8, threshold=0.4)
+    # k=None auto-sizes clusters to the corpus (k ∝ n): pinning k while
+    # data grows makes in-cluster pair work quadratic again — measured
+    # 5x at tiled sf1 before the auto-scaling landed
+    return semantic_dedup(e, k=None, threshold=0.4)
 
 
 # One persisted MinHash index per sf_dir per process: the BUILD is a
