@@ -807,6 +807,7 @@ def build_minhash_index(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    extra: dict | None = None,
 ) -> int:
     """Create the persisted signature index (versioned table v1) from
     the current corpus. One corpus pass; index size ≈ bands rows ×
@@ -820,6 +821,7 @@ def build_minhash_index(
             df, text_col, id_col, shingle_n, num_hashes, bands
         ),
         index_path,
+        extra=extra,
     )
 
 
@@ -831,11 +833,13 @@ def append_to_minhash_index(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    extra: dict | None = None,
 ) -> int:
     """Append a delivery's signatures as one more versioned commit —
     the accepted-novel-docs half of the incremental loop. Retries are
     the caller's concern only across processes; within a stream use
-    streaming.sinks.versioned_sink semantics."""
+    streaming.sinks.versioned_sink semantics (``extra`` carries the
+    stream's ``batch_id`` replay marker into the index's manifest)."""
     from ..io import versioned as V
 
     _check_index_params(index_path, shingle_n, num_hashes, bands)
@@ -844,6 +848,7 @@ def append_to_minhash_index(
             df, text_col, id_col, shingle_n, num_hashes, bands
         ),
         index_path,
+        extra=extra,
     )
 
 

@@ -479,6 +479,200 @@ def versioned_sink(
     )
 
 
+def apply_near_dup_batch(
+    batch_df,
+    batch_id: int,
+    *,
+    table_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    quarantine_path: str | None = None,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """One micro-batch of :func:`near_dup_gated_sink`, module-level so
+    the replay/crash matrix is directly testable without driving a
+    stream (the sink is a thin foreachBatch wrapper)."""
+    import os
+
+    from ..io import versioned as V
+    from ..operators.dedup import (
+        append_to_minhash_index,
+        probe_minhash_index,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    t_done = os.path.exists(V._pointer(table_path)) and (
+        batch_id in V.committed_batch_ids(table_path)
+    )
+    i_done = os.path.exists(V._pointer(index_path)) and (
+        batch_id in V.committed_batch_ids(index_path)
+    )
+    if t_done and i_done:
+        return
+    if t_done:
+        # crash between the two commits: the table knows the novel
+        # set exactly — never re-probe the mutated index
+        table_ids = V.read_table(spark, table_path).select(id_col)
+        novel = batch_df.dropDuplicates([id_col]).join(
+            table_ids, id_col, "left_semi"
+        )
+    else:
+        batch_df = (
+            batch_df.withColumn(
+                "__fp", F.md5(F.col(text_col).cast("binary"))
+            )
+            .dropDuplicates(["__fp"])
+            .drop("__fp")
+            .dropDuplicates([id_col])
+        )
+        if os.path.exists(V._pointer(index_path)):
+            hits = probe_minhash_index(
+                spark, index_path, batch_df,
+                text_col=text_col, id_col=id_col, threshold=threshold,
+                shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+            )
+            dup_ids = hits.select(
+                F.col("batch_id").alias(id_col)
+            ).distinct()
+            dupes = batch_df.join(dup_ids, id_col, "left_semi")
+            novel = batch_df.join(dup_ids, id_col, "left_anti")
+            if not dupes.isEmpty():
+                dst = os.path.join(
+                    quarantine_path or f"{table_path}_neardups",
+                    f"batch_{batch_id}",
+                )
+                dupes.join(
+                    hits.groupBy("batch_id").agg(
+                        F.max_by("index_id", "est_jaccard").alias(
+                            "dup_of"
+                        ),
+                        F.max("est_jaccard").alias("est_jaccard"),
+                    ).withColumnRenamed("batch_id", id_col),
+                    id_col,
+                ).write.mode("overwrite").parquet(dst)
+        else:
+            novel = batch_df
+        if novel.isEmpty():
+            return  # all dupes: quarantined, nothing to commit
+        novel = novel.localCheckpoint(eager=True)  # probe plan once
+        for attempt in range(5):
+            try:
+                if os.path.exists(V._pointer(table_path)):
+                    V.append_table(
+                        novel, table_path,
+                        extra={"batch_id": batch_id},
+                    )
+                else:
+                    V.create_table(
+                        novel, table_path,
+                        extra={"batch_id": batch_id},
+                    )
+                break
+            except (V.CommitConflict, FileExistsError):
+                if batch_id in V.committed_batch_ids(table_path):
+                    break  # another replay of us won the race
+                continue
+        else:
+            raise RuntimeError(
+                f"near_dup_gated_sink: batch {batch_id} lost the "
+                f"corpus commit race 5 times on {table_path}"
+            )
+    if not i_done and not novel.isEmpty():
+        if not os.path.exists(V._pointer(index_path)):
+            from ..operators.dedup import build_minhash_index
+
+            build_minhash_index(
+                novel, index_path, text_col=text_col, id_col=id_col,
+                shingle_n=shingle_n, num_hashes=num_hashes,
+                bands=bands, extra={"batch_id": batch_id},
+            )
+        else:
+            for attempt in range(5):
+                try:
+                    append_to_minhash_index(
+                        novel, index_path, text_col=text_col,
+                        id_col=id_col, shingle_n=shingle_n,
+                        num_hashes=num_hashes, bands=bands,
+                        extra={"batch_id": batch_id},
+                    )
+                    break
+                except V.CommitConflict:
+                    if batch_id in V.committed_batch_ids(index_path):
+                        break
+                    continue
+            else:
+                raise RuntimeError(
+                    f"near_dup_gated_sink: batch {batch_id} lost "
+                    f"the index commit race 5 times on {index_path}"
+                )
+
+
+def near_dup_gated_sink(
+    df: DataFrame,
+    table_path: str,
+    index_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    quarantine_path: str | None = None,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    query_name: str = "near_dup_gated_sink",
+) -> StreamingQuery:
+    """Streaming ingest gated by CORPUS-SCALE near-dup detection — the
+    steady-state shape of a pretraining-data pipeline: every
+    micro-batch probes the persisted MinHash signature index
+    (operators/dedup.probe_minhash_index — delivery signatures
+    broadcast, corpus text never rescanned, index never rebuilt), near-
+    duplicates are quarantined with their matched corpus ids, and the
+    novel remainder lands as ONE commit in the corpus table plus ONE
+    commit of its signatures in the index.
+
+    Exactly-once across BOTH tables: the batch id is recorded in each
+    table's manifest. foreachBatch replays resolve per-half —
+
+    - both committed → no-op;
+    - neither → probe and apply (re-probing is deterministic: the index
+      cannot contain this batch's signatures yet);
+    - crash BETWEEN the two commits → the corpus table already holds
+      exactly the batch's novel rows, so the replay derives the novel
+      set from the table itself (semi-join on ids) instead of
+      re-probing an index state that no longer matches, then completes
+      the index append. Probing is never run against an index that
+      already absorbed the batch, so a replay can never quarantine a
+      batch as a duplicate of itself.
+
+    Scope: cross-corpus near-dups. Within one micro-batch only exact
+    id/content duplicates collapse (first occurrence by id); two novel
+    near-dup documents arriving in the SAME batch both land, and the
+    next delivery of either is caught — the same cadence/accuracy
+    trade every delivery-granular incremental dedup makes."""
+    def _apply(batch_df, batch_id: int) -> None:
+        apply_near_dup_batch(
+            batch_df, batch_id,
+            table_path=table_path, index_path=index_path,
+            text_col=text_col, id_col=id_col, threshold=threshold,
+            quarantine_path=quarantine_path, shingle_n=shingle_n,
+            num_hashes=num_hashes, bands=bands,
+        )
+
+    return (
+        df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def enriched_versioned_sink(
     df: DataFrame,
     dim_table_path: str,

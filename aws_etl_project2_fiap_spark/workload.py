@@ -4774,6 +4774,46 @@ def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery("stream_neardup_ingest", None)  # minhash banding: not ANSI SQL
+def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup-gated ingest loop (streaming/sinks
+    .apply_near_dup_batch, driven batch-wise): delivery 1 seeds the
+    corpus table + MinHash signature index; delivery 2 (half
+    re-delivered verbatim, half novel) probes the index — re-delivered
+    docs are quarantined, novel docs commit to BOTH tables exactly
+    once. Returns per-source corpus counts after both deliveries.
+    Rows-only (MinHash banding isn't ANSI SQL); the exactly-once
+    replay/crash matrix is pinned in tests/test_near_dup_sink.py."""
+    from .io import versioned as V
+    from .streaming.sinks import apply_near_dup_batch
+
+    d = t(spark, sf_dir, "documents")
+    table = os.path.join(_scratch_dir("neardup_ingest"), "corpus")
+    index = os.path.join(os.path.dirname(table), "index")
+    first = d.filter(F.col("doc_id") % 2 == 0)
+    apply_near_dup_batch(
+        first, 0, table_path=table, index_path=index,
+        quarantine_path=os.path.dirname(table) + "/q",
+    )
+    # delivery 2: odd docs (novel) + 50 even docs re-delivered under
+    # shifted ids (exact near-dups the index must catch)
+    redelivered = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .limit(50)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    second = d.filter(F.col("doc_id") % 2 == 1).unionByName(redelivered)
+    apply_near_dup_batch(
+        second, 1, table_path=table, index_path=index,
+        quarantine_path=os.path.dirname(table) + "/q",
+    )
+    return (
+        V.read_table(spark, table)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 @defquery("stream_price_alerts", None)  # self-referencing anchor: not ANSI SQL
 def stream_price_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-ratchet large-move alerts per event_type over the events
