@@ -926,6 +926,47 @@ def create_table(
     )
 
 
+class SchemaConflict(ValueError):
+    """An incoming batch's column types contradict the table's — the
+    write was rejected BEFORE any file landed. Without this gate a
+    type-flipped append succeeds and then poisons every later read
+    (Spark's mergeSchema fails with CANNOT_MERGE_SCHEMAS at scan time,
+    long after the bad writer is gone). Delta enforces the same rule at
+    write time."""
+
+
+def _check_append_schema(df: DataFrame, path: str) -> None:
+    """Reject type conflicts between ``df`` and the table's CURRENT
+    logical schema. New columns and omitted columns pass (the documented
+    §1.4 drift contract: additive evolution, NULL-filled reads) — only a
+    same-named column with a DIFFERENT type is a conflict.
+
+    The reference schema comes from ``read_table`` (one distributed
+    footer-merge metadata job, no data read) so column mapping, merge
+    evolution, and historical drift are all resolved exactly the way
+    the read path will resolve them."""
+    table_types = {
+        f.name: f.dataType.simpleString()
+        for f in read_table(df.sparkSession, path).schema.fields
+    }
+    conflicts = {
+        f.name: (table_types[f.name], f.dataType.simpleString())
+        for f in df.schema.fields
+        if f.name in table_types
+        and table_types[f.name] != f.dataType.simpleString()
+    }
+    if conflicts:
+        detail = ", ".join(
+            f"{c}: table={a} incoming={b}"
+            for c, (a, b) in sorted(conflicts.items())
+        )
+        raise SchemaConflict(
+            f"append to {path} rejected — column type conflicts would "
+            f"poison every subsequent read: {detail}. Cast the batch to "
+            f"the table's types (or rename the column) and retry."
+        )
+
+
 def append_table(
     df: DataFrame,
     path: str,
@@ -940,8 +981,13 @@ def append_table(
     append planned against v(N) while an UPDATE/DELETE committed v(N+1)
     would otherwise resurrect the files that commit removed (lost
     update). On :class:`CommitConflict`, re-read and retry — the batch
-    files already written are reusable garbage at worst."""
+    files already written are reusable garbage at worst.
+
+    Schema contract: new/omitted columns are fine (additive drift);
+    a type-conflicting column raises :class:`SchemaConflict` before
+    anything is written."""
     _enforce_constraints(df, path)
+    _check_append_schema(df, path)
     base_version = current_version(path)
     manifest = _read_manifest(path, base_version)
     files = manifest["files"]
@@ -1005,6 +1051,7 @@ def overwrite_partitions(
     {"version", "partitions", "files_dropped", "files_rewritten",
     "files_reused"}."""
     _enforce_constraints(df, path)
+    _check_append_schema(df, path)
     base_version = current_version(path)
     manifest = _read_manifest(path, base_version)
     files = manifest["files"]

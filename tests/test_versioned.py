@@ -457,7 +457,7 @@ def test_append_stale_snapshot_raises_commit_conflict(spark, table, monkeypatch)
     """An append planned against v(N) while another writer commits v(N+1)
     must conflict, not resurrect the files that commit removed."""
     df2 = spark.range(5).select(
-        F.col("id"), F.lit(0).alias("g"), F.lit(0.0).alias("v")
+        F.col("id"), F.lit(0).cast("long").alias("g"), F.lit(0.0).alias("v")
     )
     orig = V._write_batch
     fired = {}
@@ -480,7 +480,7 @@ def test_rollback_stale_snapshot_raises_commit_conflict(spark, table):
     """Rollback carries the token too: re-committing an old file list over
     an unseen concurrent commit would silently drop it."""
     df2 = spark.range(3).select(
-        F.col("id"), F.lit(0).alias("g"), F.lit(0.0).alias("v")
+        F.col("id"), F.lit(0).cast("long").alias("g"), F.lit(0.0).alias("v")
     )
     V.append_table(df2, table)  # v2
     real_commit = V._commit
@@ -842,3 +842,29 @@ def test_table_history_records_operations(spark, tmp_path):
     assert ops[5] == "MERGE" and ops[6] == "ROLLBACK(v2)"
     assert hist[4]["batch_id"] == 7  # commit extras surface
     assert all(h["timestamp"] > 0 and h["n_files"] >= 1 for h in hist)
+
+
+def test_type_conflicting_append_rejected_before_write(spark, tmp_path):
+    """A type-flipped column must be rejected at APPEND time — accepted,
+    it poisons every later read with CANNOT_MERGE_SCHEMAS."""
+    path = str(tmp_path / "schema_guard")
+    V.create_table(
+        spark.range(5).select(F.col("id"), F.lit("x").alias("s")), path
+    )
+    bad = spark.range(5, 8).select(
+        F.col("id").cast("string").alias("id"), F.lit("y").alias("s")
+    )
+    with pytest.raises(V.SchemaConflict, match="id"):
+        V.append_table(bad, path)
+    assert V.current_version(path) == 1  # nothing committed
+    assert V.read_table(spark, path).count() == 5  # reads still work
+    # additive drift stays allowed: new column + omitted column
+    V.append_table(
+        spark.range(8, 10).select(
+            F.col("id"), F.lit(1.0).alias("extra_col")
+        ),
+        path,
+    )
+    got = V.read_table(spark, path)
+    assert got.count() == 7
+    assert set(got.columns) == {"id", "s", "extra_col"}
