@@ -211,3 +211,69 @@ def test_rollback_across_deltas_restores_rows(spark, table):
         )
     V.rollback(table, 2)
     assert V.read_table(spark, table).count() == 101
+
+
+# ---------------------------------------------------------------------
+# Property: under random mutation sequences and a dense checkpoint
+# interval, every retained version reads identically BEFORE and AFTER
+# vacuum's delta-materialization pass — the resolution and the
+# materialized snapshot can never disagree.
+# ---------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.sampled_from(["append", "update", "delete"]),
+        min_size=3,
+        max_size=6,
+    ),
+    interval=st.sampled_from([2, 3, 16]),
+)
+def test_vacuum_materialization_preserves_reads(
+    spark, tmp_path_factory, monkeypatch, ops, interval
+):
+    monkeypatch.setattr(V, "_CHECKPOINT_EVERY", interval)
+    path = str(tmp_path_factory.mktemp("mdprop") / "t")
+    V.create_table(
+        spark.range(0, 40).select(
+            F.col("id"), (F.col("id") * 1.0).alias("v")
+        ).repartitionByRange(4, "id"),
+        path,
+    )
+    nid = 100
+    for i, kind in enumerate(ops):
+        if kind == "append":
+            V.append_table(
+                spark.createDataFrame(
+                    [(nid + i, -1.0)], "id long, v double"
+                ),
+                path,
+            )
+        elif kind == "update":
+            V.update_table(
+                spark, path, {"v": F.lit(float(i))}, F.col("id") % 7 == i % 7
+            )
+        else:
+            V.delete_from(spark, path, F.col("id") == i, mode="auto")
+    keep_last = 3
+    current = V.current_version(path)
+    retained = [v for v in range(current - keep_last + 1, current + 1) if v >= 1]
+    before = {
+        v: sorted(
+            map(tuple, V.read_table(spark, path, version=v).collect())
+        )
+        for v in retained
+    }
+    V.vacuum(path, keep_last=keep_last)
+    for v in retained:
+        after = sorted(
+            map(tuple, V.read_table(spark, path, version=v).collect())
+        )
+        assert after == before[v], f"v{v} changed across vacuum"
