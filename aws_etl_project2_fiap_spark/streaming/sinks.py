@@ -356,6 +356,8 @@ def versioned_sink(
     quarantine_path: str | None = None,
     dedup_keys: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    compact_every: int | None = None,
+    compact_small_bytes: int = 32 * 1024 * 1024,
 ) -> StreamingQuery:
     """Streaming appends into a versioned table (io/versioned.py): each
     micro-batch becomes one manifest commit, so the lakehouse loop —
@@ -391,7 +393,19 @@ def versioned_sink(
     ``bloom_cols`` forwards to the commit so every batch's files get
     per-file Bloom indexes (io/versioned.py) — point reads on the
     ingested table stay prunable with zero extra passes (the index is
-    built from the just-written files)."""
+    built from the just-written files).
+
+    ``compact_every=N`` is auto-compaction (the Delta
+    autoOptimize/autoCompact loop): after every Nth successful append
+    the sink runs the INCREMENTAL OPTIMIZE (``compact_table(
+    small_only_bytes=compact_small_bytes)``) — only the per-micro-batch
+    dribble under the size threshold is merged, files already at size
+    are referenced untouched, so cost stays ∝ small bytes forever. The
+    compaction is its own commit AFTER the batch's append commit; a
+    crash between them loses only tidiness, never data, and the next
+    trigger's sweep picks the dribble up. A CommitConflict from a
+    concurrent writer skips the sweep (the data commit already
+    succeeded; compaction re-runs on a later batch)."""
     import os
 
     from ..io import versioned as V
@@ -431,10 +445,19 @@ def versioned_sink(
                 if batch_id in V.committed_batch_ids(table_path):
                     return  # replayed batch: already committed
                 try:
-                    V.append_table(
+                    ver = V.append_table(
                         batch_df, table_path, extra={"batch_id": batch_id},
                         bloom_cols=bloom_cols,
                     )
+                    if compact_every and ver % compact_every == 0:
+                        try:
+                            V.compact_table(
+                                batch_df.sparkSession, table_path,
+                                small_only_bytes=compact_small_bytes,
+                                bloom_cols=bloom_cols,
+                            )
+                        except V.CommitConflict:
+                            pass  # data landed; tidy up on a later batch
                     return
                 except V.ConstraintViolation:
                     # the table's own CHECK constraints reject the batch

@@ -890,3 +890,36 @@ def test_cdc_apply_sink_order_col_picks_winner(spark, tmp_path):
     ).awaitTermination()
     got = {r["id"]: r["v"] for r in V.read_table(spark, table).collect()}
     assert got == {2: 22.0}
+
+
+def test_versioned_sink_auto_compacts_small_files(spark, tmp_path):
+    """compact_every=N: every Nth append commit is followed by an
+    incremental OPTIMIZE that merges the micro-batch dribble — file
+    count stays bounded while rows and history are untouched."""
+    from aws_etl_project2_fiap_spark.io import versioned as V
+    from aws_etl_project2_fiap_spark.streaming.sinks import versioned_sink
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+    for i in range(4):
+        spark.range(i * 10, (i + 1) * 10).selectExpr(
+            "id", "cast(id as double) as v"
+        ).coalesce(2).write.parquet(f"{landing}/d{i}")
+    q = versioned_sink(
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", "2")  # several micro-batches
+        .parquet(landing + "/*"),
+        table,
+        str(tmp_path / "ckpt"),
+        compact_every=2,
+        compact_small_bytes=64 * 1024 * 1024,
+    )
+    q.awaitTermination(180)
+    assert V.read_table(spark, table).count() == 40
+    hist = V.table_history(table)
+    ops = [h["operation"] for h in hist]
+    assert "OPTIMIZE" in ops, f"no auto-compaction in {ops}"
+    # the current version's file count is bounded by the sweep, not
+    # proportional to the number of micro-batches
+    n_files = len(V._read_manifest(table, V.current_version(table))["files"])
+    assert n_files <= 2, f"{n_files} files survived auto-compaction"
