@@ -230,6 +230,8 @@ def main() -> None:
             # round-4 additions at 10x
             "text_gopher_rules", "text_chunk_overlap", "window_hopping_2h",
             "dedup_semantic",
+            # round-5 addition at 10x (baseline records on first appearance)
+            "dedup_span_exact",
         ]
         sf1_steady: dict[str, float] = {}
         for name in sf1_set:
