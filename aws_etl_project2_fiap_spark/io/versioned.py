@@ -141,6 +141,26 @@ def _superset_columns(files: list) -> list[str]:
     return list(seen)
 
 
+def _mint_physical(c: str, mapping: dict, manifest: dict) -> str:
+    """Physical name for a NEW logical column joining an existing
+    mapping (schema-evolution append/merge). Collisions are checked
+    against every physical name that can exist in current data files:
+    live mapping values PLUS the manifest's ``retired_physical`` ledger
+    — names freed by ``drop_column`` whose BYTES persist in old files
+    until rewrites age them out. Checking only live values (the old
+    rule) silently resurrected a dropped column's data when a new
+    column re-used its name. Legacy manifests (mapping but no ledger —
+    pre-ledger drops) fall back to the exact O(files) footer union,
+    paid only on the rare evolution commit."""
+    taken = set(mapping.values())
+    retired = manifest.get("retired_physical")
+    if retired is None:
+        taken |= set(_superset_columns(manifest["files"]))
+    else:
+        taken |= set(retired)
+    return c if c not in taken else f"{c}_p{uuid.uuid4().hex[:6]}"
+
+
 def current_version(path: str) -> int:
     with open(_pointer(path)) as fh:
         return int(fh.read().strip())
@@ -306,6 +326,12 @@ _BLOOM_HASHES = 7
 # to the driver; past this bound the collect is skipped entirely (the
 # probe scan absorbs the cost) — deliveries, not tables, fit under it
 _MERGE_BLOOM_PROBE_CAP = 100_000
+# merge's semi/anti key probes hint F.broadcast only while the source
+# is provably delivery-sized (a bounded limit+count, never a full
+# count) — past the cap the hint is dropped and AQE picks the join, so
+# a table-sized merge source (e.g. a replica re-sync) can never force
+# a table-sized broadcast the optimizer would refuse
+_MERGE_BROADCAST_CAP = 2_000_000
 # two independent 16-byte hash keys for pandas' vectorized SipHash —
 # the double-hashing scheme h1 + i*h2 derives all k probe positions
 _BLOOM_K1 = "spark-graft-blm1"
@@ -583,25 +609,45 @@ def _write_dvs_distributed(
     )
 
 
-def _dv_pairs(spark: SparkSession, entries: list) -> DataFrame | None:
-    """(``__dv_file``, ``__dv_pos``) DataFrame of every deleted row in
-    ``entries``' DVs, or None when no entry carries one. Driver-side DV
-    reads are O(deleted rows), bounded by ``rewrite_threshold`` — the
-    same tier real formats keep their position deletes in."""
-    import pandas as pd
+def _dv_filter(df: DataFrame, dv_map: dict[str, str]) -> DataFrame:
+    """Apply deletion vectors EXECUTOR-SIDE: each Arrow batch of the
+    DV-carrying leg looks up its file's sidecar path in the broadcast
+    ``{file → dv_path}`` map — O(DV-carrying files) driver bytes, never
+    O(deleted rows) — loads the sorted-int64 sidecar INSIDE the scan
+    task (memoized per sidecar within the worker), and drops deleted
+    positions with a vectorized ``np.isin``. The read-side mirror of
+    :func:`_write_dvs_distributed`: the driver handles only the file
+    map; deleted-position bytes move executor-side, per file, exactly
+    where Delta/Iceberg readers apply their position deletes. ``df``
+    must carry ``__file``/``__pos`` and is returned schema-unchanged."""
+    bc = df.sparkSession.sparkContext.broadcast(dict(dv_map))
 
-    dvd = [f for f in entries if f.get("dv")]
-    if not dvd:
-        return None
-    frames = [
-        pd.DataFrame(
-            {"__dv_file": f["path"], "__dv_pos": _read_dv(f["dv"]["path"])}
-        )
-        for f in dvd
-    ]
-    pdf = pd.concat(frames, ignore_index=True)
-    pdf["__dv_pos"] = pdf["__dv_pos"].astype("int64")
-    return spark.createDataFrame(pdf)
+    def _filter(batches):
+        import numpy as np
+
+        cache: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            files = pdf["__file"].to_numpy()
+            mask = np.ones(len(pdf), dtype=bool)
+            for fpath in np.unique(files):
+                dvp = bc.value.get(fpath)
+                if not dvp:
+                    continue
+                dv = cache.get(dvp)
+                if dv is None:
+                    with open(dvp, "rb") as fh:
+                        dv = np.frombuffer(fh.read(), dtype="<i8")
+                    cache[dvp] = dv
+                sel = files == fpath
+                mask[sel] &= ~np.isin(
+                    pdf["__pos"].to_numpy("int64")[sel], dv
+                )
+            yield pdf if mask.all() else pdf[mask]
+
+    return df.mapInPandas(_filter, df.schema)
 
 
 def _scan(
@@ -610,49 +656,46 @@ def _scan(
     """The one snapshot scan every read AND mutation path goes through:
     mergeSchema parquet read of the entries' files with their deletion
     vectors applied (merge-on-read). With no DVs this is a plain scan —
-    zero overhead. With DVs, one broadcast anti-join on (file, position)
-    removes exactly the deleted rows; files without a DV can never match
-    a pair, so a single scan serves both populations.
+    zero overhead. With DVs, the DV-carrying leg routes through
+    :func:`_dv_filter`, which loads each file's sidecar inside its own
+    scan task — driver-side work is O(DV files), never O(deleted rows),
+    and nothing is broadcast but the {file → dv_path} map.
 
     ``keep_meta=True`` retains ``__file`` (manifest-normalized path) and
     ``__pos`` (row index) for the copy-on-write discovery scans — which
     MUST be DV-aware or UPDATE/MERGE/DELETE would match, count, and
     resurrect rows that are already deleted.
 
-    Read-path cost model (measured at tiled sf1): only the DV-CARRYING
-    files pay the merge-on-read tax — clean files go through a separate
-    plain scan and the two legs union, so a point delete that DV'd 3 of
-    10,000 files adds the metadata projection + anti-join to 3 files'
-    rows and nothing else. ``keep_meta`` scans (mutation discovery)
-    need the meta columns on every row anyway, so they stay single-leg."""
+    Read-path cost model: only the DV-CARRYING files pay the
+    merge-on-read tax — clean files go through a separate plain scan
+    and the two legs union, so a point delete that DV'd 3 of 10,000
+    files adds the metadata projection + per-file sidecar filter to 3
+    files' rows and nothing else. The same split applies under
+    ``keep_meta`` (both legs project the meta columns; only the DV leg
+    takes the Arrow pass)."""
     reader = spark.read.option("mergeSchema", "true")
     dvd = [f for f in entries if f.get("dv")]
     if not dvd and not keep_meta:
         return reader.parquet(*_paths(entries))
-    pairs = _dv_pairs(spark, entries)
+    dv_map = {f["path"]: f["dv"]["path"] for f in dvd}
 
-    def _with_dv_applied(subset, its_pairs):
-        df = (
+    def _with_meta(subset):
+        return (
             reader.parquet(*_paths(subset))
             .withColumn("__file", _norm_file_path())
             .withColumn("__pos", F.col("_metadata.row_index"))
         )
-        if its_pairs is not None:
-            df = df.join(
-                F.broadcast(
-                    its_pairs.withColumnsRenamed(
-                        {"__dv_file": "__file", "__dv_pos": "__pos"}
-                    )
-                ),
-                ["__file", "__pos"],
-                "left_anti",
-            )
-        return df
 
-    if keep_meta:
-        return _with_dv_applied(entries, pairs)
     clean = [f for f in entries if not f.get("dv")]
-    out = _with_dv_applied(dvd, pairs).drop("__file", "__pos")
+    if keep_meta:
+        out = _dv_filter(_with_meta(dvd), dv_map) if dvd else None
+        if clean:
+            cdf = _with_meta(clean)
+            out = cdf if out is None else cdf.unionByName(
+                out, allowMissingColumns=True
+            )
+        return out
+    out = _dv_filter(_with_meta(dvd), dv_map).drop("__file", "__pos")
     if clean:
         out = reader.parquet(*_paths(clean)).unionByName(
             out, allowMissingColumns=True
@@ -756,18 +799,22 @@ def _commit(
             f"table {path} moved to v{version - 1} while this writer "
             f"worked from v{expect_version}; re-read and retry"
         )
-    # column mapping is table STATE, not per-commit payload: every
-    # commit inherits the previous manifest's mapping unless the caller
-    # sets it explicitly (rename/drop pass the new mapping; rollback
-    # passes the target version's; None clears it)
+    # column mapping and the retired-physical-name ledger are table
+    # STATE, not per-commit payload: every commit inherits the previous
+    # manifest's values unless the caller sets them explicitly
+    # (rename/drop pass the new mapping; drop appends to the ledger;
+    # rollback passes the target version's; None clears)
     extra = dict(extra or {})
-    if "column_mapping" not in extra:
-        if version > 1:
-            prev = _read_manifest(path, version - 1).get("column_mapping")
-            if prev:
-                extra["column_mapping"] = prev
-    elif extra["column_mapping"] is None:
-        del extra["column_mapping"]
+    prev_manifest = (
+        _read_manifest(path, version - 1) if version > 1 else {}
+    )
+    for state_key in ("column_mapping", "retired_physical"):
+        if state_key not in extra:
+            prev = prev_manifest.get(state_key)
+            if prev is not None:
+                extra[state_key] = prev
+        elif extra[state_key] is None:
+            del extra[state_key]
     if operation is not None:
         extra.setdefault("operation", operation)
     manifest = {"version": version, "n_files": len(files), **extra}
@@ -777,10 +824,7 @@ def _commit(
     # full snapshots so every chain resolves within one interval.
     delta = None
     if version > 1 and version % _CHECKPOINT_EVERY != 0:
-        try:
-            parent_files = _read_manifest(path, version - 1)["files"]
-        except (FileNotFoundError, KeyError, ValueError):
-            parent_files = None
+        parent_files = prev_manifest.get("files")
         if parent_files is not None:
             old_by = {f["path"]: f for f in parent_files}
             new_paths = {f["path"] for f in files}
@@ -995,17 +1039,13 @@ def append_table(
     if mapping:
         # schema evolution under a mapping: new logical columns join the
         # mapping with a FRESH physical name when their name collides
-        # with a retired physical name still present in old files (else
-        # the old column's bytes would leak into the new logical column)
+        # with any physical name still present in old files — live OR
+        # retired (else a dropped column's bytes would leak into the
+        # new logical column); see _mint_physical
         mapping = dict(mapping)
         for c in df.columns:
             if c not in mapping:
-                phys = (
-                    c
-                    if c not in mapping.values()
-                    else f"{c}_p{uuid.uuid4().hex[:6]}"
-                )
-                mapping[c] = phys
+                mapping[c] = _mint_physical(c, mapping, manifest)
         extra = {**(extra or {}), "column_mapping": mapping}
         df = _to_physical(df, mapping)
         bloom_cols = [mapping.get(c, c) for c in (bloom_cols or [])] or None
@@ -1127,6 +1167,22 @@ def committed_batch_ids(path: str) -> set[int]:
     return ids
 
 
+def version_of_batch(path: str, batch_id: int) -> int | None:
+    """The version whose commit recorded this streaming ``batch_id``
+    (the inverse of :func:`committed_batch_ids`), or None when no
+    retained manifest carries it. Same O(versions retained) tiny-JSON
+    cost and vacuum-retention contract: a replayed batch is recent, so
+    its commit is always inside any sane retention window."""
+    for fname in os.listdir(_manifest_dir(path)):
+        if not _MANIFEST_RE.fullmatch(fname):
+            continue
+        with open(os.path.join(_manifest_dir(path), fname)) as fh:
+            m = json.load(fh)
+        if m.get("batch_id") == batch_id:
+            return m["version"]
+    return None
+
+
 def prunable(files: list, col: str, lo, hi) -> tuple[list, list]:
     """Split manifest entries into (kept, skipped) for the predicate
     ``col BETWEEN lo AND hi`` using write-time footer stats: a file is
@@ -1148,13 +1204,26 @@ def overwrite_table(df: DataFrame, path: str) -> int:
     Overwrite replaces every row by intent, so it can't *lose* data to
     a concurrent commit — but it still carries the token so two racing
     writers can't both mint the same version number (the second manifest
-    write would clobber the first's JSON)."""
+    write would clobber the first's JSON).
+
+    Under a column mapping the mapping is REBUILT from ``df``'s columns
+    (identity — the new version references only the new files, so no
+    old physical byte can leak in) and the retired ledger resets: the
+    old rule inherited the stale mapping unreconciled, which made a new
+    column invisible to every reader and an omitted mapped column an
+    UNRESOLVED_COLUMN error on every subsequent read. Time travel still
+    reads each old version under its own manifest's mapping."""
     _enforce_constraints(df, path)
     base_version = current_version(path)
     mapping = _read_manifest(path, base_version).get("column_mapping")
+    extra = None
+    if mapping:
+        mapping = {c: c for c in df.columns}
+        extra = {"column_mapping": mapping, "retired_physical": []}
     return _commit(
         path,
         _write_batch(_to_physical(df, mapping), path),
+        extra=extra,
         expect_version=base_version,
         operation="OVERWRITE",
     )
@@ -1304,13 +1373,19 @@ def update_table(
 def rollback(path: str, version: int) -> int:
     """Re-commit an old version's file list as the new current version
     (history stays linear; nothing is deleted). The target version's
-    column mapping is restored with it (None clears a later rename)."""
+    column mapping AND retired-physical ledger are restored with it
+    (None clears a later rename; restoring the ledger matters when
+    rolling back past an OVERWRITE that reset it — the old files'
+    dropped bytes return with the old file list)."""
     base_version = current_version(path)
     m = _read_manifest(path, version)
     return _commit(
         path,
         m["files"],
-        extra={"column_mapping": m.get("column_mapping")},
+        extra={
+            "column_mapping": m.get("column_mapping"),
+            "retired_physical": m.get("retired_physical"),
+        },
         expect_version=base_version,
         operation=f"ROLLBACK(v{version})",
     )
@@ -1351,7 +1426,13 @@ def rename_column(path: str, old: str, new: str) -> int:
     return _commit(
         path,
         m["files"],
-        extra={"column_mapping": new_mapping},
+        # bootstrap the retired ledger with the mapping (empty set of
+        # retirees) so future evolution collision checks are O(1)
+        # manifest lookups, never footer scans
+        extra={
+            "column_mapping": new_mapping,
+            "retired_physical": m.get("retired_physical", []),
+        },
         expect_version=base_version,
         operation=f"RENAME_COLUMN({old}->{new})",
     )
@@ -1379,10 +1460,18 @@ def drop_column(path: str, col: str) -> int:
                 f"drop it before dropping the column"
             )
     new_mapping = {k: v for k, v in mapping.items() if k != col}
+    # the dropped column's PHYSICAL name joins the retired ledger: its
+    # bytes persist in existing files, so no future logical column may
+    # reuse the name (it would resurrect the dropped data — the GDPR
+    # failure mode). Rewrites don't purge the ledger (old versions stay
+    # time-travel readable); a full OVERWRITE resets it.
+    retired = sorted(
+        set(m.get("retired_physical", [])) | {mapping[col]}
+    )
     return _commit(
         path,
         m["files"],
-        extra={"column_mapping": new_mapping},
+        extra={"column_mapping": new_mapping, "retired_physical": retired},
         expect_version=base_version,
         operation=f"DROP_COLUMN({col})",
     )
@@ -1454,6 +1543,20 @@ def vacuum(
         if v not in keep:
             os.remove(os.path.join(_manifest_dir(path), fname))
     return removed
+
+
+def _probe_keys(source: DataFrame, keys: list[str]) -> DataFrame:
+    """The merge probes' build side: the source's key columns, hinted
+    ``F.broadcast`` only when a BOUNDED row probe (limit cap+1, count —
+    never a full count/scan of an unbounded source) proves the source
+    is delivery-sized. Past :data:`_MERGE_BROADCAST_CAP` the hint is
+    dropped and AQE sizes the join itself, so a table-sized merge
+    source (``replicate_table`` re-syncs, bulk backfills) can never
+    force a broadcast the optimizer would refuse."""
+    probe = source.select(*keys)
+    if probe.limit(_MERGE_BROADCAST_CAP + 1).count() <= _MERGE_BROADCAST_CAP:
+        return F.broadcast(probe)
+    return probe
 
 
 def merge_table(
@@ -1665,10 +1768,11 @@ def merge_table(
         probe_entries = prunable_eq_any(
             probe_entries, pcol, [r[0] for r in rows]
         )[0]
+    probe_src = _probe_keys(source, keys)
     if probe_entries:
         matched_rows = _apply_mapping(
             _scan(spark, probe_entries, keep_meta=True), mapping
-        ).join(F.broadcast(source.select(*keys)), keys, "semi")
+        ).join(probe_src, keys, "semi")
         touched = [
             r["__file"]
             for r in matched_rows.select("__file").distinct().collect()
@@ -1683,7 +1787,7 @@ def merge_table(
         # the files it can actually touch
         anti = _apply_mapping(
             _scan(spark, files, keep_meta=True), mapping
-        ).alias("t").join(F.broadcast(source.select(*keys)), keys, "anti")
+        ).alias("t").join(probe_src, keys, "anti")
         if not_matched_by_source_condition is not None:
             anti = anti.filter(
                 F.coalesce(not_matched_by_source_condition, F.lit(False))
@@ -1780,17 +1884,13 @@ def merge_table(
     if new_cols and mapping:
         # evolution under a column mapping: new logical columns join
         # the mapping, minting a fresh physical name on collision with
-        # a retired physical name (same rule as append_table — old
-        # files' bytes must not leak into the new logical column)
+        # any live-or-retired physical name (same rule as append_table
+        # — old files' bytes must not leak into the new logical
+        # column); see _mint_physical
         mapping = dict(mapping)
         for c in new_cols:
             if c not in mapping:
-                phys = (
-                    c
-                    if c not in mapping.values()
-                    else f"{c}_p{uuid.uuid4().hex[:6]}"
-                )
-                mapping[c] = phys
+                mapping[c] = _mint_physical(c, mapping, manifest)
         extra = {**(extra or {}), "column_mapping": mapping}
     _enforce_constraints(merged, path)
     if when_matched is None or matched_rows is None:
@@ -2517,12 +2617,13 @@ def replicate_table(
     if last == 0:
         snap = read_table(spark, src_path, version=current)
         if os.path.exists(os.path.join(dst_path, "_CURRENT")):
-            # re-seed an existing replica idempotently: full-sync merge
-            merge_table(
-                spark, dst_path, snap, keys,
-                when_matched="replace",
-                when_not_matched_by_source="delete",
-            )
+            # re-seed an existing (diverged) replica with a full
+            # OVERWRITE, not a full-table MERGE: the snapshot replaces
+            # every replica row by intent, so the final state is
+            # identical, the cost is one write instead of a table-sized
+            # probe + CoW rewrite, and no table-sized source ever
+            # reaches merge's broadcast probes
+            overwrite_table(snap, dst_path)
         else:
             create_table(snap, dst_path)
         n_up = snap.count()

@@ -405,10 +405,16 @@ def versioned_sink(
     crash between them loses only tidiness, never data, and the next
     trigger's sweep picks the dribble up. A CommitConflict from a
     concurrent writer skips the sweep (the data commit already
-    succeeded; compaction re-runs on a later batch)."""
+    succeeded; compaction re-runs on a later batch). The cadence is
+    counted in THIS sink's successful appends (a local counter — a
+    restart resets it, costing tidiness only), not in table versions:
+    compaction commits and concurrent writers advance the version, so
+    a version-keyed cadence drifts from "every N appends"."""
     import os
 
     from ..io import versioned as V
+
+    appends = {"n": 0}  # this sink's successful appends (cadence clock)
 
     def _append(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -445,11 +451,12 @@ def versioned_sink(
                 if batch_id in V.committed_batch_ids(table_path):
                     return  # replayed batch: already committed
                 try:
-                    ver = V.append_table(
+                    V.append_table(
                         batch_df, table_path, extra={"batch_id": batch_id},
                         bloom_cols=bloom_cols,
                     )
-                    if compact_every and ver % compact_every == 0:
+                    appends["n"] += 1
+                    if compact_every and appends["n"] % compact_every == 0:
                         try:
                             V.compact_table(
                                 batch_df.sparkSession, table_path,
@@ -482,6 +489,7 @@ def versioned_sink(
                         batch_df, table_path, extra={"batch_id": batch_id},
                         bloom_cols=bloom_cols,
                     )
+                    appends["n"] += 1
                     return
                 except (V.CommitConflict, FileExistsError):
                     # another stream/batch writer created the table
@@ -539,12 +547,22 @@ def apply_near_dup_batch(
     if t_done and i_done:
         return
     if t_done:
-        # crash between the two commits: the table knows the novel
-        # set exactly — never re-probe the mutated index
-        table_ids = V.read_table(spark, table_path).select(id_col)
-        novel = batch_df.dropDuplicates([id_col]).join(
-            table_ids, id_col, "left_semi"
-        )
+        # crash between the two commits: recover the EXACT novel set
+        # from the batch's OWN table commit — the rows that commit
+        # added (its change-feed insert leg) — never by re-probing the
+        # whole table: a batch row whose id already existed from an
+        # EARLIER delivery (e.g. a same-id re-delivery quarantined in
+        # the original run) would semi-join as "novel" and its
+        # signatures would drift the index from the corpus
+        ver = V.version_of_batch(table_path, batch_id)
+        if ver == 1:
+            novel = V.read_table(spark, table_path, version=1)
+        else:
+            novel = (
+                V.table_changes(spark, table_path, ver - 1, ver)
+                .filter(F.col("_change_type") == "insert")
+                .drop("_change_type", "_commit_version")
+            )
     else:
         batch_df = (
             batch_df.withColumn(

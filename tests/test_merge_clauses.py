@@ -436,3 +436,43 @@ def test_prunable_eq_any_agrees_with_single_probe(spark, tmp_path):
                 f["path"] for f in V.prunable_eq(files, col, p)[0]
             }
         assert kept_any == kept_or
+
+
+def test_probe_keys_hints_broadcast_only_under_cap(spark, monkeypatch):
+    """merge's semi/anti probe build side carries F.broadcast only
+    while a bounded row probe proves the source delivery-sized; past
+    _MERGE_BROADCAST_CAP the hint is dropped and AQE sizes the join —
+    a table-sized merge source can never force a table-sized
+    broadcast."""
+    src = spark.range(0, 50).select(F.col("id"))
+    plan = (
+        V._probe_keys(src, ["id"])
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "broadcast" in plan.lower(), plan
+    monkeypatch.setattr(V, "_MERGE_BROADCAST_CAP", 10)
+    plan_capped = (
+        V._probe_keys(src, ["id"])
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "broadcast" not in plan_capped.lower(), plan_capped
+
+
+def test_merge_past_broadcast_cap_same_result(spark, table, monkeypatch):
+    """A merge whose source exceeds the broadcast cap produces the
+    identical result (hash parity with the hinted plan's semantics) —
+    the cap changes the physical join only."""
+    src = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") + 0.5).alias("v"),
+    ).filter(F.col("id") % 2 == 0)
+    monkeypatch.setattr(V, "_MERGE_BROADCAST_CAP", 10)
+    res = V.merge_table(
+        spark, table, src, keys=["id"], when_matched="replace",
+        when_not_matched_by_source="delete",
+    )
+    assert res["updated"] == 150 and res["deleted"] == 150
+    got = _rows(spark, table)
+    assert set(got) == {i for i in range(300) if i % 2 == 0}
+    assert got[10] == (1, 10.5)

@@ -161,3 +161,28 @@ def test_end_to_end_stream(spark, paths):
     assert {
         r["doc_id"] for r in V.read_table(spark, paths["table"]).collect()
     } == {1, 2, 11}
+
+
+def test_crash_recovery_ignores_ids_from_earlier_batches(spark, paths):
+    """Crash-window recovery derives the novel set from the batch's OWN
+    table commit (its change-feed insert leg), never by semi-joining
+    the batch against ALL table ids: a re-delivered row whose id was
+    committed by an EARLIER batch must not have its signatures appended
+    again (index drift from the corpus)."""
+    _apply(spark, [(1, DOC), (2, DOC2)], 0, paths)
+    idx_rows_for_1 = (
+        V.read_table(spark, paths["index"]).filter(F.col("id") == 1).count()
+    )
+    assert idx_rows_for_1 > 0
+    # batch 1's original run: doc 1 re-delivered verbatim (same id —
+    # quarantined as a near-dup, NOT committed) + novel doc 5; the
+    # table commit landed, the index append crashed
+    V.append_table(
+        _df(spark, [(5, DOC3)]), paths["table"], extra={"batch_id": 1}
+    )
+    _apply(spark, [(1, DOC), (5, DOC3)], 1, paths)  # replay
+    idx = V.read_table(spark, paths["index"])
+    assert {r["id"] for r in idx.collect()} == {1, 2, 5}
+    assert (
+        idx.filter(F.col("id") == 1).count() == idx_rows_for_1
+    ), "recovery re-appended an earlier batch's signatures"

@@ -321,3 +321,53 @@ def test_change_feed_emits_rollback_resurrections_as_inserts(
     assert sorted(_ids(spark, table)) == [
         i for i in range(300) if i not in (3, 7)
     ]
+
+
+def test_dv_read_never_loads_sidecars_on_driver(spark, table, monkeypatch):
+    """Scans of a DV-carrying table apply deletion vectors INSIDE the
+    scan tasks (each file's sidecar loaded executor-side, mirror of the
+    distributed DV writer): the driver handles only the {file →
+    dv_path} map — O(DV files), never O(deleted rows). Poisoning the
+    driver-side sidecar reader proves no read path goes through it
+    (Python workers are separate processes and the _dv_filter closure
+    reads sidecars inline, so a driver call would be the only hit)."""
+    V.delete_from(spark, table, F.col("id") % 7 == 0, mode="dv")
+    expect = [i for i in range(300) if i % 7 != 0]
+
+    def _boom(dvpath):
+        raise AssertionError(
+            f"driver-side DV sidecar read on the read path: {dvpath}"
+        )
+
+    monkeypatch.setattr(V, "_read_dv", _boom)
+    assert _ids(spark, table) == expect
+    # the keep_meta (mutation-discovery) scan path too
+    assert sorted(
+        r["id"]
+        for r in V._scan(
+            spark,
+            V._read_manifest(table, V.current_version(table))["files"],
+            keep_meta=True,
+        ).select("id").collect()
+    ) == expect
+
+
+def test_dv_read_mixed_clean_and_dv_files(spark, table):
+    """Only the DV-carrying leg takes the per-file filter; clean files
+    union back losslessly (both read legs, keep_meta and plain)."""
+    # delete only from the g=1 file → 1 DV file + 2 clean files
+    r = V.delete_from(
+        spark, table, (F.col("g") == 1) & (F.col("id") < 50), mode="dv"
+    )
+    assert r["files_dv"] == 1
+    expect = [
+        i for i in range(300) if not (i % 3 == 1 and i < 50)
+    ]
+    assert _ids(spark, table) == expect
+    meta = V._scan(
+        spark,
+        V._read_manifest(table, V.current_version(table))["files"],
+        keep_meta=True,
+    )
+    assert sorted(r["id"] for r in meta.select("id").collect()) == expect
+    assert {"__file", "__pos"} <= set(meta.columns)

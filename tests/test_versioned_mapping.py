@@ -255,3 +255,98 @@ def test_table_source_reads_logical_names(spark, table):
         .load()
     )
     assert old.columns == ["id", "g", "v"]
+
+
+def test_dropped_column_name_not_resurrected_on_append(spark, table):
+    """Re-adding a column with a DROPPED column's name must NOT alias
+    onto the old column's bytes still frozen in existing files (the
+    silent-data-resurrection / GDPR failure mode): drop 'g', append a
+    batch with a NEW 'g' → old rows read NULL, new rows their values."""
+    V.drop_column(table, "g")
+    V.append_table(
+        spark.createDataFrame(
+            [(1000, 1.0, 77)], "id long, v double, g long"
+        ),
+        table,
+    )
+    m = V.table_mapping(table)
+    assert m["g"] != "g", "new 'g' reused the dropped physical name"
+    got = {r["id"]: r["g"] for r in V.read_table(spark, table).select(
+        "id", "g"
+    ).collect()}
+    assert got[1000] == 77
+    assert got[0] is None, "old row resurrected dropped bytes"
+    # drop committed the retired ledger; append inherited it
+    assert "g" in V._read_manifest(table, V.current_version(table)).get(
+        "retired_physical", []
+    )
+
+
+def test_dropped_column_name_not_resurrected_on_merge_evolution(
+    spark, table
+):
+    """Same contract through merge_table(schema_evolution=True)."""
+    V.drop_column(table, "g")
+    V.merge_table(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(0, 0.5, 88), (1000, 1.0, 99)], "id long, v double, g long"
+        ),
+        ["id"],
+        schema_evolution=True,
+    )
+    assert V.table_mapping(table)["g"] != "g"
+    got = {r["id"]: r["g"] for r in V.read_table(spark, table).select(
+        "id", "g"
+    ).collect()}
+    assert got[0] == 88 and got[1000] == 99  # merged rows carry new g
+    assert got[5] is None, "untouched old row resurrected dropped bytes"
+
+
+def test_overwrite_rebuilds_mapping(spark, table):
+    """overwrite_table on a mapped table reconciles the mapping with
+    the new DataFrame: new columns become visible, omitted mapped
+    columns stop being required, and the table stays readable."""
+    V.rename_column(table, "v", "price")
+    # overwrite with a NEW column and WITHOUT the mapped 'g'
+    V.overwrite_table(
+        spark.createDataFrame(
+            [(1, 2.0, "x")], "id long, price double, tag string"
+        ),
+        table,
+    )
+    got = V.read_table(spark, table)
+    assert sorted(got.columns) == ["id", "price", "tag"]
+    row = got.collect()[0]
+    assert (row["id"], row["price"], row["tag"]) == (1, 2.0, "x")
+    # time travel: the pre-overwrite version still reads under ITS
+    # mapping (renamed price over old bytes)
+    old = V.read_table(spark, table, version=2)
+    assert sorted(old.columns) == ["g", "id", "price"]
+    assert old.count() == 300
+
+
+def test_rollback_past_overwrite_restores_retired_ledger(spark, table):
+    """OVERWRITE resets the retired ledger (no old file survives), but
+    a rollback PAST the overwrite brings the old files — and their
+    dropped bytes — back: the target version's ledger must return with
+    them, or a post-rollback append could resurrect dropped data."""
+    V.drop_column(table, "g")  # v2: ledger = [g]
+    V.overwrite_table(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), table
+    )  # v3: ledger reset
+    assert V._read_manifest(table, 3).get("retired_physical") == []
+    V.rollback(table, 2)  # v4: v2's files (old bytes) + v2's ledger
+    assert V._read_manifest(table, 4).get("retired_physical") == ["g"]
+    V.append_table(
+        spark.createDataFrame(
+            [(1000, 1.0, 77)], "id long, v double, g long"
+        ),
+        table,
+    )
+    got = {r["id"]: r["g"] for r in V.read_table(spark, table).select(
+        "id", "g"
+    ).collect()}
+    assert got[1000] == 77
+    assert got[0] is None, "rollback lost the ledger; bytes resurrected"
