@@ -2225,11 +2225,66 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
-@defquery("text_rolling_chunks", None)  # content-defined chunking: not ANSI SQL
+# the rolling-hash kernel is deterministic integer arithmetic, so the
+# DuckDB oracle replays it exactly with list ops: per-byte values via
+# hex(encode(text)) parsing, all window hashes as an inlined degree-15
+# polynomial (the constants are pow(257, 15-j, 2^31-1), the same kernel
+# operators/text.rolling_chunk_hashes evaluates as a matmul), content
+# boundaries where hash % 32 == 0, then the position-weighted segment
+# hash. Verified row-for-row against the numpy kernel at sf0.01.
+_ROLL_KERNEL = [pow(257, 15 - j, (1 << 31) - 1) for j in range(16)]
+_ROLL_POLY = " + ".join(
+    f"d[i + {j + 1}] * {k}" for j, k in enumerate(_ROLL_KERNEL)
+)
+_ROLLING_CHUNKS_SQL = f"""
+    WITH raw AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+      WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+    ),
+    bytes AS (
+      SELECT doc_id, n,
+             list_transform(range(n),
+                 i -> ('0x' || substr(h, i * 2 + 1, 2))::BIGINT) AS d
+      FROM raw
+    ),
+    short AS (
+      SELECT doc_id AS id, CAST(list_sum(d) AS BIGINT) AS chunk_hash
+      FROM bytes WHERE n < 16
+    ),
+    bounded AS (
+      SELECT doc_id, n, d,
+             list_filter(
+               list_filter(range(n - 15),
+                 i -> ((({_ROLL_POLY}) % 2147483647) % 32 = 0)),
+               x -> x > 0) AS bs
+      FROM bytes WHERE n >= 16
+    ),
+    segs AS (
+      SELECT doc_id, d, [0] || bs AS starts, bs || [n] AS ends
+      FROM bounded
+    )
+    SELECT doc_id AS id,
+           unnest(list_transform(range(len(starts)),
+             k -> CAST(list_sum(list_transform(
+                    range(ends[k + 1] - starts[k + 1]),
+                    t -> d[starts[k + 1] + t + 1] * (t + 1)
+                  )) % 2147483647 AS BIGINT)
+           )) AS chunk_hash
+    FROM segs
+    UNION ALL
+    SELECT id, chunk_hash FROM short
+"""
+
+
+@defquery("text_rolling_chunks", _ROLLING_CHUNKS_SQL)
 def text_rolling_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-style content-defined chunk fingerprints per doc — the
-    shift-tolerant dedup/delta primitive (rsync/LBFS lineage). Rows-only
-    check; shift-tolerance is asserted in tests."""
+    shift-tolerant dedup/delta primitive (rsync/LBFS lineage). Oracle-
+    backed: the hash is pure integer arithmetic, so DuckDB replays it
+    exactly (see _ROLLING_CHUNKS_SQL); shift-tolerance is asserted in
+    tests."""
     d = t(spark, sf_dir, "documents")
     return text_op.rolling_chunk_hashes(d)
 

@@ -52,6 +52,10 @@ HEADLINE = [
     "join_semi",
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
+    # round-6 additions: group-then-having-then-join (Q18) and
+    # returned-items customer ranking (Q10) — shapes the set lacked
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
     "window_top3_per_cust",
     "window_lag_delta",
     "sessionize_30m",
@@ -149,6 +153,39 @@ def _rechunked(sf_dir: str, min_groups: int = 32) -> str:
     return out
 
 
+def _sentinel(spark) -> float:
+    """Fixed CPU-bound probe (spark.range aggregate — no IO, no Python
+    workers): timed alongside each bench column so co-tenant machine
+    load is SELF-IDENTIFYING in the artifact. The probe's work never
+    changes, so across rounds its time moves only with machine load; a
+    run whose queries AND sentinel inflate by the same factor is a
+    loaded capture, not a regression (BASELINE.md "load adjudication").
+    Best of two, same policy as the steady column."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).select(
+            F.sum(F.col("id") * 2 + 1)
+        ).collect()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
+def _emit(payload: dict) -> None:
+    """Print the payload line AND persist it to /tmp/bench_out.json:
+    the driver's fixed-size output capture truncated the final line in
+    two past rounds — the file survives any capture window."""
+    line = json.dumps(payload)
+    print(line, flush=True)
+    try:
+        with open("/tmp/bench_out.json", "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -172,6 +209,7 @@ def main() -> None:
         "g"
     ).applyInPandas(lambda pdf: pdf, "id long, g long").count()
 
+    sentinel = {"before_cold": _sentinel(spark)}
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in HEADLINE:
@@ -187,6 +225,7 @@ def main() -> None:
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
         steady[name] = round(min(runs), 3)
+    sentinel["after_steady"] = _sentinel(spark)
 
     payload = {
         "metric": "headline_workload_total",
@@ -197,12 +236,14 @@ def main() -> None:
         "steady_total": round(sum(steady.values()), 3),
         "rechunked": rechunk,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sentinel": sentinel,
+        "payload_file": "/tmp/bench_out.json",
     }
     # emit the core line EARLY (before the optional sf1 column doubles
     # the output): a fixed-size head/tail capture of this process's
     # output then always contains at least one complete, parseable
     # JSON line — the round-4 artifact stored a mid-JSON truncation
-    print(json.dumps(payload), flush=True)
+    _emit(payload)
 
     # Optional sf1 scale column (VERDICT r2 #5): representative queries
     # against the 10x tiled dataset (tools/tile_sf.py). Runs only when
@@ -232,6 +273,9 @@ def main() -> None:
             "dedup_semantic",
             # round-5 addition at 10x (baseline records on first appearance)
             "dedup_span_exact",
+            # round-6 additions at 10x (baseline records on first
+            # appearance)
+            "tpch_q10_returned_items", "tpch_q18_large_orders",
         ]
         sf1_steady: dict[str, float] = {}
         for name in sf1_set:
@@ -246,6 +290,7 @@ def main() -> None:
                 fn(spark, tiled).count()
                 runs.append(time.perf_counter() - t0)
             sf1_steady[name] = round(min(runs), 3)
+        sentinel["after_sf1"] = _sentinel(spark)
         payload["sf1_queries_steady"] = sf1_steady
         payload["sf1_steady_total"] = round(sum(sf1_steady.values()), 3)
         # per-query 2x regression gate at sf1 (BASELINE.md "sf1
@@ -259,7 +304,7 @@ def main() -> None:
             and sf1_steady[name] > 2.0 * SF1_BASELINE[name]
         }
 
-    print(json.dumps(payload))
+    _emit(payload)
     spark.stop()
 
 

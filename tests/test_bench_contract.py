@@ -61,3 +61,12 @@ def test_bench_emits_one_json_line_at_smallest_sf():
 
     assert set(payload["queries"]) == set(bench.HEADLINE)
     assert all(v >= 0 for v in payload["queries"].values())
+    # load-adjudication sentinel: fixed-work probe timed with each
+    # column so a uniformly-inflated (co-tenant loaded) capture is
+    # self-identifying in the artifact
+    assert payload["sentinel"]["before_cold"] > 0
+    assert payload["sentinel"]["after_steady"] > 0
+    # the full payload also lands in a file (survives the driver's
+    # fixed-size output-capture truncation)
+    with open(payload["payload_file"]) as fh:
+        assert json.loads(fh.read()) == payload

@@ -287,3 +287,100 @@ def test_concurrent_mixed_writers_preserve_invariants(
     cur = V.current_version(path)
     for v in range(1, cur + 1):
         V._read_manifest(path, v)
+
+
+# ---------------------------------------------------------------------
+# DV-debt property (round-6): interleave dv-mode deletes, auto-mode
+# deletes (point and rewrite-forcing), OPTIMIZE, and REORG, asserting
+# after EVERY op that (a) the visible rows stay model-exact (reads
+# through the executor-side _dv_filter path) and (b) no file's DV debt
+# reaches the auto bound (0.5 of physical rows) — pinning the
+# threshold-ratchet arithmetic and the read-path refactor together.
+# The dv-mode predicates are sparse by construction (mod-61 residues,
+# ≤2 hits per 100-row file per op, ≤6 ops) so pure merge-on-read debt
+# stacked on an auto-DV'd file stays under the bound too; auto enforces
+# the bound for everything it touches; compaction/REORG must clear debt
+# to zero.
+# ---------------------------------------------------------------------
+
+_DV_DEBT_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("del_dv"), st.integers(0, 60)),
+        st.tuples(st.just("del_auto"), st.integers(0, 10)),
+        st.tuples(st.just("del_auto_big"), st.integers(0, 3)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("reorg"), st.just(0)),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_DV_DEBT_OPS)
+def test_dv_debt_bounded_and_reads_exact(spark, tmp_path_factory, ops):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path_factory.mktemp("dvdebt") / "tbl")
+    n0 = 200
+    V.create_table(
+        spark.range(0, n0)
+        .select(F.col("id"), F.col("id").cast("double").alias("v"))
+        .repartitionByRange(4, "id"),
+        path,
+    )
+    model = set(range(n0))
+
+    def check(op):
+        got = {
+            r["id"]
+            for r in V.read_table(spark, path).select("id").collect()
+        }
+        assert got == model, f"read drift after {op}"
+        entries = V._read_manifest(path, V.current_version(path))["files"]
+        for f in entries:
+            if f.get("dv"):
+                phys = pq.ParquetFile(f["path"]).metadata.num_rows
+                assert f["dv"]["n"] < 0.5 * phys, (
+                    f"DV debt at/over the auto bound after {op}: "
+                    f"{f['path']} {f['dv']['n']}/{phys}"
+                )
+
+    for kind, arg in ops:
+        if kind == "del_dv":
+            V.delete_from(spark, path, F.col("id") % 61 == arg, mode="dv")
+            model -= {i for i in model if i % 61 == arg}
+        elif kind == "del_auto":
+            V.delete_from(spark, path, F.col("id") % 11 == arg, mode="auto")
+            model -= {i for i in model if i % 11 == arg}
+        elif kind == "del_auto_big":
+            # ~70% of an ORIGINAL file — whether auto rewrites or DVs
+            # depends on the file layout of the moment (compaction
+            # resizes files); the debt bound below is the invariant
+            lo, hi = arg * 50, arg * 50 + 35
+            V.delete_from(
+                spark, path,
+                (F.col("id") >= lo) & (F.col("id") < hi), mode="auto",
+            )
+            model -= {i for i in model if lo <= i < hi}
+        elif kind == "compact":
+            V.compact_table(spark, path, target_files=2)
+            assert not any(
+                f.get("dv")
+                for f in V._read_manifest(
+                    path, V.current_version(path)
+                )["files"]
+            ), "OPTIMIZE left DV debt behind"
+        else:
+            V.reorg_table(spark, path)
+            assert not any(
+                f.get("dv")
+                for f in V._read_manifest(
+                    path, V.current_version(path)
+                )["files"]
+            ), "REORG left DV debt behind"
+        check((kind, arg))
