@@ -41,6 +41,7 @@ import json
 import os
 import shutil
 import uuid
+from collections import Counter
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -716,12 +717,109 @@ def _live_counts(entries: list) -> dict[str, int]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Cluster-spec transforms (Iceberg hidden partitioning): a spec column
+# is either a plain column name (identity) or a transform over one —
+# "year(ts)" / "month(ts)" / "day(ts)" / "hour(ts)" (monotonic date
+# truncations), "truncate(N,col)" (floor-to-width), "bucket(N,col)"
+# (portable md5 hash bucket). Monotonic transforms need NO extra
+# metadata: clustering on month(ts) makes each file's RAW ts [min,max]
+# month-tight, so the existing stats pruning answers raw-column
+# predicates — the user filters on ts, never on a partition column
+# (Iceberg's core pitch). bucket() is not monotonic, so each
+# bucket-clustered file records the bucket values it contains and
+# read_table(eq=...) prunes by membership — point reads on a 100 TB
+# bucket-clustered key touch 1/N of the files with zero index bytes.
+
+_TRANSFORM_RE = _re.compile(
+    r"^\s*(year|month|day|hour)\s*\(\s*([A-Za-z_][\w.]*)\s*\)\s*$"
+    r"|^\s*(truncate|bucket)\s*\(\s*(\d+)\s*,\s*([A-Za-z_][\w.]*)\s*\)\s*$"
+)
+
+
+def _parse_spec_col(s: str) -> tuple[str, int | None, str]:
+    """'month(ts)' -> ("month", None, "ts"); 'bucket(8,k)' ->
+    ("bucket", 8, "k"); a bare name -> ("identity", None, name)."""
+    m = _TRANSFORM_RE.match(s)
+    if not m:
+        return ("identity", None, s)
+    if m.group(1):
+        return (m.group(1), None, m.group(2))
+    return (m.group(3), int(m.group(4)), m.group(5))
+
+
+def _format_spec_col(kind: str, n: int | None, col: str) -> str:
+    if kind == "identity":
+        return col
+    if n is None:
+        return f"{kind}({col})"
+    return f"{kind}({n},{col})"
+
+
+def _spec_source_col(s: str) -> str:
+    """The raw column a spec entry reads (itself for identity)."""
+    return _parse_spec_col(s)[2]
+
+
+def _phys_spec_col(mapping: dict | None, s: str) -> str:
+    """Rewrite a spec entry's SOURCE column logical→physical."""
+    kind, n, col = _parse_spec_col(s)
+    return _format_spec_col(kind, n, _phys_col(mapping, col))
+
+
+def _bucket_of(value, n: int) -> int | None:
+    """Driver-side twin of the bucket() expression — byte-identical to
+    the Spark side (md5 of the CAST-to-string value, first 8 hex chars
+    as an int, mod n) so manifest bucket membership can prune an eq
+    probe without a false prune. Returns None (no pruning) for types
+    whose Python str() might diverge from Spark's cast-to-string."""
+    import datetime as _dt
+    import hashlib
+
+    if isinstance(value, bool) or value is None:
+        return None
+    if isinstance(value, (_dt.datetime,)):
+        return None  # cast-to-string spells vary (tz, micros) — skip
+    if isinstance(value, _dt.date):
+        s = value.isoformat()
+    elif isinstance(value, (int, str)):
+        s = str(value)
+    else:
+        return None  # float/decimal renderings differ — never risk it
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % n
+
+
+def _transform_expr(kind: str, n: int | None, col: str, dtype: str | None):
+    """The Spark Column computing a spec transform of ``col``."""
+    c = F.col(col)
+    if kind == "identity":
+        return c
+    if kind in ("year", "month", "hour"):
+        return F.date_trunc(kind, c)
+    if kind == "day":
+        return F.to_date(c)
+    if kind == "truncate":
+        if dtype == "string":
+            return F.substring(c, 1, int(n))
+        return (F.floor(c / F.lit(int(n))) * int(n)).cast(dtype or "long")
+    if kind == "bucket":
+        # portable hash (md5, not Murmur3): reproducible across
+        # engines and sessions — the same trick corpus.assign_shards
+        # uses; _bucket_of is the driver-side twin
+        return (
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+            .cast("long") % int(n)
+        ).cast("int")
+    raise ValueError(f"unknown spec transform {kind!r}")
+
+
 def _write_batch(
     df: DataFrame,
     path: str,
     bloom_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
     num_files: int | None = None,
+    spec_id: int | None = None,
 ) -> list[dict]:
     """Write df as a new immutable batch dir; return one manifest entry
     per file: {"path", "stats": {col: [min, max]}, "blooms": {col:
@@ -730,7 +828,12 @@ def _write_batch(
     ``cluster_by`` range-partitions + sorts the batch on those columns
     before writing, so each file's footer [min, max] is TIGHT on them —
     the layout that turns manifest-stats pruning (and partition
-    overwrite's whole-file drops) from best-effort into near-exact."""
+    overwrite's whole-file drops) from best-effort into near-exact.
+
+    ``spec_id`` tags each entry with the cluster-spec generation it was
+    laid out under (partition evolution bookkeeping: DESCRIBE reports
+    how many files still carry an older layout; reads never need the
+    tag — manifest stats prune regardless of layout)."""
     if cluster_by:
         n = num_files or df.sparkSession.sparkContext.defaultParallelism
         cols = [F.col(c) for c in cluster_by]
@@ -745,6 +848,8 @@ def _write_batch(
     ):
         entry = {"path": p, "stats": _file_stats(p),
                  "null_cols": _null_cols(p)}
+        if spec_id is not None:
+            entry["spec_id"] = spec_id
         blooms = {}
         for col in bloom_cols or []:
             bpath = _write_bloom(p, col)
@@ -808,7 +913,7 @@ def _commit(
     prev_manifest = (
         _read_manifest(path, version - 1) if version > 1 else {}
     )
-    for state_key in ("column_mapping", "retired_physical"):
+    for state_key in ("column_mapping", "retired_physical", "cluster_spec"):
         if state_key not in extra:
             prev = prev_manifest.get(state_key)
             if prev is not None:
@@ -956,16 +1061,26 @@ def create_table(
     ``bloom_cols`` adds per-file Bloom indexes for equality skipping;
     ``cluster_by`` writes the batch range-clustered on those columns
     (tight per-file stats → manifest pruning + whole-file partition
-    overwrites); ``constraints`` attaches CHECK constraints ({name:
-    sql_bool_expr}) validated against ``df`` and every later write."""
+    overwrites) AND records it as the table's CLUSTER SPEC — later
+    appends/overwrites/compactions lay their files out under it by
+    default, and :func:`alter_clustering` evolves it metadata-only;
+    ``constraints`` attaches CHECK constraints ({name: sql_bool_expr})
+    validated against ``df`` and every later write."""
     if os.path.exists(_pointer(path)):
         raise FileExistsError(f"versioned table already exists at {path}")
     os.makedirs(path, exist_ok=True)
     if constraints:
         _enforce_constraints(df, path, dict(constraints))
         _save_constraints(path, dict(constraints))
+    spec_id = None
+    if cluster_by:
+        extra = {**(extra or {}),
+                 "cluster_spec": {"spec_id": 1, "cols": list(cluster_by)}}
+        spec_id = 1
     return _commit(
-        path, _write_batch(df, path, bloom_cols, cluster_by, num_files),
+        path,
+        _write_batch(df, path, bloom_cols, cluster_by, num_files,
+                     spec_id=spec_id),
         extra, operation="CREATE",
     )
 
@@ -1029,13 +1144,28 @@ def append_table(
 
     Schema contract: new/omitted columns are fine (additive drift);
     a type-conflicting column raises :class:`SchemaConflict` before
-    anything is written."""
+    anything is written.
+
+    Layout: with no explicit ``cluster_by`` the batch is laid out under
+    the table's current cluster spec (when the batch carries every spec
+    column) and its files are tagged with the spec id — partition
+    evolution's steady state: every NEW file lands in the CURRENT
+    layout while old files stay readable under theirs."""
     _enforce_constraints(df, path)
     _check_append_schema(df, path)
     base_version = current_version(path)
     manifest = _read_manifest(path, base_version)
     files = manifest["files"]
     mapping = manifest.get("column_mapping")
+    spec = manifest.get("cluster_spec")
+    spec_id = None
+    if spec and spec.get("cols"):
+        if cluster_by is None:
+            if all(c in df.columns for c in spec["cols"]):
+                cluster_by = list(spec["cols"])
+                spec_id = spec["spec_id"]
+        elif list(cluster_by) == list(spec["cols"]):
+            spec_id = spec["spec_id"]
     if mapping:
         # schema evolution under a mapping: new logical columns join the
         # mapping with a FRESH physical name when their name collides
@@ -1052,7 +1182,8 @@ def append_table(
         cluster_by = [mapping.get(c, c) for c in (cluster_by or [])] or None
     return _commit(
         path,
-        files + _write_batch(df, path, bloom_cols, cluster_by, num_files),
+        files + _write_batch(df, path, bloom_cols, cluster_by, num_files,
+                             spec_id=spec_id),
         extra,
         expect_version=base_version,
         operation="APPEND",
@@ -1132,11 +1263,19 @@ def overwrite_partitions(
         )
         re_index = _indexed_cols(straddle)
         new_entries += _write_batch(kept, path, re_index or None)
+    spec = manifest.get("cluster_spec")
     new_entries += _write_batch(
         _to_physical(df, mapping), path,
         [_phys_col(mapping, c) for c in (bloom_cols or [])] or None,
         cluster_by=[phys_part],
         num_files=max(len(values), 1),
+        # part_col-clustered batches satisfy the table spec only when
+        # the spec IS [part_col]
+        spec_id=(
+            spec["spec_id"]
+            if spec and list(spec.get("cols", [])) == [part_col]
+            else None
+        ),
     )
     version = _commit(
         path, untouched + new_entries, expect_version=base_version,
@@ -1215,14 +1354,25 @@ def overwrite_table(df: DataFrame, path: str) -> int:
     reads each old version under its own manifest's mapping."""
     _enforce_constraints(df, path)
     base_version = current_version(path)
-    mapping = _read_manifest(path, base_version).get("column_mapping")
+    manifest = _read_manifest(path, base_version)
+    mapping = manifest.get("column_mapping")
     extra = None
     if mapping:
         mapping = {c: c for c in df.columns}
         extra = {"column_mapping": mapping, "retired_physical": []}
+    # the cluster spec survives an overwrite (it describes the table's
+    # intended layout, not any one version's files) — the new data is
+    # laid out under it when it carries every spec column
+    spec = manifest.get("cluster_spec")
+    cluster_by, spec_id = None, None
+    if spec and spec.get("cols") and all(
+        c in df.columns for c in spec["cols"]
+    ):
+        cluster_by, spec_id = list(spec["cols"]), spec["spec_id"]
     return _commit(
         path,
-        _write_batch(_to_physical(df, mapping), path),
+        _write_batch(_to_physical(df, mapping), path,
+                     cluster_by=cluster_by, spec_id=spec_id),
         extra=extra,
         expect_version=base_version,
         operation="OVERWRITE",
@@ -1385,6 +1535,7 @@ def rollback(path: str, version: int) -> int:
         extra={
             "column_mapping": m.get("column_mapping"),
             "retired_physical": m.get("retired_physical"),
+            "cluster_spec": m.get("cluster_spec"),
         },
         expect_version=base_version,
         operation=f"ROLLBACK(v{version})",
@@ -1396,6 +1547,57 @@ def table_mapping(path: str, version: int | None = None) -> dict | None:
     logical == physical (no rename/drop ever committed)."""
     v = current_version(path) if version is None else version
     return _read_manifest(path, v).get("column_mapping")
+
+
+def table_cluster_spec(path: str, version: int | None = None) -> dict | None:
+    """The version's cluster spec {"spec_id": N, "cols": [logical]},
+    or None if clustering was never declared. ``cols == []`` means the
+    table was explicitly un-clustered (the spec id keeps advancing so
+    file tags stay unambiguous across re-clusterings)."""
+    v = current_version(path) if version is None else version
+    return _read_manifest(path, v).get("cluster_spec")
+
+
+def alter_clustering(path: str, cluster_by: list[str] | None) -> int:
+    """ALTER TABLE ... CLUSTER BY — partition-spec evolution,
+    METADATA-ONLY: commits the same file list with a new cluster spec
+    (spec id bumped); zero data IO at any table size, exactly Iceberg's
+    partition-spec evolution shape. Existing files keep the layout (and
+    ``spec_id`` tag) they were written under and stay fully readable —
+    manifest min/max pruning never depended on the layout, it just
+    prunes less on files whose stats are loose on the new columns, the
+    same graceful degradation Iceberg accepts for pre-evolution files.
+    Every write AFTER this commit lays its files out under the new
+    spec; :func:`compact_table` migrates old files forward
+    incrementally. ``cluster_by=None`` (or ``[]``) un-clusters.
+
+    Time travel reads each version under its own spec (the spec is
+    per-manifest state, like the column mapping)."""
+    base_version = current_version(path)
+    m = _read_manifest(path, base_version)
+    cols = list(cluster_by or [])
+    logical = set(
+        m.get("column_mapping") or _superset_columns(m["files"])
+    )
+    missing = [c for c in cols if c not in logical]
+    if missing:
+        raise ValueError(
+            f"alter_clustering: no column(s) {missing} in "
+            f"{sorted(logical)}"
+        )
+    prev = m.get("cluster_spec")
+    if prev is not None and list(prev.get("cols", [])) == cols:
+        return base_version  # no-op: already this spec
+    if prev is None and not cols:
+        return base_version  # un-clustering a never-clustered table
+    spec_id = (prev["spec_id"] + 1) if prev else 1
+    return _commit(
+        path,
+        m["files"],
+        extra={"cluster_spec": {"spec_id": spec_id, "cols": cols}},
+        expect_version=base_version,
+        operation=f"CLUSTER_BY({', '.join(cols) or 'NONE'})",
+    )
 
 
 def rename_column(path: str, old: str, new: str) -> int:
@@ -1423,16 +1625,26 @@ def rename_column(path: str, old: str, new: str) -> int:
     new_mapping = {
         (new if k == old else k): v for k, v in mapping.items()
     }
+    # bootstrap the retired ledger with the mapping (empty set of
+    # retirees) so future evolution collision checks are O(1)
+    # manifest lookups, never footer scans
+    extra = {
+        "column_mapping": new_mapping,
+        "retired_physical": m.get("retired_physical", []),
+    }
+    # the cluster spec names LOGICAL columns: a rename relabels the
+    # spec in place (same spec_id — the physical layout is unchanged,
+    # exactly Iceberg renaming a partition source column)
+    spec = m.get("cluster_spec")
+    if spec and old in spec.get("cols", []):
+        extra["cluster_spec"] = {
+            "spec_id": spec["spec_id"],
+            "cols": [new if c == old else c for c in spec["cols"]],
+        }
     return _commit(
         path,
         m["files"],
-        # bootstrap the retired ledger with the mapping (empty set of
-        # retirees) so future evolution collision checks are O(1)
-        # manifest lookups, never footer scans
-        extra={
-            "column_mapping": new_mapping,
-            "retired_physical": m.get("retired_physical", []),
-        },
+        extra=extra,
         expect_version=base_version,
         operation=f"RENAME_COLUMN({old}->{new})",
     )
@@ -1468,10 +1680,22 @@ def drop_column(path: str, col: str) -> int:
     retired = sorted(
         set(m.get("retired_physical", [])) | {mapping[col]}
     )
+    extra = {"column_mapping": new_mapping, "retired_physical": retired}
+    # dropping a clustering column EVOLVES the spec (col removed, spec
+    # id bumped): future writes stop laying out on a column readers can
+    # no longer see. Iceberg makes you drop the partition field first;
+    # auto-evolving keeps the single-call ergonomics and the history
+    # records both operations.
+    spec = m.get("cluster_spec")
+    if spec and col in spec.get("cols", []):
+        extra["cluster_spec"] = {
+            "spec_id": spec["spec_id"] + 1,
+            "cols": [c for c in spec["cols"] if c != col],
+        }
     return _commit(
         path,
         m["files"],
-        extra={"column_mapping": new_mapping, "retired_physical": retired},
+        extra=extra,
         expect_version=base_version,
         operation=f"DROP_COLUMN({col})",
     )
@@ -1980,14 +2204,32 @@ def compact_table(
         n = max(1, -(-total // max(small_only_bytes, 1)))
         # _scan applies any deletion vectors, so compacting small files
         # also purges their DVs (the rewritten batch carries none)
-        merged = _scan(spark, small).coalesce(int(n))
-        mapping = _read_manifest(path, base_version).get("column_mapping")
+        merged = _scan(spark, small)
+        manifest = _read_manifest(path, base_version)
+        mapping = manifest.get("column_mapping")
+        # incremental compaction migrates the merged dribble to the
+        # CURRENT cluster spec when it can (the extra shuffle is over
+        # small bytes only); files missing a spec column stay as-is
+        spec = manifest.get("cluster_spec")
+        spec_id = None
+        spec_phys = [
+            _phys_col(mapping, c) for c in (spec or {}).get("cols", [])
+        ]
+        if spec_phys and all(c in merged.columns for c in spec_phys):
+            cols = [F.col(c) for c in spec_phys]
+            merged = merged.repartitionByRange(
+                int(n), *cols
+            ).sortWithinPartitions(*cols)
+            spec_id = spec["spec_id"]
+        else:
+            merged = merged.coalesce(int(n))
         version = _commit(
             path,
             big
             + _write_batch(
                 merged, path,
                 [_phys_col(mapping, c) for c in (bloom_cols or [])] or None,
+                spec_id=spec_id,
             ),
             expect_version=base_version,
             operation="OPTIMIZE",
@@ -1998,11 +2240,17 @@ def compact_table(
     # PHYSICAL-level rewrite (mapping untouched, logical view identical):
     # scanning without the mapping projection keeps the frozen physical
     # schema in the rewritten files, same as reorg
-    mapping = _read_manifest(path, base_version).get("column_mapping")
-    df = _scan(spark, _read_manifest(path, base_version)["files"])
+    manifest = _read_manifest(path, base_version)
+    mapping = manifest.get("column_mapping")
+    df = _scan(spark, manifest["files"])
     zorder_by = [_phys_col(mapping, c) for c in (zorder_by or [])] or None
     bloom_cols = [_phys_col(mapping, c) for c in (bloom_cols or [])] or None
     n = target_files or max(1, len(df.inputFiles()) // 4)
+    spec = manifest.get("cluster_spec")
+    spec_phys = [
+        _phys_col(mapping, c) for c in (spec or {}).get("cols", [])
+    ]
+    spec_id = None
     if zorder_by:
         zcol = "__zv__"
         while zcol in df.columns:
@@ -2013,12 +2261,20 @@ def compact_table(
             .sortWithinPartitions(zcol)
             .drop(zcol)
         )
+    elif spec_phys and all(c in df.columns for c in spec_phys):
+        # no explicit z-order: the full rewrite MIGRATES every file to
+        # the table's current cluster spec — the incremental half of
+        # partition evolution (alter_clustering flips the spec
+        # metadata-only; OPTIMIZE moves the old-spec files forward)
+        cols = [F.col(c) for c in spec_phys]
+        df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        spec_id = spec["spec_id"]
     else:
         df = df.coalesce(n)
     # token from the snapshot read: OPTIMIZE that raced an UPDATE/DELETE
     # must not resurrect the pre-update files it compacted
     version = _commit(
-        path, _write_batch(df, path, bloom_cols),
+        path, _write_batch(df, path, bloom_cols, spec_id=spec_id),
         expect_version=base_version, operation="OPTIMIZE",
     )
     return {
@@ -2050,6 +2306,18 @@ def describe_table(path: str) -> dict:
         "dv_deleted_rows": sum(f.get("dv", {}).get("n", 0) for f in files),
         "bloom_indexed_cols": bloom_cols,
         "column_mapping": manifest.get("column_mapping"),
+        "cluster_spec": manifest.get("cluster_spec"),
+        # partition-evolution migration progress: files still laid out
+        # under an older spec (or none) show under their own tag;
+        # compact_table moves them to the current spec
+        "files_by_spec": dict(
+            sorted(
+                Counter(
+                    f.get("spec_id") for f in files
+                ).items(),
+                key=lambda kv: (kv[0] is None, kv[0]),
+            )
+        ),
         "constraints": table_constraints(path),
         "retained_versions": [versions[0], versions[-1]] if versions else [],
     }
@@ -2488,7 +2756,16 @@ def clone_table(
         raise FileExistsError(f"clone target already exists at {dst}")
     v = current_version(src) if version is None else version
     if deep:
-        return create_table(read_table(spark, src, version=v), dst)
+        src_spec = _read_manifest(src, v).get("cluster_spec")
+        return create_table(
+            read_table(spark, src, version=v), dst,
+            # the deep clone keeps the source's clustering intent (its
+            # spec history restarts at 1 — it's an independent table)
+            cluster_by=(
+                list(src_spec["cols"])
+                if src_spec and src_spec.get("cols") else None
+            ),
+        )
     m = _read_manifest(src, v)
     os.makedirs(dst, exist_ok=True)
     return _commit(
@@ -2498,6 +2775,8 @@ def clone_table(
             "cloned_from": src,
             "clone_version": v,
             "column_mapping": m.get("column_mapping"),
+            "retired_physical": m.get("retired_physical"),
+            "cluster_spec": m.get("cluster_spec"),
         },
         operation="CLONE",
     )

@@ -5322,6 +5322,90 @@ def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "k_cluster_evolution_readback",
+    """
+    WITH half1 AS (
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS mon,
+               o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), half2 AS (
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS mon,
+               o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), merged AS (
+        SELECT * FROM half1 UNION ALL SELECT * FROM half2
+    )
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(CASE WHEN mon = '1995-03'
+                          THEN o_totalprice * 2 ELSE o_totalprice END),
+                 2) AS total
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+)
+def k_cluster_evolution_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution end-to-end
+    (io/versioned.alter_clustering): orders lands month-clustered
+    (spec 1), the table is re-clustered on o_orderpriority with a
+    METADATA-ONLY commit (spec 2 — same file list, zero data IO), the
+    second half appends under the new spec, OPTIMIZE migrates the
+    spec-1 files forward, and an UPDATE (March prices doubled) runs on
+    the fully-migrated table. The oracle reproduces the final state
+    from the source table, proving reads stay exact across the layout
+    flip, the mixed-spec interim, the migration, and a post-migration
+    CoW mutation.
+
+    Reference parity: the reference hard-codes one partition layout per
+    job forever (reference src writes day-partitioned parquet; changing
+    the key means a manual full reload). Here the flip is one manifest
+    commit — the Iceberg partition-spec-evolution shape — and old files
+    stay readable under their old layout until OPTIMIZE ages them out.
+
+    Scale: alter_clustering is O(1) IO at any table size; migration
+    cost is paid incrementally by compaction, scoped per run
+    (tests/test_versioned_evolution.py)."""
+    from .io import versioned as ver_op
+
+    work = _scratch_dir("clusterevo_readback")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    ver_op.create_table(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        work, cluster_by=["mon"], num_files=8,
+    )
+    v = ver_op.alter_clustering(work, ["o_orderpriority"])
+    # the flip reused the file list verbatim — no data was rewritten
+    assert [f["path"] for f in ver_op._read_manifest(work, v)["files"]] == [
+        f["path"] for f in ver_op._read_manifest(work, v - 1)["files"]
+    ]
+    ver_op.append_table(
+        o.filter(F.col("o_orderkey") % 2 == 1), work, num_files=8
+    )
+    assert set(ver_op.describe_table(work)["files_by_spec"]) == {1, 2}
+    ver_op.compact_table(spark, work, target_files=8)
+    d = ver_op.describe_table(work)
+    assert set(d["files_by_spec"]) == {2}  # migration complete
+    ver_op.update_table(
+        spark, work,
+        {"o_totalprice": F.col("o_totalprice") * 2},
+        F.col("mon") == "1995-03",
+    )
+    return (
+        ver_op.read_table(spark, work)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@defquery(
     "k_table_source_readback",
     """
     SELECT o_orderstatus,

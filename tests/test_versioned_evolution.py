@@ -1,0 +1,246 @@
+"""Partition-spec evolution on versioned tables
+(io/versioned.alter_clustering + cluster-spec table state).
+
+Reference parity: the reference's daily jobs hard-code one partition
+layout forever (`/root/reference` writes day-partitioned parquet and
+can only change layout by a manual full reload). The lakehouse layer
+here carries the Iceberg partition-spec-evolution shape instead:
+
+- the clustering declared at CREATE becomes table STATE (a spec with
+  an id), inherited by every commit like the column mapping;
+- ``alter_clustering`` is METADATA-ONLY — same file list, zero data
+  IO, spec id bumped; old files stay readable under their old layout;
+- writes after the flip lay out under the new spec (file entries are
+  tagged with the spec id they were written under);
+- ``compact_table`` migrates old-spec files forward; DESCRIBE reports
+  per-spec file counts so migration progress is observable;
+- rename/drop of a clustering column relabels/evolves the spec;
+  rollback and time travel restore each version's own spec.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_project2_fiap_spark.io import versioned as V
+
+
+def _mk(spark, n=400):
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("day"),
+        (F.col("id") % 7).alias("region"),
+        (F.col("id") * 2).alias("val"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_create_records_spec_and_tags_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.create_table(_mk(spark), path, cluster_by=["day"], num_files=4)
+    spec = V.table_cluster_spec(path)
+    assert spec == {"spec_id": 1, "cols": ["day"]}
+    d = V.describe_table(path)
+    assert d["cluster_spec"] == spec
+    assert d["files_by_spec"] == {1: d["num_files"]}
+
+
+def test_append_defaults_to_current_spec(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.create_table(_mk(spark), path, cluster_by=["day"], num_files=4)
+    V.append_table(_mk(spark, 100), path)
+    files = V._read_manifest(path, V.current_version(path))["files"]
+    assert all(f.get("spec_id") == 1 for f in files)
+    # clustered-by-default batches carry tight per-file day stats: an
+    # eq-day read prunes to a strict subset of files
+    kept, _ = V.prunable(files, "day", 3, 3)
+    assert 0 < len(kept) < len(files)
+
+
+def test_alter_clustering_is_metadata_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.create_table(_mk(spark), path, cluster_by=["day"], num_files=4)
+    before = _rows(V.read_table(spark, path))
+    m1 = V._read_manifest(path, V.current_version(path))
+    v2 = V.alter_clustering(path, ["region"])
+    m2 = V._read_manifest(path, v2)
+    # same file list byte-for-byte — no data IO happened
+    assert [f["path"] for f in m2["files"]] == [
+        f["path"] for f in m1["files"]
+    ]
+    assert m2["cluster_spec"] == {"spec_id": 2, "cols": ["region"]}
+    # old-layout files remain fully readable
+    assert _rows(V.read_table(spark, path)) == before
+    # history records the DDL
+    assert any(
+        "CLUSTER_BY(region)" in h["operation"]
+        for h in V.table_history(path)
+    )
+
+
+def test_writes_after_alter_use_new_spec(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.create_table(_mk(spark), path, cluster_by=["day"], num_files=4)
+    V.alter_clustering(path, ["region"])
+    V.append_table(_mk(spark, 100), path)
+    files = V._read_manifest(path, V.current_version(path))["files"]
+    by_spec = V.describe_table(path)["files_by_spec"]
+    assert set(by_spec) == {1, 2}
+    new = [f for f in files if f.get("spec_id") == 2]
+    # new batch is region-clustered: per-file region ranges are tight
+    # (no single file spans every region value)
+    spans = [f["stats"]["region"] for f in new]
+    assert any(lo == hi for lo, hi in spans) or all(
+        hi - lo < 6 for lo, hi in spans
+    )
+
+
+def test_compact_migrates_to_current_spec(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.create_table(_mk(spark), path, cluster_by=["day"], num_files=4)
+    before = _rows(V.read_table(spark, path))
+    V.alter_clustering(path, ["region"])
+    V.compact_table(spark, path, target_files=4)
+    d = V.describe_table(path)
+    assert d["files_by_spec"] == {2: d["num_files"]}
+    files = V._read_manifest(path, V.current_version(path))["files"]
+    # post-migration an eq-region read prunes files — the new layout
+    # is physically real, not just a tag
+    kept, _ = V.prunable(files, "region", 2, 2)
+    assert 0 < len(kept) < len(files)
+    assert _rows(V.read_table(spark, path)) == before
+
+
+def test_incremental_compact_migrates_small_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.create_table(_mk(spark), path, cluster_by=["day"], num_files=4)
+    V.alter_clustering(path, ["region"])
+    # two small unmigrated dribbles (explicit off-spec layout)
+    V.append_table(_mk(spark, 30), path, cluster_by=["day"], num_files=1)
+    V.append_table(_mk(spark, 30), path, cluster_by=["day"], num_files=1)
+    before = _rows(V.read_table(spark, path))
+    V.compact_table(spark, path, small_only_bytes=1 << 20)
+    files = V._read_manifest(path, V.current_version(path))["files"]
+    assert any(f.get("spec_id") == 2 for f in files)
+    assert _rows(V.read_table(spark, path)) == before
+
+
+def test_unknown_column_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.create_table(_mk(spark), path)
+    with pytest.raises(ValueError, match="nope"):
+        V.alter_clustering(path, ["nope"])
+
+
+def test_noop_and_unclustering(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.create_table(_mk(spark), path, cluster_by=["day"], num_files=2)
+    v = V.current_version(path)
+    # same spec → no new version
+    assert V.alter_clustering(path, ["day"]) == v
+    # un-cluster: spec id advances, cols empty, appends stop tagging
+    v2 = V.alter_clustering(path, None)
+    assert v2 == v + 1
+    assert V.table_cluster_spec(path) == {"spec_id": 2, "cols": []}
+    V.append_table(_mk(spark, 50), path)
+    files = V._read_manifest(path, V.current_version(path))["files"]
+    assert all(
+        f.get("spec_id") != 2 or False
+        for f in files
+        if f.get("spec_id") is None
+    )
+    assert sum(1 for f in files if f.get("spec_id") is None) > 0
+
+
+def test_rename_relabels_spec_in_place(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.create_table(_mk(spark), path, cluster_by=["day"], num_files=2)
+    V.rename_column(path, "day", "dia")
+    assert V.table_cluster_spec(path) == {"spec_id": 1, "cols": ["dia"]}
+    # appends keep clustering under the renamed logical name
+    df = _mk(spark, 60).withColumnRenamed("day", "dia")
+    V.append_table(df, path)
+    files = V._read_manifest(path, V.current_version(path))["files"]
+    assert all(f.get("spec_id") == 1 for f in files)
+
+
+def test_drop_clustering_column_evolves_spec(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.create_table(
+        _mk(spark), path, cluster_by=["day", "region"], num_files=2
+    )
+    V.drop_column(path, "region")
+    assert V.table_cluster_spec(path) == {"spec_id": 2, "cols": ["day"]}
+    assert "region" not in V.read_table(spark, path).columns
+
+
+def test_rollback_and_time_travel_restore_spec(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = V.create_table(_mk(spark), path, cluster_by=["day"], num_files=2)
+    v2 = V.alter_clustering(path, ["region"])
+    assert V.table_cluster_spec(path, version=v1) == {
+        "spec_id": 1, "cols": ["day"]
+    }
+    assert V.table_cluster_spec(path, version=v2) == {
+        "spec_id": 2, "cols": ["region"]
+    }
+    V.rollback(path, v1)
+    assert V.table_cluster_spec(path) == {"spec_id": 1, "cols": ["day"]}
+    # post-rollback appends lay out under the RESTORED spec
+    V.append_table(_mk(spark, 40), path)
+    files = V._read_manifest(path, V.current_version(path))["files"]
+    assert all(f.get("spec_id") == 1 for f in files)
+
+
+def test_overwrite_keeps_spec_and_lays_out_under_it(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.create_table(_mk(spark), path, cluster_by=["day"], num_files=2)
+    V.overwrite_table(_mk(spark, 200), path)
+    assert V.table_cluster_spec(path) == {"spec_id": 1, "cols": ["day"]}
+    d = V.describe_table(path)
+    assert d["files_by_spec"] == {1: d["num_files"]}
+
+
+def test_clone_carries_spec(spark, tmp_path):
+    src, shallow, deep = (
+        str(tmp_path / "s"), str(tmp_path / "c1"), str(tmp_path / "c2")
+    )
+    V.create_table(_mk(spark), src, cluster_by=["day"], num_files=2)
+    V.alter_clustering(src, ["region"])
+    V.clone_table(spark, src, shallow)
+    assert V.table_cluster_spec(shallow) == {
+        "spec_id": 2, "cols": ["region"]
+    }
+    V.clone_table(spark, src, deep, deep=True)
+    # deep clone restarts spec history but keeps the clustering intent
+    assert V.table_cluster_spec(deep) == {"spec_id": 1, "cols": ["region"]}
+
+
+def test_mutations_preserve_reads_across_evolution(spark, tmp_path):
+    """End-to-end: evolve the spec mid-life, run CoW + MoR mutations,
+    and verify reads stay exact at every step."""
+    path = str(tmp_path / "t")
+    V.create_table(_mk(spark), path, cluster_by=["day"], num_files=4)
+    V.alter_clustering(path, ["region"])
+    V.append_table(_mk(spark, 100), path)
+    V.delete_from(spark, path, F.col("id") % 13 == 0, mode="dv")
+    V.update_table(
+        spark, path, {"val": F.col("val") + 1}, F.col("region") == 3
+    )
+    V.compact_table(spark, path, target_files=3)
+    got = V.read_table(spark, path)
+    import pandas as pd
+
+    base = pd.concat(
+        [_mk(spark).toPandas(), _mk(spark, 100).toPandas()]
+    )
+    base = base[base["id"] % 13 != 0].copy()
+    base.loc[base["region"] == 3, "val"] += 1
+    exp = sorted(map(tuple, base[["id", "day", "region", "val"]].values))
+    assert _rows(got.select("id", "day", "region", "val")) == [
+        tuple(int(x) for x in t) for t in exp
+    ]
