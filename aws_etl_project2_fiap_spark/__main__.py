@@ -298,6 +298,27 @@ def cmd_column(args) -> int:
     return 0
 
 
+def cmd_cluster(args) -> int:
+    """ALTER TABLE ... CLUSTER BY: partition-spec evolution via the
+    manifest cluster spec (io/versioned.alter_clustering) — metadata-
+    only; supports hidden-partitioning transforms like month(ts) /
+    bucket(8,key). `none` un-clusters; with no columns, prints the
+    current spec."""
+    from .io import versioned as V
+
+    if not args.columns:
+        print(json.dumps(V.table_cluster_spec(args.table)))
+        return 0
+    cols = None if args.columns == ["none"] else args.columns
+    v = V.alter_clustering(args.table, cols)
+    print(
+        f"cluster spec of {args.table} -> "
+        f"{json.dumps(V.table_cluster_spec(args.table, version=v))} "
+        f"(v{v}, metadata-only; OPTIMIZE migrates old files)"
+    )
+    return 0
+
+
 def cmd_clone(args) -> int:
     from .io import versioned as V
 
@@ -427,6 +448,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("name", nargs="?")
     p.add_argument("new_name", nargs="?")
     p.set_defaults(fn=cmd_column)
+
+    p = sub.add_parser(
+        "cluster",
+        help="partition-spec evolution: show/set CLUSTER BY "
+        "(metadata-only; transforms: month(ts), bucket(8,k), ...)",
+    )
+    p.add_argument("table")
+    p.add_argument("columns", nargs="*")
+    p.set_defaults(fn=cmd_cluster)
 
     p = sub.add_parser("clone", help="clone a versioned table")
     p.add_argument("src")

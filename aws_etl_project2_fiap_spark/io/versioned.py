@@ -474,6 +474,29 @@ def prunable_eq_any(files: list, col: str, values) -> tuple[list, list]:
     return kept, skipped
 
 
+def prunable_bucket(files: list, col: str, value) -> tuple[list, list]:
+    """Bucket-membership pruning for an equality probe: drop every
+    file whose recorded bucket set (written under a ``bucket(N,col)``
+    cluster spec) provably excludes ``value``'s bucket. Files without
+    bucket metadata (pre-evolution layouts, CoW rewrites) are KEPT —
+    pruning is only ever an optimization, never a correctness risk.
+    NULL-source rows can't match an eq probe, so the non-null
+    membership sets are sufficient."""
+    kept, skipped = [], []
+    for f in files:
+        drop = False
+        for key, members in (f.get("buckets") or {}).items():
+            kind, w, src = _parse_spec_col(key)
+            if kind != "bucket" or src != col:
+                continue
+            b = _bucket_of(value, w)
+            if b is not None and b not in members:
+                drop = True
+                break
+        (skipped if drop else kept).append(f)
+    return kept, skipped
+
+
 def prunable_eq(files: list, col: str, value) -> tuple[list, list]:
     """Split manifest entries into (kept, skipped) for ``col = value``:
     a file is skipped iff it carries a bloom for ``col`` that rules the
@@ -813,6 +836,59 @@ def _transform_expr(kind: str, n: int | None, col: str, dtype: str | None):
     raise ValueError(f"unknown spec transform {kind!r}")
 
 
+def _apply_spec_layout(df: DataFrame, spec_cols: list[str], n: int):
+    """Range-cluster ``df`` on the spec columns' transform values (raw
+    source column as secondary sort, so each file's raw [min, max] is
+    tight WITHIN its truncation — what makes raw-column predicates
+    prunable without any partition column: hidden partitioning)."""
+    dtypes = dict(df.dtypes)
+    sort_cols, tmp = [], []
+    work = df
+    for i, s in enumerate(spec_cols):
+        kind, w, src = _parse_spec_col(s)
+        if kind == "identity":
+            sort_cols.append(F.col(src))
+            continue
+        name = f"__spec_{i}"
+        while name in work.columns:
+            name += "_"
+        work = work.withColumn(
+            name, _transform_expr(kind, w, src, dtypes.get(src))
+        )
+        tmp.append(name)
+        sort_cols.extend([F.col(name), F.col(src)])
+    work = work.repartitionByRange(int(n), *sort_cols).sortWithinPartitions(
+        *sort_cols
+    )
+    return work.drop(*tmp) if tmp else work
+
+
+def _batch_bucket_sets(
+    spark: SparkSession, batch: str, bucket_specs: list[tuple[str, int, str]]
+) -> dict[str, dict[str, list[int]]]:
+    """Per-file bucket membership for the batch just written: one scan
+    of the NEW files only (never the table), reading only the bucket
+    source columns. bucket() is not monotonic, so min/max stats can't
+    prune it — membership lists can, exactly (a bucket-clustered file
+    holds ~1 bucket). collect is O(new files × buckets/file): bounded
+    by the batch, not the table."""
+    sel = [_norm_file_path().alias("__f")]
+    aggs = []
+    for j, (_, w, src) in enumerate(bucket_specs):
+        sel.append(_transform_expr("bucket", w, src, None).alias(f"__b{j}"))
+        aggs.append(F.collect_set(f"__b{j}").alias(f"__b{j}"))
+    rows = (
+        spark.read.parquet(batch).select(*sel).groupBy("__f").agg(*aggs)
+    ).collect()
+    return {
+        r["__f"]: {
+            key: sorted(r[f"__b{j}"])
+            for j, (key, _, _) in enumerate(bucket_specs)
+        }
+        for r in rows
+    }
+
+
 def _write_batch(
     df: DataFrame,
     path: str,
@@ -836,10 +912,20 @@ def _write_batch(
     tag — manifest stats prune regardless of layout)."""
     if cluster_by:
         n = num_files or df.sparkSession.sparkContext.defaultParallelism
-        cols = [F.col(c) for c in cluster_by]
-        df = df.repartitionByRange(int(n), *cols).sortWithinPartitions(*cols)
+        df = _apply_spec_layout(df, list(cluster_by), int(n))
     batch = os.path.join(path, "_data", f"b_{uuid.uuid4().hex[:12]}")
     df.write.mode("error").parquet(batch)
+    bucket_specs = [
+        (_format_spec_col(kind, w, src), w, src)
+        for s in (cluster_by or [])
+        for kind, w, src in [_parse_spec_col(s)]
+        if kind == "bucket"
+    ]
+    buckets_by_file = (
+        _batch_bucket_sets(df.sparkSession, batch, bucket_specs)
+        if bucket_specs
+        else {}
+    )
     entries = []
     for p in sorted(
         os.path.join(batch, f)
@@ -850,6 +936,8 @@ def _write_batch(
                  "null_cols": _null_cols(p)}
         if spec_id is not None:
             entry["spec_id"] = spec_id
+        if p in buckets_by_file:
+            entry["buckets"] = buckets_by_file[p]
         blooms = {}
         for col in bloom_cols or []:
             bpath = _write_bloom(p, col)
@@ -1074,6 +1162,9 @@ def create_table(
         _save_constraints(path, dict(constraints))
     spec_id = None
     if cluster_by:
+        cluster_by = [
+            _format_spec_col(*_parse_spec_col(c)) for c in cluster_by
+        ]
         extra = {**(extra or {}),
                  "cluster_spec": {"spec_id": 1, "cols": list(cluster_by)}}
         spec_id = 1
@@ -1161,7 +1252,9 @@ def append_table(
     spec_id = None
     if spec and spec.get("cols"):
         if cluster_by is None:
-            if all(c in df.columns for c in spec["cols"]):
+            if all(
+                _spec_source_col(c) in df.columns for c in spec["cols"]
+            ):
                 cluster_by = list(spec["cols"])
                 spec_id = spec["spec_id"]
         elif list(cluster_by) == list(spec["cols"]):
@@ -1179,7 +1272,9 @@ def append_table(
         extra = {**(extra or {}), "column_mapping": mapping}
         df = _to_physical(df, mapping)
         bloom_cols = [mapping.get(c, c) for c in (bloom_cols or [])] or None
-        cluster_by = [mapping.get(c, c) for c in (cluster_by or [])] or None
+        cluster_by = [
+            _phys_spec_col(mapping, c) for c in (cluster_by or [])
+        ] or None
     return _commit(
         path,
         files + _write_batch(df, path, bloom_cols, cluster_by, num_files,
@@ -1366,7 +1461,7 @@ def overwrite_table(df: DataFrame, path: str) -> int:
     spec = manifest.get("cluster_spec")
     cluster_by, spec_id = None, None
     if spec and spec.get("cols") and all(
-        c in df.columns for c in spec["cols"]
+        _spec_source_col(c) in df.columns for c in spec["cols"]
     ):
         cluster_by, spec_id = list(spec["cols"]), spec["spec_id"]
     return _commit(
@@ -1409,6 +1504,9 @@ def read_table(
         col, value = eq
         all_files = files
         files, _ = prunable_eq(files, _phys_col(mapping, col), value)
+        # bucket-clustered layouts: membership pruning drops ~ (N-1)/N
+        # of the files before blooms are even consulted
+        files, _ = prunable_bucket(files, _phys_col(mapping, col), value)
         if not files:
             # every file's bloom rules the key out: the SQL answer is
             # simply an empty result (schema preserved via a 0-row read
@@ -1571,15 +1669,26 @@ def alter_clustering(path: str, cluster_by: list[str] | None) -> int:
     spec; :func:`compact_table` migrates old files forward
     incrementally. ``cluster_by=None`` (or ``[]``) un-clusters.
 
+    Spec columns may be TRANSFORMS (hidden partitioning): "year(ts)" /
+    "month(ts)" / "day(ts)" / "hour(ts)", "truncate(N,col)",
+    "bucket(N,col)". Users keep filtering on the RAW column — monotonic
+    transforms prune through ordinary min/max stats; bucket-clustered
+    files record their bucket membership so ``read_table(eq=...)``
+    prunes to ~1/N of the files with zero index bytes.
+
     Time travel reads each version under its own spec (the spec is
     per-manifest state, like the column mapping)."""
     base_version = current_version(path)
     m = _read_manifest(path, base_version)
-    cols = list(cluster_by or [])
+    # canonicalize ("bucket( 8 , k )" -> "bucket(8,k)") so spec
+    # comparisons and per-file bucket keys are byte-stable
+    cols = [
+        _format_spec_col(*_parse_spec_col(c)) for c in (cluster_by or [])
+    ]
     logical = set(
         m.get("column_mapping") or _superset_columns(m["files"])
     )
-    missing = [c for c in cols if c not in logical]
+    missing = [c for c in cols if _spec_source_col(c) not in logical]
     if missing:
         raise ValueError(
             f"alter_clustering: no column(s) {missing} in "
@@ -1636,10 +1745,16 @@ def rename_column(path: str, old: str, new: str) -> int:
     # spec in place (same spec_id — the physical layout is unchanged,
     # exactly Iceberg renaming a partition source column)
     spec = m.get("cluster_spec")
-    if spec and old in spec.get("cols", []):
+    if spec and any(
+        _spec_source_col(c) == old for c in spec.get("cols", [])
+    ):
+        def _relabel(s: str) -> str:
+            kind, w, src = _parse_spec_col(s)
+            return _format_spec_col(kind, w, new if src == old else src)
+
         extra["cluster_spec"] = {
             "spec_id": spec["spec_id"],
-            "cols": [new if c == old else c for c in spec["cols"]],
+            "cols": [_relabel(c) for c in spec["cols"]],
         }
     return _commit(
         path,
@@ -1687,10 +1802,14 @@ def drop_column(path: str, col: str) -> int:
     # auto-evolving keeps the single-call ergonomics and the history
     # records both operations.
     spec = m.get("cluster_spec")
-    if spec and col in spec.get("cols", []):
+    if spec and any(
+        _spec_source_col(c) == col for c in spec.get("cols", [])
+    ):
         extra["cluster_spec"] = {
             "spec_id": spec["spec_id"] + 1,
-            "cols": [c for c in spec["cols"] if c != col],
+            "cols": [
+                c for c in spec["cols"] if _spec_source_col(c) != col
+            ],
         }
     return _commit(
         path,
@@ -2211,16 +2330,14 @@ def compact_table(
         # CURRENT cluster spec when it can (the extra shuffle is over
         # small bytes only); files missing a spec column stay as-is
         spec = manifest.get("cluster_spec")
-        spec_id = None
+        spec_id, spec_cluster = None, None
         spec_phys = [
-            _phys_col(mapping, c) for c in (spec or {}).get("cols", [])
+            _phys_spec_col(mapping, c) for c in (spec or {}).get("cols", [])
         ]
-        if spec_phys and all(c in merged.columns for c in spec_phys):
-            cols = [F.col(c) for c in spec_phys]
-            merged = merged.repartitionByRange(
-                int(n), *cols
-            ).sortWithinPartitions(*cols)
-            spec_id = spec["spec_id"]
+        if spec_phys and all(
+            _spec_source_col(c) in merged.columns for c in spec_phys
+        ):
+            spec_cluster, spec_id = spec_phys, spec["spec_id"]
         else:
             merged = merged.coalesce(int(n))
         version = _commit(
@@ -2229,6 +2346,8 @@ def compact_table(
             + _write_batch(
                 merged, path,
                 [_phys_col(mapping, c) for c in (bloom_cols or [])] or None,
+                cluster_by=spec_cluster,
+                num_files=int(n),
                 spec_id=spec_id,
             ),
             expect_version=base_version,
@@ -2248,9 +2367,9 @@ def compact_table(
     n = target_files or max(1, len(df.inputFiles()) // 4)
     spec = manifest.get("cluster_spec")
     spec_phys = [
-        _phys_col(mapping, c) for c in (spec or {}).get("cols", [])
+        _phys_spec_col(mapping, c) for c in (spec or {}).get("cols", [])
     ]
-    spec_id = None
+    spec_id, spec_cluster = None, None
     if zorder_by:
         zcol = "__zv__"
         while zcol in df.columns:
@@ -2261,20 +2380,22 @@ def compact_table(
             .sortWithinPartitions(zcol)
             .drop(zcol)
         )
-    elif spec_phys and all(c in df.columns for c in spec_phys):
+    elif spec_phys and all(
+        _spec_source_col(c) in df.columns for c in spec_phys
+    ):
         # no explicit z-order: the full rewrite MIGRATES every file to
         # the table's current cluster spec — the incremental half of
         # partition evolution (alter_clustering flips the spec
         # metadata-only; OPTIMIZE moves the old-spec files forward)
-        cols = [F.col(c) for c in spec_phys]
-        df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-        spec_id = spec["spec_id"]
+        spec_cluster, spec_id = spec_phys, spec["spec_id"]
     else:
         df = df.coalesce(n)
     # token from the snapshot read: OPTIMIZE that raced an UPDATE/DELETE
     # must not resurrect the pre-update files it compacted
     version = _commit(
-        path, _write_batch(df, path, bloom_cols, spec_id=spec_id),
+        path,
+        _write_batch(df, path, bloom_cols, cluster_by=spec_cluster,
+                     num_files=n, spec_id=spec_id),
         expect_version=base_version, operation="OPTIMIZE",
     )
     return {

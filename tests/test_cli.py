@@ -148,3 +148,36 @@ def test_cli_reorg_and_describe(spark, capsys, tmp_path):
     assert main(["describe", path]) == 0
     d = _json.loads(capsys.readouterr().out)
     assert d["num_rows"] == 45 and d["files_with_dv"] == 0
+
+
+def test_cli_cluster_evolution(spark, capsys, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_project2_fiap_spark.io import versioned as V
+
+    path = str(tmp_path / "t")
+    V.create_table(
+        spark.range(0, 200).select(
+            F.col("id"), (F.col("id") % 9).alias("g")
+        ),
+        path,
+        cluster_by=["g"],
+    )
+    # show current spec
+    assert main(["cluster", path]) == 0
+    assert _json.loads(capsys.readouterr().out.strip()) == {
+        "spec_id": 1, "cols": ["g"]
+    }
+    # evolve to a bucket transform, metadata-only
+    assert main(["cluster", path, "bucket(4,id)"]) == 0
+    out = capsys.readouterr().out
+    assert "metadata-only" in out and "bucket(4,id)" in out
+    assert V.table_cluster_spec(path) == {
+        "spec_id": 2, "cols": ["bucket(4,id)"]
+    }
+    # un-cluster
+    assert main(["cluster", path, "none"]) == 0
+    capsys.readouterr()
+    assert V.table_cluster_spec(path)["cols"] == []

@@ -244,3 +244,169 @@ def test_mutations_preserve_reads_across_evolution(spark, tmp_path):
     assert _rows(got.select("id", "day", "region", "val")) == [
         tuple(int(x) for x in t) for t in exp
     ]
+
+
+# --------------------------------------------------------------------------
+# Hidden-partitioning transforms: year/month/day/hour, truncate, bucket
+
+
+def test_bucket_python_matches_spark(spark):
+    """_bucket_of (driver-side probe hashing) must be byte-identical to
+    the Spark bucket() expression for every type it claims to handle —
+    a divergence would FALSELY PRUNE a file and silently drop rows."""
+    import datetime as dt
+
+    from aws_etl_project2_fiap_spark.io.versioned import (
+        _bucket_of,
+        _transform_expr,
+    )
+
+    vals = [
+        0, 1, -1, 7, -97, 2**40, -(2**40),
+        "a", "B", "", "naïve-ünïcode", "with space", "a+b/c",
+        dt.date(1995, 3, 15), dt.date(1970, 1, 1),
+    ]
+    df = spark.createDataFrame(
+        [(str(i), v) for i, v in enumerate(vals) if isinstance(v, int)],
+        "i string, v long",
+    ).withColumn("b", _transform_expr("bucket", 8, "v", None))
+    got = {r["v"]: r["b"] for r in df.collect()}
+    for v in vals:
+        if isinstance(v, int):
+            assert got[v] == _bucket_of(v, 8), v
+    sdf = spark.createDataFrame(
+        [(v,) for v in vals if isinstance(v, str)], "v string"
+    ).withColumn("b", _transform_expr("bucket", 8, "v", None))
+    for r in sdf.collect():
+        assert r["b"] == _bucket_of(r["v"], 8), r["v"]
+    ddf = spark.createDataFrame(
+        [(v,) for v in vals if isinstance(v, dt.date)], "v date"
+    ).withColumn("b", _transform_expr("bucket", 8, "v", None))
+    for r in ddf.collect():
+        assert r["b"] == _bucket_of(r["v"], 8), r["v"]
+
+
+def test_bucket_spec_prunes_point_reads(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(2000).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    V.create_table(df, path, cluster_by=["bucket(8,k)"], num_files=8)
+    files = V._read_manifest(path, 1)["files"]
+    assert all("buckets" in f for f in files)
+    kept, skipped = V.prunable_bucket(files, "k", "key_1234")
+    assert skipped, "bucket membership must prune most files"
+    assert len(kept) < len(files)
+    got = V.read_table(spark, path, eq=("k", "key_1234")).collect()
+    assert [(r["k"], r["v"]) for r in got] == [("key_1234", 3702)]
+    # absent key: correct empty result through the same pruned path
+    assert V.read_table(spark, path, eq=("k", "nope")).count() == 0
+
+
+def test_month_transform_hidden_partitioning(spark, tmp_path):
+    """Users filter on the RAW date column; files clustered by
+    month(d) have month-tight raw stats, so ordinary min/max pruning
+    answers the predicate — no partition column anywhere."""
+    path = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT date_add(date'1995-01-01', CAST(id % 360 AS INT)) AS d, "
+        "id AS v FROM range(3000)"
+    )
+    V.create_table(df, path, cluster_by=["month(d)"], num_files=12)
+    files = V._read_manifest(path, 1)["files"]
+    kept, _ = V.prunable(files, "d", "1995-03-01", "1995-03-31")
+    assert 0 < len(kept) < len(files)
+    got = V.read_table(
+        spark, path, between=("d", "1995-03-01", "1995-03-31")
+    )
+    exp = df.filter(F.col("d").between("1995-03-01", "1995-03-31"))
+    assert _rows(got) == _rows(exp)
+
+
+def test_truncate_transform_numeric_and_string(spark, tmp_path):
+    p1, p2 = str(tmp_path / "n"), str(tmp_path / "s")
+    dfn = spark.range(1000).select((F.col("id") * 7 % 900).alias("v"))
+    V.create_table(dfn, p1, cluster_by=["truncate(100,v)"], num_files=6)
+    files = V._read_manifest(p1, 1)["files"]
+    kept, _ = V.prunable(files, "v", 200, 299)
+    assert 0 < len(kept) < len(files)
+    assert _rows(V.read_table(spark, p1, between=("v", 200, 299))) == _rows(
+        dfn.filter(F.col("v").between(200, 299))
+    )
+    dfs = spark.range(900).select(
+        F.concat(
+            F.lpad((F.col("id") % 26).cast("string"), 2, "0"),
+            F.lit("_suffix_"), F.col("id"),
+        ).alias("s")
+    )
+    V.create_table(dfs, p2, cluster_by=["truncate(2,s)"], num_files=6)
+    files = V._read_manifest(p2, 1)["files"]
+    kept, _ = V.prunable(files, "s", "07", "08")
+    assert 0 < len(kept) < len(files)
+
+
+def test_transform_canonicalization_and_rename(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    V.create_table(df, path)
+    V.alter_clustering(path, ["bucket( 8 , k )"])
+    assert V.table_cluster_spec(path)["cols"] == ["bucket(8,k)"]
+    V.rename_column(path, "k", "key")
+    assert V.table_cluster_spec(path)["cols"] == ["bucket(8,key)"]
+    # dropping the source column evolves the spec away from it
+    # (spec history: alter minted spec 1, rename kept it, drop bumps)
+    V.drop_column(path, "key")
+    assert V.table_cluster_spec(path) == {"spec_id": 2, "cols": []}
+
+
+def test_alter_to_bucket_then_compact_migrates(spark, tmp_path):
+    """The full evolution loop with a transform target: flip to a
+    bucket spec metadata-only, OPTIMIZE migrates, point reads prune
+    via the new files' bucket membership."""
+    path = str(tmp_path / "t")
+    df = spark.range(2000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    V.create_table(df, path, num_files=4)
+    before = _rows(V.read_table(spark, path))
+    V.alter_clustering(path, ["bucket(8,k)"])
+    old_files = V._read_manifest(path, V.current_version(path))["files"]
+    assert not any("buckets" in f for f in old_files)
+    # pre-migration point read: no bucket metadata → no pruning, still
+    # correct
+    assert V.read_table(spark, path, eq=("k", "u77")).count() == 1
+    V.compact_table(spark, path, target_files=8)
+    files = V._read_manifest(path, V.current_version(path))["files"]
+    assert all("buckets" in f for f in files)
+    kept, skipped = V.prunable_bucket(files, "k", "u77")
+    assert skipped and len(kept) < len(files)
+    assert V.read_table(spark, path, eq=("k", "u77")).count() == 1
+    assert _rows(V.read_table(spark, path)) == before
+
+
+def test_bucket_under_column_mapping(spark, tmp_path):
+    """Transform specs speak LOGICAL names: after a rename the spec
+    relabels, appends keep bucketing on the renamed column's PHYSICAL
+    bytes, and eq-reads on the new logical name still prune."""
+    path = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc"),
+        (F.col("id") * 2).alias("v"),
+    )
+    V.create_table(df, path, cluster_by=["bucket(8,doc)"], num_files=8)
+    V.rename_column(path, "doc", "doc_id")
+    df2 = spark.range(1000, 1500).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.col("id") * 2).alias("v"),
+    )
+    V.append_table(df2, path)
+    files = V._read_manifest(path, V.current_version(path))["files"]
+    assert all("buckets" in f for f in files)
+    # physical key inside the metadata stays the frozen physical name
+    assert all("bucket(8,doc)" in f["buckets"] for f in files)
+    got = V.read_table(spark, path, eq=("doc_id", "d1200")).collect()
+    assert [(r["doc_id"], r["v"]) for r in got] == [("d1200", 2400)]
