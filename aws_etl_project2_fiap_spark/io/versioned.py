@@ -497,6 +497,42 @@ def prunable_bucket(files: list, col: str, value) -> tuple[list, list]:
     return kept, skipped
 
 
+def prunable_bucket_any(files: list, col: str, values) -> tuple[list, list]:
+    """Batch form of :func:`prunable_bucket` (the merge-probe shape):
+    drop every file whose recorded bucket set excludes EVERY probe
+    value's bucket. One driver-side hash per (value, width) — bounded
+    by the same cap as the bloom probe. Any probe value the driver
+    can't hash byte-identically disables pruning entirely (kept files
+    are always safe)."""
+    memo: dict[int, set | None] = {}
+
+    def _vbuckets(w: int) -> set | None:
+        if w not in memo:
+            bs: set | None = set()
+            for v in values:
+                b = _bucket_of(v, w)
+                if b is None:
+                    bs = None  # unhashable probe type → no pruning
+                    break
+                bs.add(b)
+            memo[w] = bs
+        return memo[w]
+
+    kept, skipped = [], []
+    for f in files:
+        drop = False
+        for key, members in (f.get("buckets") or {}).items():
+            kind, w, src = _parse_spec_col(key)
+            if kind != "bucket" or src != col:
+                continue
+            vb = _vbuckets(w)
+            if vb is not None and not (vb & set(members)):
+                drop = True
+                break
+        (skipped if drop else kept).append(f)
+    return kept, skipped
+
+
 def prunable_eq(files: list, col: str, value) -> tuple[list, list]:
     """Split manifest entries into (kept, skipped) for ``col = value``:
     a file is skipped iff it carries a bloom for ``col`` that rules the
@@ -1257,6 +1293,12 @@ def append_table(
             ):
                 cluster_by = list(spec["cols"])
                 spec_id = spec["spec_id"]
+                if num_files is None:
+                    # spec-defaulted layout must not EXPAND the batch:
+                    # a streaming micro-batch arriving in 1-2 partitions
+                    # would otherwise range-shuffle into
+                    # defaultParallelism tiny files per commit
+                    num_files = df.rdd.getNumPartitions()
         elif list(cluster_by) == list(spec["cols"]):
             spec_id = spec["spec_id"]
     if mapping:
@@ -2093,14 +2135,25 @@ def merge_table(
         probe_entries = prunable(
             probe_entries, _phys_col(mapping, k), lo, hi
         )[0]
-    # bloom-index pruning catches what the envelope can't: SCATTERED
-    # keys. For each bloom-indexed key column, collect the source's
+    # bloom-index + bucket-membership pruning catch what the envelope
+    # can't: SCATTERED keys. For each key column that is bloom-indexed
+    # or bucket-clustered (hidden partitioning), collect the source's
     # distinct values (bounded — past the cap the collect is skipped,
-    # the probe scan absorbs it) and drop every file whose bloom rules
-    # out ALL of them — the point-read index applied to a batch probe
+    # the probe scan absorbs it), then drop every file whose bucket
+    # set misses ALL of the values' buckets (free — manifest-only) and
+    # every file whose bloom rules out ALL of them
     for k in keys:
         pcol = _phys_col(mapping, k)
-        if not any(f.get("blooms", {}).get(pcol) for f in probe_entries):
+        has_bloom = any(
+            f.get("blooms", {}).get(pcol) for f in probe_entries
+        )
+        has_bucket = any(
+            _parse_spec_col(bk)[0] == "bucket"
+            and _parse_spec_col(bk)[2] == pcol
+            for f in probe_entries
+            for bk in f.get("buckets", {})
+        )
+        if not (has_bloom or has_bucket):
             continue
         rows = (
             source.select(k).distinct()
@@ -2108,9 +2161,13 @@ def merge_table(
         )
         if len(rows) > _MERGE_BLOOM_PROBE_CAP:
             continue  # not delivery-sized on this key: skip, stay cheap
-        probe_entries = prunable_eq_any(
-            probe_entries, pcol, [r[0] for r in rows]
-        )[0]
+        vals = [r[0] for r in rows]
+        if has_bucket:
+            probe_entries = prunable_bucket_any(
+                probe_entries, pcol, vals
+            )[0]
+        if has_bloom:
+            probe_entries = prunable_eq_any(probe_entries, pcol, vals)[0]
     probe_src = _probe_keys(source, keys)
     if probe_entries:
         matched_rows = _apply_mapping(
