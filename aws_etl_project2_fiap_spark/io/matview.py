@@ -1,0 +1,292 @@
+"""Incrementally-maintained aggregate materialized views over
+versioned tables, refreshed from the change data feed.
+
+The missing lakehouse verb after MERGE/CDF/time-travel: keep a
+groupBy-aggregate of a mutating versioned table fresh WITHOUT
+recomputing it — ``refresh()`` reads only ``table_changes`` between the
+view's watermark and the source head (cost ∝ changed files, the CDF
+guarantee) and folds the delta in.
+
+Reference parity: the reference pipeline re-runs its aggregation job
+over the full partition on every trigger (reference src recomputes each
+day's aggregate from the raw table each run); here the same freshness
+costs O(changed rows) regardless of table size.
+
+Two refresh strategies, auto-selected per view:
+
+- **delta** (every aggregate self-maintainable: sum / count / avg):
+  the CDF rows fold algebraically — inserts add, deletes subtract
+  (an UPDATE's rewritten-but-unchanged rows appear as delete+insert
+  and cancel exactly). NO source read at all: a refresh after a
+  point-delete on a 100 TB source touches the CDF's files and the
+  view, nothing else.
+- **scoped** (any min / max present: not self-maintainable under
+  deletes): recompute ONLY the groups the CDF touched — the group list
+  comes from the CDF, the source scan is semi-join-pruned to those
+  groups (manifest stats / cluster layout prune files when the source
+  is clustered by the group key), and vanished groups are merge-deleted.
+
+Both land on the view (itself a versioned table) through
+``merge_table``'s bounded-broadcast probe; the view's ``mv`` metadata
+(source path, group keys, agg specs, source-version watermark) lives in
+the manifest and rides the same state inheritance as the column
+mapping, so history/rollback/clone see it.
+
+State columns: each ``sum``/``count``/``min``/``max`` output is stored
+under its own name; ``avg`` stores ``<name>__mvsum`` + ``<name>__mvcnt``
+and derives on read (averages don't fold — sums and counts do); a
+hidden ``__mv_cnt`` row-count detects groups whose last row left.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import versioned as V
+
+_SELF_MAINTAINABLE = {"sum", "count", "avg"}
+_SUPPORTED = {"sum", "count", "avg", "min", "max"}
+
+# hidden row-count: present in every view so refresh can tell "group
+# now empty → delete its row" from "group untouched"
+_CNT = "__mv_cnt"
+
+
+def _check_spec(group_by: list[str], aggs: dict) -> None:
+    if not group_by:
+        raise ValueError("group_by must name at least one column")
+    for out, (fn, col) in aggs.items():
+        if fn not in _SUPPORTED:
+            raise ValueError(
+                f"agg {out!r}: {fn!r} not in {sorted(_SUPPORTED)}"
+            )
+        if fn != "count" and col is None:
+            raise ValueError(f"agg {out!r}: {fn} needs a source column")
+        if out in group_by or out == _CNT or out.endswith(
+            ("__mvsum", "__mvcnt")
+        ):
+            raise ValueError(f"agg output name {out!r} is reserved")
+
+
+def _dec(col: str) -> Column:
+    """Sums/averages fold through DECIMAL(28,6): float addition is
+    order-dependent AND a delta-maintained float sum would accumulate
+    a little error on EVERY refresh forever — decimal folding is exact,
+    so the view never drifts from a recompute no matter how many
+    incremental refreshes it has absorbed."""
+    return F.col(col).cast("decimal(28,6)")
+
+
+def _state_exprs(aggs: dict) -> list[Column]:
+    """Aggregate expressions computing the view's STATE columns from
+    source rows (used by create and by scoped recompute)."""
+    exprs = [F.count(F.lit(1)).alias(_CNT)]
+    for out, (fn, col) in aggs.items():
+        if fn == "sum":
+            exprs.append(F.sum(_dec(col)).alias(out))
+        elif fn == "count":
+            exprs.append(
+                (F.count(col) if col else F.count(F.lit(1))).alias(out)
+            )
+        elif fn == "avg":
+            exprs.append(F.sum(_dec(col)).alias(f"{out}__mvsum"))
+            exprs.append(F.count(col).alias(f"{out}__mvcnt"))
+        elif fn == "min":
+            exprs.append(F.min(col).alias(out))
+        elif fn == "max":
+            exprs.append(F.max(col).alias(out))
+    return exprs
+
+
+def _delta_exprs(aggs: dict, sign: Column) -> list[Column]:
+    """Aggregate expressions computing the CDF DELTA of every state
+    column: inserts count +1, deletes −1 — sum/count fold by addition.
+    Only called when every agg is self-maintainable."""
+    exprs = [F.sum(sign).alias(_CNT)]
+    for out, (fn, col) in aggs.items():
+        if fn == "sum":
+            exprs.append(
+                F.sum(
+                    F.when(F.col(col).isNotNull(), sign * _dec(col))
+                ).alias(out)
+            )
+        elif fn == "count":
+            exprs.append(
+                F.sum(
+                    sign if col is None
+                    else F.when(F.col(col).isNotNull(), sign).otherwise(0)
+                ).alias(out)
+            )
+        elif fn == "avg":
+            nn = F.col(col).isNotNull()
+            exprs.append(F.sum(F.when(nn, sign * _dec(col))).alias(
+                f"{out}__mvsum"
+            ))
+            exprs.append(
+                F.sum(F.when(nn, sign).otherwise(0)).alias(f"{out}__mvcnt")
+            )
+    return exprs
+
+
+def create_aggregate_view(
+    spark: SparkSession,
+    source: str,
+    dst: str,
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+) -> int:
+    """CREATE MATERIALIZED VIEW dst AS SELECT group_by, aggs FROM
+    source GROUP BY group_by.
+
+    ``aggs``: ``{output_name: (fn, source_col)}`` with fn one of
+    sum / count / avg / min / max (``count`` with ``None`` counts
+    rows). The initial state is one full aggregation of the source's
+    CURRENT version (map-side partial — the only full-source read the
+    view ever does); every later :func:`refresh` is incremental."""
+    aggs = {k: (fn, col) for k, (fn, col) in aggs.items()}
+    _check_spec(group_by, aggs)
+    src_version = V.current_version(source)
+    state = (
+        V.read_table(spark, source, version=src_version)
+        .groupBy(*group_by)
+        .agg(*_state_exprs(aggs))
+    )
+    meta = {
+        "source": source,
+        "source_version": src_version,
+        "group_by": list(group_by),
+        "aggs": {k: [fn, col] for k, (fn, col) in aggs.items()},
+    }
+    return V.create_table(state, dst, extra={"mv": meta})
+
+
+def view_meta(dst: str) -> dict:
+    m = V._read_manifest(dst, V.current_version(dst)).get("mv")
+    if not m:
+        raise ValueError(f"{dst} is not a materialized view")
+    return m
+
+
+def read_aggregate_view(spark: SparkSession, dst: str) -> DataFrame:
+    """The view's logical result: group keys + the declared aggregate
+    outputs (avg derived from its sum/count state, internals hidden)."""
+    meta = view_meta(dst)
+    df = V.read_table(spark, dst)
+    cols: list[Column] = [F.col(c) for c in meta["group_by"]]
+    for out, (fn, _col) in meta["aggs"].items():
+        if fn == "avg":
+            cols.append(
+                (
+                    F.col(f"{out}__mvsum")
+                    / F.nullif(F.col(f"{out}__mvcnt"), F.lit(0))
+                ).alias(out)
+            )
+        else:
+            cols.append(F.col(out))
+    return df.select(*cols)
+
+
+def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
+    """REFRESH MATERIALIZED VIEW, incrementally.
+
+    Reads ``table_changes(source, watermark, head)`` — cost ∝ files
+    changed since the last refresh, NEVER table size — and folds it in:
+
+    - all-self-maintainable views take the **delta** path: one
+      aggregation of the CDF (signed: insert +, delete −) merged into
+      the view state by addition; brand-new groups insert, groups whose
+      ``__mv_cnt`` hits zero are deleted. The source is not read.
+    - min/max views take the **scoped** path: the CDF contributes only
+      its DISTINCT GROUP LIST; those groups are recomputed from the
+      source head (semi-join-pruned scan) and merge-replaced; touched
+      groups with no surviving rows are merge-deleted.
+
+    Returns {"strategy", "from_version", "to_version", "view_version",
+    "groups_changed"}; a no-op refresh (watermark == head) returns
+    early with strategy "noop"."""
+    meta = view_meta(dst)
+    source = meta["source"]
+    aggs = {k: (fn, col) for k, (fn, col) in meta["aggs"].items()}
+    keys = list(meta["group_by"])
+    frm = meta["source_version"]
+    to = V.current_version(source)
+    if to == frm:
+        return {
+            "strategy": "noop", "from_version": frm, "to_version": to,
+            "view_version": V.current_version(dst), "groups_changed": 0,
+        }
+    new_meta = {**meta, "source_version": to}
+    cdf = V.table_changes(spark, source, frm, to)
+    if all(fn in _SELF_MAINTAINABLE for fn, _ in aggs.values()):
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = cdf.groupBy(*keys).agg(*_delta_exprs(aggs, sign))
+        # drop all-zero deltas (an UPDATE's unchanged rows cancel
+        # exactly: delete −x + insert +x): no reason to probe the view
+        # for groups whose net change is nothing. NULL-safe: a delta
+        # whose every term is NULL contributes nothing either.
+        state_cols = [c for c in delta.columns if c not in keys]
+        nonzero = F.lit(False)
+        for c in state_cols:
+            nonzero = nonzero | (F.coalesce(F.col(c), F.lit(0)) != 0)
+        delta = delta.filter(nonzero)
+        n = delta.count()
+        if n == 0:
+            # still advance the watermark (metadata-only commit) so the
+            # next refresh doesn't re-derive this CDF range
+            ver = V._commit(
+                dst,
+                V._read_manifest(dst, V.current_version(dst))["files"],
+                extra={"mv": new_meta},
+                operation=f"REFRESH_MV(v{frm}->v{to})",
+            )
+            return {
+                "strategy": "delta", "from_version": frm, "to_version": to,
+                "view_version": ver, "groups_changed": 0,
+            }
+        add = {
+            c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+            + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+            for c in state_cols
+        }
+        V.merge_table(
+            spark, dst, delta, keys,
+            when_matched=add,
+            extra={"mv": new_meta},
+        )
+        # groups whose last row left: state row must go (their sums are
+        # exact zeros only for int aggregates — the count is the truth)
+        res = V.delete_from(spark, dst, F.col(_CNT) <= 0)
+        return {
+            "strategy": "delta", "from_version": frm, "to_version": to,
+            "view_version": res["version"], "groups_changed": int(n),
+        }
+    # scoped: recompute only the touched groups from the source head
+    touched = cdf.select(*keys).distinct()
+    n = touched.count()
+    src = V.read_table(spark, source, version=to)
+    recomputed = (
+        src.join(touched, keys, "left_semi")
+        .groupBy(*keys)
+        .agg(*_state_exprs(aggs))
+    )
+    V.merge_table(
+        spark, dst, recomputed, keys,
+        when_matched="replace",
+        extra={"mv": new_meta},
+    )
+    # touched groups with NO surviving source rows: not in `recomputed`
+    # (nothing to aggregate), but their stale state rows remain — merge
+    # a keys-only vanish list with a matched-delete clause
+    vanished = touched.join(recomputed.select(*keys), keys, "left_anti")
+    if vanished.limit(1).count():
+        V.merge_table(
+            spark, dst, vanished, keys,
+            when_matched="delete", insert_unmatched=False,
+        )
+    return {
+        "strategy": "scoped", "from_version": frm, "to_version": to,
+        "view_version": V.current_version(dst), "groups_changed": int(n),
+    }

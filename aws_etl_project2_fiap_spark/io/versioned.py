@@ -1037,7 +1037,12 @@ def _commit(
     prev_manifest = (
         _read_manifest(path, version - 1) if version > 1 else {}
     )
-    for state_key in ("column_mapping", "retired_physical", "cluster_spec"):
+    # "mv": materialized-view metadata (io/matview.py) — rides the same
+    # inheritance so intermediate commits of a multi-step refresh
+    # (merge + zero-group delete) keep the view's watermark intact
+    for state_key in (
+        "column_mapping", "retired_physical", "cluster_spec", "mv"
+    ):
         if state_key not in extra:
             prev = prev_manifest.get(state_key)
             if prev is not None:
@@ -1676,6 +1681,10 @@ def rollback(path: str, version: int) -> int:
             "column_mapping": m.get("column_mapping"),
             "retired_physical": m.get("retired_physical"),
             "cluster_spec": m.get("cluster_spec"),
+            # a rolled-back materialized view must also carry the OLD
+            # source-version watermark, or its next refresh would skip
+            # the CDF range it just un-applied
+            "mv": m.get("mv"),
         },
         expect_version=base_version,
         operation=f"ROLLBACK(v{version})",
@@ -2563,9 +2572,10 @@ def delete_from(
       instead of rescanning/rewriting files. Sidecars are written from
       EXECUTOR tasks (one per touched file); the driver handles only
       O(touched files) records, so a broad predicate in dv mode costs
-      cluster time, never driver memory. Readers apply DVs as one
-      broadcast anti-join; the next compaction (or a cow delete/update
-      of the same files) physically purges them.
+      cluster time, never driver memory. Readers apply DVs inside the
+      scan tasks (each task loads its own file's sidecar — no join, no
+      driver materialization); the next compaction (or a cow
+      delete/update of the same files) physically purges them.
     - ``mode="auto"``: per-file decision, the way Delta chooses —
       a file gets a DV only while its CUMULATIVE deleted fraction
       (existing DV + this delete, over physical rows) stays below

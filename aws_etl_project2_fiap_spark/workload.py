@@ -3497,6 +3497,388 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+      AND o_orderdate < DATE '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): per-priority counts of
+    orders with at least one LATE lineitem — the correlated EXISTS with
+    a NON-EQUI correlation condition (shipdate > orderdate + 60 days;
+    the testdata carries no commit/receipt dates so lateness vs the
+    order date stands in for Q4's l_commitdate < l_receiptdate).
+
+    Scale: the quarter filter pushes into the orders scan before the
+    semi-join; EXISTS plans as LeftSemi on the orderkey equi-key with
+    the date inequality as a residual condition — one shuffle on the
+    join key, no correlated re-execution; the final agg reduces to 5
+    priority rows.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@defquery(
+    "tpch_q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS volume
+    FROM lineitem, supplier, orders, customer,
+         nation n1, nation n2
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+      AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND c_nationkey = n2.n_nationkey
+      AND n1.n_name < n2.n_name
+      AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade volume by
+    (supplier nation, customer nation, ship year) — the TWO-PATH
+    snowflake where the same dimension (nation) joins the fact twice
+    through different foreign-key chains (lineitem→supplier and
+    lineitem→orders→customer).
+
+    Scale: both nation joins and the supplier/customer joins broadcast
+    (dims are tiny at any SF — nation is 25 rows at 100 TB too); the
+    only shuffle is lineitem⋈orders on orderkey, then a 3-key agg over
+    a few hundred groups. The shipdate BETWEEN pushes into the scan.
+    The revenue sum runs in DECIMAL: with ~600 float-summed groups the
+    odds of one landing on a round-half boundary are real (two did at
+    sf0.01), and exact decimal aggregation is order-independent — the
+    same reason money columns are DECIMAL in production schemas.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31 23:59:59")
+    )
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (
+                        F.lit(1).cast("decimal(18,4)")
+                        - F.col("l_discount").cast("decimal(18,4)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("volume")
+        )
+    )
+
+
+@defquery(
+    "tpch_q12_priority_class",
+    """
+    SELECT l_linestatus,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split): per line status
+    (the testdata carries no l_shipmode, so l_linestatus is the pivot
+    key), how many shipped lineitems belonged to high- vs low-priority
+    orders — the conditional-count pivot over a fact-fact join.
+
+    Scale: the year filter pushes into the lineitem scan; both
+    conditional counts compute in ONE pass of the joined rows (no
+    second scan, no pivot shuffle — they're two CASE aggregates over
+    the same groupBy); map-side partials reduce to 2 status rows.
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            # count(CASE), not sum(CASE): DuckDB's sum(int) widens to
+            # HUGEINT (renders as float through the compare), count
+            # stays BIGINT on both engines
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@defquery(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4)
+               AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= DATE '1997-03-01'
+      AND l_shipdate < DATE '1997-04-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): promo revenue as a PERCENT
+    of total revenue for one month — the conditional-sum ratio that
+    reduces a fact-dim join to a single scalar.
+
+    Scale: part broadcasts (dim); the month filter pushes into the
+    lineitem scan; numerator and denominator are two aggregates of the
+    SAME single pass (no self-join, no second scan) and the global agg
+    is a one-row partial-merge.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@defquery(
+    "tpch_q19_discounted_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND ((p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 20)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+            AND l_quantity BETWEEN 10 AND 30)
+        OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 45
+            AND l_quantity BETWEEN 20 AND 40))
+    """,
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): revenue under an
+    OR-of-ANDs predicate that mixes columns from BOTH join sides —
+    the disjunctive-pushdown workout.
+
+    Scale: the per-side halves of each disjunct push independently —
+    Catalyst derives `p_brand IN (...)` and a merged p_size range for
+    the part scan and a merged l_quantity range for the lineitem scan
+    (filter-reduction of a disjunction), so both scans prune before
+    the join; part broadcasts; the residual OR evaluates post-join in
+    codegen. No fallback to a cross product (the equi-key stays
+    extractable from under the OR).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    d1 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(20, 45)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return j.filter(d1 | d2 | d3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@defquery(
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM (
+        SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        FROM lineitem l1
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R')
+    ) fault
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers
+    solely at fault in multi-supplier orders — in TPC-H, the only
+    supplier whose lineitem missed its commit date; here (no
+    commit/receipt dates in the testdata) the only supplier whose
+    lineitem was RETURNED, preserving the double-correlation semantics
+    (EXISTS another supplier in the order, NOT EXISTS another supplier
+    who also failed).
+
+    Scale: the classic EXISTS+NOT-EXISTS pair would self-join lineitem
+    twice with correlated inequality conditions; instead it's REWRITTEN
+    join-free — per (order, supplier) a returned flag (map-side
+    partials absorb the lineitem fan-in in the ONE wide shuffle), then
+    the order-level supplier/failure counts as WINDOW aggregates over
+    the already-reduced pairs (a few rows per order), then a plain
+    filter. One lineitem scan, two shuffles, zero self-joins.
+    Deliberately NOT two countDistincts on one groupBy (plans as an
+    Expand — 2× row explosion of raw lineitem before the shuffle) and
+    NOT a groupBy-then-join-back (the two branches prune different
+    columns, so the exchange is computed twice, not reused). The DuckDB
+    oracle keeps the literal EXISTS/NOT-EXISTS form, proving the
+    rewrite.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("__ret")
+    )
+    w = Window.partitionBy("l_orderkey")
+    fault = (
+        per_pair.withColumn("__nsupp", F.count("*").over(w))
+        .withColumn("__nret", F.sum("__ret").over(w))
+        .filter(
+            (F.col("__ret") == 1)
+            & (F.col("__nsupp") > 1)
+            & (F.col("__nret") == 1)
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        fault.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@defquery(
+    "tpch_q22_global_sales",
+    """
+    SELECT c_mktsegment, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.00)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= DATE '1999-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): dormant
+    above-average-balance customers by segment (the testdata has no
+    c_phone, so c_mktsegment stands in for the country-code grouping,
+    and "no orders at all" — vacuous here, every customer orders —
+    becomes "no orders since 1999").
+
+    Scale: the scalar AVG subquery is a one-row aggregate that
+    broadcasts into the filter (never a per-row re-execution); NOT
+    EXISTS plans as LeftAnti against orders pre-filtered to the date
+    window (the filter pushes below the anti-join, shrinking its build
+    side); the final agg reduces to a handful of segment rows.
+    """
+    c = t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    recent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("date")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(
+            recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@defquery(
     "dedup_embedding_cosine",
     """
     SELECT e.vec_id
@@ -5402,6 +5784,85 @@ def k_cluster_evolution_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
+    )
+
+
+@defquery(
+    "k_matview_incremental_readback",
+    """
+    WITH live AS (
+        SELECT o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(28,6))
+                   * (CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 2 ELSE 1 END) AS p
+        FROM orders
+        WHERE o_orderkey % 5 <> 0
+    )
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(round(sum(p), 2) AS DOUBLE) AS total,
+           CAST(round(sum(p) / count(*), 4) AS DOUBLE) AS avg_price
+    FROM live
+    GROUP BY o_orderpriority
+    """,
+)
+def k_matview_incremental_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized view end-to-end (io/matview.py): a
+    sum/count/avg view over a versioned orders table stays exact
+    through an append (delta fold + refresh), a merge-on-read DV delete
+    (group decrement via the change feed's DV leg), and a CoW UPDATE
+    (the rewrite's unchanged rows cancel in the fold) — three
+    incremental refreshes, zero source rescans after create (the delta
+    strategy reads only ``table_changes``). The oracle recomputes the
+    final aggregate from the source rows, so the hash gate proves the
+    folded state equals a from-scratch aggregation.
+
+    Reference parity: the reference recomputes its aggregate outputs
+    from the raw table on every run (reference src re-aggregates each
+    partition per job); here the same freshness costs O(changed rows).
+
+    Scale: the CDF reads only changed files; the delta agg is map-side
+    partial over changed rows; the view merge probes with the bounded
+    broadcast `merge_table` path; DECIMAL folding keeps the state
+    drift-free over unbounded refresh counts (SCALE.md)."""
+    from .io import matview as mv_op
+    from .io import versioned as ver_op
+
+    src = _scratch_dir("mv_readback_src")
+    dst = _scratch_dir("mv_readback_view")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ver_op.create_table(o.filter(F.col("o_orderkey") % 2 == 0), src)
+    mv_op.create_aggregate_view(
+        spark, src, dst, ["o_orderpriority"],
+        {"n": ("count", None), "total": ("sum", "o_totalprice"),
+         "avg_price": ("avg", "o_totalprice")},
+    )
+    ver_op.append_table(o.filter(F.col("o_orderkey") % 2 == 1), src)
+    r1 = mv_op.refresh_aggregate_view(spark, dst)
+    assert r1["strategy"] == "delta"
+    ver_op.delete_from(
+        spark, src, F.col("o_orderkey") % 5 == 0, mode="dv"
+    )
+    mv_op.refresh_aggregate_view(spark, dst)
+    ver_op.update_table(
+        spark, src,
+        {"o_totalprice": F.col("o_totalprice") * 2},
+        F.col("o_orderpriority") == "1-URGENT",
+    )
+    r3 = mv_op.refresh_aggregate_view(spark, dst)
+    # only the urgent group nets a delta — the rewrite's other rows
+    # cancelled in the fold
+    assert r3["groups_changed"] == 1, r3
+    v = mv_op.read_aggregate_view(spark, dst)
+    return v.select(
+        "o_orderpriority",
+        "n",
+        F.round("total", 2).cast("double").alias("total"),
+        F.round("avg_price", 4).cast("double").alias("avg_price"),
     )
 
 

@@ -56,6 +56,11 @@ HEADLINE = [
     # returned-items customer ranking (Q10) — shapes the set lacked
     "tpch_q10_returned_items",
     "tpch_q18_large_orders",
+    # round-6 additions: two-path snowflake (Q7) and the join-free
+    # double-correlation rewrite (Q21) — the two heaviest of the seven
+    # new TPC-H shapes
+    "tpch_q7_nation_volume",
+    "tpch_q21_waiting_supplier",
     "window_top3_per_cust",
     "window_lag_delta",
     "sessionize_30m",
@@ -276,6 +281,7 @@ def main() -> None:
             # round-6 additions at 10x (baseline records on first
             # appearance)
             "tpch_q10_returned_items", "tpch_q18_large_orders",
+            "tpch_q7_nation_volume", "tpch_q21_waiting_supplier",
         ]
         sf1_steady: dict[str, float] = {}
         for name in sf1_set:

@@ -196,6 +196,64 @@ def test_q5_dimension_chain_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    """TPC-H Q19: the OR-of-ANDs predicate mixes columns from both join
+    sides; Catalyst must still derive and push the per-side OR (brand/
+    size disjunction to the part scan, quantity-range disjunction to
+    the lineitem scan) — at 100 TB an unpushed disjunct means scanning
+    every lineitem row group."""
+    df = DEFS["tpch_q19_discounted_revenue"].spark(spark, SF)
+    s = formatted(df)
+    pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln and "Or(" in ln for ln in pushed), pushed
+    assert any("l_quantity" in ln and "Or(" in ln for ln in pushed), pushed
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q4_exists_plans_as_semi_with_residual(spark):
+    """TPC-H Q4: the correlated EXISTS with a non-equi condition must
+    plan as ONE LeftSemi join (equi on orderkey, the date inequality as
+    residual) — never a per-row subquery re-execution or a nested-loop
+    join; and the quarter filter must reach the orders scan."""
+    df = DEFS["tpch_q4_order_priority"].spark(spark, SF)
+    p = plan(df)
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    s = formatted(df)
+    pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed), pushed
+
+
+def test_q21_rewrite_is_join_free_single_scan(spark):
+    """TPC-H Q21's double-correlation rewrite: ONE lineitem scan, no
+    Expand (the two-countDistinct plan 2x-explodes raw lineitem), no
+    self-join — the order-level counts come from a window over the
+    pair-reduced rows. The only join left is the broadcast against
+    supplier."""
+    df = DEFS["tpch_q21_waiting_supplier"].spark(spark, SF)
+    p = plan(df)
+    assert "Expand" not in p
+    assert p.count("lineitem.parquet") == 1, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_q22_scalar_subquery_broadcasts_once(spark):
+    """TPC-H Q22: the scalar AVG must join as a one-row broadcast (an
+    IdentityBroadcastMode nested-loop against a single row is fine;
+    a re-executed subquery or a shuffled join is not), the NOT EXISTS
+    must plan as LeftAnti, and the date filter must push below the
+    anti-join into the orders scan."""
+    df = DEFS["tpch_q22_global_sales"].spark(spark, SF)
+    p = plan(df)
+    assert "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+    s = formatted(df)
+    pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed), pushed
+
+
 def test_embedding_dedup_default_plan_is_bucketed(spark):
     """dedup_embedding_cosine's default path must be the LSH-bucketed
     generator: no CartesianProduct / broadcast-nested-loop all-pairs
