@@ -331,6 +331,45 @@ def cmd_clone(args) -> int:
     return 0
 
 
+def cmd_matview(args) -> int:
+    from .io import matview as MV
+
+    # refresh/read take one path: argparse binds it to `source`
+    if args.view is None:
+        args.view = args.source
+    if args.action == "create" and (not args.source or not args.view
+                                    or args.view == args.source):
+        print("matview create needs SOURCE and VIEW paths")
+        return 2
+    if not args.view:
+        print("matview needs a VIEW path")
+        return 2
+    spark = _session()
+    if args.action == "create":
+        aggs = {}
+        for spec in args.agg:
+            # out=fn:col (count may omit :col → count(*))
+            out, rhs = spec.split("=", 1)
+            fn, _, col = rhs.partition(":")
+            aggs[out] = (fn, col or None)
+        v = MV.create_aggregate_view(
+            spark, args.source, args.view, args.group_by, aggs
+        )
+        print(f"created {args.view} over {args.source} (v{v})")
+    elif args.action == "refresh":
+        r = MV.refresh_aggregate_view(spark, args.view)
+        print(
+            f"{r['strategy']} refresh v{r['from_version']}->"
+            f"v{r['to_version']}: {r['groups_changed']} group(s), "
+            f"view v{r['view_version']}"
+        )
+    else:  # read
+        MV.read_aggregate_view(spark, args.view).show(
+            args.limit, truncate=False
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="aws_etl_project2_fiap_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -464,6 +503,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--version", type=int, default=None)
     p.add_argument("--deep", action="store_true")
     p.set_defaults(fn=cmd_clone)
+
+    p = sub.add_parser(
+        "matview",
+        help="incremental materialized view "
+        "(create SRC VIEW --group-by k --agg total=sum:price; "
+        "refresh VIEW; read VIEW)",
+    )
+    p.add_argument("action", choices=["create", "refresh", "read"])
+    p.add_argument("source", nargs="?", help="source table (create only)")
+    p.add_argument("view", nargs="?", help="view path")
+    p.add_argument("--group-by", nargs="+", default=[])
+    p.add_argument(
+        "--agg", nargs="+", default=[],
+        help="out=fn:col (fn: sum/count/avg/min/max; count may omit :col)",
+    )
+    p.add_argument("--limit", type=int, default=50)
+    p.set_defaults(fn=cmd_matview)
 
     args = ap.parse_args(argv)
     return args.fn(args)

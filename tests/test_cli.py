@@ -181,3 +181,37 @@ def test_cli_cluster_evolution(spark, capsys, tmp_path):
     assert main(["cluster", path, "none"]) == 0
     capsys.readouterr()
     assert V.table_cluster_spec(path)["cols"] == []
+
+
+def test_cli_matview(spark, capsys, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_etl_project2_fiap_spark.io import versioned as V
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    V.create_table(
+        spark.range(0, 60).select(
+            (F.col("id") % 3).alias("k"), (F.col("id") * 1.0).alias("x")
+        ),
+        src,
+    )
+    assert main([
+        "matview", "create", src, view,
+        "--group-by", "k", "--agg", "total=sum:x", "n=count",
+    ]) == 0
+    assert "created" in capsys.readouterr().out
+    V.append_table(
+        spark.range(60, 90).select(
+            (F.col("id") % 3).alias("k"), (F.col("id") * 1.0).alias("x")
+        ),
+        src,
+    )
+    assert main(["matview", "refresh", view]) == 0
+    out = capsys.readouterr().out
+    assert "delta refresh" in out and "3 group(s)" in out
+    assert main(["matview", "read", view]) == 0
+    assert "total" in capsys.readouterr().out
+    # arg validation: create needs both paths
+    assert main(["matview", "create", src]) == 2
+    capsys.readouterr()
