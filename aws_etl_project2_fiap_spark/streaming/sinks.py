@@ -293,6 +293,59 @@ def cdf_replica_sink(
     )
 
 
+def matview_refresh_sink(
+    spark,
+    view_path: str,
+    checkpoint: str,
+    query_name: str = "matview_refresh_sink",
+    available_now: bool = True,
+    interval_seconds: int | None = None,
+) -> StreamingQuery:
+    """Continuous materialized-view maintenance: refresh the view
+    whenever its SOURCE table commits, driven by the versioned-table
+    streaming source (offset = source version).
+
+    The micro-batch DataFrame is only the TRIGGER — the closure never
+    runs an action on it, so Spark materializes no batch rows; the
+    refresh itself reads ``table_changes(watermark → head)`` straight
+    from the table log (``io/matview.refresh_aggregate_view``), which
+    is the cheaper and more correct delta: the view's watermark lives
+    in its OWN manifest, so a crashed/replayed/duplicate trigger (or a
+    second refresh loop racing this one) folds each CDF range exactly
+    once — refresh is idempotent by construction, and the checkpoint
+    merely avoids redundant no-op triggers after restart.
+
+    Scale: per trigger, the cost is one manifest read when nothing
+    changed (the "noop" strategy), else the CDF fold (O(changed
+    files)). Nothing in the loop ever rescans the source."""
+    from ..io import matview as MV
+    from .table_source import VersionedTableDataSource
+
+    spark.dataSource.register(VersionedTableDataSource)
+    meta = MV.view_meta(view_path)  # validates view_path up front
+    feed = (
+        spark.readStream.format("versioned_table")
+        .option("path", meta["source"])
+        .load()
+    )
+
+    def _refresh(batch_df, batch_id: int) -> None:
+        MV.refresh_aggregate_view(batch_df.sparkSession, view_path)
+
+    w = (
+        feed.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(
+            processingTime=f"{interval_seconds or 60} seconds"
+        )
+    return w.start()
+
+
 def rollup_sink(
     df: DataFrame,
     rollup_path: str,

@@ -286,3 +286,44 @@ def test_property_view_equals_recompute_after_any_ops(
             )
         MV.refresh_aggregate_view(spark, dst)
         _assert_equal(_got(spark, dst), _expect(spark, src, SUM_SQL()))
+
+
+def test_streaming_refresh_sink_keeps_view_fresh(spark, tmp_path):
+    """matview_refresh_sink: source commits land while the loop runs
+    (availableNow passes here); after each pass the view equals a
+    recompute, and a REPLAYED trigger (fresh checkpoint over the same
+    offsets) is a no-op because refresh is watermark-idempotent."""
+    from aws_etl_project2_fiap_spark.streaming.sinks import (
+        matview_refresh_sink,
+    )
+
+    src = _src(spark, tmp_path)
+    dst = str(tmp_path / "view")
+    MV.create_aggregate_view(spark, src, dst, ["k"], SUM_AGGS)
+
+    V.append_table(
+        spark.range(500, 560).select(
+            (F.col("id") % 7).alias("k"),
+            (F.col("id") * 2.0).alias("x"),
+            F.col("id").alias("n"),
+        ),
+        src,
+    )
+    V.delete_from(spark, src, F.col("k") == 1, mode="dv")
+
+    q = matview_refresh_sink(spark, dst, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    _assert_equal(_got(spark, dst), _expect(spark, src, SUM_SQL()))
+    assert MV.view_meta(dst)["source_version"] == V.current_version(src)
+
+    # replay: a brand-new checkpoint re-triggers over the SAME source
+    # offsets — the refresh must fold nothing twice
+    q = matview_refresh_sink(spark, dst, str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    _assert_equal(_got(spark, dst), _expect(spark, src, SUM_SQL()))
+
+    # another commit, resumed loop on the original checkpoint
+    V.update_table(spark, src, {"x": F.col("x") + 5.0}, F.col("k") == 2)
+    q = matview_refresh_sink(spark, dst, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    _assert_equal(_got(spark, dst), _expect(spark, src, SUM_SQL()))
