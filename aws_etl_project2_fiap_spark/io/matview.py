@@ -152,6 +152,22 @@ def create_aggregate_view(
         .groupBy(*group_by)
         .agg(*_state_exprs(aggs))
     )
+    # NULL group keys: the refresh MERGE probes join on SQL equality
+    # (NULL matches nothing — the Delta MERGE caveat), so a NULL-keyed
+    # group could never be updated, only duplicated. Reject up front
+    # rather than drift silently later.
+    null_key = None
+    for c in group_by:
+        null_key = (
+            F.col(c).isNull() if null_key is None
+            else null_key | F.col(c).isNull()
+        )
+    if state.filter(null_key).limit(1).count():
+        raise ValueError(
+            f"group_by column(s) {group_by} contain NULLs — NULL group "
+            f"keys are not maintainable through the MERGE probe; filter "
+            f"or coalesce them in the source first"
+        )
     meta = {
         "source": source,
         "source_version": src_version,
@@ -204,7 +220,15 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
 
     Returns {"strategy", "from_version", "to_version", "view_version",
     "groups_changed"}; a no-op refresh (watermark == head) returns
-    early with strategy "noop"."""
+    early with strategy "noop".
+
+    Concurrency: run ONE refresher per view (the single-maintainer
+    discipline real formats expect for OPTIMIZE). Sequential replays —
+    a crashed loop restarting, a fresh checkpoint re-triggering old
+    offsets — are exactly-once because the watermark lives in the
+    view's own manifest; a last-moment watermark re-check narrows (but
+    cannot fully close) the window where two racing refreshers would
+    fold the same CDF range twice."""
     meta = view_meta(dst)
     source = meta["source"]
     aggs = {k: (fn, col) for k, (fn, col) in meta["aggs"].items()}
@@ -232,7 +256,18 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
         for c in state_cols:
             nonzero = nonzero | (F.coalesce(F.col(c), F.lit(0)) != 0)
         delta = delta.filter(nonzero)
-        n = delta.count()
+        # materialize the delta ONCE: it is re-read several times below
+        # (stats, the merge's key probe, the merge itself, the cleanup
+        # merge), and its lineage is the full CDF scan — without this,
+        # every consumer re-executes that scan. The delta itself is
+        # tiny (one row per changed group), so the checkpoint is cheap
+        # and spills if a giant backfill makes it large.
+        delta = delta.localCheckpoint(eager=True)
+        stats = delta.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(_CNT).alias("min_cnt"),
+        ).collect()[0]
+        n, min_cnt = stats["n"], stats["min_cnt"]
         if n == 0:
             # still advance the watermark (metadata-only commit) so the
             # next refresh doesn't re-derive this CDF range
@@ -251,27 +286,76 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
             + F.coalesce(F.col(f"s.{c}"), F.lit(0))
             for c in state_cols
         }
+        # racing-refresher guard: if another refresher already claimed
+        # this range (watermark moved while we computed the delta),
+        # folding it again would double-count
+        if view_meta(dst)["source_version"] >= to:
+            return {
+                "strategy": "noop", "from_version": frm, "to_version": to,
+                "view_version": V.current_version(dst),
+                "groups_changed": 0,
+            }
         V.merge_table(
             spark, dst, delta, keys,
             when_matched=add,
             extra={"mv": new_meta},
         )
         # groups whose last row left: state row must go (their sums are
-        # exact zeros only for int aggregates — the count is the truth)
-        res = V.delete_from(spark, dst, F.col(_CNT) <= 0)
+        # exact zeros only for int aggregates — the count is the truth).
+        # Scoped as a MERGE over the delta's own keys — probe-pruned to
+        # the files the delta touched — and skipped outright when no
+        # per-group count decreased: a delete_from here would rescan
+        # the WHOLE view on every refresh, O(groups) per tick forever.
+        if min_cnt is not None and min_cnt < 0:
+            V.merge_table(
+                spark, dst, delta.select(*keys), keys,
+                when_matched="delete",
+                matched_condition=F.col(f"t.{_CNT}") <= 0,
+                insert_unmatched=False,
+            )
         return {
             "strategy": "delta", "from_version": frm, "to_version": to,
-            "view_version": res["version"], "groups_changed": int(n),
+            "view_version": V.current_version(dst),
+            "groups_changed": int(n),
         }
-    # scoped: recompute only the touched groups from the source head
-    touched = cdf.select(*keys).distinct()
+    # scoped: recompute only the touched groups from the source head.
+    # (A source OPTIMIZE re-emits its rewritten files' rows in the CDF,
+    # so compaction triggers recompute of those files' groups — correct
+    # and bounded by the compacted bytes, but schedule big compactions
+    # with that in mind.)
+    # materialized once for the same reason as the delta path: the
+    # group list is re-read by the semi-join, the vanish anti-join, and
+    # its own count, and its lineage is the full CDF scan
+    touched = cdf.select(*keys).distinct().localCheckpoint(eager=True)
     n = touched.count()
+    if n == 0:
+        # metadata-only source commit (rename/cluster-spec/...): advance
+        # the watermark so the next refresh skips this range
+        ver = V._commit(
+            dst,
+            V._read_manifest(dst, V.current_version(dst))["files"],
+            extra={"mv": new_meta},
+            operation=f"REFRESH_MV(v{frm}->v{to})",
+        )
+        return {
+            "strategy": "scoped", "from_version": frm, "to_version": to,
+            "view_version": ver, "groups_changed": 0,
+        }
     src = V.read_table(spark, source, version=to)
     recomputed = (
         src.join(touched, keys, "left_semi")
         .groupBy(*keys)
         .agg(*_state_exprs(aggs))
+        # reused by the merge, the vanish anti-join, and the merge's
+        # probe; lineage is a source scan — materialize once
+        .localCheckpoint(eager=True)
     )
+    # racing-refresher guard (see the delta path)
+    if view_meta(dst)["source_version"] >= to:
+        return {
+            "strategy": "noop", "from_version": frm, "to_version": to,
+            "view_version": V.current_version(dst), "groups_changed": 0,
+        }
     V.merge_table(
         spark, dst, recomputed, keys,
         when_matched="replace",

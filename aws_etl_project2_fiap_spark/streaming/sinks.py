@@ -310,10 +310,13 @@ def matview_refresh_sink(
     refresh itself reads ``table_changes(watermark → head)`` straight
     from the table log (``io/matview.refresh_aggregate_view``), which
     is the cheaper and more correct delta: the view's watermark lives
-    in its OWN manifest, so a crashed/replayed/duplicate trigger (or a
-    second refresh loop racing this one) folds each CDF range exactly
-    once — refresh is idempotent by construction, and the checkpoint
-    merely avoids redundant no-op triggers after restart.
+    in its OWN manifest, so crashed/replayed/duplicate SEQUENTIAL
+    triggers fold each CDF range exactly once — refresh is
+    watermark-idempotent, and the checkpoint merely avoids redundant
+    no-op triggers after restart. Run ONE maintenance loop per view
+    (refresh re-checks the watermark before committing, but two loops
+    racing the same range is still a misconfiguration — the
+    single-maintainer discipline real formats expect for OPTIMIZE).
 
     Scale: per trigger, the cost is one manifest read when nothing
     changed (the "noop" strategy), else the CDF fold (O(changed

@@ -5572,11 +5572,12 @@ def k_dv_delete_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-back aggregates the surviving rows. The oracle is the same
     NOT(predicate) aggregation on the source table (with SQL NULL
     semantics: predicate-NULL rows survive both sides), proving the
-    DV anti-join is exact.
+    DV application is exact.
 
     Scale: the delete commits O(deleted rows) bytes instead of
     rewriting the touched files — the GDPR-point-delete shape on a
-    100 TB table; readers apply DVs as one broadcast anti-join and the
+    100 TB table; readers apply DVs inside the scan tasks (each task
+    loads its own file's sidecar — no join, no driver funnel) and the
     next OPTIMIZE purges them (tests/test_versioned_dv.py)."""
     from .io import versioned as ver_op
 

@@ -114,6 +114,13 @@ SF1_BASELINE = {
     "text_chunk_overlap": 0.927,
     "window_hopping_2h": 0.375,
     "dedup_semantic": 2.051,
+    # first-appearance recordings, round 6 (idle machine, warm tiled
+    # cache, sentinel 0.091 — BASELINE.md "load adjudication"):
+    "dedup_span_exact": 0.374,
+    "tpch_q10_returned_items": 0.955,
+    "tpch_q18_large_orders": 1.600,
+    "tpch_q7_nation_volume": 1.845,
+    "tpch_q21_waiting_supplier": 2.142,
 }
 
 

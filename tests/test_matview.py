@@ -327,3 +327,71 @@ def test_streaming_refresh_sink_keeps_view_fresh(spark, tmp_path):
     q = matview_refresh_sink(spark, dst, str(tmp_path / "ckpt1"))
     q.awaitTermination(120)
     _assert_equal(_got(spark, dst), _expect(spark, src, SUM_SQL()))
+
+
+def test_delta_refresh_zero_group_cleanup_is_scoped(
+    spark, tmp_path, monkeypatch
+):
+    """The delta path must never fall back to a whole-view scan for
+    emptied groups: cleanup goes through the probe-pruned MERGE (and
+    only when some group's row count decreased) — a delete_from here
+    would rescan O(groups) on every refresh forever."""
+    src = _src(spark, tmp_path)
+    dst = str(tmp_path / "view")
+    MV.create_aggregate_view(spark, src, dst, ["k"], SUM_AGGS)
+
+    def banned(*a, **kw):
+        raise AssertionError("delta refresh must not call delete_from")
+
+    monkeypatch.setattr(MV.V, "delete_from", banned)
+    # pure append: no count decreases → no cleanup merge at all
+    V.append_table(
+        spark.createDataFrame([(1, 2.0, 2)], "k long, x double, n long"),
+        src,
+    )
+    v_before = V.current_version(dst)
+    MV.refresh_aggregate_view(spark, dst)
+    # exactly one view commit (the add-merge) — no cleanup commit
+    assert V.current_version(dst) == v_before + 1
+    monkeypatch.undo()
+    # emptying delete: cleanup runs, but through MERGE, not delete_from
+    V.delete_from(spark, src, F.col("k") == 3, mode="cow")
+    monkeypatch.setattr(MV.V, "delete_from", banned)
+    MV.refresh_aggregate_view(spark, dst)
+    monkeypatch.undo()
+    got = _got(spark, dst)
+    assert (3,) not in got
+    _assert_equal(got, _expect(spark, src, SUM_SQL()))
+
+
+def test_scoped_refresh_metadata_only_commit_advances_watermark(
+    spark, tmp_path
+):
+    """A metadata-only source commit (empty CDF) must still advance a
+    min/max view's watermark, or every later refresh re-derives the
+    same empty range forever."""
+    src = _src(spark, tmp_path)
+    dst = str(tmp_path / "view")
+    MV.create_aggregate_view(spark, src, dst, ["k"], MM_AGGS)
+    V.rename_column(src, "n", "n2")
+    V.rename_column(src, "n2", "n")  # back, so the agg spec still holds
+    r = MV.refresh_aggregate_view(spark, dst)
+    assert r["strategy"] == "scoped" and r["groups_changed"] == 0
+    assert MV.view_meta(dst)["source_version"] == V.current_version(src)
+    _assert_equal(_got(spark, dst), _expect(spark, src, MM_SQL()))
+
+
+def test_null_group_keys_rejected_at_create(spark, tmp_path):
+    """NULL group keys can't be maintained through the MERGE probe
+    (SQL equality — the Delta MERGE caveat), so create rejects them."""
+    src = str(tmp_path / "src")
+    V.create_table(
+        spark.createDataFrame(
+            [(1, 1.0), (None, 2.0)], "k long, x double"
+        ),
+        src,
+    )
+    with pytest.raises(ValueError, match="NULL group keys"):
+        MV.create_aggregate_view(
+            spark, src, str(tmp_path / "v"), ["k"], {"sx": ("sum", "x")}
+        )
