@@ -331,6 +331,34 @@ def cmd_clone(args) -> int:
     return 0
 
 
+def cmd_stage(args) -> int:
+    from .io import wap as WAP
+
+    if args.action == "abandon":
+        target = args.stage or args.table  # one positional: the stage
+        WAP.abandon_stage(target)
+        print(f"abandoned {target}")
+        return 0
+    if not args.stage:
+        print(f"stage {args.action} needs TABLE and STAGE paths")
+        return 2
+    spark = _session()
+    if args.action == "begin":
+        v = WAP.begin_stage(spark, args.table, args.stage)
+        print(f"staged {args.table}@v{v} -> {args.stage}")
+    else:  # publish
+        r = WAP.publish_stage(
+            spark, args.table, args.stage,
+            mode=args.mode, keep_stage=args.keep,
+        )
+        print(
+            f"published {args.stage} -> {args.table} "
+            f"(v{r['version']}, {r['mode']}, "
+            f"{r['moved_dirs']} dir(s) moved)"
+        )
+    return 0
+
+
 def cmd_matview(args) -> int:
     from .io import matview as MV
 
@@ -503,6 +531,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--version", type=int, default=None)
     p.add_argument("--deep", action="store_true")
     p.set_defaults(fn=cmd_clone)
+
+    p = sub.add_parser(
+        "stage",
+        help="write-audit-publish (begin TABLE STAGE; "
+        "publish TABLE STAGE [--mode append]; abandon STAGE)",
+    )
+    p.add_argument("action", choices=["begin", "publish", "abandon"])
+    p.add_argument("table", help="table path (or stage path for abandon)")
+    p.add_argument("stage", nargs="?")
+    p.add_argument("--mode", choices=["fail", "append"], default="fail")
+    p.add_argument("--keep", action="store_true")
+    p.set_defaults(fn=cmd_stage)
 
     p = sub.add_parser(
         "matview",

@@ -1,0 +1,222 @@
+"""Write-audit-publish (WAP) on versioned tables: stage mutations on an
+isolated branch table, audit them there, then publish atomically.
+
+The Iceberg WAP / staging-branch shape, built from pieces the layer
+already has:
+
+- ``begin_stage`` = a SHALLOW CLONE (one manifest commit, zero data
+  copied — the stage references the table's files) plus a copy of the
+  table's CHECK constraints, so every staged write is audited by the
+  same rules as a direct write;
+- the stage is a full versioned table: append / overwrite / UPDATE /
+  DELETE (cow or dv) / MERGE / OPTIMIZE all work, each writing new
+  batch dirs under the STAGE's own ``_data`` — the production table's
+  directory is never touched while staging;
+- audits run against the stage with any reader (``read_table``,
+  catalog queries, row-count / constraint / reconciliation checks);
+- ``publish_stage`` MOVES the stage's new ``_data`` dirs into the
+  table (directory renames — O(dirs), no data rewrite) and commits the
+  stage's final file list onto the table with an optimistic CAS on the
+  version recorded at ``begin_stage``. Readers see nothing until the
+  pointer flips, then see everything.
+
+Publish modes when the table advanced underneath the stage:
+
+- ``"fail"`` (default): raise ``CommitConflict`` — the staged snapshot
+  was derived from a stale base;
+- ``"append"``: allowed only for an ADD-ONLY stage (every base file
+  still present and un-DV'd in the stage — i.e. the stage only
+  appended); the new entries are appended onto the table's CURRENT
+  version, the append-vs-append analogue of Delta's conflict rules.
+
+Reference parity: the reference writes output partitions directly into
+the serving location mid-job — a failed run leaves partial partitions
+visible. Here a failed or abandoned stage is invisible garbage
+(``abandon_stage`` deletes it), and publish is one pointer flip.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+from . import versioned as V
+
+
+def _data_root(path: str) -> str:
+    return os.path.join(os.path.realpath(path), "_data")
+
+
+def begin_stage(spark: SparkSession, table: str, stage: str) -> int:
+    """Open a staging branch of ``table`` at its current version.
+
+    Shallow clone (metadata-only at any table size) + the table's
+    CHECK constraints, so staged writes fail the same audits direct
+    writes would. The base version is recorded in the clone's first
+    manifest (``cloned_from`` / ``clone_version``) and checked at
+    publish."""
+    v = V.clone_table(spark, table, stage, deep=False)
+    cons = V.table_constraints(table)
+    if cons:
+        V._save_constraints(stage, cons)
+    return v
+
+
+def abandon_stage(stage: str) -> None:
+    """Drop a stage without publishing: everything it wrote lives
+    under its own directory, so abandonment is one recursive delete —
+    the production table never saw any of it."""
+    V._read_manifest(stage, 1)  # raises if not a table at all
+    shutil.rmtree(stage)
+
+
+def _rewrite(entry: dict, src_prefix: str, dst_prefix: str) -> dict:
+    """Deep-copy a manifest entry with every path under the stage's
+    _data re-rooted to the table's (data file, bloom sidecars, DV
+    sidecar — they all live inside the moved dirs)."""
+    def fix(v):
+        if isinstance(v, str) and v.startswith(src_prefix):
+            return dst_prefix + v[len(src_prefix):]
+        if isinstance(v, dict):
+            return {k: fix(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [fix(x) for x in v]
+        return v
+
+    return {k: fix(v) for k, v in entry.items()}
+
+
+def publish_stage(
+    spark: SparkSession,
+    table: str,
+    stage: str,
+    mode: str = "fail",
+    keep_stage: bool = False,
+) -> dict:
+    """Atomically publish a stage onto its base table.
+
+    Physical cost: one directory rename per batch/DV dir the stage
+    created (never a data rewrite, never a copy) + one manifest commit.
+    The commit is a CAS on the table version: if it loses, the moved
+    dirs are moved back and ``CommitConflict`` propagates — the table
+    is untouched either way.
+
+    Returns {"version", "published_entries", "moved_dirs", "mode"}."""
+    if mode not in ("fail", "append"):
+        raise ValueError(f"mode must be 'fail' or 'append', got {mode!r}")
+    first = V._read_manifest(stage, 1)
+    if os.path.realpath(first.get("cloned_from", "")) != os.path.realpath(
+        table
+    ):
+        raise ValueError(
+            f"{stage} is not a stage of {table} "
+            f"(cloned_from={first.get('cloned_from')!r})"
+        )
+    base = first["clone_version"]
+    sm = V._read_manifest(stage, V.current_version(stage))
+    cur = V.current_version(table)
+    src_prefix = _data_root(stage) + os.sep
+    dst_prefix = _data_root(table) + os.sep
+
+    if cur == base:
+        published = sm["files"]
+        extra = {
+            # table-state evolved IN the stage (schema evolution under a
+            # mapping, re-clustering) publishes with the files
+            "column_mapping": sm.get("column_mapping"),
+            "retired_physical": sm.get("retired_physical"),
+            "cluster_spec": sm.get("cluster_spec"),
+        }
+    elif mode == "fail":
+        raise V.CommitConflict(
+            f"{table} advanced v{base} -> v{cur} under the stage; "
+            f"re-stage from the new version or publish mode='append'"
+        )
+    else:
+        # append mode: legal only if the stage is ADD-ONLY over its
+        # base — every base file still referenced, byte-identical DV
+        # state — so replaying the additions onto the newer table is
+        # exactly an append
+        base_m = V._read_manifest(table, base)
+        base_by_path = {f["path"]: f for f in base_m["files"]}
+        stage_by_path = {f["path"]: f for f in sm["files"]}
+        missing = [p for p in base_by_path if p not in stage_by_path]
+        modified = [
+            p
+            for p, f in base_by_path.items()
+            if p in stage_by_path
+            and (f.get("dv") or {}) != (stage_by_path[p].get("dv") or {})
+        ]
+        if missing or modified:
+            raise V.CommitConflict(
+                f"stage is not add-only over v{base} (removed="
+                f"{len(missing)}, dv-modified={len(modified)}): "
+                f"append publish would lose those mutations"
+            )
+        if sm.get("column_mapping") != base_m.get("column_mapping"):
+            raise V.CommitConflict(
+                "stage evolved the column mapping; append publish onto "
+                "a moved base cannot reconcile schema state — re-stage"
+            )
+        published = V._read_manifest(table, cur)["files"] + [
+            f for f in sm["files"] if f["path"] not in base_by_path
+        ]
+        extra = None
+
+    # dirs the stage created: every _data child referenced by entries
+    # being published (batch dirs AND dv sidecar dirs live one level
+    # under _data)
+    def staged_dirs(entries) -> set[str]:
+        out = set()
+
+        def walk(v):
+            if isinstance(v, str) and v.startswith(src_prefix):
+                rel = v[len(src_prefix):]
+                out.add(rel.split(os.sep, 1)[0])
+            elif isinstance(v, dict):
+                for x in v.values():
+                    walk(x)
+            elif isinstance(v, list):
+                for x in v:
+                    walk(x)
+
+        for e in entries:
+            walk(e)
+        return out
+
+    dirs = staged_dirs(published)
+    moved: list[tuple[str, str]] = []
+    try:
+        for d in sorted(dirs):
+            src_d, dst_d = src_prefix + d, dst_prefix + d
+            if os.path.exists(dst_d):
+                raise FileExistsError(
+                    f"publish collision on {dst_d} (uuid reuse?)"
+                )
+            shutil.move(src_d, dst_d)
+            moved.append((src_d, dst_d))
+        version = V._commit(
+            table,
+            [_rewrite(e, src_prefix, dst_prefix) for e in published],
+            extra=extra,
+            expect_version=cur,
+            operation=f"PUBLISH({os.path.basename(stage.rstrip(os.sep))}"
+            f"@v{base})",
+        )
+    except BaseException:
+        # lose the race (or any move failure) → put the dirs back; the
+        # table's manifest never referenced them, so it is untouched
+        for src_d, dst_d in reversed(moved):
+            if os.path.exists(dst_d) and not os.path.exists(src_d):
+                shutil.move(dst_d, src_d)
+        raise
+    if not keep_stage:
+        shutil.rmtree(stage, ignore_errors=True)
+    return {
+        "version": version,
+        "published_entries": len(published),
+        "moved_dirs": len(moved),
+        "mode": mode if cur != base else "exact",
+    }

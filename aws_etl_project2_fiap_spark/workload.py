@@ -5868,6 +5868,81 @@ def k_matview_incremental_readback(
 
 
 @defquery(
+    "k_wap_publish_readback",
+    """
+    WITH merged AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 2 = 1 AND o_orderstatus = 'F'
+                    THEN o_totalprice * 3 ELSE o_totalprice END AS p
+        FROM orders
+        WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 13 = 0)
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(p), 2) AS total
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+)
+def k_wap_publish_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish end-to-end (io/wap.py): the even-key half of
+    orders is the production table; the odd half lands on a STAGE
+    (shallow clone — zero data copied) where it is appended, mutated
+    (F-status prices tripled), and point-deleted (keys % 13, dv mode),
+    all while an audit probe asserts production still reads the
+    original rows; then one atomic publish flips the pointer and the
+    readback aggregates the merged state. The oracle reproduces the
+    same final state from the source table, so the hash gate proves
+    publish moved exactly the staged bytes — no loss, no duplication,
+    no partial visibility.
+
+    Reference parity: the reference writes its output partitions
+    directly into the serving prefix mid-job — a failed run leaves
+    partial data visible to every reader. Here a failed stage is
+    invisible garbage and publish is one pointer flip.
+
+    Scale: begin_stage is metadata-only at any table size; staged
+    writes cost what direct writes cost; publish is O(created dirs)
+    renames + one CAS manifest commit — never a data rewrite
+    (tests/test_wap.py)."""
+    from .io import versioned as ver_op
+    from .io import wap as wap_op
+
+    tbl = _scratch_dir("wap_readback_t")
+    stg = _scratch_dir("wap_readback_s")
+    import shutil as _sh
+
+    _sh.rmtree(stg, ignore_errors=True)  # begin_stage wants a fresh dir
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ver_op.create_table(o.filter(F.col("o_orderkey") % 2 == 0), tbl)
+    n_prod = ver_op.read_table(spark, tbl).count()
+    wap_op.begin_stage(spark, tbl, stg)
+    ver_op.append_table(o.filter(F.col("o_orderkey") % 2 == 1), stg)
+    ver_op.update_table(
+        spark, stg,
+        {"o_totalprice": F.col("o_totalprice") * 3},
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderstatus") == "F"),
+    )
+    ver_op.delete_from(
+        spark, stg,
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 13 == 0),
+        mode="dv",
+    )
+    # the audit window: production is still exactly the pre-stage rows
+    assert ver_op.read_table(spark, tbl).count() == n_prod
+    wap_op.publish_stage(spark, tbl, stg)
+    return (
+        ver_op.read_table(spark, tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@defquery(
     "k_table_source_readback",
     """
     SELECT o_orderstatus,

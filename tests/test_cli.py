@@ -215,3 +215,33 @@ def test_cli_matview(spark, capsys, tmp_path):
     # arg validation: create needs both paths
     assert main(["matview", "create", src]) == 2
     capsys.readouterr()
+
+
+def test_cli_stage_wap(spark, capsys, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_etl_project2_fiap_spark.io import versioned as V
+
+    tbl = str(tmp_path / "t")
+    stg = str(tmp_path / "s")
+    V.create_table(
+        spark.range(0, 20).select("id", (F.col("id") * 1.0).alias("x")),
+        tbl,
+    )
+    assert main(["stage", "begin", tbl, stg]) == 0
+    assert "staged" in capsys.readouterr().out
+    V.append_table(
+        spark.range(20, 30).select("id", (F.col("id") * 1.0).alias("x")),
+        stg,
+    )
+    assert main(["stage", "publish", tbl, stg]) == 0
+    assert "published" in capsys.readouterr().out
+    assert V.read_table(spark, tbl).count() == 30
+    # abandon path takes one positional
+    stg2 = str(tmp_path / "s2")
+    assert main(["stage", "begin", tbl, stg2]) == 0
+    capsys.readouterr()
+    assert main(["stage", "abandon", stg2]) == 0
+    assert "abandoned" in capsys.readouterr().out
+    assert main(["stage", "publish", tbl]) == 2
+    capsys.readouterr()

@@ -1,0 +1,185 @@
+"""Write-audit-publish (io/wap.py): staged mutations are invisible to
+the production table until one atomic publish; a failed/abandoned/
+conflicted publish leaves the table byte-identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_project2_fiap_spark.io import versioned as V
+from aws_etl_project2_fiap_spark.io import wap as W
+
+
+def _table(spark, tmp_path, constraints=None):
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(0, 100).select("id", (F.col("id") * 1.0).alias("x")),
+        tbl,
+        constraints=constraints,
+    )
+    return tbl
+
+
+def test_stage_isolation_and_exact_publish(spark, tmp_path):
+    tbl = _table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.append_table(
+        spark.range(100, 150).select("id", (F.col("id") * 1.0).alias("x")),
+        stg,
+    )
+    V.update_table(spark, stg, {"x": F.col("x") * 2}, F.col("id") < 10)
+    V.delete_from(spark, stg, F.col("id") % 7 == 0, mode="dv")
+    # audit window: production untouched, stage readable
+    assert V.read_table(spark, tbl).count() == 100
+    expected = {
+        r["id"]: r["x"] for r in V.read_table(spark, stg).collect()
+    }
+    r = W.publish_stage(spark, tbl, stg)
+    assert r["mode"] == "exact"
+    got = {r["id"]: r["x"] for r in V.read_table(spark, tbl).collect()}
+    assert got == expected
+    assert got[1] == 2.0 and 7 not in got and 104 in got
+    assert not os.path.exists(stg)  # stage consumed
+    # the publish is one more commit: time travel to the pre-publish
+    # version still reads the original 100 rows
+    assert (
+        V.read_table(spark, tbl, version=1).count() == 100
+    )
+
+
+def test_stage_inherits_table_constraints(spark, tmp_path):
+    tbl = _table(spark, tmp_path, constraints={"x_nonneg": "x >= 0"})
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    with pytest.raises(V.ConstraintViolation):
+        V.append_table(
+            spark.createDataFrame([(999, -1.0)], "id long, x double"), stg
+        )
+
+
+def test_conflict_fail_and_append_mode(spark, tmp_path):
+    tbl = _table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.append_table(
+        spark.range(200, 210).select("id", (F.col("id") * 1.0).alias("x")),
+        stg,
+    )
+    # table advances underneath
+    V.append_table(
+        spark.range(300, 310).select("id", (F.col("id") * 1.0).alias("x")),
+        tbl,
+    )
+    with pytest.raises(V.CommitConflict):
+        W.publish_stage(spark, tbl, stg)
+    # table untouched by the failed publish
+    assert V.read_table(spark, tbl).count() == 110
+    r = W.publish_stage(spark, tbl, stg, mode="append")
+    assert r["mode"] == "append"
+    ids = {r["id"] for r in V.read_table(spark, tbl).collect()}
+    # both the concurrent append AND the staged one survive
+    assert {205, 305} <= ids and len(ids) == 120
+
+
+def test_append_mode_refuses_non_add_only_stage(spark, tmp_path):
+    tbl = _table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.delete_from(spark, stg, F.col("id") == 1, mode="dv")
+    V.append_table(
+        spark.range(500, 505).select("id", (F.col("id") * 1.0).alias("x")),
+        tbl,
+    )
+    with pytest.raises(V.CommitConflict, match="not add-only"):
+        W.publish_stage(spark, tbl, stg, mode="append")
+
+
+def test_abandon_stage_leaves_no_trace(spark, tmp_path):
+    tbl = _table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.append_table(
+        spark.range(400, 410).select("id", (F.col("id") * 1.0).alias("x")),
+        stg,
+    )
+    W.abandon_stage(stg)
+    assert not os.path.exists(stg)
+    assert V.read_table(spark, tbl).count() == 100
+
+
+def test_publish_rejects_foreign_stage(spark, tmp_path):
+    tbl = _table(spark, tmp_path)
+    other = str(tmp_path / "other")
+    V.create_table(spark.range(5).select("id"), other)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, other, stg)
+    with pytest.raises(ValueError, match="not a stage of"):
+        W.publish_stage(spark, tbl, stg)
+
+
+def test_lost_cas_moves_dirs_back(spark, tmp_path, monkeypatch):
+    """If the publish commit loses (or crashes), every moved dir goes
+    back and BOTH the table and the stage stay fully readable."""
+    tbl = _table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.append_table(
+        spark.range(600, 620).select("id", (F.col("id") * 1.0).alias("x")),
+        stg,
+    )
+    real_commit = V._commit
+
+    def boom(*a, **kw):
+        raise V.CommitConflict("simulated lost race")
+
+    monkeypatch.setattr(W.V, "_commit", boom)
+    with pytest.raises(V.CommitConflict):
+        W.publish_stage(spark, tbl, stg)
+    monkeypatch.setattr(W.V, "_commit", real_commit)
+    assert V.read_table(spark, tbl).count() == 100
+    assert V.read_table(spark, stg).count() == 120  # stage intact
+    # and a retried publish succeeds
+    r = W.publish_stage(spark, tbl, stg)
+    assert r["mode"] == "exact"
+    assert V.read_table(spark, tbl).count() == 120
+
+
+def test_stage_optimize_then_publish(spark, tmp_path):
+    """Compaction inside the stage publishes like any other staged
+    mutation — the table adopts the compacted layout."""
+    tbl = _table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    for lo in (100, 110, 120):
+        V.append_table(
+            spark.range(lo, lo + 10).select(
+                "id", (F.col("id") * 1.0).alias("x")
+            ),
+            stg,
+        )
+    V.compact_table(spark, stg, target_files=2)
+    W.publish_stage(spark, tbl, stg)
+    assert V.read_table(spark, tbl).count() == 130
+    assert len(
+        V._read_manifest(tbl, V.current_version(tbl))["files"]
+    ) <= 2
+
+
+def test_keep_stage_retains_manifest_history(spark, tmp_path):
+    tbl = _table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.append_table(
+        spark.range(700, 705).select("id", (F.col("id") * 1.0).alias("x")),
+        stg,
+    )
+    W.publish_stage(spark, tbl, stg, keep_stage=True)
+    # the manifest log survives for audit (data dirs moved, so staged
+    # entries are no longer readable through the stage)
+    assert os.path.exists(stg)
+    assert V.current_version(stg) >= 1
