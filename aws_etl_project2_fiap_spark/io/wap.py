@@ -33,6 +33,12 @@ Reference parity: the reference writes output partitions directly into
 the serving location mid-job — a failed run leaves partial partitions
 visible. Here a failed or abandoned stage is invisible garbage
 (``abandon_stage`` deletes it), and publish is one pointer flip.
+
+Retention hazard (the Iceberg branch-ref caveat, tested): a shallow
+stage references the TABLE's files and pins no retention — vacuuming
+the table past the stage's base version makes the stage unreadable
+(loudly: missing files, never silently stale). Keep table retention ≥
+the longest stage lifetime, or deep-clone for long-lived audits.
 """
 
 from __future__ import annotations
@@ -99,6 +105,9 @@ def publish_stage(
 
     Physical cost: one directory rename per batch/DV dir the stage
     created (never a data rewrite, never a copy) + one manifest commit.
+    Keep the stage on the same filesystem as the table: ``shutil.move``
+    degrades to copy+delete across filesystems, turning the O(dirs)
+    publish into an O(bytes) one.
     The commit is a CAS on the table version: if it loses, the moved
     dirs are moved back and ``CommitConflict`` propagates — the table
     is untouched either way.

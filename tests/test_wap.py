@@ -183,3 +183,83 @@ def test_keep_stage_retains_manifest_history(spark, tmp_path):
     # entries are no longer readable through the stage)
     assert os.path.exists(stg)
     assert V.current_version(stg) >= 1
+
+
+def test_publish_then_vacuum_keeps_published_dirs(spark, tmp_path):
+    """Published dirs are referenced by the table's current manifest —
+    vacuum must never touch them."""
+    tbl = _table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.append_table(
+        spark.range(100, 130).select("id", (F.col("id") * 1.0).alias("x")),
+        stg,
+    )
+    W.publish_stage(spark, tbl, stg)
+    V.vacuum(tbl, keep_last=1)
+    assert V.read_table(spark, tbl).count() == 130
+
+
+def test_vacuum_past_stage_base_invalidates_stage_loudly(spark, tmp_path):
+    """A shallow stage references the TABLE's files and pins no
+    retention (the Iceberg branch-ref hazard): overwriting the table
+    and vacuuming past the stage's base makes the stage unreadable —
+    but LOUDLY (missing files), never silently empty or stale."""
+    tbl = _table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.overwrite_table(
+        spark.range(0, 10).select("id", (F.col("id") * 1.0).alias("x")),
+        tbl,
+    )
+    V.vacuum(tbl, keep_last=1)
+    with pytest.raises(Exception):
+        V.read_table(spark, stg).count()
+
+
+def test_matview_refresh_across_publish(spark, tmp_path):
+    """The verbs compose: a materialized view on the table folds a
+    PUBLISH commit like any other — publish lands as one file-diff in
+    the change feed."""
+    from aws_etl_project2_fiap_spark.io import matview as MV
+
+    view = str(tmp_path / "view")
+    tbl2 = str(tmp_path / "t2")
+    V.create_table(
+        spark.range(0, 100).select(
+            (F.col("id") % 5).alias("g"), (F.col("id") * 1.0).alias("x")
+        ),
+        tbl2,
+    )
+    MV.create_aggregate_view(
+        spark, tbl2, view, ["g"],
+        {"sx": ("sum", "x"), "n": ("count", None)},
+    )
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl2, stg)
+    V.append_table(
+        spark.range(100, 160).select(
+            (F.col("id") % 5).alias("g"), (F.col("id") * 2.0).alias("x")
+        ),
+        stg,
+    )
+    V.delete_from(spark, stg, F.col("g") == 4, mode="cow")
+    W.publish_stage(spark, tbl2, stg)
+    r = MV.refresh_aggregate_view(spark, view)
+    assert r["strategy"] == "delta"
+    got = {
+        x["g"]: (float(x["sx"]), x["n"])
+        for x in MV.read_aggregate_view(spark, view).collect()
+    }
+    exp = {
+        x["g"]: (float(x["sx"]), x["n"])
+        for x in V.read_table(spark, tbl2)
+        .groupBy("g")
+        .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exp) and all(
+        abs(got[k][0] - exp[k][0]) < 1e-6 and got[k][1] == exp[k][1]
+        for k in exp
+    )
+    assert 4 not in got
