@@ -53,6 +53,11 @@ _SUPPORTED = {"sum", "count", "avg", "min", "max"}
 _CNT = "__mv_cnt"
 
 
+class StaleDimensions(RuntimeError):
+    """A star-schema view's dimension table advanced past the version
+    pinned at create: the incremental fold would mix dim states."""
+
+
 def _check_spec(group_by: list[str], aggs: dict) -> None:
     if not group_by:
         raise ValueError("group_by must name at least one column")
@@ -129,26 +134,65 @@ def _delta_exprs(aggs: dict, sign: Column) -> list[Column]:
     return exprs
 
 
+def _with_dims(spark: SparkSession, df: DataFrame, dims: list) -> DataFrame:
+    """Join the fact rows to each pinned dimension (broadcast inner
+    join on the dim's keys — the star-schema FK assumption: fact rows
+    without a dim match fall out of the view, exactly as the defining
+    join query would drop them)."""
+    for d in dims or []:
+        dim_df = V.read_table(spark, d["path"], version=d["version"])
+        if d.get("select"):
+            dim_df = dim_df.select(
+                *dict.fromkeys(list(d["keys"]) + list(d["select"]))
+            )
+        df = df.join(F.broadcast(dim_df), list(d["keys"]))
+    return df
+
+
 def create_aggregate_view(
     spark: SparkSession,
     source: str,
     dst: str,
     group_by: list[str],
     aggs: dict[str, tuple[str, str | None]],
+    dims: list[dict] | None = None,
 ) -> int:
     """CREATE MATERIALIZED VIEW dst AS SELECT group_by, aggs FROM
-    source GROUP BY group_by.
+    source [JOIN dims...] GROUP BY group_by.
 
     ``aggs``: ``{output_name: (fn, source_col)}`` with fn one of
     sum / count / avg / min / max (``count`` with ``None`` counts
     rows). The initial state is one full aggregation of the source's
     CURRENT version (map-side partial — the only full-source read the
-    view ever does); every later :func:`refresh` is incremental."""
+    view ever does); every later :func:`refresh` is incremental.
+
+    ``dims``: optional star-schema dimensions —
+    ``[{"path": table, "keys": [join cols], "select": [cols]}]`` —
+    broadcast-inner-joined to the fact before grouping, so group keys
+    and aggregate inputs may come from dim columns (revenue by nation,
+    maintained incrementally). Each dim is PINNED at its current
+    version: the delta fold is only correct while dims are immutable,
+    so :func:`refresh_aggregate_view` refuses if a dim advanced
+    (recreate the view or :func:`full_refresh_aggregate_view` to
+    re-pin) — the honest contract, not silent staleness."""
     aggs = {k: (fn, col) for k, (fn, col) in aggs.items()}
     _check_spec(group_by, aggs)
+    dims = [
+        {
+            "path": d["path"],
+            "keys": list(d["keys"]),
+            "select": list(d.get("select") or []) or None,
+            "version": V.current_version(d["path"]),
+        }
+        for d in (dims or [])
+    ]
     src_version = V.current_version(source)
     state = (
-        V.read_table(spark, source, version=src_version)
+        _with_dims(
+            spark,
+            V.read_table(spark, source, version=src_version),
+            dims,
+        )
         .groupBy(*group_by)
         .agg(*_state_exprs(aggs))
     )
@@ -173,6 +217,7 @@ def create_aggregate_view(
         "source_version": src_version,
         "group_by": list(group_by),
         "aggs": {k: [fn, col] for k, (fn, col) in aggs.items()},
+        "dims": dims,
     }
     return V.create_table(state, dst, extra={"mv": meta})
 
@@ -201,6 +246,42 @@ def read_aggregate_view(spark: SparkSession, dst: str) -> DataFrame:
         else:
             cols.append(F.col(out))
     return df.select(*cols)
+
+
+def full_refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
+    """Recompute the view from scratch at the source's (and every
+    dimension's) CURRENT version and re-pin the watermarks — the
+    escape hatch when a pinned dimension changed (StaleDimensions) or
+    an operator simply wants a clean slate. One overwrite commit; the
+    old state stays time-travelable."""
+    meta = view_meta(dst)
+    aggs = {k: (fn, col) for k, (fn, col) in meta["aggs"].items()}
+    dims = [
+        {**d, "version": V.current_version(d["path"])}
+        for d in (meta.get("dims") or [])
+    ]
+    to = V.current_version(meta["source"])
+    state = (
+        _with_dims(
+            spark,
+            V.read_table(spark, meta["source"], version=to),
+            dims,
+        )
+        .groupBy(*meta["group_by"])
+        .agg(*_state_exprs(aggs))
+    )
+    V.overwrite_table(state, dst)
+    ver = V._commit(
+        dst,
+        V._read_manifest(dst, V.current_version(dst))["files"],
+        extra={"mv": {**meta, "source_version": to, "dims": dims}},
+        operation=f"FULL_REFRESH_MV(v{to})",
+    )
+    return {
+        "strategy": "full", "from_version": meta["source_version"],
+        "to_version": to, "view_version": ver,
+        "groups_changed": -1,
+    }
 
 
 def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
@@ -233,6 +314,18 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
     source = meta["source"]
     aggs = {k: (fn, col) for k, (fn, col) in meta["aggs"].items()}
     keys = list(meta["group_by"])
+    dims = meta.get("dims") or []
+    moved = [
+        d["path"]
+        for d in dims
+        if V.current_version(d["path"]) != d["version"]
+    ]
+    if moved:
+        raise StaleDimensions(
+            f"dimension(s) {moved} advanced past the view's pinned "
+            f"version(s); the incremental fold would silently mix dim "
+            f"states — run full_refresh_aggregate_view to re-pin"
+        )
     frm = meta["source_version"]
     to = V.current_version(source)
     if to == frm:
@@ -241,7 +334,7 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
             "view_version": V.current_version(dst), "groups_changed": 0,
         }
     new_meta = {**meta, "source_version": to}
-    cdf = V.table_changes(spark, source, frm, to)
+    cdf = _with_dims(spark, V.table_changes(spark, source, frm, to), dims)
     if all(fn in _SELF_MAINTAINABLE for fn, _ in aggs.values()):
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
@@ -341,7 +434,7 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
             "strategy": "scoped", "from_version": frm, "to_version": to,
             "view_version": ver, "groups_changed": 0,
         }
-    src = V.read_table(spark, source, version=to)
+    src = _with_dims(spark, V.read_table(spark, source, version=to), dims)
     recomputed = (
         src.join(touched, keys, "left_semi")
         .groupBy(*keys)

@@ -5868,6 +5868,86 @@ def k_matview_incremental_readback(
 
 
 @defquery(
+    "k_matview_star_readback",
+    """
+    WITH live AS (
+        SELECT o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_orderkey % 3 <> 0
+    )
+    SELECT n.n_name, count(*) AS n,
+           CAST(round(sum(CAST(l.o_totalprice AS DECIMAL(28,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM live l, customer c, nation n
+    WHERE l.o_custkey = c.c_custkey AND c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def k_matview_star_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema materialized view (io/matview.py ``dims=``): revenue
+    BY NATION — the group key lives two dimension hops away from the
+    fact — maintained incrementally from the fact table's change feed
+    (customer and nation join in at their pinned versions, broadcast).
+    The fact gets an append then a merge-on-read DV delete, each folded
+    by a delta refresh that never rescans the fact; the oracle
+    recomputes the final join-aggregate from scratch.
+
+    Reference parity: the reference's aggregation job re-joins and
+    re-aggregates the full table every run; here the same star rollup
+    stays fresh for O(changed rows) per refresh.
+
+    Scale: dims broadcast (they're dimension-sized by definition); the
+    CDF fold is map-side partial over changed rows; dim immutability is
+    ENFORCED (StaleDimensions + full_refresh re-pin), never assumed
+    (tests/test_matview.py)."""
+    from .io import matview as mv_op
+    from .io import versioned as ver_op
+
+    fact = _scratch_dir("mvstar_fact")
+    cust = _scratch_dir("mvstar_cust")
+    nat = _scratch_dir("mvstar_nat")
+    dst = _scratch_dir("mvstar_view")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ver_op.create_table(o.filter(F.col("o_orderkey") % 2 == 0), fact)
+    # dim join keys are name-matched: project the FK-side names in
+    ver_op.create_table(
+        t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+        ),
+        cust,
+    )
+    ver_op.create_table(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nationkey"), "n_name"
+        ),
+        nat,
+    )
+    mv_op.create_aggregate_view(
+        spark, fact, dst, ["n_name"],
+        {"n": ("count", None), "revenue": ("sum", "o_totalprice")},
+        dims=[
+            {"path": cust, "keys": ["o_custkey"]},
+            {"path": nat, "keys": ["c_nationkey"]},
+        ],
+    )
+    ver_op.append_table(o.filter(F.col("o_orderkey") % 2 == 1), fact)
+    r1 = mv_op.refresh_aggregate_view(spark, dst)
+    assert r1["strategy"] == "delta"
+    ver_op.delete_from(
+        spark, fact, F.col("o_orderkey") % 3 == 0, mode="dv"
+    )
+    mv_op.refresh_aggregate_view(spark, dst)
+    v = mv_op.read_aggregate_view(spark, dst)
+    return v.select(
+        "n_name",
+        "n",
+        F.round("revenue", 2).cast("double").alias("revenue"),
+    )
+
+
+@defquery(
     "k_wap_publish_readback",
     """
     WITH merged AS (

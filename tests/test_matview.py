@@ -395,3 +395,142 @@ def test_null_group_keys_rejected_at_create(spark, tmp_path):
         MV.create_aggregate_view(
             spark, src, str(tmp_path / "v"), ["k"], {"sx": ("sum", "x")}
         )
+
+
+def _star(spark, tmp_path):
+    """Tiny star schema: fact(cust_fk, amount) + dim(cust_fk -> region)."""
+    fact, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    V.create_table(
+        spark.range(0, 200).select(
+            (F.col("id") % 20).alias("cust_fk"),
+            (F.col("id") * 1.0).alias("amount"),
+        ),
+        fact,
+    )
+    V.create_table(
+        spark.range(0, 20).select(
+            F.col("id").alias("cust_fk"),
+            F.concat(F.lit("R"), (F.col("id") % 4).cast("string")).alias(
+                "region"
+            ),
+        ),
+        dim,
+    )
+    return fact, dim
+
+
+def _star_expect(spark, fact, dim):
+    f = V.read_table(spark, fact)
+    d = V.read_table(spark, dim)
+    return {
+        r["region"]: (float(r["rev"]), r["n"])
+        for r in f.join(d, "cust_fk")
+        .groupBy("region")
+        .agg(F.sum("amount").alias("rev"), F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def _star_got(spark, view):
+    return {
+        r["region"]: (float(r["rev"]), r["n"])
+        for r in MV.read_aggregate_view(spark, view).collect()
+    }
+
+
+def _star_assert(spark, fact, dim, view):
+    got, exp = _star_got(spark, view), _star_expect(spark, fact, dim)
+    assert set(got) == set(exp), (got, exp)
+    for k in exp:
+        assert abs(got[k][0] - exp[k][0]) < 1e-6 and got[k][1] == exp[k][1]
+
+
+def test_star_view_create_and_delta_refresh(spark, tmp_path):
+    """Group keys from a DIMENSION column (revenue by region),
+    incrementally maintained from the fact's change feed."""
+    fact, dim = _star(spark, tmp_path)
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region"],
+        {"rev": ("sum", "amount"), "n": ("count", None)},
+        dims=[{"path": dim, "keys": ["cust_fk"]}],
+    )
+    _star_assert(spark, fact, dim, view)
+    V.append_table(
+        spark.range(200, 260).select(
+            (F.col("id") % 20).alias("cust_fk"),
+            (F.col("id") * 2.0).alias("amount"),
+        ),
+        fact,
+    )
+    V.delete_from(spark, fact, F.col("amount") > 400, mode="dv")
+    r = MV.refresh_aggregate_view(spark, view)
+    assert r["strategy"] == "delta"
+    _star_assert(spark, fact, dim, view)
+
+
+def test_star_view_scoped_refresh(spark, tmp_path):
+    fact, dim = _star(spark, tmp_path)
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region"],
+        {"mx": ("max", "amount"), "rev": ("sum", "amount")},
+        dims=[{"path": dim, "keys": ["cust_fk"]}],
+    )
+    V.delete_from(spark, fact, F.col("amount") > 150, mode="cow")
+    r = MV.refresh_aggregate_view(spark, view)
+    assert r["strategy"] == "scoped"
+    f = V.read_table(spark, fact)
+    d = V.read_table(spark, dim)
+    exp = {
+        x["region"]: (float(x["mx"]), float(x["rev"]))
+        for x in f.join(d, "cust_fk").groupBy("region")
+        .agg(F.max("amount").alias("mx"), F.sum("amount").alias("rev"))
+        .collect()
+    }
+    got = {
+        x["region"]: (float(x["mx"]), float(x["rev"]))
+        for x in MV.read_aggregate_view(spark, view).collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k][0] - exp[k][0]) < 1e-6
+        assert abs(got[k][1] - exp[k][1]) < 1e-6
+
+
+def test_star_view_refuses_stale_dims_and_full_refresh_repins(
+    spark, tmp_path
+):
+    fact, dim = _star(spark, tmp_path)
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region"],
+        {"rev": ("sum", "amount"), "n": ("count", None)},
+        dims=[{"path": dim, "keys": ["cust_fk"]}],
+    )
+    # the dim moves: cust 0..4 switch regions
+    V.update_table(
+        spark, dim, {"region": F.lit("R9")}, F.col("cust_fk") < 5
+    )
+    V.append_table(
+        spark.range(300, 310).select(
+            (F.col("id") % 20).alias("cust_fk"),
+            (F.col("id") * 1.0).alias("amount"),
+        ),
+        fact,
+    )
+    with pytest.raises(MV.StaleDimensions):
+        MV.refresh_aggregate_view(spark, view)
+    r = MV.full_refresh_aggregate_view(spark, view)
+    assert r["strategy"] == "full"
+    _star_assert(spark, fact, dim, view)
+    # re-pinned: incremental refresh works again
+    V.append_table(
+        spark.range(310, 320).select(
+            (F.col("id") % 20).alias("cust_fk"),
+            (F.col("id") * 1.0).alias("amount"),
+        ),
+        fact,
+    )
+    assert MV.refresh_aggregate_view(spark, view)["strategy"] == "delta"
+    _star_assert(spark, fact, dim, view)
