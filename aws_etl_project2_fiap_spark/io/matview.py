@@ -156,6 +156,7 @@ def create_aggregate_view(
     group_by: list[str],
     aggs: dict[str, tuple[str, str | None]],
     dims: list[dict] | None = None,
+    bucket_by_key: int | None = 32,
 ) -> int:
     """CREATE MATERIALIZED VIEW dst AS SELECT group_by, aggs FROM
     source [JOIN dims...] GROUP BY group_by.
@@ -174,7 +175,15 @@ def create_aggregate_view(
     version: the delta fold is only correct while dims are immutable,
     so :func:`refresh_aggregate_view` refuses if a dim advanced
     (recreate the view or :func:`full_refresh_aggregate_view` to
-    re-pin) — the honest contract, not silent staleness."""
+    re-pin) — the honest contract, not silent staleness.
+
+    ``bucket_by_key`` (default 32): the view's state is written
+    bucket-clustered on the leading group key, so every refresh
+    merge's probe prunes view files by BUCKET MEMBERSHIP — a
+    few-group delta rewrites ~delta/N of a huge view instead of all
+    of it. Min/max stats alone can't do this: a handful of random
+    group keys spans nearly the whole key range, pruning nothing.
+    ``None`` disables (tiny views where one file beats 32)."""
     aggs = {k: (fn, col) for k, (fn, col) in aggs.items()}
     _check_spec(group_by, aggs)
     dims = [
@@ -219,7 +228,14 @@ def create_aggregate_view(
         "aggs": {k: [fn, col] for k, (fn, col) in aggs.items()},
         "dims": dims,
     }
-    return V.create_table(state, dst, extra={"mv": meta})
+    cluster = (
+        [f"bucket({int(bucket_by_key)},{group_by[0]})"]
+        if bucket_by_key
+        else None
+    )
+    return V.create_table(
+        state, dst, extra={"mv": meta}, cluster_by=cluster
+    )
 
 
 def view_meta(dst: str) -> dict:

@@ -534,3 +534,56 @@ def test_star_view_refuses_stale_dims_and_full_refresh_repins(
     )
     assert MV.refresh_aggregate_view(spark, view)["strategy"] == "delta"
     _star_assert(spark, fact, dim, view)
+
+
+def test_view_state_is_bucket_clustered_and_merge_prunes(spark, tmp_path):
+    """The view's state files are bucket-clustered on the leading group
+    key, so a refresh whose delta touches ONE group rewrites ~1/N of
+    the view: merge bucket pruning must leave the other files reused,
+    not rescanned/rewritten."""
+    src = str(tmp_path / "src")
+    V.create_table(
+        spark.range(0, 5000).select(
+            (F.col("id") % 500).alias("k"), (F.col("id") * 1.0).alias("x")
+        ).repartition(8),
+        src,
+    )
+    dst = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, src, dst, ["k"], {"sx": ("sum", "x")}, bucket_by_key=8
+    )
+    spec = V.table_cluster_spec(dst)
+    assert spec and spec["cols"] == ["bucket(8,k)"]
+    nfiles = len(V._read_manifest(dst, V.current_version(dst))["files"])
+    assert nfiles > 1
+    # one-group mutation
+    V.append_table(
+        spark.createDataFrame([(42, 5.0)], "k long, x double"), src
+    )
+    r = MV.refresh_aggregate_view(spark, dst)
+    assert r["groups_changed"] == 1
+    # the add-merge rewrote exactly the one file holding group 42's
+    # bucket; every other file was reused by reference
+    v = V.current_version(dst)
+    m = V._read_manifest(dst, v)
+    # count files carried unchanged from the pre-refresh version
+    pre = {
+        f["path"]
+        for f in V._read_manifest(dst, v - 1)["files"]
+    }
+    now = {f["path"] for f in m["files"]}
+    assert len(pre & now) >= nfiles - 1, (len(pre & now), nfiles)
+    # and the folded value is right
+    got = {
+        x["k"]: float(x["sx"])
+        for x in MV.read_aggregate_view(spark, dst).collect()
+    }
+    exp = {
+        x["k"]: float(x["sx"])
+        for x in V.read_table(spark, src)
+        .groupBy("k")
+        .agg(F.sum("x").alias("sx"))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    assert abs(got[42] - exp[42]) < 1e-6
