@@ -380,8 +380,14 @@ def cmd_matview(args) -> int:
             out, rhs = spec.split("=", 1)
             fn, _, col = rhs.partition(":")
             aggs[out] = (fn, col or None)
+        dims = []
+        for spec in args.dim or []:
+            # path:key1,key2 (star-schema dimension join)
+            path, _, keys = spec.rpartition(":")
+            dims.append({"path": path, "keys": keys.split(",")})
         v = MV.create_aggregate_view(
-            spark, args.source, args.view, args.group_by, aggs
+            spark, args.source, args.view, args.group_by, aggs,
+            dims=dims or None,
         )
         print(f"created {args.view} over {args.source} (v{v})")
     elif args.action == "refresh":
@@ -557,6 +563,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--agg", nargs="+", default=[],
         help="out=fn:col (fn: sum/count/avg/min/max; count may omit :col)",
+    )
+    p.add_argument(
+        "--dim", nargs="+", default=[],
+        help="star-schema dimension: path:key1,key2 (create only)",
     )
     p.add_argument("--limit", type=int, default=50)
     p.set_defaults(fn=cmd_matview)
