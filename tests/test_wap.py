@@ -263,3 +263,68 @@ def test_matview_refresh_across_publish(spark, tmp_path):
         for k in exp
     )
     assert 4 not in got
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
+    ],
+)
+@given(
+    ops=st.lists(
+        st.sampled_from(["append", "update", "cow_del", "dv_del"]),
+        min_size=1, max_size=4,
+    ),
+    seed=st.integers(min_value=0, max_value=9999),
+)
+def test_property_staged_equals_direct(spark, tmp_path_factory, ops, seed):
+    """Any op sequence applied on a stage and published reads exactly
+    like the same sequence applied directly to a twin table — WAP adds
+    isolation and atomicity, never different semantics."""
+    tmp = tmp_path_factory.mktemp("wapprop")
+    staged, direct = str(tmp / "staged"), str(tmp / "direct")
+    base = spark.range(0, 150).select(
+        "id", (F.col("id") * 1.0).alias("x")
+    )
+    V.create_table(base, staged)
+    V.create_table(base, direct)
+    stg = str(tmp / "s")
+    W.begin_stage(spark, staged, stg)
+
+    def apply(op, rnd, path):
+        pick = rnd % 6
+        if op == "append":
+            V.append_table(
+                spark.range(rnd % 40 + 150, rnd % 40 + 170).select(
+                    "id", (F.col("id") * 2.0).alias("x")
+                ),
+                path,
+            )
+        elif op == "update":
+            V.update_table(
+                spark, path, {"x": F.col("x") + 1.0},
+                F.col("id") % 5 == pick % 5,
+            )
+        elif op == "cow_del":
+            V.delete_from(spark, path, F.col("id") % 7 == pick, mode="cow")
+        else:
+            V.delete_from(spark, path, F.col("id") % 11 == pick, mode="dv")
+
+    rnd = seed
+    for op in ops:
+        rnd = (rnd * 1103515245 + 12345) % (2**31)
+        apply(op, rnd, stg)
+        apply(op, rnd, direct)
+    W.publish_stage(spark, staged, stg)
+    got = sorted(
+        tuple(r) for r in V.read_table(spark, staged).collect()
+    )
+    exp = sorted(
+        tuple(r) for r in V.read_table(spark, direct).collect()
+    )
+    assert got == exp
