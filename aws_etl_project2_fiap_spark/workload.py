@@ -3663,6 +3663,173 @@ def tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): a HISTOGRAM OF AN
+    AGGREGATE — how many customers placed exactly N qualifying orders,
+    including the zero-order customers that only a LEFT OUTER join (with
+    the filter in the JOIN CONDITION, not WHERE — the classic Q13 trap)
+    can produce.
+
+    Scale: one custkey shuffle for the outer join + per-customer count
+    (count(o_orderkey) ignores the NULLs the outer join manufactures),
+    then a second tiny aggregation over ≤ a-few-hundred distinct counts
+    — the histogram level is dimension-sized no matter the customer
+    count. The priority filter pushes into the orders scan (it's
+    join-side, so pushdown is safe).
+    """
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@defquery(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): suppliers whose quarterly
+    revenue equals the GLOBAL MAX of a derived aggregate — the
+    view-then-scalar-subquery pattern (Q15 defines a SQL view and
+    probes it twice).
+
+    Scale: the revenue aggregate computes ONCE (localCheckpoint breaks
+    the lineage so the max probe and the equality filter share it
+    instead of re-scanning lineitem twice — the DataFrame analogue of
+    Q15's CREATE VIEW); the max is a one-row broadcast; supplier joins
+    broadcast. DECIMAL revenue keeps the max-equality exact — a
+    float-sum tie at the top would be engine-dependent.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (
+                        F.lit(1).cast("decimal(18,4)")
+                        - F.col("l_discount").cast("decimal(18,4)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+        .localCheckpoint(eager=True)
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@defquery(
+    "tpch_q17_small_quantity_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#4'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def tpch_q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems below
+    20% of THEIR PART's average quantity — the correlated PER-GROUP
+    scalar subquery.
+
+    Scale: decorrelated as a per-part aggregation joined back on
+    partkey — never a per-row subquery re-execution. Both sides filter
+    lineitem by the BROADCAST brand part list at the scan (the rewrite
+    Catalyst itself applies to Q17's correlated side), so the fact is
+    read twice but each read keeps only brand-selectivity of it, and
+    the per-part threshold frame broadcasts into the probe. The double
+    scan is deliberate: caching the filtered CTE would trade executor
+    storage for the second scan, and at ~4% selectivity the scan is
+    the cheaper resource.
+    """
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    li = t(spark, sf_dir, "lineitem")
+    brand_li = li.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    thresholds = (
+        brand_li.groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.2).alias("__qty_cap"))
+        .withColumnRenamed("l_partkey", "__tp")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("__tp")
+        )
+        .filter(F.col("l_quantity") < F.col("__qty_cap"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                / 7.0,
+                2,
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@defquery(
     "tpch_q14_promo_revenue",
     """
     SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
