@@ -5813,7 +5813,14 @@ def k_partition_overwrite_readback(spark: SparkSession, sf_dir: str) -> DataFram
         "o_totalprice", F.col("o_totalprice") * 2
     )
     res = ver_op.overwrite_partitions(spark, delivery, work, "mon")
-    assert res["files_rewritten"] == 0  # clustered: whole-file drops
+    # clustered layout ⇒ replacing one month touches at most the 1–2
+    # files whose sampled range covers March — O(partition), never
+    # O(table). NOT asserting files_rewritten == 0: repartitionByRange
+    # SAMPLES its boundaries, so March occasionally shares a file with
+    # a neighbor month (then that one file rewrites) — observed at
+    # sf0.1, legal at any scale.
+    assert res["files_dropped"] + res["files_rewritten"] >= 1
+    assert res["files_rewritten"] <= 1 and res["files_reused"] >= 3, res
     return (
         ver_op.read_table(spark, work)
         .groupBy("mon")
