@@ -552,3 +552,40 @@ def test_partition_overwrite_readback_prunes(spark):
         pruned = V.read_table(spark, path, between=("mon", "1995-03", "1995-03"))
         full = V.read_table(spark, path)
         assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_q13_filter_pushes_into_join_side_scan(spark):
+    """TPC-H Q13: the priority filter lives in the JOIN CONDITION (so
+    zero-order customers survive the outer join) yet must still reach
+    the orders scan as a pushed filter — join-side predicates are safe
+    to push even under LeftOuter."""
+    df = DEFS["tpch_q13_customer_distribution"].spark(spark, SF)
+    s = formatted(df)
+    pushed = [ln for ln in s.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderpriority" in ln for ln in pushed), pushed
+    p = plan(df)
+    assert "LeftOuter" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q15_revenue_view_computes_once(spark):
+    """TPC-H Q15: the revenue aggregate must compute ONCE and feed both
+    the max probe and the equality filter — a plan that scans lineitem
+    twice re-runs the quarter aggregation for the scalar subquery."""
+    df = DEFS["tpch_q15_top_supplier"].spark(spark, SF)
+    p = plan(df)
+    # localCheckpoint truncates the lineage: the executed plan reads
+    # the materialized RDD, never the parquet scan
+    assert "lineitem.parquet" not in p, "revenue view recomputed"
+    assert "CartesianProduct" not in p
+
+
+def test_q17_threshold_decorrelates_no_nested_loop(spark):
+    """TPC-H Q17: the per-part avg threshold must decorrelate to an
+    aggregation + equi-join — a per-row subquery would plan as a
+    nested-loop re-execution."""
+    df = DEFS["tpch_q17_small_quantity_revenue"].spark(spark, SF)
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
