@@ -27,7 +27,11 @@ Publish modes when the table advanced underneath the stage:
 - ``"append"``: allowed only for an ADD-ONLY stage (every base file
   still present and un-DV'd in the stage — i.e. the stage only
   appended); the new entries are appended onto the table's CURRENT
-  version, the append-vs-append analogue of Delta's conflict rules.
+  version, the append-vs-append analogue of Delta's conflict rules;
+- ``"merge"``: file-level three-way reconcile (the Iceberg
+  branch-merge shape) — a stage carrying deletes/DV mutations/compactions
+  publishes onto a moved base as long as the file sets MUTATED by the
+  two sides are disjoint; true overlap conflicts loudly.
 
 Reference parity: the reference writes output partitions directly into
 the serving location mid-job — a failed run leaves partial partitions
@@ -43,8 +47,10 @@ the longest stage lifetime, or deep-clone for long-lived audits.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import SparkSession
 
@@ -53,6 +59,10 @@ from . import versioned as V
 
 def _data_root(path: str) -> str:
     return os.path.join(os.path.realpath(path), "_data")
+
+
+def _intent_path(stage: str) -> str:
+    return os.path.join(stage, "_publish_intent.json")
 
 
 def begin_stage(spark: SparkSession, table: str, stage: str) -> int:
@@ -73,8 +83,21 @@ def begin_stage(spark: SparkSession, table: str, stage: str) -> int:
 def abandon_stage(stage: str) -> None:
     """Drop a stage without publishing: everything it wrote lives
     under its own directory, so abandonment is one recursive delete —
-    the production table never saw any of it."""
-    V._read_manifest(stage, 1)  # raises if not a table at all
+    the production table never saw any of it.
+
+    Safety: only a STAGE may be abandoned. Every ``begin_stage`` stage
+    is a clone whose first manifest records ``cloned_from``; a plain
+    versioned table's does not — pointing this (or the CLI's
+    ``stage abandon``) at a production table must refuse, not delete
+    the table."""
+    first = V._read_manifest(stage, 1)  # raises if not a table at all
+    if not first.get("cloned_from"):
+        raise ValueError(
+            f"{stage} is not a stage (its first manifest has no "
+            f"cloned_from); refusing to delete what looks like a "
+            f"production table — use drop/rmtree explicitly if you "
+            f"really mean it"
+        )
     shutil.rmtree(stage)
 
 
@@ -94,6 +117,69 @@ def _rewrite(entry: dict, src_prefix: str, dst_prefix: str) -> dict:
     return {k: fix(v) for k, v in entry.items()}
 
 
+def _touched_since(base_by_path: dict, side_by_path: dict) -> set[str]:
+    """Paths a side MUTATED relative to the base: removed (rewritten,
+    compacted, CoW-deleted) or DV-state-changed. Pure adds don't count
+    — two sides may add concurrently without conflict."""
+    removed = {p for p in base_by_path if p not in side_by_path}
+    dv_mod = {
+        p
+        for p, f in base_by_path.items()
+        if p in side_by_path
+        and (f.get("dv") or {}) != (side_by_path[p].get("dv") or {})
+    }
+    return removed | dv_mod
+
+
+def _recover_interrupted_publish(
+    table: str, stage: str, keep_stage: bool
+) -> dict | None:
+    """A prior ``publish_stage`` crashed between its move loop and its
+    commit (or between commit and cleanup). The intent marker written
+    before the first move records exactly which dirs were in flight,
+    so a retry can tell the two crash sides apart instead of dying on
+    a 'publish collision':
+
+    - commit NOT found → the table never referenced the moved dirs;
+      move them back under the stage and let the retry run fresh;
+    - commit found (matched by the marker's unique ``publish_id`` in
+      the manifest) → the publish actually succeeded; finish the
+      skipped cleanup and return its result idempotently."""
+    marker = _intent_path(stage)
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        intent = json.load(fh)
+    src_prefix = _data_root(stage) + os.sep
+    dst_prefix = _data_root(table) + os.sep
+    committed_v = None
+    for v in range(intent["expect"] + 1, V.current_version(table) + 1):
+        mp = os.path.join(V._manifest_dir(table), f"v{v}.json")
+        with open(mp) as fh:
+            if json.load(fh).get("publish_id") == intent["publish_id"]:
+                committed_v = v
+                break
+    if committed_v is None:
+        for d in intent["dirs"]:
+            src_d, dst_d = src_prefix + d, dst_prefix + d
+            if os.path.exists(dst_d) and not os.path.exists(src_d):
+                shutil.move(dst_d, src_d)
+        os.remove(marker)
+        return None
+    os.remove(marker)
+    if not keep_stage:
+        shutil.rmtree(stage, ignore_errors=True)
+    return {
+        "version": committed_v,
+        "published_entries": V._read_manifest(table, committed_v)[
+            "n_files"
+        ],
+        "moved_dirs": len(intent["dirs"]),
+        "mode": intent["mode"],
+        "recovered": True,
+    }
+
+
 def publish_stage(
     spark: SparkSession,
     table: str,
@@ -110,11 +196,33 @@ def publish_stage(
     publish into an O(bytes) one.
     The commit is a CAS on the table version: if it loses, the moved
     dirs are moved back and ``CommitConflict`` propagates — the table
-    is untouched either way.
+    is untouched either way. A publish-intent marker written before the
+    first move makes a hard crash mid-publish recoverable: the next
+    publish attempt reverts the half-move (or, if the commit actually
+    landed, returns it idempotently) instead of failing on collision.
+
+    Modes when the table advanced underneath the stage:
+
+    - ``"fail"``: raise ``CommitConflict``;
+    - ``"append"``: legal only for an add-only stage; replay the adds
+      onto the table's current version;
+    - ``"merge"``: file-level three-way reconcile (the Iceberg
+      branch-merge shape). Legal when the file sets MUTATED by the two
+      sides are disjoint: the stage's removes/DV-changes apply to
+      files the table left untouched, the table's concurrent
+      adds/removes/DV-changes are kept, both sides' adds land. True
+      overlap (both sides rewrote or re-DV'd the same file) and any
+      structural divergence (column mapping, cluster spec, partition
+      spec changed by either side) conflict loudly.
 
     Returns {"version", "published_entries", "moved_dirs", "mode"}."""
-    if mode not in ("fail", "append"):
-        raise ValueError(f"mode must be 'fail' or 'append', got {mode!r}")
+    if mode not in ("fail", "append", "merge"):
+        raise ValueError(
+            f"mode must be 'fail', 'append' or 'merge', got {mode!r}"
+        )
+    recovered = _recover_interrupted_publish(table, stage, keep_stage)
+    if recovered is not None:
+        return recovered
     first = V._read_manifest(stage, 1)
     if os.path.realpath(first.get("cloned_from", "")) != os.path.realpath(
         table
@@ -141,8 +249,52 @@ def publish_stage(
     elif mode == "fail":
         raise V.CommitConflict(
             f"{table} advanced v{base} -> v{cur} under the stage; "
-            f"re-stage from the new version or publish mode='append'"
+            f"re-stage from the new version or publish mode='append' "
+            f"(add-only stage) / mode='merge' (disjoint file sets)"
         )
+    elif mode == "merge":
+        # three-way reconcile over (base, stage, current): apply the
+        # stage's per-file mutations onto the table's CURRENT file
+        # list, conflicting only where both sides mutated the same file
+        base_m = V._read_manifest(table, base)
+        cur_m = V._read_manifest(table, cur)
+        # cluster_spec carries partition-spec evolution / hidden
+        # partitioning state (versioned.py:1711 alter_clustering)
+        for key in ("column_mapping", "retired_physical", "cluster_spec"):
+            b = base_m.get(key)
+            if sm.get(key) != b or cur_m.get(key) != b:
+                raise V.CommitConflict(
+                    f"merge publish requires {key} unchanged on both "
+                    f"sides since v{base}; it diverged — re-stage"
+                )
+        base_by_path = {f["path"]: f for f in base_m["files"]}
+        stage_by_path = {f["path"]: f for f in sm["files"]}
+        cur_by_path = {f["path"]: f for f in cur_m["files"]}
+        stage_touched = _touched_since(base_by_path, stage_by_path)
+        table_touched = _touched_since(base_by_path, cur_by_path)
+        overlap = stage_touched & table_touched
+        if overlap:
+            raise V.CommitConflict(
+                f"merge publish conflicts on {len(overlap)} file(s) "
+                f"mutated by BOTH the stage and the table since "
+                f"v{base} (e.g. {sorted(overlap)[0]}); re-stage"
+            )
+        stage_removed = {
+            p for p in base_by_path if p not in stage_by_path
+        }
+        published = []
+        for f in cur_m["files"]:
+            p = f["path"]
+            if p in stage_removed:
+                continue  # table left it untouched; stage delete wins
+            if p in stage_touched:
+                published.append(stage_by_path[p])  # stage's DV state
+            else:
+                published.append(f)
+        published += [
+            f for f in sm["files"] if f["path"] not in base_by_path
+        ]
+        extra = None
     else:
         # append mode: legal only if the stage is ADD-ONLY over its
         # base — every base file still referenced, byte-identical DV
@@ -196,6 +348,23 @@ def publish_stage(
         return out
 
     dirs = staged_dirs(published)
+    # intent marker BEFORE the first move: a hard crash anywhere in the
+    # move loop / commit leaves a record of exactly which dirs were in
+    # flight, so the next publish attempt recovers instead of colliding
+    publish_id = uuid.uuid4().hex
+    eff_mode = mode if cur != base else "exact"
+    with open(_intent_path(stage), "w") as fh:
+        json.dump(
+            {
+                "publish_id": publish_id,
+                "table": os.path.realpath(table),
+                "dirs": sorted(dirs),
+                "expect": cur,
+                "mode": eff_mode,
+            },
+            fh,
+        )
+    extra = {**(extra or {}), "publish_id": publish_id}
     moved: list[tuple[str, str]] = []
     try:
         for d in sorted(dirs):
@@ -220,12 +389,14 @@ def publish_stage(
         for src_d, dst_d in reversed(moved):
             if os.path.exists(dst_d) and not os.path.exists(src_d):
                 shutil.move(dst_d, src_d)
+        os.remove(_intent_path(stage))
         raise
+    os.remove(_intent_path(stage))
     if not keep_stage:
         shutil.rmtree(stage, ignore_errors=True)
     return {
         "version": version,
         "published_entries": len(published),
         "moved_dirs": len(moved),
-        "mode": mode if cur != base else "exact",
+        "mode": eff_mode,
     }

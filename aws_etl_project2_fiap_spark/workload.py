@@ -6472,28 +6472,43 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-# Positions 1-50 of queries(): the EXACT window the driver went
-# 50/50-green on in round 3 — pinned as a literal so that flipping a
-# rows-only entry to oracle-backed (which moves it between the two
-# ordering tiers) can never reorder-and-evict a proven row.
+# Positions 1-50 of queries(): the driver's hash window, ROTATED for
+# round 7. The r3-r6 window was byte-identical four rounds running, so
+# 30 oracle-backed entries (all 14 TPC-H shapes, all 13 k_* lakehouse
+# readbacks, dedup_span_exact, sample_stratified, ...) had never
+# received a driver-grade hash check — this window carries every one of
+# them, plus 20 continuity sentinels from the proven r3 set spanning
+# each operator family (agg/join/window/stream/dedup/text/similarity/
+# multimodal/update/suites). Everything evicted from the window stays
+# oracle-backed in the tail, where the judge's full-catalog replay
+# (tools/driver_sim.py) still verifies it.
 # tests/test_entry_contract.py keeps an independent copy of this list.
 DRIVER_WINDOW: tuple[str, ...] = (
-    "a1_top5_7day_sum", "p6_arith_projection", "a2_count", "o1_topk",
-    "o2_ordered_scan", "agg_pricing_summary", "agg_count_distinct",
-    "agg_having", "agg_pivot", "agg_percentiles", "join_star_revenue",
-    "join_left_count", "join_semi", "join_anti", "window_keep_latest",
-    "window_top3_per_cust", "sessionize_30m", "event_time_tumbling_1h",
-    "join_range_binned", "p_projection_suite", "session_window_native",
-    "stream_stats_by_key", "dedup_exact", "dedup_keep_latest",
-    "dedup_ngram_jaccard", "text_langid", "similarity_knn",
-    "similarity_pairs_exact", "multimodal_meta", "corpus_select",
-    "tpch_q3_shipping_priority", "tpch_q5_regional_revenue",
-    "dedup_embedding_cosine", "explode_token_topk", "text_tfidf_topk",
-    "dedup_fuzzy_levenshtein", "dedup_cluster_assign",
-    "k6_update_readback", "suite_proj_orders", "suite_proj_customer",
-    "suite_proj_events", "suite_setops", "suite_agg_grouping",
-    "suite_join_outer", "suite_window_frames", "suite_window_rank",
-    "suite_subquery", "suite_asof", "suite_corpus_ops", "suite_text",
+    # continuity sentinel first — green in every round so far
+    "a1_top5_7day_sum",
+    # --- the 30 never-driver-checked oracle-backed entries ---
+    "tpch_q4_order_priority", "tpch_q7_nation_volume",
+    "tpch_q10_returned_items", "tpch_q12_priority_class",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders", "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_supplier", "tpch_q22_global_sales",
+    "k_zorder_readback", "k_bloom_readback", "k_dv_delete_readback",
+    "k_partition_overwrite_readback", "k_cluster_evolution_readback",
+    "k_matview_incremental_readback", "k_matview_star_readback",
+    "k_wap_publish_readback", "k_table_source_readback",
+    "k_merge_clauses_readback", "k_merge_sync_readback",
+    "k_replicate_readback",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_span_exact",
+    "sample_stratified", "text_rolling_chunks", "corpus_shard_export",
+    # --- 19 more continuity sentinels (r3-green, one per family) ---
+    "a2_count", "o1_topk", "join_star_revenue",
+    "window_keep_latest", "sessionize_30m", "event_time_tumbling_1h",
+    "dedup_exact", "dedup_ngram_jaccard", "text_langid",
+    "similarity_knn", "multimodal_meta", "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue", "dedup_embedding_cosine",
+    "k6_update_readback", "p_projection_suite", "suite_subquery",
+    "suite_asof", "suite_text",
 )
 
 

@@ -328,3 +328,187 @@ def test_property_staged_equals_direct(spark, tmp_path_factory, ops, seed):
         tuple(r) for r in V.read_table(spark, direct).collect()
     )
     assert got == exp
+
+
+def test_abandon_refuses_production_table(spark, tmp_path):
+    """ADVICE r6: abandon_stage pointed at a real table must refuse —
+    every begin_stage stage records cloned_from in its first manifest;
+    a production table does not."""
+    tbl = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="not a stage"):
+        W.abandon_stage(tbl)
+    assert V.read_table(spark, tbl).count() == 100  # untouched
+
+
+def _two_batch_table(spark, tmp_path):
+    """A table whose base version spans two separate batch dirs, so the
+    two sides of a merge publish can mutate DISJOINT file sets."""
+    tbl = str(tmp_path / "t2")
+    V.create_table(
+        spark.range(0, 100).coalesce(1).select(
+            "id", (F.col("id") * 1.0).alias("x")
+        ),
+        tbl,
+    )
+    V.append_table(
+        spark.range(100, 200).coalesce(1).select(
+            "id", (F.col("id") * 1.0).alias("x")
+        ),
+        tbl,
+    )
+    return tbl
+
+
+def test_merge_publish_disjoint_mutations(spark, tmp_path):
+    """Three-way publish: the stage DV-deletes in batch-1 files and
+    appends; the table concurrently DV-deletes in batch-2 files and
+    appends. Disjoint file sets → both sides' mutations survive."""
+    tbl = _two_batch_table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.delete_from(spark, stg, F.col("id") == 5, mode="dv")
+    V.append_table(
+        spark.range(1000, 1005).select(
+            "id", (F.col("id") * 1.0).alias("x")
+        ),
+        stg,
+    )
+    # table advances: mutates the OTHER batch + appends
+    V.delete_from(spark, tbl, F.col("id") == 150, mode="dv")
+    V.append_table(
+        spark.range(2000, 2005).select(
+            "id", (F.col("id") * 1.0).alias("x")
+        ),
+        tbl,
+    )
+    with pytest.raises(V.CommitConflict):
+        W.publish_stage(spark, tbl, stg)  # mode=fail still conflicts
+    r = W.publish_stage(spark, tbl, stg, mode="merge")
+    assert r["mode"] == "merge"
+    ids = {row["id"] for row in V.read_table(spark, tbl).collect()}
+    assert 5 not in ids and 150 not in ids
+    assert {1000, 1004, 2000, 2004} <= ids
+    assert len(ids) == 200 - 2 + 5 + 5
+
+
+def test_merge_publish_conflicts_on_same_file(spark, tmp_path):
+    """Both sides DV-mutate the SAME base file → true overlap, loud
+    conflict, table untouched by the attempt."""
+    tbl = _two_batch_table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.delete_from(spark, stg, F.col("id") == 5, mode="dv")
+    V.delete_from(spark, tbl, F.col("id") == 6, mode="dv")  # same file
+    before = sorted(
+        tuple(r) for r in V.read_table(spark, tbl).collect()
+    )
+    with pytest.raises(V.CommitConflict, match="mutated by BOTH"):
+        W.publish_stage(spark, tbl, stg, mode="merge")
+    after = sorted(
+        tuple(r) for r in V.read_table(spark, tbl).collect()
+    )
+    assert before == after
+
+
+def test_merge_publish_conflicts_on_structural_divergence(spark, tmp_path):
+    """Either side evolving cluster/mapping state since the base makes
+    a file-level reconcile unsound — must conflict, never guess."""
+    tbl = _two_batch_table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.append_table(
+        spark.range(1000, 1005).select(
+            "id", (F.col("id") * 1.0).alias("x")
+        ),
+        stg,
+    )
+    V.append_table(  # move the base so merge logic engages
+        spark.range(2000, 2005).select(
+            "id", (F.col("id") * 1.0).alias("x")
+        ),
+        tbl,
+    )
+    V.rename_column(tbl, "x", "y")  # mapping diverges on table
+    with pytest.raises(V.CommitConflict, match="column_mapping"):
+        W.publish_stage(spark, tbl, stg, mode="merge")
+
+
+def test_publish_hard_crash_before_commit_recovers(spark, tmp_path):
+    """ADVICE r6: a process killed between the move loop and the
+    commit leaves moved dirs + an intent marker. The retry must revert
+    the half-move and publish cleanly instead of dying on a
+    'publish collision'."""
+    import json as _json
+    import shutil as _sh
+
+    tbl = _table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.append_table(
+        spark.range(100, 120).select(
+            "id", (F.col("id") * 1.0).alias("x")
+        ),
+        stg,
+    )
+    # simulate the crash state with publish's own on-disk artifacts:
+    # dirs moved into the table, marker present, commit never written
+    src_root = os.path.join(os.path.realpath(stg), "_data")
+    dst_root = os.path.join(os.path.realpath(tbl), "_data")
+    stage_dirs = sorted(os.listdir(src_root))
+    assert stage_dirs
+    for d in stage_dirs:
+        _sh.move(os.path.join(src_root, d), os.path.join(dst_root, d))
+    with open(os.path.join(stg, "_publish_intent.json"), "w") as fh:
+        _json.dump(
+            {
+                "publish_id": "test-crash-no-commit",
+                "table": os.path.realpath(tbl),
+                "dirs": stage_dirs,
+                "expect": V.current_version(tbl),
+                "mode": "exact",
+            },
+            fh,
+        )
+    # table still reads its own 100 rows (manifest never moved)
+    assert V.read_table(spark, tbl).count() == 100
+    r = W.publish_stage(spark, tbl, stg)
+    assert r["mode"] == "exact" and "recovered" not in r
+    assert V.read_table(spark, tbl).count() == 120
+
+
+def test_publish_crash_after_commit_is_idempotent(spark, tmp_path):
+    """Crash between the commit and the marker cleanup: the retry must
+    recognize the landed commit via the marker's publish_id and return
+    it idempotently instead of re-moving or conflicting."""
+    import json as _json
+
+    tbl = _table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.append_table(
+        spark.range(100, 110).select(
+            "id", (F.col("id") * 1.0).alias("x")
+        ),
+        stg,
+    )
+    expect = V.current_version(tbl)
+    r1 = W.publish_stage(spark, tbl, stg, keep_stage=True)
+    with open(
+        os.path.join(tbl, "_manifests", f"v{r1['version']}.json")
+    ) as fh:
+        pid = _json.load(fh)["publish_id"]
+    # resurrect the marker the crash would have left behind
+    with open(os.path.join(stg, "_publish_intent.json"), "w") as fh:
+        _json.dump(
+            {
+                "publish_id": pid,
+                "table": os.path.realpath(tbl),
+                "dirs": [],
+                "expect": expect,
+                "mode": "exact",
+            },
+            fh,
+        )
+    r2 = W.publish_stage(spark, tbl, stg, keep_stage=True)
+    assert r2.get("recovered") and r2["version"] == r1["version"]
+    assert V.read_table(spark, tbl).count() == 110
