@@ -69,7 +69,7 @@ def _check_spec(group_by: list[str], aggs: dict) -> None:
         if fn != "count" and col is None:
             raise ValueError(f"agg {out!r}: {fn} needs a source column")
         if out in group_by or out == _CNT or out.endswith(
-            ("__mvsum", "__mvcnt")
+            ("__mvsum", "__mvcnt", "__mvnn")
         ):
             raise ValueError(f"agg output name {out!r} is reserved")
 
@@ -90,6 +90,11 @@ def _state_exprs(aggs: dict) -> list[Column]:
     for out, (fn, col) in aggs.items():
         if fn == "sum":
             exprs.append(F.sum(_dec(col)).alias(out))
+            # non-null input count: SQL SUM of an all-NULL group is
+            # NULL, not 0 — the delta fold's coalesce(...)+coalesce(...)
+            # can't tell them apart, so the view derives NULL on read
+            # whenever this counter says no non-null value ever arrived
+            exprs.append(F.count(col).alias(f"{out}__mvnn"))
         elif fn == "count":
             exprs.append(
                 (F.count(col) if col else F.count(F.lit(1))).alias(out)
@@ -116,6 +121,11 @@ def _delta_exprs(aggs: dict, sign: Column) -> list[Column]:
                     F.when(F.col(col).isNotNull(), sign * _dec(col))
                 ).alias(out)
             )
+            exprs.append(
+                F.sum(
+                    F.when(F.col(col).isNotNull(), sign).otherwise(0)
+                ).alias(f"{out}__mvnn")
+            )
         elif fn == "count":
             exprs.append(
                 F.sum(
@@ -132,6 +142,33 @@ def _delta_exprs(aggs: dict, sign: Column) -> list[Column]:
                 F.sum(F.when(nn, sign).otherwise(0)).alias(f"{out}__mvcnt")
             )
     return exprs
+
+
+def _guard_null_keys(df: DataFrame, keys: list[str], what: str) -> None:
+    """The refresh MERGE probes join on SQL equality, where NULL
+    matches nothing — a NULL-keyed group could never be updated, only
+    duplicated (delta path) or silently dropped (scoped path). Create
+    rejects NULL keys up front; this mirrors that check on every
+    refresh in case the source gained NULL-keyed rows later."""
+    cond = None
+    for c in keys:
+        cond = F.col(c).isNull() if cond is None else cond | F.col(c).isNull()
+    if df.filter(cond).limit(1).count():
+        raise ValueError(
+            f"{what} contains NULL group key(s) {keys} — NULL group "
+            f"keys are not maintainable through the MERGE probe; filter "
+            f"or coalesce them in the source first, then "
+            f"full_refresh_aggregate_view"
+        )
+
+
+def _lost_refresh(dst: str, frm: int, to: int) -> dict:
+    """Another refresher claimed this CDF range first (its commit CAS
+    beat ours): nothing was folded twice — report a no-op."""
+    return {
+        "strategy": "noop", "from_version": frm, "to_version": to,
+        "view_version": V.current_version(dst), "groups_changed": 0,
+    }
 
 
 def _with_dims(spark: SparkSession, df: DataFrame, dims: list) -> DataFrame:
@@ -209,18 +246,7 @@ def create_aggregate_view(
     # (NULL matches nothing — the Delta MERGE caveat), so a NULL-keyed
     # group could never be updated, only duplicated. Reject up front
     # rather than drift silently later.
-    null_key = None
-    for c in group_by:
-        null_key = (
-            F.col(c).isNull() if null_key is None
-            else null_key | F.col(c).isNull()
-        )
-    if state.filter(null_key).limit(1).count():
-        raise ValueError(
-            f"group_by column(s) {group_by} contain NULLs — NULL group "
-            f"keys are not maintainable through the MERGE probe; filter "
-            f"or coalesce them in the source first"
-        )
+    _guard_null_keys(state, group_by, "the view's initial state")
     meta = {
         "source": source,
         "source_version": src_version,
@@ -257,6 +283,16 @@ def read_aggregate_view(spark: SparkSession, dst: str) -> DataFrame:
                 (
                     F.col(f"{out}__mvsum")
                     / F.nullif(F.col(f"{out}__mvcnt"), F.lit(0))
+                ).alias(out)
+            )
+        elif fn == "sum":
+            # NULL-vs-0 exactness: the fold stores 0 for a group whose
+            # inputs were all NULL; __mvnn says whether any non-null
+            # value ever contributed, so the read derives SQL's NULL
+            cols.append(
+                F.when(
+                    F.col(f"{out}__mvnn") > 0,
+                    F.coalesce(F.col(out), F.lit(0).cast("decimal(28,6)")),
                 ).alias(out)
             )
         else:
@@ -319,14 +355,19 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
     "groups_changed"}; a no-op refresh (watermark == head) returns
     early with strategy "noop".
 
-    Concurrency: run ONE refresher per view (the single-maintainer
-    discipline real formats expect for OPTIMIZE). Sequential replays —
-    a crashed loop restarting, a fresh checkpoint re-triggering old
-    offsets — are exactly-once because the watermark lives in the
-    view's own manifest; a last-moment watermark re-check narrows (but
-    cannot fully close) the window where two racing refreshers would
-    fold the same CDF range twice."""
-    meta = view_meta(dst)
+    Concurrency: exactly-once under racing refreshers. The watermark
+    lives in the view's own manifest, and the refresh's FIRST
+    state-changing commit is a CAS on the view version the watermark
+    was read from (``expect_version`` through ``merge_table``) — of two
+    refreshers folding the same CDF range, exactly one commits; the
+    loser's ``CommitConflict`` is absorbed into a no-op result, so a
+    range can never fold twice. Sequential replays (a crashed loop
+    restarting, a fresh checkpoint re-triggering old offsets) remain
+    exactly-once for the same reason."""
+    view_v = V.current_version(dst)
+    meta = V._read_manifest(dst, view_v).get("mv")
+    if not meta:
+        raise ValueError(f"{dst} is not a materialized view")
     source = meta["source"]
     aggs = {k: (fn, col) for k, (fn, col) in meta["aggs"].items()}
     keys = list(meta["group_by"])
@@ -340,7 +381,9 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
         raise StaleDimensions(
             f"dimension(s) {moved} advanced past the view's pinned "
             f"version(s); the incremental fold would silently mix dim "
-            f"states — run full_refresh_aggregate_view to re-pin"
+            f"states — run evolve_dimensions to fold the dim change(s) "
+            f"incrementally, or full_refresh_aggregate_view to re-pin "
+            f"from scratch"
         )
     frm = meta["source_version"]
     to = V.current_version(source)
@@ -372,6 +415,7 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
         # tiny (one row per changed group), so the checkpoint is cheap
         # and spills if a giant backfill makes it large.
         delta = delta.localCheckpoint(eager=True)
+        _guard_null_keys(delta, keys, "the CDF delta")
         stats = delta.agg(
             F.count(F.lit(1)).alias("n"),
             F.min(_CNT).alias("min_cnt"),
@@ -380,12 +424,18 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
         if n == 0:
             # still advance the watermark (metadata-only commit) so the
             # next refresh doesn't re-derive this CDF range
-            ver = V._commit(
-                dst,
-                V._read_manifest(dst, V.current_version(dst))["files"],
-                extra={"mv": new_meta},
-                operation=f"REFRESH_MV(v{frm}->v{to})",
-            )
+            try:
+                ver = V._commit(
+                    dst,
+                    V._read_manifest(dst, view_v)["files"],
+                    extra={"mv": new_meta},
+                    expect_version=view_v,
+                    operation=f"REFRESH_MV(v{frm}->v{to})",
+                )
+            except V.CommitConflict:
+                if view_meta(dst)["source_version"] >= to:
+                    return _lost_refresh(dst, frm, to)
+                raise
             return {
                 "strategy": "delta", "from_version": frm, "to_version": to,
                 "view_version": ver, "groups_changed": 0,
@@ -395,20 +445,20 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
             + F.coalesce(F.col(f"s.{c}"), F.lit(0))
             for c in state_cols
         }
-        # racing-refresher guard: if another refresher already claimed
-        # this range (watermark moved while we computed the delta),
-        # folding it again would double-count
-        if view_meta(dst)["source_version"] >= to:
-            return {
-                "strategy": "noop", "from_version": frm, "to_version": to,
-                "view_version": V.current_version(dst),
-                "groups_changed": 0,
-            }
-        V.merge_table(
-            spark, dst, delta, keys,
-            when_matched=add,
-            extra={"mv": new_meta},
-        )
+        # exactly-once under racing refreshers: CAS the fold on the
+        # view version the watermark was read from — the loser's
+        # conflict means the OTHER refresher folded this range
+        try:
+            V.merge_table(
+                spark, dst, delta, keys,
+                when_matched=add,
+                extra={"mv": new_meta},
+                expect_version=view_v,
+            )
+        except V.CommitConflict:
+            if view_meta(dst)["source_version"] >= to:
+                return _lost_refresh(dst, frm, to)
+            raise
         # groups whose last row left: state row must go (their sums are
         # exact zeros only for int aggregates — the count is the truth).
         # Scoped as a MERGE over the delta's own keys — probe-pruned to
@@ -436,16 +486,23 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
     # group list is re-read by the semi-join, the vanish anti-join, and
     # its own count, and its lineage is the full CDF scan
     touched = cdf.select(*keys).distinct().localCheckpoint(eager=True)
+    _guard_null_keys(touched, keys, "the CDF's touched-group list")
     n = touched.count()
     if n == 0:
         # metadata-only source commit (rename/cluster-spec/...): advance
         # the watermark so the next refresh skips this range
-        ver = V._commit(
-            dst,
-            V._read_manifest(dst, V.current_version(dst))["files"],
-            extra={"mv": new_meta},
-            operation=f"REFRESH_MV(v{frm}->v{to})",
-        )
+        try:
+            ver = V._commit(
+                dst,
+                V._read_manifest(dst, view_v)["files"],
+                extra={"mv": new_meta},
+                expect_version=view_v,
+                operation=f"REFRESH_MV(v{frm}->v{to})",
+            )
+        except V.CommitConflict:
+            if view_meta(dst)["source_version"] >= to:
+                return _lost_refresh(dst, frm, to)
+            raise
         return {
             "strategy": "scoped", "from_version": frm, "to_version": to,
             "view_version": ver, "groups_changed": 0,
@@ -459,17 +516,18 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
         # probe; lineage is a source scan — materialize once
         .localCheckpoint(eager=True)
     )
-    # racing-refresher guard (see the delta path)
-    if view_meta(dst)["source_version"] >= to:
-        return {
-            "strategy": "noop", "from_version": frm, "to_version": to,
-            "view_version": V.current_version(dst), "groups_changed": 0,
-        }
-    V.merge_table(
-        spark, dst, recomputed, keys,
-        when_matched="replace",
-        extra={"mv": new_meta},
-    )
+    # exactly-once under racing refreshers (see the delta path)
+    try:
+        V.merge_table(
+            spark, dst, recomputed, keys,
+            when_matched="replace",
+            extra={"mv": new_meta},
+            expect_version=view_v,
+        )
+    except V.CommitConflict:
+        if view_meta(dst)["source_version"] >= to:
+            return _lost_refresh(dst, frm, to)
+        raise
     # touched groups with NO surviving source rows: not in `recomputed`
     # (nothing to aggregate), but their stale state rows remain — merge
     # a keys-only vanish list with a matched-delete clause
@@ -482,4 +540,185 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
     return {
         "strategy": "scoped", "from_version": frm, "to_version": to,
         "view_version": V.current_version(dst), "groups_changed": int(n),
+    }
+
+
+def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
+    """Fold advanced DIMENSION versions into a star-schema view
+    incrementally — the verb :class:`StaleDimensions` points at.
+
+    For each dim that moved past its pinned version, the dim's own
+    change feed identifies exactly which dim keys changed; only fact
+    rows joining those keys can change the view. Cost ∝ (changed dim
+    keys × their fact rows), never table or view size:
+
+    - **delta views** (all aggs self-maintainable): the affected fact
+      rows are re-joined twice — against the dim's OLD pinned version
+      with sign −1 and its NEW version with sign +1 — and the signed
+      union folds through the same algebra as a fact-CDF refresh. A
+      dim UPDATE that moves a fact row between groups subtracts it
+      from the old group and adds it to the new one in one merge; a
+      dim-key DELETE removes its rows from the view (star-schema
+      inner-join semantics); an INSERT admits previously-dropped fact
+      rows.
+    - **scoped views** (min/max present): the signed union contributes
+      only its DISTINCT group list (old groups ∪ new groups); those
+      groups are recomputed from the fact at the view's CURRENT
+      watermark joined to the dims with this dim at its new version,
+      and merge-replaced; groups with no surviving rows are deleted.
+
+    The fact is read AT THE VIEW'S WATERMARK version — dim evolution
+    and fact refresh are orthogonal folds; run
+    :func:`refresh_aggregate_view` before/after for fact changes.
+    Each dim folds in its own commit that re-pins that dim's version,
+    so a crash mid-way resumes exactly where it left (the same
+    exactly-once watermark argument as refresh). Dims whose CDF range
+    is no longer derivable (vacuumed manifests) raise
+    :class:`StaleDimensions` — full_refresh_aggregate_view remains the
+    escape hatch.
+
+    Returns {"strategy", "dims_evolved", "groups_changed",
+    "view_version"}."""
+    meta = view_meta(dst)
+    aggs = {k: (fn, col) for k, (fn, col) in meta["aggs"].items()}
+    keys = list(meta["group_by"])
+    dims = [dict(d) for d in (meta.get("dims") or [])]
+    moved = [
+        i for i, d in enumerate(dims)
+        if V.current_version(d["path"]) != d["version"]
+    ]
+    if not moved:
+        return {
+            "strategy": "noop", "dims_evolved": 0, "groups_changed": 0,
+            "view_version": V.current_version(dst),
+        }
+    delta_ok = all(fn in _SELF_MAINTAINABLE for fn, _ in aggs.values())
+    src_watermark = meta["source_version"]
+    fact = V.read_table(spark, meta["source"], version=src_watermark)
+    total_groups = 0
+    for i in moved:
+        d = dims[i]
+        cur_v = V.current_version(d["path"])
+        try:
+            dim_cdf = V.table_changes(spark, d["path"], d["version"], cur_v)
+        except (FileNotFoundError, OSError) as exc:
+            raise StaleDimensions(
+                f"dimension {d['path']} has no derivable change feed "
+                f"v{d['version']}->v{cur_v} (vacuumed?); run "
+                f"full_refresh_aggregate_view"
+            ) from exc
+        dkeys = list(d["keys"])
+        changed_keys = (
+            dim_cdf.select(*dkeys).distinct().localCheckpoint(eager=True)
+        )
+        # only fact rows joining a changed dim key can move the view;
+        # the changed-key set is delivery-sized (a dim mutation), so
+        # broadcast the probe — the fact scan is the only big IO
+        affected = fact.join(F.broadcast(changed_keys), dkeys, "left_semi")
+
+        def leg(dim_version: int, sign: int) -> DataFrame:
+            dd = [dict(x) for x in dims]
+            dd[i] = {**d, "version": dim_version}
+            return _with_dims(spark, affected, dd).withColumn(
+                "__mv_sign", F.lit(sign)
+            )
+
+        view_v = V.current_version(dst)
+        new_meta = {
+            **meta,
+            "dims": [
+                {**x, "version": cur_v} if j == i else x
+                for j, x in enumerate(dims)
+            ],
+        }
+        if delta_ok:
+            signed = leg(d["version"], -1).unionByName(leg(cur_v, 1))
+            delta = signed.groupBy(*keys).agg(
+                *_delta_exprs(aggs, F.col("__mv_sign"))
+            )
+            state_cols = [c for c in delta.columns if c not in keys]
+            nonzero = F.lit(False)
+            for c in state_cols:
+                nonzero = nonzero | (F.coalesce(F.col(c), F.lit(0)) != 0)
+            delta = delta.filter(nonzero).localCheckpoint(eager=True)
+            _guard_null_keys(delta, keys, "the dim-evolution delta")
+            stats = delta.agg(
+                F.count(F.lit(1)).alias("n"), F.min(_CNT).alias("min_cnt")
+            ).collect()[0]
+            n, min_cnt = stats["n"], stats["min_cnt"]
+            if n == 0:
+                V._commit(
+                    dst,
+                    V._read_manifest(dst, view_v)["files"],
+                    extra={"mv": new_meta},
+                    expect_version=view_v,
+                    operation=f"EVOLVE_MV_DIM({d['path']}@v{cur_v})",
+                )
+            else:
+                add = {
+                    c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                    for c in state_cols
+                }
+                V.merge_table(
+                    spark, dst, delta, keys,
+                    when_matched=add,
+                    extra={"mv": new_meta},
+                    expect_version=view_v,
+                )
+                if min_cnt is not None and min_cnt < 0:
+                    V.merge_table(
+                        spark, dst, delta.select(*keys), keys,
+                        when_matched="delete",
+                        matched_condition=F.col(f"t.{_CNT}") <= 0,
+                        insert_unmatched=False,
+                    )
+            total_groups += int(n)
+        else:
+            signed = leg(d["version"], -1).unionByName(leg(cur_v, 1))
+            touched = (
+                signed.select(*keys).distinct().localCheckpoint(eager=True)
+            )
+            _guard_null_keys(
+                touched, keys, "the dim-evolution touched-group list"
+            )
+            n = touched.count()
+            if n == 0:
+                V._commit(
+                    dst,
+                    V._read_manifest(dst, view_v)["files"],
+                    extra={"mv": new_meta},
+                    expect_version=view_v,
+                    operation=f"EVOLVE_MV_DIM({d['path']}@v{cur_v})",
+                )
+            else:
+                src = _with_dims(spark, fact, new_meta["dims"])
+                recomputed = (
+                    src.join(touched, keys, "left_semi")
+                    .groupBy(*keys)
+                    .agg(*_state_exprs(aggs))
+                    .localCheckpoint(eager=True)
+                )
+                V.merge_table(
+                    spark, dst, recomputed, keys,
+                    when_matched="replace",
+                    extra={"mv": new_meta},
+                    expect_version=view_v,
+                )
+                vanished = touched.join(
+                    recomputed.select(*keys), keys, "left_anti"
+                )
+                if vanished.limit(1).count():
+                    V.merge_table(
+                        spark, dst, vanished, keys,
+                        when_matched="delete", insert_unmatched=False,
+                    )
+            total_groups += int(n)
+        dims[i] = {**d, "version": cur_v}
+        meta = new_meta
+    return {
+        "strategy": "delta" if delta_ok else "scoped",
+        "dims_evolved": len(moved),
+        "groups_changed": total_groups,
+        "view_version": V.current_version(dst),
     }

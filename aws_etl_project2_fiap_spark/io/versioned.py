@@ -1965,9 +1965,17 @@ def merge_table(
     not_matched_by_source_condition: Column | None = None,
     extra: dict | None = None,
     schema_evolution: bool = False,
+    expect_version: int | None = None,
 ) -> dict:
     """MERGE INTO a versioned table with file-level copy-on-write and
     the full Delta-style clause triad.
+
+    ``expect_version``: optimistic-concurrency token for callers whose
+    source dataframe was DERIVED from a specific table version (e.g. a
+    matview refresh folding a CDF range) — if the table has moved past
+    it by merge start, raise :class:`CommitConflict` BEFORE any work,
+    on top of the commit-time CAS that already guards the window
+    between merge start and pointer flip.
 
     ``when_matched``:
 
@@ -2058,6 +2066,12 @@ def merge_table(
             and not insert_unmatched):
         raise ValueError("merge with no clauses would be a no-op")
     base_version = current_version(path)
+    if expect_version is not None and base_version != expect_version:
+        raise CommitConflict(
+            f"table {path} moved to v{base_version} while this merge's "
+            f"source was derived from v{expect_version}; re-derive and "
+            f"retry"
+        )
     manifest = _read_manifest(path, base_version)
     files = manifest["files"]
     mapping = manifest.get("column_mapping")

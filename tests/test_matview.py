@@ -587,3 +587,294 @@ def test_view_state_is_bucket_clustered_and_merge_prunes(spark, tmp_path):
     }
     assert set(got) == set(exp)
     assert abs(got[42] - exp[42]) < 1e-6
+
+
+# ---------------------------------------------------------------------
+# round 7: dim evolution, NULL-key refresh guard, SUM NULL-vs-0,
+# racing-refresher CAS, vacuum-vs-refresh composition
+# ---------------------------------------------------------------------
+
+
+def _star25(spark, tmp_path):
+    """Star fixture where some fact rows have NO dim match (cust 20-24)
+    so a dim INSERT can admit previously-dropped rows."""
+    fact, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    V.create_table(
+        spark.range(0, 250).select(
+            (F.col("id") % 25).alias("cust_fk"),
+            (F.col("id") * 1.0).alias("amount"),
+        ),
+        fact,
+    )
+    V.create_table(
+        spark.range(0, 20).select(
+            F.col("id").alias("cust_fk"),
+            F.concat(F.lit("R"), (F.col("id") % 4).cast("string")).alias(
+                "region"
+            ),
+        ),
+        dim,
+    )
+    return fact, dim
+
+
+def test_evolve_dimensions_delta_update_delete_insert(spark, tmp_path):
+    """A dim UPDATE (rows move between groups), DELETE (rows leave the
+    view) and INSERT (previously-unmatched fact rows join it) all fold
+    incrementally and hash-match a recompute."""
+    fact, dim = _star25(spark, tmp_path)
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region"],
+        {"rev": ("sum", "amount"), "n": ("count", None)},
+        dims=[{"path": dim, "keys": ["cust_fk"]}],
+    )
+    # dim moves three ways
+    V.update_table(
+        spark, dim, {"region": F.lit("R9")}, F.col("cust_fk") < 5
+    )
+    V.delete_from(spark, dim, F.col("cust_fk") == 7, mode="cow")
+    V.append_table(
+        spark.createDataFrame(
+            [(20, "R0"), (21, "R9")], "cust_fk long, region string"
+        ),
+        dim,
+    )
+    with pytest.raises(MV.StaleDimensions):
+        MV.refresh_aggregate_view(spark, view)
+    r = MV.evolve_dimensions(spark, view)
+    assert r["strategy"] == "delta" and r["dims_evolved"] == 1
+    assert r["groups_changed"] > 0
+    _star_assert(spark, fact, dim, view)
+    # re-pinned: normal fact refresh works again
+    assert MV.refresh_aggregate_view(spark, view)["strategy"] == "noop"
+
+
+def test_evolve_dimensions_scoped_minmax(spark, tmp_path):
+    fact, dim = _star25(spark, tmp_path)
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region"],
+        {"mx": ("max", "amount"), "rev": ("sum", "amount")},
+        dims=[{"path": dim, "keys": ["cust_fk"]}],
+    )
+    V.update_table(
+        spark, dim, {"region": F.lit("R0")}, F.col("cust_fk") % 4 == 3
+    )
+    V.delete_from(spark, dim, F.col("cust_fk") == 19, mode="dv")
+    r = MV.evolve_dimensions(spark, view)
+    assert r["strategy"] == "scoped" and r["groups_changed"] > 0
+    f, d = V.read_table(spark, fact), V.read_table(spark, dim)
+    exp = {
+        x["region"]: (float(x["mx"]), float(x["rev"]))
+        for x in f.join(d, "cust_fk").groupBy("region")
+        .agg(F.max("amount").alias("mx"), F.sum("amount").alias("rev"))
+        .collect()
+    }
+    got = {
+        x["region"]: (float(x["mx"]), float(x["rev"]))
+        for x in MV.read_aggregate_view(spark, view).collect()
+    }
+    assert set(got) == set(exp)
+    for key in exp:
+        assert abs(got[key][0] - exp[key][0]) < 1e-6
+        assert abs(got[key][1] - exp[key][1]) < 1e-6
+
+
+def test_evolve_then_fact_refresh_composes(spark, tmp_path):
+    """Dim evolution and fact refresh are orthogonal folds: applying
+    both (in either order the API allows) equals a recompute."""
+    fact, dim = _star25(spark, tmp_path)
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region"],
+        {"rev": ("sum", "amount"), "n": ("count", None)},
+        dims=[{"path": dim, "keys": ["cust_fk"]}],
+    )
+    V.update_table(
+        spark, dim, {"region": F.lit("R2")}, F.col("cust_fk") < 3
+    )
+    V.append_table(
+        spark.range(300, 330).select(
+            (F.col("id") % 25).alias("cust_fk"),
+            (F.col("id") * 2.0).alias("amount"),
+        ),
+        fact,
+    )
+    V.delete_from(spark, fact, F.col("amount") > 640, mode="dv")
+    MV.evolve_dimensions(spark, view)
+    r = MV.refresh_aggregate_view(spark, view)
+    assert r["strategy"] == "delta" and r["groups_changed"] > 0
+    _star_assert(spark, fact, dim, view)
+
+
+def test_evolve_unaffected_dim_change_repins(spark, tmp_path):
+    """A dim commit touching keys with NO fact rows still re-pins the
+    dim watermark (metadata commit) so refresh unblocks."""
+    fact, dim = _star25(spark, tmp_path)
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region"],
+        {"rev": ("sum", "amount")},
+        dims=[{"path": dim, "keys": ["cust_fk"]}],
+    )
+    V.append_table(
+        spark.createDataFrame(
+            [(900, "R0")], "cust_fk long, region string"
+        ),
+        dim,
+    )
+    r = MV.evolve_dimensions(spark, view)
+    assert r["dims_evolved"] == 1 and r["groups_changed"] == 0
+    assert MV.refresh_aggregate_view(spark, view)["strategy"] == "noop"
+    _star_assert_rev_only(spark, fact, dim, view)
+
+
+def _star_assert_rev_only(spark, fact, dim, view):
+    f, d = V.read_table(spark, fact), V.read_table(spark, dim)
+    exp = {
+        r["region"]: float(r["rev"])
+        for r in f.join(d, "cust_fk").groupBy("region")
+        .agg(F.sum("amount").alias("rev")).collect()
+    }
+    got = {
+        r["region"]: float(r["rev"])
+        for r in MV.read_aggregate_view(spark, view).collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-6
+
+
+def test_refresh_rejects_null_group_keys_in_cdf(spark, tmp_path):
+    """ADVICE r6: NULL keys arriving AFTER create must fail the refresh
+    loudly (delta path would duplicate, scoped would drop silently)."""
+    src = _src(spark, tmp_path)
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(spark, src, view, ["k"], SUM_AGGS)
+    V.append_table(
+        spark.createDataFrame(
+            [(None, 1.0, 2)], "k long, x double, n long"
+        ),
+        src,
+    )
+    with pytest.raises(ValueError, match="NULL group keys"):
+        MV.refresh_aggregate_view(spark, view)
+    # scoped flavor: same guard
+    view2 = str(tmp_path / "view2")
+    src2 = _src(spark, tmp_path / "s2")
+    MV.create_aggregate_view(spark, src2, view2, ["k"], MM_AGGS)
+    V.append_table(
+        spark.createDataFrame(
+            [(None, 1.0, 2)], "k long, x double, n long"
+        ),
+        src2,
+    )
+    with pytest.raises(ValueError, match="NULL group keys"):
+        MV.refresh_aggregate_view(spark, view2)
+
+
+def test_sum_null_vs_zero_exact(spark, tmp_path):
+    """ADVICE r6: the view must distinguish SUM=NULL (all inputs NULL)
+    from SUM=0 through any number of folds — including the NULL->0
+    value update the all-zero-delta filter used to drop."""
+    src = str(tmp_path / "src")
+    V.create_table(
+        spark.createDataFrame(
+            [(1, None), (1, None), (2, 5.0)], "k long, x double"
+        ),
+        src,
+    )
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(spark, src, view, ["k"], {"sx": ("sum", "x")})
+
+    def got():
+        return {
+            r["k"]: r["sx"]
+            for r in MV.read_aggregate_view(spark, view).collect()
+        }
+
+    assert got()[1] is None and float(got()[2]) == 5.0
+    # NULL -> 0 value update (delete NULL row + insert 0 row)
+    V.update_table(spark, src, {"x": F.lit(0.0)}, F.col("k") == 1)
+    MV.refresh_aggregate_view(spark, view)
+    assert got()[1] is not None and float(got()[1]) == 0.0
+    # 0 -> NULL again: back to SQL NULL, not 0
+    V.update_table(
+        spark, src, {"x": F.lit(None).cast("double")}, F.col("k") == 1
+    )
+    MV.refresh_aggregate_view(spark, view)
+    assert got()[1] is None
+    # and the recompute agrees at every step
+    exp = {
+        r["k"]: r["sx"]
+        for r in V.read_table(spark, src).groupBy("k")
+        .agg(F.sum("x").alias("sx")).collect()
+    }
+    g = got()
+    assert set(g) == set(exp)
+    for k in exp:
+        assert (g[k] is None) == (exp[k] is None)
+
+
+def test_racing_refreshers_fold_exactly_once(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #5: two refreshers interleave on the same CDF range —
+    exactly one commits (CAS on the view version the watermark was read
+    from); the loser reports noop and the view equals a recompute."""
+    src = _src(spark, tmp_path)
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(spark, src, view, ["k"], SUM_AGGS)
+    V.append_table(
+        spark.range(500, 560).select(
+            (F.col("id") % 7).alias("k"),
+            (F.col("id") * 1.5).alias("x"),
+            F.col("id").alias("n"),
+        ),
+        src,
+    )
+    real_merge = V.merge_table
+    state = {"raced": False}
+
+    def racing_merge(spark_, path, source, keys, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # refresher B lands the same range first, mid-flight of A
+            monkeypatch.setattr(MV.V, "merge_table", real_merge)
+            rb = MV.refresh_aggregate_view(spark_, view)
+            assert rb["groups_changed"] > 0
+            monkeypatch.setattr(MV.V, "merge_table", racing_merge)
+        return real_merge(spark_, path, source, keys, **kw)
+
+    monkeypatch.setattr(MV.V, "merge_table", racing_merge)
+    ra = MV.refresh_aggregate_view(spark, view)
+    monkeypatch.setattr(MV.V, "merge_table", real_merge)
+    assert ra["strategy"] == "noop" and ra["groups_changed"] == 0
+    _assert_equal(_got(spark, view), _expect(spark, src, SUM_SQL()))
+
+
+def test_vacuum_past_watermark_refresh_raises(spark, tmp_path):
+    """VERDICT r6 #6: vacuuming the source past a view's watermark must
+    make refresh fail LOUDLY (the CDF range is gone) — never fold a
+    partial feed. Retention rule: vacuum(keep_last=K) is safe iff every
+    view refreshes at least once per K source commits."""
+    src = _src(spark, tmp_path)
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(spark, src, view, ["k"], SUM_AGGS)
+    before = _got(spark, view)
+    for lo in (500, 600, 700):
+        V.append_table(
+            spark.range(lo, lo + 30).select(
+                (F.col("id") % 7).alias("k"),
+                (F.col("id") * 1.5).alias("x"),
+                F.col("id").alias("n"),
+            ),
+            src,
+        )
+    V.vacuum(src, keep_last=1)  # watermark manifest dropped
+    with pytest.raises((FileNotFoundError, OSError)):
+        MV.refresh_aggregate_view(spark, view)
+    # nothing folded: the view is byte-identical to pre-attempt
+    assert _got(spark, view) == before
+    # recovery verb works and re-pins
+    MV.full_refresh_aggregate_view(spark, view)
+    _assert_equal(_got(spark, view), _expect(spark, src, SUM_SQL()))
