@@ -6122,6 +6122,95 @@ def k_matview_star_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "k_matview_dim_evolution_readback",
+    """
+    WITH dim AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 <> 0 AND c_custkey % 7 = 0
+                    THEN (c_nationkey + 3) % 25
+                    ELSE c_nationkey END AS nk
+        FROM customer
+        WHERE c_custkey % 5 = 0 OR c_custkey % 11 <> 0
+    )
+    SELECT n.n_name, count(*) AS n,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(28,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders o, dim d, nation n
+    WHERE o.o_custkey = d.c_custkey AND d.nk = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def k_matview_dim_evolution_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Star matview DIMENSION EVOLUTION (io/matview.py
+    ``evolve_dimensions``): after create, the customer dimension gets
+    an UPDATE (customers %7 move nations — their orders must migrate
+    between view groups), a DV DELETE (%11 customers leave — their
+    orders drop out of the view) and an APPEND (the %5 customers held
+    out at create join — their orders enter). One evolve_dimensions
+    call folds all three incrementally: the dim's own change feed
+    scopes the fold to fact rows joining CHANGED dim keys (signed
+    old-version/new-version join legs, same algebra as a fact-CDF
+    refresh), so cost ∝ changed-dim fact rows, never fact or view
+    size. The oracle recomputes the final join-aggregate from scratch.
+
+    Where the r6 engine raised StaleDimensions and forced a full
+    recompute, this folds the dim change and re-pins (StaleDimensions
+    remains for un-CDF-able moves, e.g. vacuumed dim history)."""
+    from .io import matview as mv_op
+    from .io import versioned as ver_op
+
+    fact = _scratch_dir("mvdim_fact")
+    cust = _scratch_dir("mvdim_cust")
+    nat = _scratch_dir("mvdim_nat")
+    dst = _scratch_dir("mvdim_view")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    ver_op.create_table(o, fact)
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    # hold out the %5 customers: their orders are dropped by the view's
+    # inner-join semantics until the dim INSERT admits them
+    ver_op.create_table(c.filter(F.col("o_custkey") % 5 != 0), cust)
+    ver_op.create_table(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nationkey"), "n_name"
+        ),
+        nat,
+    )
+    mv_op.create_aggregate_view(
+        spark, fact, dst, ["n_name"],
+        {"n": ("count", None), "revenue": ("sum", "o_totalprice")},
+        dims=[
+            {"path": cust, "keys": ["o_custkey"]},
+            {"path": nat, "keys": ["c_nationkey"]},
+        ],
+    )
+    # the dimension moves three ways
+    ver_op.update_table(
+        spark, cust,
+        {"c_nationkey": (F.col("c_nationkey") + 3) % 25},
+        F.col("o_custkey") % 7 == 0,
+    )
+    ver_op.delete_from(
+        spark, cust, F.col("o_custkey") % 11 == 0, mode="dv"
+    )
+    ver_op.append_table(c.filter(F.col("o_custkey") % 5 == 0), cust)
+    res = mv_op.evolve_dimensions(spark, dst)
+    assert res["strategy"] == "delta" and res["dims_evolved"] == 1
+    assert res["groups_changed"] > 0
+    # evolved: incremental fact refresh is unblocked again
+    assert mv_op.refresh_aggregate_view(spark, dst)["strategy"] == "noop"
+    v = mv_op.read_aggregate_view(spark, dst)
+    return v.select(
+        "n_name",
+        "n",
+        F.round("revenue", 2).cast("double").alias("revenue"),
+    )
+
+
+@defquery(
     "k_wap_publish_readback",
     """
     WITH merged AS (
@@ -6189,6 +6278,101 @@ def k_wap_publish_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ver_op.read_table(spark, tbl)
         .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@defquery(
+    "k_wap_merge_publish_readback",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 3 = 0)
+          AND NOT (o_orderkey % 2 = 1 AND o_orderkey % 5 = 0)
+    ), adds AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_orderpriority,
+               o_totalprice * 2 AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_orderpriority, o_totalprice * 3
+        FROM orders WHERE o_orderkey % 89 = 0
+    ), final AS (
+        SELECT * FROM base UNION ALL SELECT * FROM adds
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def k_wap_merge_publish_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Three-way WAP publish (io/wap.py mode='merge', the Iceberg
+    branch-merge shape): while a stage DV-deletes even keys %3 and
+    appends, the PRODUCTION table concurrently DV-deletes odd keys %5
+    and appends. The base was laid out with even and odd keys in
+    separate batch dirs, so the two sides mutate DISJOINT file sets —
+    merge publish applies the stage's per-file mutations onto the
+    table's CURRENT manifest: both deletes hold, both appends land,
+    nothing is lost or doubled (the oracle rebuilds the final state
+    from the source table and the hash gate proves it). A plain
+    publish of the same stage conflicts (asserted) — where the r6
+    engine forced a full re-stage, merge reconciles.
+
+    Scale: the reconcile is pure manifest arithmetic — O(files) set
+    ops on the driver, O(created dirs) renames, one CAS commit; data
+    bytes are never read or rewritten (tests/test_wap.py)."""
+    from .io import versioned as ver_op
+    from .io import wap as wap_op
+
+    tbl = _scratch_dir("wapm_t")
+    stg = _scratch_dir("wapm_s")
+    import shutil as _sh
+
+    _sh.rmtree(stg, ignore_errors=True)  # begin_stage wants a fresh dir
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    even, odd = F.col("o_orderkey") % 2 == 0, F.col("o_orderkey") % 2 == 1
+    ver_op.create_table(o.filter(even), tbl)
+    ver_op.append_table(o.filter(odd), tbl)  # odd keys: separate dirs
+    wap_op.begin_stage(spark, tbl, stg)
+    ver_op.delete_from(
+        spark, stg, even & (F.col("o_orderkey") % 3 == 0), mode="dv"
+    )
+    ver_op.append_table(
+        o.filter(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_orderpriority",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ),
+        stg,
+    )
+    # production advances underneath: disjoint files (odd keys) + adds
+    ver_op.delete_from(
+        spark, tbl, odd & (F.col("o_orderkey") % 5 == 0), mode="dv"
+    )
+    ver_op.append_table(
+        o.filter(F.col("o_orderkey") % 89 == 0).select(
+            (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+            "o_orderpriority",
+            (F.col("o_totalprice") * 3).alias("o_totalprice"),
+        ),
+        tbl,
+    )
+    try:
+        wap_op.publish_stage(spark, tbl, stg, keep_stage=True)
+        raise AssertionError("plain publish over a moved base must conflict")
+    except ver_op.CommitConflict:
+        pass
+    res = wap_op.publish_stage(spark, tbl, stg, mode="merge")
+    assert res["mode"] == "merge"
+    return (
+        ver_op.read_table(spark, tbl)
+        .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
@@ -6502,7 +6686,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_simhash", "dedup_simhash_pairs", "dedup_span_exact",
     "sample_stratified", "text_rolling_chunks", "corpus_shard_export",
     # --- 19 more continuity sentinels (r3-green, one per family) ---
-    "a2_count", "o1_topk", "join_star_revenue",
+    "a2_count", "k_matview_dim_evolution_readback", "join_star_revenue",
     "window_keep_latest", "sessionize_30m", "event_time_tumbling_1h",
     "dedup_exact", "dedup_ngram_jaccard", "text_langid",
     "similarity_knn", "multimodal_meta", "tpch_q3_shipping_priority",

@@ -94,7 +94,7 @@ _R7_WINDOW = [
     "k_replicate_readback",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_span_exact",
     "sample_stratified", "text_rolling_chunks", "corpus_shard_export",
-    "a2_count", "o1_topk", "join_star_revenue",
+    "a2_count", "k_matview_dim_evolution_readback", "join_star_revenue",
     "window_keep_latest", "sessionize_30m", "event_time_tumbling_1h",
     "dedup_exact", "dedup_ngram_jaccard", "text_langid",
     "similarity_knn", "multimodal_meta", "tpch_q3_shipping_priority",
