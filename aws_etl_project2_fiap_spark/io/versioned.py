@@ -489,7 +489,9 @@ def prunable_bucket(files: list, col: str, value) -> tuple[list, list]:
             kind, w, src = _parse_spec_col(key)
             if kind != "bucket" or src != col:
                 continue
-            b = _bucket_of(value, w)
+            b = _bucket_of(
+                value, w, (f.get("bucket_dtypes") or {}).get(key)
+            )
             if b is not None and b not in members:
                 drop = True
                 break
@@ -504,19 +506,19 @@ def prunable_bucket_any(files: list, col: str, values) -> tuple[list, list]:
     by the same cap as the bloom probe. Any probe value the driver
     can't hash byte-identically disables pruning entirely (kept files
     are always safe)."""
-    memo: dict[int, set | None] = {}
+    memo: dict[tuple[int, str | None], set | None] = {}
 
-    def _vbuckets(w: int) -> set | None:
-        if w not in memo:
+    def _vbuckets(w: int, dtype: str | None) -> set | None:
+        if (w, dtype) not in memo:
             bs: set | None = set()
             for v in values:
-                b = _bucket_of(v, w)
+                b = _bucket_of(v, w, dtype)
                 if b is None:
                     bs = None  # unhashable probe type → no pruning
                     break
                 bs.add(b)
-            memo[w] = bs
-        return memo[w]
+            memo[(w, dtype)] = bs
+        return memo[(w, dtype)]
 
     kept, skipped = [], []
     for f in files:
@@ -525,7 +527,7 @@ def prunable_bucket_any(files: list, col: str, values) -> tuple[list, list]:
             kind, w, src = _parse_spec_col(key)
             if kind != "bucket" or src != col:
                 continue
-            vb = _vbuckets(w)
+            vb = _vbuckets(w, (f.get("bucket_dtypes") or {}).get(key))
             if vb is not None and not (vb & set(members)):
                 drop = True
                 break
@@ -826,23 +828,41 @@ def _phys_spec_col(mapping: dict | None, s: str) -> str:
     return _format_spec_col(kind, n, _phys_col(mapping, col))
 
 
-def _bucket_of(value, n: int) -> int | None:
+# integer Spark dtypes whose CAST-to-string matches Python str(int)
+_BUCKET_INT_DTYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _bucket_of(value, n: int, dtype: str | None = None) -> int | None:
     """Driver-side twin of the bucket() expression — byte-identical to
     the Spark side (md5 of the CAST-to-string value, first 8 hex chars
     as an int, mod n) so manifest bucket membership can prune an eq
-    probe without a false prune. Returns None (no pruning) for types
-    whose Python str() might diverge from Spark's cast-to-string."""
+    probe without a false prune. Returns None (no pruning) unless the
+    probe VALUE's Python type provably renders identically to Spark's
+    cast-to-string of the COLUMN's ``dtype`` — membership was recorded
+    from the column's rendering, so an int probe against a DOUBLE
+    column (Spark spells ``5.0``, Python ``5``) would hash into the
+    wrong bucket and falsely prune the matching file. ``dtype`` comes
+    from the manifest's per-file ``bucket_dtypes`` (recorded at write
+    time); unknown dtype disables pruning, never correctness."""
     import datetime as _dt
     import hashlib
 
-    if isinstance(value, bool) or value is None:
+    if dtype is None or isinstance(value, bool) or value is None:
         return None
     if isinstance(value, (_dt.datetime,)):
         return None  # cast-to-string spells vary (tz, micros) — skip
     if isinstance(value, _dt.date):
+        if dtype != "date":
+            return None
         s = value.isoformat()
-    elif isinstance(value, (int, str)):
+    elif isinstance(value, int):
+        if dtype not in _BUCKET_INT_DTYPES:
+            return None
         s = str(value)
+    elif isinstance(value, str):
+        if dtype != "string":
+            return None
+        s = value
     else:
         return None  # float/decimal renderings differ — never risk it
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % n
@@ -908,19 +928,30 @@ def _batch_bucket_sets(
     prune it — membership lists can, exactly (a bucket-clustered file
     holds ~1 bucket). collect is O(new files × buckets/file): bounded
     by the batch, not the table."""
+    raw = spark.read.parquet(batch)
     sel = [_norm_file_path().alias("__f")]
     aggs = []
     for j, (_, w, src) in enumerate(bucket_specs):
         sel.append(_transform_expr("bucket", w, src, None).alias(f"__b{j}"))
         aggs.append(F.collect_set(f"__b{j}").alias(f"__b{j}"))
-    rows = (
-        spark.read.parquet(batch).select(*sel).groupBy("__f").agg(*aggs)
-    ).collect()
+    rows = raw.select(*sel).groupBy("__f").agg(*aggs).collect()
+    # record each bucket source column's dtype next to the membership:
+    # the driver-side probe hash is only sound when the probe value's
+    # rendering matches this dtype's cast-to-string (see _bucket_of)
+    batch_dtypes = dict(raw.dtypes)
+    dtypes = {
+        key: batch_dtypes.get(src)
+        for key, _, src in bucket_specs
+        if batch_dtypes.get(src) is not None
+    }
     return {
-        r["__f"]: {
-            key: sorted(r[f"__b{j}"])
-            for j, (key, _, _) in enumerate(bucket_specs)
-        }
+        r["__f"]: (
+            {
+                key: sorted(r[f"__b{j}"])
+                for j, (key, _, _) in enumerate(bucket_specs)
+            },
+            dtypes,
+        )
         for r in rows
     }
 
@@ -973,7 +1004,7 @@ def _write_batch(
         if spec_id is not None:
             entry["spec_id"] = spec_id
         if p in buckets_by_file:
-            entry["buckets"] = buckets_by_file[p]
+            entry["buckets"], entry["bucket_dtypes"] = buckets_by_file[p]
         blooms = {}
         for col in bloom_cols or []:
             bpath = _write_bloom(p, col)

@@ -273,17 +273,17 @@ def test_bucket_python_matches_spark(spark):
     got = {r["v"]: r["b"] for r in df.collect()}
     for v in vals:
         if isinstance(v, int):
-            assert got[v] == _bucket_of(v, 8), v
+            assert got[v] == _bucket_of(v, 8, "bigint"), v
     sdf = spark.createDataFrame(
         [(v,) for v in vals if isinstance(v, str)], "v string"
     ).withColumn("b", _transform_expr("bucket", 8, "v", None))
     for r in sdf.collect():
-        assert r["b"] == _bucket_of(r["v"], 8), r["v"]
+        assert r["b"] == _bucket_of(r["v"], 8, "string"), r["v"]
     ddf = spark.createDataFrame(
         [(v,) for v in vals if isinstance(v, dt.date)], "v date"
     ).withColumn("b", _transform_expr("bucket", 8, "v", None))
     for r in ddf.collect():
-        assert r["b"] == _bucket_of(r["v"], 8), r["v"]
+        assert r["b"] == _bucket_of(r["v"], 8, "date"), r["v"]
 
 
 def test_bucket_spec_prunes_point_reads(spark, tmp_path):
@@ -450,3 +450,41 @@ def test_spec_default_append_does_not_expand_micro_batches(spark, tmp_path):
     new = [f for f in files if f.get("spec_id") == 1]
     # 4 create files + at most 2 appended files
     assert len(files) <= 6 and len(new) == len(files)
+
+
+def test_bucket_prune_refuses_dtype_mismatch(spark, tmp_path):
+    """ADVICE r6: probing a DOUBLE bucket-clustered column with a
+    Python int must NOT prune (Spark rendered '5.0' into membership,
+    the driver would hash '5' into the wrong bucket) — the read stays
+    correct, pruning just declines. Matching dtypes still prune."""
+    path = str(tmp_path / "t")
+    df = spark.range(2000).select(
+        (F.col("id") * 1.0).alias("k"),  # DOUBLE key
+        (F.col("id") * 3).alias("v"),
+    )
+    V.create_table(df, path, cluster_by=["bucket(8,k)"], num_files=8)
+    files = V._read_manifest(path, 1)["files"]
+    assert all("bucket_dtypes" in f for f in files)
+    # int probe on a double column: no pruning, but the READ is exact
+    kept, skipped = V.prunable_bucket(files, "k", 1234)
+    assert not skipped and len(kept) == len(files)
+    got = V.read_table(spark, path, eq=("k", 1234.0)).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1234.0, 3702)]
+    # float probe: also declines (rendering never trusted)
+    kept2, skipped2 = V.prunable_bucket(files, "k", 1234.0)
+    assert not skipped2
+    # a STRING-keyed table still prunes string probes (unchanged path)
+    p2 = str(tmp_path / "t2")
+    V.create_table(
+        spark.range(2000).select(
+            F.concat(F.lit("key_"), F.col("id")).alias("k"),
+            (F.col("id") * 3).alias("v"),
+        ),
+        p2, cluster_by=["bucket(8,k)"], num_files=8,
+    )
+    f2 = V._read_manifest(p2, 1)["files"]
+    kept3, skipped3 = V.prunable_bucket(f2, "k", "key_1234")
+    assert skipped3 and len(kept3) < len(f2)
+    # but an INT probe against the string column declines
+    kept4, skipped4 = V.prunable_bucket(f2, "k", 1234)
+    assert not skipped4
