@@ -80,6 +80,25 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_lakesql(args) -> int:
+    """Lakehouse SQL: MERGE INTO / UPDATE / DELETE / SELECT with
+    VERSION|TIMESTAMP AS OF / RESTORE / DESCRIBE HISTORY / OPTIMIZE /
+    VACUUM over registered versioned tables (lakesql.LakeSQL)."""
+    from .lakesql import LakeSQL
+
+    tables = {}
+    for spec in args.table or []:
+        name, _, path = spec.partition("=")
+        if not path:
+            print(f"--table needs NAME=PATH, got {spec!r}", file=sys.stderr)
+            return 2
+        tables[name] = path
+    lk = LakeSQL(_session(), tables)
+    df = lk.sql(args.query)
+    df.show(args.limit, truncate=not args.wide)
+    return 0
+
+
 def cmd_history(args) -> int:
     """DESCRIBE HISTORY: one line per retained version (operation,
     commit time, file count, commit extras)."""
@@ -430,6 +449,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--wide", action="store_true")
     p.set_defaults(fn=cmd_sql)
+
+    p = sub.add_parser(
+        "lakesql",
+        help="lakehouse SQL over versioned tables (MERGE INTO / UPDATE / "
+        "DELETE / VERSION AS OF / RESTORE / DESCRIBE HISTORY / OPTIMIZE / "
+        "VACUUM)",
+    )
+    p.add_argument("query")
+    p.add_argument(
+        "--table", action="append", metavar="NAME=PATH",
+        help="bind a table name to a versioned-table path (repeatable)",
+    )
+    p.add_argument("--limit", type=int, default=20)
+    p.add_argument("--wide", action="store_true")
+    p.set_defaults(fn=cmd_lakesql)
 
     p = sub.add_parser("history", help="versioned-table commit log")
     p.add_argument("table")

@@ -1,0 +1,528 @@
+"""SQL surface for the lakehouse verbs: MERGE INTO / UPDATE / DELETE /
+time travel (VERSION|TIMESTAMP AS OF) / RESTORE / DESCRIBE HISTORY /
+OPTIMIZE / VACUUM, parsed onto ``io/versioned.py``'s DataFrame verbs.
+
+The reference's analytic surface was SQL (its transform stage is a
+SparkSQL node in a Glue visual job — ETL_glue_pregao_B3.json:150-170);
+a user migrating from it expects to WRITE mutations in SQL too, the way
+Delta/Iceberg users do. Spark's open-source SQL parser has no writable
+table format behind these statements for plain-parquet sessions, so
+this module parses the Delta-style statement shapes itself and executes
+them through the versioned-table layer — every statement lands on
+exactly the same code path as the DataFrame API (``merge_table``,
+``update_table``, ``delete_from``, ``read_table``), so SQL-vs-DataFrame
+parity is structural, not re-implemented (tested in
+tests/test_lakesql.py against the test_merge_clauses shapes).
+
+Usage::
+
+    lk = LakeSQL(spark)
+    lk.register("orders", "/data/orders")         # name -> table path
+    lk.register("updates", "/data/updates")
+    lk.sql('''MERGE INTO orders AS t USING updates AS s
+              ON t.o_orderkey = s.o_orderkey
+              WHEN MATCHED AND s.valid THEN UPDATE SET
+                   o_totalprice = t.o_totalprice + s.delta
+              WHEN MATCHED THEN DELETE
+              WHEN NOT MATCHED THEN INSERT *
+              WHEN NOT MATCHED BY SOURCE THEN DELETE''')
+    lk.sql("UPDATE orders SET o_comment = 'x' WHERE o_orderkey % 7 = 0")
+    lk.sql("DELETE FROM orders WHERE o_totalprice < 0")
+    lk.sql("SELECT * FROM orders VERSION AS OF 3 WHERE ...")
+    lk.sql("RESTORE TABLE orders TO VERSION AS OF 2")
+    lk.sql("DESCRIBE HISTORY orders")
+    lk.sql("OPTIMIZE orders ZORDER BY (o_custkey)")
+    lk.sql("VACUUM orders RETAIN 4 VERSIONS")
+
+Every call returns a DataFrame: SELECTs return their result; mutations
+return a one-row summary (the dict the underlying verb returned), so a
+SQL-driven pipeline can log/assert on it uniformly.
+
+Grammar notes (deliberate limits, all loud):
+
+- MERGE's ON clause must be a conjunction of ``t.<col> = s.<col>``
+  equalities over SAME-NAMED columns (the ``merge_table`` key
+  contract); alias names are whatever the statement declares.
+- ``WHEN NOT MATCHED THEN INSERT *`` only (the source row inserts
+  whole — project the source subquery to shape it).
+- One clause of each kind, like Delta before 2.0. ``WHEN MATCHED``
+  may appear twice ONLY as UPDATE-with-condition followed by DELETE
+  (the Delta clause-ordering idiom), executed as a conditional update
+  merge then a conditional delete merge.
+- String literals containing keywords (``'WHEN MATCHED'``) inside
+  predicates are not lexed; keep such text out of DML predicates.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import versioned as V
+
+_WS = r"\s+"
+_ID = r"[A-Za-z_][\w]*"
+
+
+class SQLParseError(ValueError):
+    """The statement doesn't fit the supported lakehouse grammar."""
+
+
+def _split_top(text: str, sep: str) -> list[str]:
+    """Split on ``sep`` (a regex, case-insensitive, word-bounded) at
+    paren/quote depth 0 — commas inside function calls and ANDs inside
+    parenthesized sub-predicates don't split."""
+    parts, depth, last, i = [], 0, 0, 0
+    pat = re.compile(sep, re.I)
+    in_str = False
+    while i < len(text):
+        c = text[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(text, i)
+            if m:
+                parts.append(text[last:i])
+                i = m.end()
+                last = i
+                continue
+        i += 1
+    parts.append(text[last:])
+    return parts
+
+
+class LakeSQL:
+    """A tiny session binding table NAMES to versioned-table PATHS and
+    executing lakehouse SQL against them."""
+
+    def __init__(
+        self, spark: SparkSession, tables: dict[str, str] | None = None
+    ):
+        self.spark = spark
+        self.tables: dict[str, str] = dict(tables or {})
+
+    def register(self, name: str, path: str) -> None:
+        self.tables[name] = path
+
+    def _path(self, name: str) -> str:
+        if name not in self.tables:
+            raise SQLParseError(
+                f"unknown table {name!r}; register(name, path) first "
+                f"(known: {sorted(self.tables)})"
+            )
+        return self.tables[name]
+
+    # -- dispatch ------------------------------------------------------
+
+    def sql(self, text: str) -> DataFrame:
+        q = text.strip().rstrip(";").strip()
+        head = q.split(None, 1)[0].upper() if q else ""
+        if head == "MERGE":
+            return self._merge(q)
+        if head == "UPDATE":
+            return self._update(q)
+        if head == "DELETE":
+            return self._delete(q)
+        if head == "RESTORE":
+            return self._restore(q)
+        if head == "DESCRIBE":
+            return self._describe(q)
+        if head == "OPTIMIZE":
+            return self._optimize(q)
+        if head == "VACUUM":
+            return self._vacuum(q)
+        if head in ("SELECT", "WITH"):
+            return self._select(q)
+        raise SQLParseError(f"unsupported statement: {head or text!r}")
+
+    def _result(self, res: dict) -> DataFrame:
+        from pyspark.sql import Row
+
+        row = Row(**{k: str(v) for k, v in res.items()})
+        return self.spark.createDataFrame([row])
+
+    # -- SELECT + time travel -----------------------------------------
+
+    def _select(self, q: str) -> DataFrame:
+        """Register every referenced lakehouse table as a temp view —
+        at its CURRENT version, or the version/timestamp a trailing
+        ``VERSION AS OF n`` / ``TIMESTAMP AS OF 'ts'`` names — then let
+        Spark SQL run the query unchanged (Catalyst still prunes and
+        pushes down: the temp view is a plain parquet scan plan)."""
+        pat = re.compile(
+            rf"\b(FROM|JOIN){_WS}({_ID})"
+            rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+)"
+            rf"|{_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}'([^']+)')?",
+            re.I,
+        )
+
+        def sub(m: re.Match) -> str:
+            kw, name, ver, ts = m.groups()
+            if name not in self.tables:
+                return m.group(0)  # not ours (subquery alias, etc.)
+            path = self.tables[name]
+            if ver is not None:
+                view = f"{name}__v{ver}"
+                df = V.read_table(self.spark, path, version=int(ver))
+            elif ts is not None:
+                epoch = _dt.datetime.fromisoformat(ts).timestamp()
+                view = f"{name}__ts{int(epoch)}"
+                df = V.read_table_as_of(self.spark, path, epoch)
+            else:
+                view = f"{name}__cur"
+                df = V.read_table(self.spark, path)
+            df.createOrReplaceTempView(view)
+            return f"{kw} {view}"
+
+        return self.spark.sql(pat.sub(sub, q))
+
+    # -- UPDATE / DELETE ----------------------------------------------
+
+    def _update(self, q: str) -> DataFrame:
+        m = re.match(
+            rf"UPDATE{_WS}({_ID}){_WS}SET{_WS}(.*?)"
+            rf"(?:{_WS}WHERE{_WS}(.*))?$",
+            q, re.I | re.S,
+        )
+        if not m:
+            raise SQLParseError(f"cannot parse UPDATE: {q!r}")
+        name, sets, where = m.groups()
+        assigns = self._assignments(sets, aliased=False)
+        pred = F.expr(where) if where else F.lit(True)
+        return self._result(
+            V.update_table(self.spark, self._path(name), assigns, pred)
+        )
+
+    def _delete(self, q: str) -> DataFrame:
+        m = re.match(
+            rf"DELETE{_WS}FROM{_WS}({_ID})(?:{_WS}WHERE{_WS}(.*))?$",
+            q, re.I | re.S,
+        )
+        if not m:
+            raise SQLParseError(f"cannot parse DELETE: {q!r}")
+        name, where = m.groups()
+        pred = F.expr(where) if where else F.lit(True)
+        return self._result(
+            V.delete_from(self.spark, self._path(name), pred)
+        )
+
+    @staticmethod
+    def _assignments(sets: str, aliased: bool) -> dict:
+        out = {}
+        for part in _split_top(sets, r","):
+            am = re.match(
+                rf"\s*(?:{_ID}\.)?({_ID})\s*=\s*(.*?)\s*$", part, re.S
+            )
+            if not am:
+                raise SQLParseError(f"cannot parse assignment {part!r}")
+            out[am.group(1)] = F.expr(am.group(2))
+        return out
+
+    # -- MERGE ---------------------------------------------------------
+
+    def _merge(self, q: str) -> DataFrame:
+        head = re.match(
+            rf"MERGE{_WS}INTO{_WS}({_ID})(?:{_WS}AS{_WS}({_ID}))?"
+            rf"{_WS}USING\s+",
+            q, re.I | re.S,
+        )
+        if not head:
+            raise SQLParseError(f"cannot parse MERGE header: {q!r}")
+        tname, talias = head.groups()
+        pos = head.end()
+        if q[pos] == "(":  # parenthesized subquery: scan to balance
+            depth, j, in_str = 0, pos, False
+            while j < len(q):
+                c = q[j]
+                if in_str:
+                    in_str = c != "'"
+                elif c == "'":
+                    in_str = True
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise SQLParseError("unbalanced parens in USING source")
+            src, pos = q[pos:j + 1], j + 1
+        else:
+            sm = re.match(_ID, q[pos:])
+            if not sm:
+                raise SQLParseError(f"cannot parse USING source in {q!r}")
+            src, pos = sm.group(0), pos + sm.end()
+        tail = re.match(
+            rf"(?:{_WS}AS{_WS}({_ID}))?{_WS}ON{_WS}", q[pos:], re.I | re.S
+        )
+        if not tail:
+            raise SQLParseError(f"cannot parse MERGE ON clause in {q!r}")
+        salias = tail.group(1)
+        talias, salias = talias or "t", salias or "s"
+        rest = q[pos + tail.end():]
+        chunks = _split_top(rest, r"\bWHEN\b")
+        on_cond = chunks[0].strip()
+        keys = self._merge_keys(on_cond, talias, salias)
+
+        when_matched = None
+        matched_condition = None
+        matched_cond_txt = None
+        matched_second_delete = None  # (condition) for the Delta idiom
+        insert_unmatched = False
+        by_source = None
+        by_source_cond = None
+        for raw in chunks[1:]:
+            cm = re.match(
+                rf"\s*(NOT{_WS}MATCHED{_WS}BY{_WS}SOURCE"
+                rf"|NOT{_WS}MATCHED(?:{_WS}BY{_WS}TARGET)?|MATCHED)"
+                rf"(?:{_WS}AND{_WS}(.*?))?{_WS}THEN{_WS}(.*)$",
+                raw, re.I | re.S,
+            )
+            if not cm:
+                raise SQLParseError(f"cannot parse WHEN clause: {raw!r}")
+            kind = re.sub(r"\s+", " ", cm.group(1).upper())
+            cond = cm.group(2)
+            action = cm.group(3).strip()
+            cond_col = F.expr(self._alias_norm(cond, talias, salias)) \
+                if cond else None
+            act = self._merge_action(action, talias, salias)
+            if kind == "MATCHED":
+                if when_matched is None:
+                    when_matched = act
+                    matched_condition = cond_col
+                    matched_cond_txt = (
+                        self._alias_norm(cond, talias, salias)
+                        if cond else None
+                    )
+                elif act == "delete" and isinstance(when_matched, dict):
+                    # Delta idiom: UPDATE-with-condition then DELETE.
+                    # Executed as two merges, so both conditions must be
+                    # SOURCE-ONLY expressions — a t.-referencing first
+                    # condition would be re-evaluated against the
+                    # already-updated rows in the second merge and
+                    # could wrongly fire the delete
+                    second_txt = (
+                        self._alias_norm(cond, talias, salias)
+                        if cond else None
+                    )
+                    for label, txt in (
+                        ("first (UPDATE)", matched_cond_txt),
+                        ("second (DELETE)", second_txt),
+                    ):
+                        if txt and re.search(r"\bt\.", txt):
+                            raise SQLParseError(
+                                f"the {label} WHEN MATCHED condition in "
+                                f"the UPDATE+DELETE idiom must reference "
+                                f"only source (s.) columns, got {txt!r}"
+                            )
+                    matched_second_delete = (cond_col,)
+                else:
+                    raise SQLParseError(
+                        "only UPDATE-with-condition followed by DELETE "
+                        "is supported as a second WHEN MATCHED clause"
+                    )
+            elif kind.startswith("NOT MATCHED BY SOURCE"):
+                if act == "insert":
+                    raise SQLParseError(
+                        "WHEN NOT MATCHED BY SOURCE cannot INSERT"
+                    )
+                by_source = act
+                by_source_cond = cond_col
+            else:  # NOT MATCHED (BY TARGET)
+                if act != "insert":
+                    raise SQLParseError(
+                        "WHEN NOT MATCHED supports only INSERT *"
+                    )
+                if cond_col is not None:
+                    raise SQLParseError(
+                        "conditional NOT-MATCHED INSERT is not supported"
+                    )
+                insert_unmatched = True
+
+        source_df = self._merge_source(src)
+        path = self._path(tname)
+        res = V.merge_table(
+            self.spark, path, source_df, keys,
+            when_matched=when_matched,
+            matched_condition=matched_condition,
+            insert_unmatched=insert_unmatched,
+            when_not_matched_by_source=by_source,
+            not_matched_by_source_condition=by_source_cond,
+        )
+        if matched_second_delete is not None:
+            # the rows the conditional UPDATE skipped: delete those that
+            # fire the second clause's condition (or all remaining
+            # matches when unconditional) — Delta's two-clause order
+            (dcond,) = matched_second_delete
+            first = matched_condition
+            neg = None
+            if first is not None:
+                neg = ~F.coalesce(first, F.lit(False))
+            cond2 = neg if dcond is None else (
+                dcond if neg is None else (neg & dcond)
+            )
+            res2 = V.merge_table(
+                self.spark, path, source_df, keys,
+                when_matched="delete",
+                matched_condition=cond2,
+                insert_unmatched=False,
+            )
+            res = {**res, "second_delete": res2}
+        return self._result(res)
+
+    def _merge_keys(
+        self, on_cond: str, talias: str, salias: str
+    ) -> list[str]:
+        keys = []
+        for term in _split_top(on_cond, rf"\bAND\b"):
+            tm = re.match(
+                rf"\s*({_ID})\.({_ID})\s*=\s*({_ID})\.({_ID})\s*$",
+                term,
+            )
+            if not tm:
+                raise SQLParseError(
+                    f"ON must be a conjunction of alias.col = alias.col "
+                    f"equalities, got {term!r}"
+                )
+            a1, c1, a2, c2 = tm.groups()
+            pair = {a1.lower(): c1, a2.lower(): c2}
+            if set(pair) != {talias.lower(), salias.lower()}:
+                raise SQLParseError(
+                    f"ON term {term!r} must reference both {talias} "
+                    f"and {salias}"
+                )
+            if pair[talias.lower()] != pair[salias.lower()]:
+                raise SQLParseError(
+                    f"merge keys must be same-named on both sides "
+                    f"(got {term!r}); alias the source column first"
+                )
+            keys.append(pair[talias.lower()])
+        if not keys:
+            raise SQLParseError("MERGE needs at least one ON equality")
+        return keys
+
+    def _merge_action(self, action: str, talias: str, salias: str):
+        a = action.strip()
+        if re.fullmatch(r"DELETE", a, re.I):
+            return "delete"
+        if re.fullmatch(r"INSERT\s*\*", a, re.I):
+            return "insert"
+        um = re.match(rf"UPDATE{_WS}SET{_WS}(.*)$", a, re.I | re.S)
+        if um:
+            body = um.group(1).strip()
+            if body == "*":
+                return "replace"
+            return {
+                col: F.expr(self._alias_norm_expr(expr, talias, salias))
+                for col, expr in self._raw_assignments(body)
+            }
+        raise SQLParseError(f"unsupported merge action {action!r}")
+
+    @staticmethod
+    def _raw_assignments(sets: str) -> list[tuple[str, str]]:
+        out = []
+        for part in _split_top(sets, r","):
+            am = re.match(
+                rf"\s*(?:{_ID}\.)?({_ID})\s*=\s*(.*?)\s*$", part, re.S
+            )
+            if not am:
+                raise SQLParseError(f"cannot parse assignment {part!r}")
+            out.append((am.group(1), am.group(2)))
+        return out
+
+    @staticmethod
+    def _alias_norm(expr: str | None, talias: str, salias: str) -> str:
+        """merge_table's t/s alias contract: rewrite the statement's
+        declared aliases to the canonical ``t.`` / ``s.`` prefixes."""
+        if expr is None:
+            return expr
+        expr = re.sub(rf"\b{re.escape(talias)}\.", "t.", expr)
+        expr = re.sub(rf"\b{re.escape(salias)}\.", "s.", expr)
+        return expr
+
+    def _alias_norm_expr(self, expr: str, talias: str, salias: str) -> str:
+        return self._alias_norm(expr, talias, salias)
+
+    def _merge_source(self, src: str) -> DataFrame:
+        s = src.strip()
+        if s.startswith("("):
+            return self._select(s[1:-1].strip())
+        return V.read_table(self.spark, self._path(s))
+
+    # -- maintenance verbs --------------------------------------------
+
+    def _restore(self, q: str) -> DataFrame:
+        m = re.match(
+            rf"RESTORE{_WS}TABLE{_WS}({_ID}){_WS}TO{_WS}VERSION{_WS}"
+            rf"AS{_WS}OF{_WS}(\d+)$",
+            q, re.I,
+        )
+        if not m:
+            raise SQLParseError(f"cannot parse RESTORE: {q!r}")
+        name, ver = m.groups()
+        v = V.rollback(self._path(name), int(ver))
+        return self._result(
+            {"table": name, "restored_to": int(ver), "new_version": v}
+        )
+
+    def _describe(self, q: str) -> DataFrame:
+        m = re.match(rf"DESCRIBE{_WS}HISTORY{_WS}({_ID})$", q, re.I)
+        if not m:
+            raise SQLParseError(
+                f"only DESCRIBE HISTORY <table> is supported: {q!r}"
+            )
+        hist = V.table_history(self._path(m.group(1)))
+        rows = [
+            {
+                "version": int(h["version"]),
+                "operation": h.get("operation") or "",
+                "n_files": int(h["n_files"]),
+                "timestamp": float(h["timestamp"]),
+            }
+            for h in hist
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version int, operation string, n_files int, timestamp double",
+        )
+
+    def _optimize(self, q: str) -> DataFrame:
+        m = re.match(
+            rf"OPTIMIZE{_WS}({_ID})"
+            rf"(?:{_WS}ZORDER{_WS}BY{_WS}\(([^)]*)\))?$",
+            q, re.I,
+        )
+        if not m:
+            raise SQLParseError(f"cannot parse OPTIMIZE: {q!r}")
+        name, zcols = m.groups()
+        z = [c.strip() for c in zcols.split(",")] if zcols else None
+        return self._result(
+            V.compact_table(self.spark, self._path(name), zorder_by=z)
+        )
+
+    def _vacuum(self, q: str) -> DataFrame:
+        m = re.match(
+            rf"VACUUM{_WS}({_ID})"
+            rf"(?:{_WS}RETAIN{_WS}(\d+){_WS}VERSIONS)?$",
+            q, re.I,
+        )
+        if not m:
+            raise SQLParseError(f"cannot parse VACUUM: {q!r}")
+        name, keep = m.groups()
+        removed = V.vacuum(
+            self._path(name), keep_last=int(keep) if keep else 2
+        )
+        return self._result(
+            {"table": name, "removed_dirs": len(removed)}
+        )

@@ -1,0 +1,249 @@
+"""SQL surface (lakesql.py): every statement must land on the SAME
+versioned-table state as the equivalent DataFrame-API call — parity is
+asserted by running both against clones of one fixture and comparing
+full row sets (the test_merge_clauses shapes, re-expressed as SQL).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_project2_fiap_spark.io import versioned as V
+from aws_etl_project2_fiap_spark.lakesql import LakeSQL, SQLParseError
+
+
+def _rows(spark, path):
+    return sorted(tuple(r) for r in V.read_table(spark, path).collect())
+
+
+def _fixture(spark, tmp_path, name):
+    """Target table + delivery source with matched/unmatched keys."""
+    tbl = str(tmp_path / name)
+    V.create_table(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.0).alias("v"),
+            F.lit("old").alias("tag"),
+        ),
+        tbl,
+    )
+    src = spark.range(50, 150).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10.0).alias("v"),
+        F.lit("new").alias("tag"),
+    )
+    return tbl, src
+
+
+def test_merge_replace_insert_parity(spark, tmp_path):
+    t_sql, src = _fixture(spark, tmp_path, "t_sql")
+    t_df, _ = _fixture(spark, tmp_path, "t_df")
+    srcp = str(tmp_path / "src")
+    V.create_table(src, srcp)
+
+    V.merge_table(spark, t_df, src, ["k"], when_matched="replace")
+    lk = LakeSQL(spark, {"tgt": t_sql, "delta": srcp})
+    lk.sql(
+        "MERGE INTO tgt AS t USING delta AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert _rows(spark, t_sql) == _rows(spark, t_df)
+
+
+def test_merge_conditional_update_parity(spark, tmp_path):
+    t_sql, src = _fixture(spark, tmp_path, "t_sql")
+    t_df, _ = _fixture(spark, tmp_path, "t_df")
+    srcp = str(tmp_path / "src")
+    V.create_table(src, srcp)
+
+    V.merge_table(
+        spark, t_df, src, ["k"],
+        when_matched={"v": F.col("s.v") + F.col("t.v")},
+        matched_condition=F.col("s.k") % 2 == 0,
+        insert_unmatched=False,
+    )
+    lk = LakeSQL(spark, {"tgt": t_sql, "delta": srcp})
+    lk.sql(
+        "MERGE INTO tgt AS a USING delta AS b ON a.k = b.k "
+        "WHEN MATCHED AND b.k % 2 = 0 THEN UPDATE SET v = b.v + a.v"
+    )
+    assert _rows(spark, t_sql) == _rows(spark, t_df)
+
+
+def test_merge_delete_and_by_source_parity(spark, tmp_path):
+    t_sql, src = _fixture(spark, tmp_path, "t_sql")
+    t_df, _ = _fixture(spark, tmp_path, "t_df")
+    srcp = str(tmp_path / "src")
+    V.create_table(src, srcp)
+
+    V.merge_table(
+        spark, t_df, src, ["k"],
+        when_matched="delete",
+        matched_condition=F.col("s.k") % 3 == 0,
+        insert_unmatched=False,
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition=F.col("t.k") < 10,
+    )
+    lk = LakeSQL(spark, {"tgt": t_sql, "delta": srcp})
+    lk.sql(
+        "MERGE INTO tgt AS t USING delta AS s ON t.k = s.k "
+        "WHEN MATCHED AND s.k % 3 = 0 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE AND t.k < 10 THEN DELETE"
+    )
+    assert _rows(spark, t_sql) == _rows(spark, t_df)
+
+
+def test_merge_update_then_delete_idiom(spark, tmp_path):
+    """Delta clause-order semantics: matched rows passing the UPDATE
+    condition update; remaining matched rows passing the DELETE
+    condition delete; everything else survives."""
+    t_sql, src = _fixture(spark, tmp_path, "t_sql")
+    srcp = str(tmp_path / "src")
+    V.create_table(src, srcp)
+    lk = LakeSQL(spark, {"tgt": t_sql, "delta": srcp})
+    lk.sql(
+        "MERGE INTO tgt AS t USING delta AS s ON t.k = s.k "
+        "WHEN MATCHED AND s.k % 2 = 0 THEN UPDATE SET v = s.v "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["k"]: (r["v"], r["tag"]) for r in
+           V.read_table(spark, t_sql).collect()}
+    # unmatched targets (k<50) survive untouched
+    assert got[7] == (7.0, "old")
+    # matched even keys updated in place
+    assert got[50] == (500.0, "old")
+    # matched odd keys deleted
+    assert 51 not in got and 99 not in got
+    # unmatched source rows inserted
+    assert got[120] == (1200.0, "new")
+
+
+def test_merge_subquery_source(spark, tmp_path):
+    t_sql, src = _fixture(spark, tmp_path, "t_sql")
+    srcp = str(tmp_path / "src")
+    V.create_table(src, srcp)
+    lk = LakeSQL(spark, {"tgt": t_sql, "delta": srcp})
+    lk.sql(
+        "MERGE INTO tgt AS t USING "
+        "(SELECT k, v, tag FROM delta WHERE k < 60) AS s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["k"]: r["v"] for r in V.read_table(spark, t_sql).collect()}
+    assert got[55] == 550.0 and got[61] == 61.0 and 120 not in got
+
+
+def test_update_delete_parity(spark, tmp_path):
+    t_sql, _ = _fixture(spark, tmp_path, "t_sql")
+    t_df, _ = _fixture(spark, tmp_path, "t_df")
+
+    V.update_table(
+        spark, t_df, {"v": F.expr("v * 2 + 1")}, F.expr("k % 7 = 0")
+    )
+    V.delete_from(spark, t_df, F.expr("v > 150"))
+    lk = LakeSQL(spark, {"tgt": t_sql})
+    lk.sql("UPDATE tgt SET v = v * 2 + 1 WHERE k % 7 = 0")
+    lk.sql("DELETE FROM tgt WHERE v > 150")
+    assert _rows(spark, t_sql) == _rows(spark, t_df)
+
+
+def test_select_time_travel(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    V.create_table(spark.range(10).select(F.col("id").alias("k")), tbl)
+    V.append_table(
+        spark.range(10, 20).select(F.col("id").alias("k")), tbl
+    )
+    lk = LakeSQL(spark, {"tt": tbl})
+    assert lk.sql("SELECT count(*) AS n FROM tt").collect()[0]["n"] == 20
+    assert (
+        lk.sql("SELECT count(*) AS n FROM tt VERSION AS OF 1")
+        .collect()[0]["n"] == 10
+    )
+    # joins resolve each leg independently
+    n = lk.sql(
+        "SELECT count(*) AS n FROM tt VERSION AS OF 1 "
+        "JOIN tt b ON tt__v1.k = b.k"
+    ).collect()[0]["n"]
+    assert n == 10
+
+
+def test_select_timestamp_as_of(spark, tmp_path):
+    import datetime
+    import time
+
+    tbl = str(tmp_path / "t")
+    V.create_table(spark.range(5).select(F.col("id").alias("k")), tbl)
+    time.sleep(1.1)
+    cut = datetime.datetime.now().isoformat()
+    time.sleep(1.1)
+    V.append_table(spark.range(5, 9).select(F.col("id").alias("k")), tbl)
+    lk = LakeSQL(spark, {"tt": tbl})
+    n = lk.sql(
+        f"SELECT count(*) AS n FROM tt TIMESTAMP AS OF '{cut}'"
+    ).collect()[0]["n"]
+    assert n == 5
+
+
+def test_restore_and_describe_history(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    V.create_table(spark.range(10).select(F.col("id").alias("k")), tbl)
+    V.append_table(spark.range(10, 20).select(F.col("id").alias("k")), tbl)
+    lk = LakeSQL(spark, {"tt": tbl})
+    lk.sql("RESTORE TABLE tt TO VERSION AS OF 1")
+    assert V.read_table(spark, tbl).count() == 10
+    hist = lk.sql("DESCRIBE HISTORY tt").collect()
+    assert len(hist) >= 3  # create, append, restore
+    assert {r["version"] for r in hist} >= {1, 2, 3}
+
+
+def test_optimize_and_vacuum(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    V.create_table(spark.range(10).select(F.col("id").alias("k")), tbl)
+    for lo in (10, 20, 30):
+        V.append_table(
+            spark.range(lo, lo + 10).select(F.col("id").alias("k")), tbl
+        )
+    lk = LakeSQL(spark, {"tt": tbl})
+    lk.sql("OPTIMIZE tt")
+    lk.sql("VACUUM tt RETAIN 1 VERSIONS")
+    assert V.read_table(spark, tbl).count() == 40
+
+
+def test_parse_errors_are_loud(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    V.create_table(spark.range(3).select(F.col("id").alias("k")), tbl)
+    lk = LakeSQL(spark, {"tt": tbl})
+    with pytest.raises(SQLParseError):
+        lk.sql("TRUNCATE TABLE tt")
+    with pytest.raises(SQLParseError):
+        lk.sql("MERGE INTO tt USING tt ON tt.k < tt.k WHEN MATCHED "
+               "THEN DELETE")
+    with pytest.raises(SQLParseError):
+        lk.sql("UPDATE nope SET k = 1")
+    with pytest.raises(SQLParseError):
+        # t.-referencing condition in the UPDATE+DELETE idiom
+        lk.sql(
+            "MERGE INTO tt AS t USING tt AS s ON t.k = s.k "
+            "WHEN MATCHED AND t.k > 1 THEN UPDATE SET k = s.k "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_cli_lakesql_verb(spark, tmp_path, capsys):
+    from aws_etl_project2_fiap_spark.__main__ import main
+
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(10).select(F.col("id").alias("k"),
+                               (F.col("id") * 1.0).alias("v")),
+        tbl,
+    )
+    rc = main([
+        "lakesql", "DELETE FROM tt WHERE k >= 5", "--table", f"tt={tbl}",
+    ])
+    assert rc == 0
+    assert V.read_table(spark, tbl).count() == 5
