@@ -144,22 +144,33 @@ def _delta_exprs(aggs: dict, sign: Column) -> list[Column]:
     return exprs
 
 
+def _null_key_expr(keys: list[str]) -> Column:
+    """TRUE where any group key is NULL (aggregated via F.max to ride
+    an existing stats collect — no extra Spark job per refresh)."""
+    cond = None
+    for c in keys:
+        cond = F.col(c).isNull() if cond is None else cond | F.col(c).isNull()
+    return F.max(cond.cast("int"))
+
+
+def _raise_null_keys(keys: list[str], what: str) -> None:
+    raise ValueError(
+        f"{what} contains NULL group key(s) {keys} — NULL group "
+        f"keys are not maintainable through the MERGE probe; filter "
+        f"or coalesce them in the source first, then "
+        f"full_refresh_aggregate_view"
+    )
+
+
 def _guard_null_keys(df: DataFrame, keys: list[str], what: str) -> None:
     """The refresh MERGE probes join on SQL equality, where NULL
     matches nothing — a NULL-keyed group could never be updated, only
     duplicated (delta path) or silently dropped (scoped path). Create
-    rejects NULL keys up front; this mirrors that check on every
-    refresh in case the source gained NULL-keyed rows later."""
-    cond = None
-    for c in keys:
-        cond = F.col(c).isNull() if cond is None else cond | F.col(c).isNull()
-    if df.filter(cond).limit(1).count():
-        raise ValueError(
-            f"{what} contains NULL group key(s) {keys} — NULL group "
-            f"keys are not maintainable through the MERGE probe; filter "
-            f"or coalesce them in the source first, then "
-            f"full_refresh_aggregate_view"
-        )
+    rejects NULL keys up front; the refresh paths mirror it (folded
+    into their stats collects) in case the source gained NULL-keyed
+    rows later."""
+    if df.agg(_null_key_expr(keys).alias("x")).collect()[0]["x"]:
+        _raise_null_keys(keys, what)
 
 
 def _lost_refresh(dst: str, frm: int, to: int) -> dict:
@@ -415,12 +426,14 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
         # tiny (one row per changed group), so the checkpoint is cheap
         # and spills if a giant backfill makes it large.
         delta = delta.localCheckpoint(eager=True)
-        _guard_null_keys(delta, keys, "the CDF delta")
         stats = delta.agg(
             F.count(F.lit(1)).alias("n"),
             F.min(_CNT).alias("min_cnt"),
+            _null_key_expr(keys).alias("null_key"),
         ).collect()[0]
         n, min_cnt = stats["n"], stats["min_cnt"]
+        if stats["null_key"]:
+            _raise_null_keys(keys, "the CDF delta")
         if n == 0:
             # still advance the watermark (metadata-only commit) so the
             # next refresh doesn't re-derive this CDF range
@@ -486,8 +499,12 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
     # group list is re-read by the semi-join, the vanish anti-join, and
     # its own count, and its lineage is the full CDF scan
     touched = cdf.select(*keys).distinct().localCheckpoint(eager=True)
-    _guard_null_keys(touched, keys, "the CDF's touched-group list")
-    n = touched.count()
+    tstats = touched.agg(
+        F.count(F.lit(1)).alias("n"), _null_key_expr(keys).alias("null_key")
+    ).collect()[0]
+    n = tstats["n"]
+    if tstats["null_key"]:
+        _raise_null_keys(keys, "the CDF's touched-group list")
     if n == 0:
         # metadata-only source commit (rename/cluster-spec/...): advance
         # the watermark so the next refresh skips this range
@@ -641,11 +658,14 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
             for c in state_cols:
                 nonzero = nonzero | (F.coalesce(F.col(c), F.lit(0)) != 0)
             delta = delta.filter(nonzero).localCheckpoint(eager=True)
-            _guard_null_keys(delta, keys, "the dim-evolution delta")
             stats = delta.agg(
-                F.count(F.lit(1)).alias("n"), F.min(_CNT).alias("min_cnt")
+                F.count(F.lit(1)).alias("n"),
+                F.min(_CNT).alias("min_cnt"),
+                _null_key_expr(keys).alias("null_key"),
             ).collect()[0]
             n, min_cnt = stats["n"], stats["min_cnt"]
+            if stats["null_key"]:
+                _raise_null_keys(keys, "the dim-evolution delta")
             if n == 0:
                 V._commit(
                     dst,
@@ -679,10 +699,15 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
             touched = (
                 signed.select(*keys).distinct().localCheckpoint(eager=True)
             )
-            _guard_null_keys(
-                touched, keys, "the dim-evolution touched-group list"
-            )
-            n = touched.count()
+            tstats = touched.agg(
+                F.count(F.lit(1)).alias("n"),
+                _null_key_expr(keys).alias("null_key"),
+            ).collect()[0]
+            n = tstats["n"]
+            if tstats["null_key"]:
+                _raise_null_keys(
+                    keys, "the dim-evolution touched-group list"
+                )
             if n == 0:
                 V._commit(
                     dst,

@@ -124,6 +124,148 @@ SF1_BASELINE = {
 }
 
 
+# Lakehouse write-path baselines at sf0.1 (recorded round 7, idle
+# machine — BASELINE.md "lakehouse verbs"). Mutations are timed ONCE
+# (they change state; a warm re-run would measure different work), so
+# the gate is 3x rather than the query columns' 2x to absorb one-shot
+# scheduler noise. A verb over 3x its baseline is named in
+# payload["lakehouse_gate_violations"].
+LAKEHOUSE_BASELINE = {
+    "merge_fragmented": 4.258,
+    "update_cow": 1.473,
+    "delete_dv": 2.614,
+    "read_with_dvs": 1.839,
+    "read_pre_dv": 0.294,
+    "overwrite_month": 0.881,
+    "matview_create": 2.332,
+    "matview_refresh_incremental": 2.667,
+    "matview_full_recompute": 1.649,
+    "wap_publish": 0.008,
+}
+
+
+def _lakehouse_verbs(spark, sf_dir: str) -> dict[str, float]:
+    """Time the WRITE path (VERDICT r6 #4): merge on a fragmented
+    table, CoW update, DV delete + the DV read tax, dynamic partition
+    overwrite, matview incremental refresh vs full recompute, WAP
+    publish. Queries-only benches leave a mutation-path regression
+    invisible until a correctness replay times out; this column gates
+    it like any query. All state lives in a /tmp scratch dir built from
+    the bench's orders table and removed afterward."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_project2_fiap_spark.io import matview as MV
+    from aws_etl_project2_fiap_spark.io import versioned as V
+    from aws_etl_project2_fiap_spark.io import wap as WAP
+
+    work = tempfile.mkdtemp(prefix="spark_graft_lakeverbs_")
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ).withColumn(
+            "om", F.date_format("o_orderdate", "yyyy-MM")
+        ).localCheckpoint(eager=True)
+
+        # --- fragmented table: 16 base files + 3 appended batches ----
+        tbl = f"{work}/orders"
+        V.create_table(
+            o.filter(F.col("o_orderkey") % 4 != 0).repartition(16), tbl
+        )
+        for i in range(3):
+            V.append_table(
+                o.filter(
+                    (F.col("o_orderkey") % 4 == 0)
+                    & (F.col("o_orderkey") % 3 == i)
+                ).repartition(4),
+                tbl,
+            )
+        delivery = o.filter(F.col("o_orderkey") % 199 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        timed("merge_fragmented", lambda: V.merge_table(
+            spark, tbl, delivery, ["o_orderkey"],
+            when_matched="replace", insert_unmatched=False,
+        ))
+        timed("update_cow", lambda: V.update_table(
+            spark, tbl, {"o_totalprice": F.col("o_totalprice") + 1.0},
+            F.col("o_orderkey") % 23 == 0,
+        ))
+        pre_dv = V.current_version(tbl)
+        timed("delete_dv", lambda: V.delete_from(
+            spark, tbl, F.col("o_orderkey") % 17 == 0, mode="dv"
+        ))
+        timed("read_with_dvs", lambda: V.read_table(spark, tbl).count())
+        timed("read_pre_dv", lambda: V.read_table(
+            spark, tbl, version=pre_dv
+        ).count())
+
+        # --- dynamic partition overwrite (month-clustered layout) ----
+        ptbl = f"{work}/orders_bymonth"
+        V.create_table(o, ptbl, cluster_by=["om"], num_files=24)
+        months = [r["om"] for r in o.select("om").distinct().collect()]
+        month = sorted(months)[len(months) // 2]
+        reload_df = o.filter(F.col("om") == month).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 0.5
+        )
+        timed("overwrite_month", lambda: V.overwrite_partitions(
+            spark, reload_df, ptbl, "om"
+        ))
+
+        # --- matview: incremental refresh vs full recompute ----------
+        view = f"{work}/view"
+        timed("matview_create", lambda: MV.create_aggregate_view(
+            spark, tbl, view, ["o_orderpriority"],
+            {"n": ("count", None), "total": ("sum", "o_totalprice")},
+        ))
+        V.append_table(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority", "om",
+            ),
+            tbl,
+        )
+        timed(
+            "matview_refresh_incremental",
+            lambda: MV.refresh_aggregate_view(spark, view),
+        )
+        timed(
+            "matview_full_recompute",
+            lambda: MV.full_refresh_aggregate_view(spark, view),
+        )
+
+        # --- WAP publish ---------------------------------------------
+        stg = f"{work}/stage"
+        WAP.begin_stage(spark, tbl, stg)
+        V.append_table(
+            o.filter(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 200_000_000).alias("o_orderkey"),
+                "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority", "om",
+            ),
+            stg,
+        )
+        V.delete_from(
+            spark, stg, F.col("o_orderkey") % 29 == 0, mode="dv"
+        )
+        timed("wap_publish", lambda: WAP.publish_stage(spark, tbl, stg))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return times
+
+
 def _rechunked(sf_dir: str, min_groups: int = 32) -> str:
     """One-time /tmp copy of the sf dir with ≥min_groups row groups per
     table so scans parallelize across the local[N] slots.
@@ -256,6 +398,23 @@ def main() -> None:
     # output then always contains at least one complete, parseable
     # JSON line — the round-4 artifact stored a mid-JSON truncation
     _emit(payload)
+
+    # lakehouse write-path column (VERDICT r6 #4): timed mutations over
+    # a scratch versioned table; SPARK_GRAFT_LAKEHOUSE=0 skips
+    if os.environ.get("SPARK_GRAFT_LAKEHOUSE", "1") != "0":
+        lake = _lakehouse_verbs(spark, sf_dir)
+        sentinel["after_lakehouse"] = _sentinel(spark)
+        payload["lakehouse_verbs"] = lake
+        payload["lakehouse_total"] = round(sum(lake.values()), 3)
+        # 0.5 s floor: metadata-only verbs (wap_publish 8 ms) would
+        # otherwise flag on a single GC blip
+        payload["lakehouse_gate_violations"] = {
+            name: {"sec": lake[name], "baseline": LAKEHOUSE_BASELINE[name]}
+            for name in lake
+            if name in LAKEHOUSE_BASELINE
+            and lake[name] > max(3.0 * LAKEHOUSE_BASELINE[name], 0.5)
+        }
+        _emit(payload)
 
     # Optional sf1 scale column (VERDICT r2 #5): representative queries
     # against the 10x tiled dataset (tools/tile_sf.py). Runs only when
