@@ -671,6 +671,38 @@ def _write_dvs_distributed(
     )
 
 
+# DV read strategy cap: below this many TOTAL deleted positions, the
+# read applies DVs with a broadcast anti-join (pure JVM codegen — the
+# driver loads ≤ cap×8 bytes of positions, same bounded-broadcast
+# budget as _MERGE_BROADCAST_CAP); above it, positions stay
+# executor-side via the Arrow mapInPandas path (_dv_filter). Measured
+# at sf0.1 (16 DV-carrying files, ~9k positions): anti-join 0.59 s vs
+# Arrow path 0.96 s warm — the Python-worker round trip is the tax.
+_DV_ANTI_JOIN_CAP = 2_000_000
+
+
+def _dv_anti_join(
+    spark: SparkSession, df: DataFrame, dvd: list
+) -> DataFrame:
+    """Apply deletion vectors as a broadcast LEFT ANTI join on
+    (__file, __pos): the whole filter stays inside whole-stage codegen
+    (no Python workers on the read path). Only called when the total
+    deleted-position count is ≤ :data:`_DV_ANTI_JOIN_CAP`, so the
+    driver-side sidecar load is bounded at ~16 MB."""
+    import numpy as np
+    import pandas as pd
+
+    frames = [
+        pd.DataFrame({
+            "__file": f["path"],
+            "__pos": np.asarray(_read_dv(f["dv"]["path"])),
+        })
+        for f in dvd
+    ]
+    dv_df = spark.createDataFrame(pd.concat(frames))
+    return df.join(F.broadcast(dv_df), ["__file", "__pos"], "left_anti")
+
+
 def _dv_filter(df: DataFrame, dv_map: dict[str, str]) -> DataFrame:
     """Apply deletion vectors EXECUTOR-SIDE: each Arrow batch of the
     DV-carrying leg looks up its file's sidecar path in the broadcast
@@ -739,7 +771,6 @@ def _scan(
     dvd = [f for f in entries if f.get("dv")]
     if not dvd and not keep_meta:
         return reader.parquet(*_paths(entries))
-    dv_map = {f["path"]: f["dv"]["path"] for f in dvd}
 
     def _with_meta(subset):
         return (
@@ -748,16 +779,26 @@ def _scan(
             .withColumn("__pos", F.col("_metadata.row_index"))
         )
 
+    def _apply_dvs(df_meta):
+        # bounded DVs → codegen anti-join; unbounded → executor-side
+        # Arrow filter (driver never loads O(deleted rows) past the cap)
+        total = sum(f["dv"].get("n", _DV_ANTI_JOIN_CAP + 1) for f in dvd)
+        if total <= _DV_ANTI_JOIN_CAP:
+            return _dv_anti_join(spark, df_meta, dvd)
+        return _dv_filter(
+            df_meta, {f["path"]: f["dv"]["path"] for f in dvd}
+        )
+
     clean = [f for f in entries if not f.get("dv")]
     if keep_meta:
-        out = _dv_filter(_with_meta(dvd), dv_map) if dvd else None
+        out = _apply_dvs(_with_meta(dvd)) if dvd else None
         if clean:
             cdf = _with_meta(clean)
             out = cdf if out is None else cdf.unionByName(
                 out, allowMissingColumns=True
             )
         return out
-    out = _dv_filter(_with_meta(dvd), dv_map).drop("__file", "__pos")
+    out = _apply_dvs(_with_meta(dvd)).drop("__file", "__pos")
     if clean:
         out = reader.parquet(*_paths(clean)).unionByName(
             out, allowMissingColumns=True

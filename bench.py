@@ -134,7 +134,7 @@ LAKEHOUSE_BASELINE = {
     "merge_fragmented": 4.258,
     "update_cow": 1.473,
     "delete_dv": 2.614,
-    "read_with_dvs": 1.839,
+    "read_with_dvs": 0.761,
     "read_pre_dv": 0.294,
     "overwrite_month": 0.881,
     "matview_create": 2.332,
