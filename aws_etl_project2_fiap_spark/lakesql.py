@@ -133,6 +133,12 @@ class LakeSQL:
             return self._update(q)
         if head == "DELETE":
             return self._delete(q)
+        if head == "INSERT":
+            return self._insert(q)
+        if head == "CREATE":
+            return self._create(q)
+        if head == "REFRESH":
+            return self._refresh(q)
         if head == "RESTORE":
             return self._restore(q)
         if head == "DESCRIBE":
@@ -459,6 +465,95 @@ class LakeSQL:
         if s.startswith("("):
             return self._select(s[1:-1].strip())
         return V.read_table(self.spark, self._path(s))
+
+    # -- INSERT / CTAS / matview refresh ------------------------------
+
+    def _insert(self, q: str) -> DataFrame:
+        """``INSERT INTO t [(cols)] SELECT ...`` /
+        ``INSERT INTO t [(cols)] VALUES (...), (...)`` — an append
+        commit (constraints enforced, schema checked) via
+        ``append_table``."""
+        m = re.match(
+            rf"INSERT{_WS}INTO{_WS}({_ID})"
+            rf"(?:\s*\(([^)]*)\))?{_WS}(SELECT|WITH|VALUES)\b(.*)$",
+            q, re.I | re.S,
+        )
+        if not m:
+            raise SQLParseError(f"cannot parse INSERT: {q!r}")
+        name, cols, kind, body = m.groups()
+        path = self._path(name)
+        tschema = {
+            f.name: f.dataType
+            for f in V.read_table(self.spark, path).schema.fields
+        }
+        if kind.upper() == "VALUES":
+            df = self.spark.sql(f"SELECT * FROM (VALUES{body})")
+            if cols:
+                df = df.toDF(*[c.strip() for c in cols.split(",")])
+            else:
+                # positional: adopt the table's column names
+                tcols = list(tschema)
+                if len(df.columns) != len(tcols):
+                    raise SQLParseError(
+                        f"VALUES arity {len(df.columns)} != table arity "
+                        f"{len(tcols)}; name the columns explicitly"
+                    )
+                df = df.toDF(*tcols)
+        else:
+            df = self._select(f"{kind}{body}")
+            if cols:
+                df = df.toDF(*[c.strip() for c in cols.split(",")])
+        # SQL INSERT coerces to target types (a bare literal infers
+        # int/decimal; the table's schema is the contract)
+        df = df.select(*[
+            F.col(c).cast(tschema[c]).alias(c) if c in tschema else F.col(c)
+            for c in df.columns
+        ])
+        version = V.append_table(df, path)
+        return self._result({"table": name, "version": version})
+
+    def _create(self, q: str) -> DataFrame:
+        """``CREATE TABLE name LOCATION 'path' AS SELECT ...`` — CTAS
+        onto a new versioned table, registered under ``name`` for the
+        rest of the session."""
+        m = re.match(
+            rf"CREATE{_WS}TABLE{_WS}({_ID}){_WS}LOCATION{_WS}'([^']+)'"
+            rf"{_WS}AS{_WS}(.*)$",
+            q, re.I | re.S,
+        )
+        if not m:
+            raise SQLParseError(
+                f"only CREATE TABLE <name> LOCATION '<path>' AS "
+                f"<select> is supported: {q!r}"
+            )
+        name, path, select = m.groups()
+        version = V.create_table(self._select(select.strip()), path)
+        self.register(name, path)
+        return self._result(
+            {"table": name, "location": path, "version": version}
+        )
+
+    def _refresh(self, q: str) -> DataFrame:
+        """``REFRESH MATERIALIZED VIEW name [FULL]`` — the incremental
+        CDF fold (io/matview.py), or the full recompute with FULL."""
+        from . import io as _io  # noqa: F401 (package import path)
+        from .io import matview as MV
+
+        m = re.match(
+            rf"REFRESH{_WS}MATERIALIZED{_WS}VIEW{_WS}({_ID})"
+            rf"({_WS}FULL)?$",
+            q, re.I,
+        )
+        if not m:
+            raise SQLParseError(f"cannot parse REFRESH: {q!r}")
+        name, full = m.groups()
+        path = self._path(name)
+        res = (
+            MV.full_refresh_aggregate_view(self.spark, path)
+            if full
+            else MV.refresh_aggregate_view(self.spark, path)
+        )
+        return self._result(res)
 
     # -- maintenance verbs --------------------------------------------
 

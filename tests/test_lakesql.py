@@ -247,3 +247,60 @@ def test_cli_lakesql_verb(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert V.read_table(spark, tbl).count() == 5
+
+
+def test_insert_select_and_values(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(5).select(F.col("id").alias("k"),
+                              (F.col("id") * 1.0).alias("v")),
+        tbl,
+    )
+    lk = LakeSQL(spark, {"tt": tbl})
+    lk.sql("INSERT INTO tt SELECT k + 100 AS k, v * 2 AS v FROM tt")
+    lk.sql("INSERT INTO tt VALUES (999, 1.5), (998, 2.5)")
+    lk.sql("INSERT INTO tt (k, v) VALUES (500, 0.5)")
+    got = {r["k"]: r["v"] for r in V.read_table(spark, tbl).collect()}
+    assert got[103] == 6.0 and got[999] == 1.5 and got[500] == 0.5
+    assert len(got) == 13
+
+
+def test_ctas_and_refresh_matview(spark, tmp_path):
+    from aws_etl_project2_fiap_spark.io import matview as MV
+
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(100).select((F.col("id") % 5).alias("g"),
+                                (F.col("id") * 1.0).alias("v")),
+        tbl,
+    )
+    lk = LakeSQL(spark, {"src": tbl})
+    ctas = str(tmp_path / "big")
+    lk.sql(f"CREATE TABLE big LOCATION '{ctas}' AS "
+           "SELECT g, v FROM src WHERE v >= 50")
+    assert lk.sql("SELECT count(*) AS n FROM big").collect()[0]["n"] == 50
+    # matview registered + refreshed through SQL
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, tbl, view, ["g"], {"total": ("sum", "v")}
+    )
+    V.append_table(
+        spark.range(100, 120).select((F.col("id") % 5).alias("g"),
+                                     (F.col("id") * 1.0).alias("v")),
+        tbl,
+    )
+    lk.register("mv", view)
+    r = lk.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+    assert r["strategy"] == "delta"
+    exp = {
+        x["g"]: x["total"]
+        for x in V.read_table(spark, tbl).groupBy("g")
+        .agg(F.sum("v").alias("total")).collect()
+    }
+    got = {
+        x["g"]: float(x["total"])
+        for x in MV.read_aggregate_view(spark, view).collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - float(exp[k])) < 1e-6
