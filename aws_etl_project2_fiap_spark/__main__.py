@@ -416,6 +416,13 @@ def cmd_matview(args) -> int:
             f"v{r['to_version']}: {r['groups_changed']} group(s), "
             f"view v{r['view_version']}"
         )
+    elif args.action == "evolve":
+        r = MV.evolve_dimensions(spark, args.view)
+        print(
+            f"{r['strategy']} dim evolution: {r['dims_evolved']} dim(s) "
+            f"re-pinned, {r['groups_changed']} group(s), "
+            f"view v{r['view_version']}"
+        )
     else:  # read
         MV.read_aggregate_view(spark, args.view).show(
             args.limit, truncate=False
@@ -588,9 +595,9 @@ def main(argv: list[str] | None = None) -> int:
         "matview",
         help="incremental materialized view "
         "(create SRC VIEW --group-by k --agg total=sum:price; "
-        "refresh VIEW; read VIEW)",
+        "refresh VIEW; evolve VIEW; read VIEW)",
     )
-    p.add_argument("action", choices=["create", "refresh", "read"])
+    p.add_argument("action", choices=["create", "refresh", "evolve", "read"])
     p.add_argument("source", nargs="?", help="source table (create only)")
     p.add_argument("view", nargs="?", help="view path")
     p.add_argument("--group-by", nargs="+", default=[])
