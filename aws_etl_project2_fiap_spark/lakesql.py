@@ -362,7 +362,14 @@ class LakeSQL:
             self.spark, path, source_df, keys,
             when_matched=when_matched,
             matched_condition=matched_condition,
-            insert_unmatched=insert_unmatched,
+            # in the two-merge idiom the INSERT clause must ride the
+            # SECOND merge: a NOT-MATCHED row inserted by the first
+            # would be a MATCH for the second and its delete clause
+            # could wrongly fire on it — Delta applies matched clauses
+            # only to rows that matched at statement start
+            insert_unmatched=(
+                insert_unmatched and matched_second_delete is None
+            ),
             when_not_matched_by_source=by_source,
             not_matched_by_source_condition=by_source_cond,
         )
@@ -382,7 +389,7 @@ class LakeSQL:
                 self.spark, path, source_df, keys,
                 when_matched="delete",
                 matched_condition=cond2,
-                insert_unmatched=False,
+                insert_unmatched=insert_unmatched,
             )
             res = {**res, "second_delete": res2}
         return self._result(res)

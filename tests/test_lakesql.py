@@ -117,8 +117,12 @@ def test_merge_update_then_delete_idiom(spark, tmp_path):
     assert got[50] == (500.0, "old")
     # matched odd keys deleted
     assert 51 not in got and 99 not in got
-    # unmatched source rows inserted
+    # unmatched source rows inserted — INCLUDING odd keys (regression:
+    # an insert riding the first merge would be re-matched by the
+    # second merge's delete clause and wrongly removed)
     assert got[120] == (1200.0, "new")
+    assert got[121] == (1210.0, "new")
+    assert len([k for k in got if k >= 100]) == 50
 
 
 def test_merge_subquery_source(spark, tmp_path):
