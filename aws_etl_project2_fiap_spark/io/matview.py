@@ -282,11 +282,29 @@ def view_meta(dst: str) -> dict:
     return m
 
 
+def _check_state_schema(df: DataFrame, meta: dict) -> None:
+    """Pre-round-7 view state lacks the per-sum ``__mvnn`` counter;
+    reading or folding it would fail with an opaque unresolved-column
+    / schema-conflict error — point at the migration verb instead."""
+    missing = [
+        f"{out}__mvnn"
+        for out, (fn, _c) in meta["aggs"].items()
+        if fn == "sum" and f"{out}__mvnn" not in df.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"view state predates the sum non-null counter (missing "
+            f"{missing}); run full_refresh_aggregate_view once to "
+            f"regenerate the state, then refresh incrementally as usual"
+        )
+
+
 def read_aggregate_view(spark: SparkSession, dst: str) -> DataFrame:
     """The view's logical result: group keys + the declared aggregate
     outputs (avg derived from its sum/count state, internals hidden)."""
     meta = view_meta(dst)
     df = V.read_table(spark, dst)
+    _check_state_schema(df, meta)
     cols: list[Column] = [F.col(c) for c in meta["group_by"]]
     for out, (fn, _col) in meta["aggs"].items():
         if fn == "avg":
@@ -396,6 +414,7 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
             f"incrementally, or full_refresh_aggregate_view to re-pin "
             f"from scratch"
         )
+    _check_state_schema(V.read_table(spark, dst), meta)
     frm = meta["source_version"]
     to = V.current_version(source)
     if to == frm:

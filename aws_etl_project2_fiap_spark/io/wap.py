@@ -150,15 +150,41 @@ def _recover_interrupted_publish(
         return None
     with open(marker) as fh:
         intent = json.load(fh)
+    if intent["table"] != os.path.realpath(table):
+        # the in-flight publish targeted a DIFFERENT table: recovering
+        # against this one would scan the wrong manifests, conclude
+        # "not committed", destroy the marker, and strand the half-move
+        raise ValueError(
+            f"stage {stage} has an interrupted publish against "
+            f"{intent['table']!r}; retry the publish against THAT "
+            f"table (got {os.path.realpath(table)!r})"
+        )
     src_prefix = _data_root(stage) + os.sep
     dst_prefix = _data_root(table) + os.sep
+    cur = V.current_version(table)
     committed_v = None
-    for v in range(intent["expect"] + 1, V.current_version(table) + 1):
+    for v in range(intent["expect"] + 1, cur + 1):
         mp = os.path.join(V._manifest_dir(table), f"v{v}.json")
-        with open(mp) as fh:
-            if json.load(fh).get("publish_id") == intent["publish_id"]:
-                committed_v = v
-                break
+        try:
+            with open(mp) as fh:
+                if json.load(fh).get("publish_id") == intent["publish_id"]:
+                    committed_v = v
+                    break
+        except FileNotFoundError:
+            continue  # vacuumed version: fall through to the dir check
+    if committed_v is None:
+        # the publish_id may live in a vacuumed manifest: before
+        # reverting, check whether the CURRENT manifest references any
+        # of the intent's moved dirs — a referenced dir means the
+        # publish committed (and was later vacuumed past); moving it
+        # back would corrupt the live table
+        referenced = {
+            os.path.basename(os.path.dirname(f["path"]))
+            for f in V._read_manifest(table, cur)["files"]
+            if f["path"].startswith(dst_prefix)
+        }
+        if any(d in referenced for d in intent["dirs"]):
+            committed_v = cur
     if committed_v is None:
         for d in intent["dirs"]:
             src_d, dst_d = src_prefix + d, dst_prefix + d

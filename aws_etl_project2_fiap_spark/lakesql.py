@@ -46,11 +46,21 @@ Grammar notes (deliberate limits, all loud):
 - ``WHEN NOT MATCHED THEN INSERT *`` only (the source row inserts
   whole — project the source subquery to shape it).
 - One clause of each kind, like Delta before 2.0. ``WHEN MATCHED``
-  may appear twice ONLY as UPDATE-with-condition followed by DELETE
-  (the Delta clause-ordering idiom), executed as a conditional update
-  merge then a conditional delete merge.
+  may appear twice ONLY as UPDATE-with-AND-condition followed by
+  DELETE (the Delta clause-ordering idiom; the UPDATE's condition is
+  required, matching Delta's non-final-clause rule, and both
+  conditions must be source-only). Executed as a conditional update
+  merge then a CAS-chained conditional delete merge carrying the
+  INSERT clause — two commits, so a crash between them leaves the
+  UPDATE applied with the DELETE/INSERT pending (re-run to finish);
+  a concurrent commit in the gap conflicts loudly, never misapplies.
+- SELECT resolves table names after FROM / JOIN and in comma-
+  separated FROM lists; string literals are never rewritten. A
+  COLUMN that shares a registered table's name directly after a
+  comma would be rewritten and fail loudly (rename one of them).
 - String literals containing keywords (``'WHEN MATCHED'``) inside
-  predicates are not lexed; keep such text out of DML predicates.
+  DML predicates are not lexed; keep such text out of DML predicates
+  (SELECT literals are safe).
 """
 
 from __future__ import annotations
@@ -164,18 +174,11 @@ class LakeSQL:
         at its CURRENT version, or the version/timestamp a trailing
         ``VERSION AS OF n`` / ``TIMESTAMP AS OF 'ts'`` names — then let
         Spark SQL run the query unchanged (Catalyst still prunes and
-        pushes down: the temp view is a plain parquet scan plan)."""
-        pat = re.compile(
-            rf"\b(FROM|JOIN){_WS}({_ID})"
-            rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+)"
-            rf"|{_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}'([^']+)')?",
-            re.I,
-        )
-
-        def sub(m: re.Match) -> str:
-            kw, name, ver, ts = m.groups()
-            if name not in self.tables:
-                return m.group(0)  # not ours (subquery alias, etc.)
+        pushes down: the temp view is a plain parquet scan plan).
+        Table references after FROM / JOIN and in comma-separated
+        FROM lists are resolved; only text OUTSIDE string literals is
+        rewritten (a literal containing 'FROM orders' stays intact)."""
+        def _resolve(name, ver, ts):
             path = self.tables[name]
             if ver is not None:
                 view = f"{name}__v{ver}"
@@ -188,9 +191,46 @@ class LakeSQL:
                 view = f"{name}__cur"
                 df = V.read_table(self.spark, path)
             df.createOrReplaceTempView(view)
-            return f"{kw} {view}"
+            return view
 
-        return self.spark.sql(pat.sub(sub, q))
+        # pass 1 (raw text): TIMESTAMP AS OF — its quoted timestamp IS
+        # a string literal, so it must resolve before the literal split
+        ts_pat = re.compile(
+            rf"(\b(?:FROM|JOIN){_WS}|,\s*)({_ID})"
+            rf"{_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}'([^']+)'",
+            re.I,
+        )
+
+        def ts_sub(m: re.Match) -> str:
+            kw, name, ts = m.groups()
+            if name not in self.tables:
+                return m.group(0)
+            return f"{kw}{_resolve(name, None, ts)}"
+
+        q = ts_pat.sub(ts_sub, q)
+
+        # pass 2: FROM/JOIN/comma-list names (+ VERSION AS OF), only
+        # OUTSIDE string literals — split on single-quoted spans and
+        # rewrite the even (non-literal) segments; a registered name
+        # inside a literal is data
+        pat = re.compile(
+            rf"(\b(?:FROM|JOIN){_WS}|,\s*)({_ID})"
+            rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+))?",
+            re.I,
+        )
+
+        def sub(m: re.Match) -> str:
+            kw, name, ver = m.groups()
+            if name not in self.tables:
+                return m.group(0)  # not ours (subquery alias, etc.)
+            return f"{kw}{_resolve(name, ver, None)}"
+
+        segments = re.split(r"('(?:[^']|'')*')", q)
+        rewritten = "".join(
+            seg if i % 2 else pat.sub(sub, seg)
+            for i, seg in enumerate(segments)
+        )
+        return self.spark.sql(rewritten)
 
     # -- UPDATE / DELETE ----------------------------------------------
 
@@ -203,7 +243,9 @@ class LakeSQL:
         if not m:
             raise SQLParseError(f"cannot parse UPDATE: {q!r}")
         name, sets, where = m.groups()
-        assigns = self._assignments(sets, aliased=False)
+        assigns = {
+            col: F.expr(expr) for col, expr in self._raw_assignments(sets)
+        }
         pred = F.expr(where) if where else F.lit(True)
         return self._result(
             V.update_table(self.spark, self._path(name), assigns, pred)
@@ -221,18 +263,6 @@ class LakeSQL:
         return self._result(
             V.delete_from(self.spark, self._path(name), pred)
         )
-
-    @staticmethod
-    def _assignments(sets: str, aliased: bool) -> dict:
-        out = {}
-        for part in _split_top(sets, r","):
-            am = re.match(
-                rf"\s*(?:{_ID}\.)?({_ID})\s*=\s*(.*?)\s*$", part, re.S
-            )
-            if not am:
-                raise SQLParseError(f"cannot parse assignment {part!r}")
-            out[am.group(1)] = F.expr(am.group(2))
-        return out
 
     # -- MERGE ---------------------------------------------------------
 
@@ -313,6 +343,18 @@ class LakeSQL:
                     )
                 elif act == "delete" and isinstance(when_matched, dict):
                     # Delta idiom: UPDATE-with-condition then DELETE.
+                    # Delta requires every non-final clause of a kind to
+                    # carry a condition — an unconditional first UPDATE
+                    # would leave the DELETE dead in Delta but, through
+                    # the two-merge emulation, would instead delete
+                    # every row it just updated. Reject, like Delta.
+                    if matched_condition is None:
+                        raise SQLParseError(
+                            "WHEN MATCHED THEN UPDATE followed by WHEN "
+                            "MATCHED THEN DELETE requires AND <cond> on "
+                            "the UPDATE clause (Delta's non-final-"
+                            "clause rule)"
+                        )
                     # Executed as two merges, so both conditions must be
                     # SOURCE-ONLY expressions — a t.-referencing first
                     # condition would be re-evaluated against the
@@ -342,6 +384,14 @@ class LakeSQL:
                 if act == "insert":
                     raise SQLParseError(
                         "WHEN NOT MATCHED BY SOURCE cannot INSERT"
+                    )
+                if act == "replace":
+                    # there IS no source row to replace from — Delta
+                    # only allows DELETE or an explicit UPDATE SET here
+                    raise SQLParseError(
+                        "WHEN NOT MATCHED BY SOURCE needs DELETE or an "
+                        "explicit UPDATE SET col=expr (UPDATE SET * has "
+                        "no source row to read)"
                     )
                 by_source = act
                 by_source_cond = cond_col
@@ -385,11 +435,19 @@ class LakeSQL:
             cond2 = neg if dcond is None else (
                 dcond if neg is None else (neg & dcond)
             )
+            # the two-merge emulation is TWO commits, not one atomic
+            # statement: chain the CAS so a concurrent commit landing
+            # between them conflicts loudly instead of letting the
+            # delete evaluate against post-statement state. A crash
+            # between the commits leaves the UPDATE applied and the
+            # DELETE/INSERT pending — re-run the statement's remaining
+            # clauses; both history entries are tagged MERGE.
             res2 = V.merge_table(
                 self.spark, path, source_df, keys,
                 when_matched="delete",
                 matched_condition=cond2,
                 insert_unmatched=insert_unmatched,
+                expect_version=res["version"],
             )
             res = {**res, "second_delete": res2}
         return self._result(res)
@@ -457,12 +515,19 @@ class LakeSQL:
     @staticmethod
     def _alias_norm(expr: str | None, talias: str, salias: str) -> str:
         """merge_table's t/s alias contract: rewrite the statement's
-        declared aliases to the canonical ``t.`` / ``s.`` prefixes."""
+        declared aliases to the canonical ``t.`` / ``s.`` prefixes in a
+        SINGLE pass — sequential replace would corrupt a swapped or
+        overlapping pair (``USING u AS t`` → its ``t.`` would be
+        rewritten twice, silently reading the wrong side)."""
         if expr is None:
             return expr
-        expr = re.sub(rf"\b{re.escape(talias)}\.", "t.", expr)
-        expr = re.sub(rf"\b{re.escape(salias)}\.", "s.", expr)
-        return expr
+        mapping = {talias.lower(): "t", salias.lower(): "s"}
+        return re.sub(
+            rf"\b({re.escape(talias)}|{re.escape(salias)})\.",
+            lambda m: mapping[m.group(1).lower()] + ".",
+            expr,
+            flags=re.I,
+        )
 
     def _alias_norm_expr(self, expr: str, talias: str, salias: str) -> str:
         return self._alias_norm(expr, talias, salias)

@@ -47,15 +47,21 @@ def test_bench_emits_one_json_line_at_smallest_sf():
     json_lines = [
         ln for ln in proc.stdout.splitlines() if ln.startswith("{")
     ]
-    # the core line prints early AND as the final line (truncation-safe
-    # capture contract — see bench.py docstring): every JSON line must
-    # parse, and the LAST one is the authoritative full payload
-    assert 1 <= len(json_lines) <= 2, proc.stdout[-1000:]
-    for ln in json_lines:
-        json.loads(ln)
-    payload = json.loads(json_lines[-1])
+    # the core line prints early and the payload re-emits after each
+    # optional column joins (lakehouse verbs, sf1) — truncation-safe
+    # capture contract, see bench.py docstring: every JSON line must
+    # parse, each is a superset of the previous, and the LAST one is
+    # the authoritative full payload
+    assert 1 <= len(json_lines) <= 3, proc.stdout[-1000:]
+    parsed = [json.loads(ln) for ln in json_lines]
+    for earlier, later in zip(parsed, parsed[1:]):
+        assert set(earlier) <= set(later)
+    payload = parsed[-1]
     for key in ("metric", "value", "unit", "queries", "queries_steady", "sf"):
         assert key in payload, f"missing {key}"
+    # the round-7 write-path column rides the default run
+    assert payload["lakehouse_verbs"] and payload["lakehouse_total"] > 0
+    assert "lakehouse_gate_violations" in payload
     assert payload["unit"] == "sec" and payload["value"] > 0
     import bench
 

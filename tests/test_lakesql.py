@@ -308,3 +308,87 @@ def test_ctas_and_refresh_matview(spark, tmp_path):
     assert set(got) == set(exp)
     for k in exp:
         assert abs(got[k] - float(exp[k])) < 1e-6
+
+
+# -- round-7 review regression pins -----------------------------------
+
+
+def test_unconditional_update_then_delete_rejected(spark, tmp_path):
+    """An unconditional first WHEN MATCHED UPDATE followed by DELETE
+    would, through the two-merge emulation, delete every row it just
+    updated — Delta rejects the shape (non-final clause needs a
+    condition) and so do we."""
+    tbl = str(tmp_path / "t")
+    V.create_table(spark.range(3).select(F.col("id").alias("k")), tbl)
+    lk = LakeSQL(spark, {"tt": tbl})
+    with pytest.raises(SQLParseError, match="non-final"):
+        lk.sql(
+            "MERGE INTO tt AS t USING tt AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET k = s.k "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_swapped_aliases_resolve_correctly(spark, tmp_path):
+    """USING ... AS t with INTO ... AS s (the crossing pair): a
+    sequential alias rewrite would turn the target reference into a
+    source reference and commit wrong values — the single-pass rewrite
+    must keep both sides straight."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(4).select(F.col("id").alias("k"),
+                              (F.col("id") * 1.0).alias("v")),
+        tbl,
+    )
+    srcp = str(tmp_path / "src")
+    V.create_table(
+        spark.range(4).select(F.col("id").alias("k"),
+                              F.lit(100.0).alias("v")),
+        srcp,
+    )
+    lk = LakeSQL(spark, {"tgt": tbl, "delta": srcp})
+    # s = the TARGET alias, t = the SOURCE alias (deliberately crossed)
+    lk.sql(
+        "MERGE INTO tgt AS s USING delta AS t ON s.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v + t.v"
+    )
+    got = {r["k"]: r["v"] for r in V.read_table(spark, tbl).collect()}
+    # target v (0..3) + source v (100) — NOT 200 (source+source) or
+    # doubled-target
+    assert got == {0: 100.0, 1: 101.0, 2: 102.0, 3: 103.0}
+
+
+def test_select_literal_containing_table_name_untouched(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(3).select(F.col("id").alias("k"),
+                              F.lit("go FROM tt now").alias("c")),
+        tbl,
+    )
+    lk = LakeSQL(spark, {"tt": tbl})
+    n = lk.sql(
+        "SELECT count(*) AS n FROM tt WHERE c = 'go FROM tt now'"
+    ).collect()[0]["n"]
+    assert n == 3
+
+
+def test_select_comma_join_resolves_both_tables(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    V.create_table(spark.range(5).select(F.col("id").alias("k")), a)
+    V.create_table(spark.range(3).select(F.col("id").alias("k")), b)
+    lk = LakeSQL(spark, {"ta": a, "tb": b})
+    n = lk.sql(
+        "SELECT count(*) AS n FROM ta, tb WHERE ta__cur.k = tb__cur.k"
+    ).collect()[0]["n"]
+    assert n == 3
+
+
+def test_by_source_update_star_rejected(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    V.create_table(spark.range(3).select(F.col("id").alias("k")), tbl)
+    lk = LakeSQL(spark, {"tt": tbl})
+    with pytest.raises(SQLParseError, match="no source row"):
+        lk.sql(
+            "MERGE INTO tt AS t USING tt AS s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+        )

@@ -878,3 +878,51 @@ def test_vacuum_past_watermark_refresh_raises(spark, tmp_path):
     # recovery verb works and re-pins
     MV.full_refresh_aggregate_view(spark, view)
     _assert_equal(_got(spark, view), _expect(spark, src, SUM_SQL()))
+
+
+def test_pre_mvnn_state_raises_pointed_migration_error(spark, tmp_path):
+    """A sum-agg view persisted BEFORE the __mvnn counter must fail
+    read/refresh with an error naming full_refresh_aggregate_view, and
+    that verb must migrate the state in place."""
+    src = str(tmp_path / "src")
+    V.create_table(
+        spark.createDataFrame(
+            [(1, 2.0), (1, 3.0), (2, 5.0)], "k long, x double"
+        ),
+        src,
+    )
+    dst = str(tmp_path / "view")
+    meta = {
+        "source": src,
+        "source_version": V.current_version(src),
+        "group_by": ["k"],
+        "aggs": {"sx": ["sum", "x"]},
+        "dims": [],
+    }
+    old_state = (
+        V.read_table(spark, src)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("__mv_cnt"),
+            F.sum(F.col("x").cast("decimal(28,6)")).alias("sx"),
+        )
+    )
+    V.create_table(old_state, dst, extra={"mv": meta})
+    with pytest.raises(ValueError, match="full_refresh_aggregate_view"):
+        MV.read_aggregate_view(spark, dst)
+    V.append_table(
+        spark.createDataFrame([(2, 1.0)], "k long, x double"), src
+    )
+    with pytest.raises(ValueError, match="full_refresh_aggregate_view"):
+        MV.refresh_aggregate_view(spark, dst)
+    MV.full_refresh_aggregate_view(spark, dst)
+    got = {
+        r["k"]: float(r["sx"])
+        for r in MV.read_aggregate_view(spark, dst).collect()
+    }
+    assert got == {1: 5.0, 2: 6.0}
+    # migrated: incremental refresh works again
+    V.append_table(
+        spark.createDataFrame([(1, 10.0)], "k long, x double"), src
+    )
+    assert MV.refresh_aggregate_view(spark, dst)["strategy"] == "delta"

@@ -512,3 +512,85 @@ def test_publish_crash_after_commit_is_idempotent(spark, tmp_path):
     r2 = W.publish_stage(spark, tbl, stg, keep_stage=True)
     assert r2.get("recovered") and r2["version"] == r1["version"]
     assert V.read_table(spark, tbl).count() == 110
+
+
+def test_recovery_refuses_wrong_table(spark, tmp_path):
+    """A crash marker records its target table; retrying the publish
+    against a DIFFERENT table must refuse (recovering there would
+    destroy the marker and strand the half-move), and the correct
+    retry must still work afterward."""
+    import json as _json
+
+    tbl = _table(spark, tmp_path)
+    other = str(tmp_path / "other")
+    V.create_table(spark.range(5).select("id"), other)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.append_table(
+        spark.range(100, 110).select("id", (F.col("id") * 1.0).alias("x")),
+        stg,
+    )
+    with open(os.path.join(stg, "_publish_intent.json"), "w") as fh:
+        _json.dump(
+            {
+                "publish_id": "crash-x",
+                "table": os.path.realpath(tbl),
+                "dirs": [],
+                "expect": V.current_version(tbl),
+                "mode": "exact",
+            },
+            fh,
+        )
+    with pytest.raises(ValueError, match="interrupted publish against"):
+        W.publish_stage(spark, other, stg)
+    # marker survived; the correct target recovers and publishes
+    assert os.path.exists(os.path.join(stg, "_publish_intent.json"))
+    r = W.publish_stage(spark, tbl, stg)
+    assert V.read_table(spark, tbl).count() == 110 and r["mode"] == "exact"
+
+
+def test_recovery_survives_vacuumed_manifest(spark, tmp_path):
+    """Crash after commit + table commits more + vacuum drops the
+    publish's manifest: the retry must recognize the landed publish
+    from the CURRENT manifest's dir references — never FileNotFoundError,
+    never move live dirs back."""
+    import json as _json
+
+    tbl = _table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.append_table(
+        spark.range(100, 120).select("id", (F.col("id") * 1.0).alias("x")),
+        stg,
+    )
+    expect = V.current_version(tbl)
+    r1 = W.publish_stage(spark, tbl, stg, keep_stage=True)
+    with open(
+        os.path.join(tbl, "_manifests", f"v{r1['version']}.json")
+    ) as fh:
+        raw = _json.load(fh)
+    pid = raw["publish_id"]
+    pub_dirs = sorted({
+        os.path.basename(os.path.dirname(f["path"]))
+        for f in V._read_manifest(tbl, r1["version"])["files"]
+    })
+    # the crash left the marker; then the table advances and vacuums
+    with open(os.path.join(stg, "_publish_intent.json"), "w") as fh:
+        _json.dump(
+            {
+                "publish_id": pid,
+                "table": os.path.realpath(tbl),
+                "dirs": pub_dirs,
+                "expect": expect,
+                "mode": "exact",
+            },
+            fh,
+        )
+    V.append_table(
+        spark.range(200, 205).select("id", (F.col("id") * 1.0).alias("x")),
+        tbl,
+    )
+    V.vacuum(tbl, keep_last=1)  # drops the publish's manifest
+    r2 = W.publish_stage(spark, tbl, stg, keep_stage=True)
+    assert r2.get("recovered")
+    assert V.read_table(spark, tbl).count() == 125  # nothing reverted
