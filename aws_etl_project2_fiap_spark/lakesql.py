@@ -587,7 +587,18 @@ class LakeSQL:
     def _create(self, q: str) -> DataFrame:
         """``CREATE TABLE name LOCATION 'path' AS SELECT ...`` — CTAS
         onto a new versioned table, registered under ``name`` for the
-        rest of the session."""
+        rest of the session — or ``CREATE MATERIALIZED VIEW name
+        LOCATION 'path' AS SELECT <keys and aggs> FROM <table> GROUP BY
+        <keys>``, which parses the aggregate list onto
+        ``io/matview.create_aggregate_view`` so the view refreshes
+        incrementally forever after."""
+        mv = re.match(
+            rf"CREATE{_WS}MATERIALIZED{_WS}VIEW{_WS}({_ID})"
+            rf"{_WS}LOCATION{_WS}'([^']+)'{_WS}AS{_WS}(.*)$",
+            q, re.I | re.S,
+        )
+        if mv:
+            return self._create_matview(*mv.groups())
         m = re.match(
             rf"CREATE{_WS}TABLE{_WS}({_ID}){_WS}LOCATION{_WS}'([^']+)'"
             rf"{_WS}AS{_WS}(.*)$",
@@ -595,14 +606,63 @@ class LakeSQL:
         )
         if not m:
             raise SQLParseError(
-                f"only CREATE TABLE <name> LOCATION '<path>' AS "
-                f"<select> is supported: {q!r}"
+                f"only CREATE TABLE|MATERIALIZED VIEW <name> LOCATION "
+                f"'<path>' AS <select> is supported: {q!r}"
             )
         name, path, select = m.groups()
         version = V.create_table(self._select(select.strip()), path)
         self.register(name, path)
         return self._result(
             {"table": name, "location": path, "version": version}
+        )
+
+    _AGG_FNS = ("sum", "count", "avg", "min", "max")
+
+    def _create_matview(self, name: str, path: str, select: str):
+        from .io import matview as MV
+
+        sm = re.match(
+            rf"SELECT{_WS}(.*?){_WS}FROM{_WS}({_ID})"
+            rf"{_WS}GROUP{_WS}BY{_WS}(.*)$",
+            select.strip(), re.I | re.S,
+        )
+        if not sm:
+            raise SQLParseError(
+                "CREATE MATERIALIZED VIEW needs the shape SELECT "
+                "<keys and aggs> FROM <table> GROUP BY <keys> "
+                f"(joins/dims: use the Python/CLI matview surface): "
+                f"{select!r}"
+            )
+        sel_list, src, gb = sm.groups()
+        group_by = [c.strip() for c in _split_top(gb, r",")]
+        aggs: dict[str, tuple[str, str | None]] = {}
+        for item in _split_top(sel_list, r","):
+            item = item.strip()
+            if item in group_by:
+                continue
+            am = re.match(
+                rf"({'|'.join(self._AGG_FNS)})\s*\(\s*(\*|{_ID})\s*\)"
+                rf"{_WS}AS{_WS}({_ID})$",
+                item, re.I,
+            )
+            if not am:
+                raise SQLParseError(
+                    f"matview select item must be a group key or "
+                    f"fn(col) AS name with fn in {self._AGG_FNS}: "
+                    f"{item!r}"
+                )
+            fn, col, out = am.groups()
+            aggs[out] = (
+                fn.lower(), None if col == "*" else col
+            )
+        if not aggs:
+            raise SQLParseError("matview needs at least one aggregate")
+        v = MV.create_aggregate_view(
+            self.spark, self._path(src), path, group_by, aggs
+        )
+        self.register(name, path)
+        return self._result(
+            {"view": name, "location": path, "version": v}
         )
 
     def _refresh(self, q: str) -> DataFrame:

@@ -392,3 +392,42 @@ def test_by_source_update_star_rejected(spark, tmp_path):
             "MERGE INTO tt AS t USING tt AS s ON t.k = s.k "
             "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
         )
+
+
+def test_create_materialized_view_sql(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(100).select((F.col("id") % 4).alias("g"),
+                                (F.col("id") * 1.0).alias("v")),
+        tbl,
+    )
+    lk = LakeSQL(spark, {"src": tbl})
+    view = str(tmp_path / "mv")
+    lk.sql(
+        f"CREATE MATERIALIZED VIEW mv LOCATION '{view}' AS "
+        "SELECT g, count(*) AS n, sum(v) AS total FROM src GROUP BY g"
+    )
+    V.append_table(
+        spark.range(100, 140).select((F.col("id") % 4).alias("g"),
+                                     (F.col("id") * 2.0).alias("v")),
+        tbl,
+    )
+    r = lk.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+    assert r["strategy"] == "delta"
+    from aws_etl_project2_fiap_spark.io import matview as MV
+    exp = {
+        x["g"]: (x["n"], float(x["total"]))
+        for x in V.read_table(spark, tbl).groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    got = {
+        x["g"]: (x["n"], float(x["total"]))
+        for x in MV.read_aggregate_view(spark, view).collect()
+    }
+    assert got == exp
+    with pytest.raises(SQLParseError, match="group key or"):
+        lk.sql(
+            f"CREATE MATERIALIZED VIEW m2 LOCATION '{view}2' AS "
+            "SELECT g, v + 1 AS w FROM src GROUP BY g"
+        )

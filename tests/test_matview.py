@@ -926,3 +926,68 @@ def test_pre_mvnn_state_raises_pointed_migration_error(spark, tmp_path):
         spark.createDataFrame([(1, 10.0)], "k long, x double"), src
     )
     assert MV.refresh_aggregate_view(spark, dst)["strategy"] == "delta"
+
+
+def test_evolve_two_dims_in_one_call(spark, tmp_path):
+    """Two dimensions advance before evolve: each folds in its own
+    commit (crash-resumable), the second fold sees the first's re-pin,
+    and the result equals a recompute against both new dim states."""
+    fact = str(tmp_path / "fact")
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    V.create_table(
+        spark.range(0, 300).select(
+            (F.col("id") % 20).alias("fk1"),
+            (F.col("id") % 7).alias("fk2"),
+            (F.col("id") * 1.0).alias("amount"),
+        ),
+        fact,
+    )
+    V.create_table(
+        spark.range(0, 20).select(
+            F.col("id").alias("fk1"),
+            F.concat(F.lit("R"), (F.col("id") % 4).cast("string")).alias(
+                "region"
+            ),
+        ),
+        d1,
+    )
+    V.create_table(
+        spark.range(0, 7).select(
+            F.col("id").alias("fk2"),
+            F.concat(F.lit("C"), (F.col("id") % 3).cast("string")).alias(
+                "chan"
+            ),
+        ),
+        d2,
+    )
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region", "chan"],
+        {"rev": ("sum", "amount"), "n": ("count", None)},
+        dims=[
+            {"path": d1, "keys": ["fk1"]},
+            {"path": d2, "keys": ["fk2"]},
+        ],
+    )
+    V.update_table(spark, d1, {"region": F.lit("R7")}, F.col("fk1") < 4)
+    V.delete_from(spark, d2, F.col("fk2") == 6, mode="cow")
+    r = MV.evolve_dimensions(spark, view)
+    assert r["dims_evolved"] == 2 and r["groups_changed"] > 0
+    f = V.read_table(spark, fact)
+    exp = {
+        (x["region"], x["chan"]): (float(x["rev"]), x["n"])
+        for x in f.join(V.read_table(spark, d1), "fk1")
+        .join(V.read_table(spark, d2), "fk2")
+        .groupBy("region", "chan")
+        .agg(F.sum("amount").alias("rev"), F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        (x["region"], x["chan"]): (float(x["rev"]), x["n"])
+        for x in MV.read_aggregate_view(spark, view).collect()
+    }
+    assert set(got) == set(exp)
+    for key in exp:
+        assert abs(got[key][0] - exp[key][0]) < 1e-6
+        assert got[key][1] == exp[key][1]
+    assert MV.refresh_aggregate_view(spark, view)["strategy"] == "noop"
