@@ -323,20 +323,29 @@ def test_change_feed_emits_rollback_resurrections_as_inserts(
     ]
 
 
-def test_dv_read_never_loads_sidecars_on_driver(spark, table, monkeypatch):
-    """Scans of a DV-carrying table apply deletion vectors INSIDE the
-    scan tasks (each file's sidecar loaded executor-side, mirror of the
-    distributed DV writer): the driver handles only the {file →
-    dv_path} map — O(DV files), never O(deleted rows). Poisoning the
-    driver-side sidecar reader proves no read path goes through it
-    (Python workers are separate processes and the _dv_filter closure
-    reads sidecars inline, so a driver call would be the only hit)."""
+def test_dv_read_driver_load_is_bounded(spark, table, monkeypatch):
+    """DV application picks its strategy by total deleted-position
+    count. UNDER the cap the driver loads the positions ONCE (bounded
+    at cap×8 bytes) to build the broadcast anti-join — a deliberate,
+    bounded read. PAST the cap the driver must never touch a sidecar:
+    each scan task loads its own file's DV (mirror of the distributed
+    DV writer), the driver handling only the {file → dv_path} map —
+    O(DV files), never O(deleted rows). Poisoning the driver-side
+    sidecar reader with the cap at 0 proves no big-DV read path goes
+    through it (Python workers are separate processes and the
+    _dv_filter closure reads sidecars inline, so a driver call would
+    be the only hit)."""
     V.delete_from(spark, table, F.col("id") % 7 == 0, mode="dv")
     expect = [i for i in range(300) if i % 7 != 0]
+    # small-DV path: anti-join strategy, same rows
+    assert _ids(spark, table) == expect
+
+    monkeypatch.setattr(V, "_DV_ANTI_JOIN_CAP", 0)
 
     def _boom(dvpath):
         raise AssertionError(
-            f"driver-side DV sidecar read on the read path: {dvpath}"
+            f"driver-side DV sidecar read on the big-DV read path: "
+            f"{dvpath}"
         )
 
     monkeypatch.setattr(V, "_read_dv", _boom)
