@@ -365,8 +365,16 @@ def full_refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
     }
 
 
-def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
+def refresh_aggregate_view(
+    spark: SparkSession, dst: str, evolve_dims: bool = False
+) -> dict:
     """REFRESH MATERIALIZED VIEW, incrementally.
+
+    ``evolve_dims=True``: if any pinned dimension advanced, fold the
+    dim change(s) first via :func:`evolve_dimensions`, then the fact
+    delta — the one-verb form a scheduled refresher wants instead of
+    catching :class:`StaleDimensions`. The result dict gains a
+    ``"dims_evolved"`` count when an evolution ran.
 
     Reads ``table_changes(source, watermark, head)`` — cost ∝ files
     changed since the last refresh, NEVER table size — and folds it in:
@@ -407,13 +415,19 @@ def refresh_aggregate_view(spark: SparkSession, dst: str) -> dict:
         if V.current_version(d["path"]) != d["version"]
     ]
     if moved:
-        raise StaleDimensions(
-            f"dimension(s) {moved} advanced past the view's pinned "
-            f"version(s); the incremental fold would silently mix dim "
-            f"states — run evolve_dimensions to fold the dim change(s) "
-            f"incrementally, or full_refresh_aggregate_view to re-pin "
-            f"from scratch"
-        )
+        if not evolve_dims:
+            raise StaleDimensions(
+                f"dimension(s) {moved} advanced past the view's pinned "
+                f"version(s); the incremental fold would silently mix "
+                f"dim states — run evolve_dimensions to fold the dim "
+                f"change(s) incrementally (or pass evolve_dims=True), "
+                f"or full_refresh_aggregate_view to re-pin from scratch"
+            )
+        ev = evolve_dimensions(spark, dst)
+        out = refresh_aggregate_view(spark, dst)  # re-reads fresh meta
+        out["dims_evolved"] = ev["dims_evolved"]
+        out["groups_changed"] += ev["groups_changed"]
+        return out
     _check_state_schema(V.read_table(spark, dst), meta)
     frm = meta["source_version"]
     to = V.current_version(source)

@@ -991,3 +991,26 @@ def test_evolve_two_dims_in_one_call(spark, tmp_path):
         assert abs(got[key][0] - exp[key][0]) < 1e-6
         assert got[key][1] == exp[key][1]
     assert MV.refresh_aggregate_view(spark, view)["strategy"] == "noop"
+
+
+def test_refresh_evolve_dims_one_verb(spark, tmp_path):
+    """refresh_aggregate_view(evolve_dims=True): a dim move AND a fact
+    move fold in one call — the scheduled-refresher ergonomic."""
+    fact, dim = _star25(spark, tmp_path)
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region"],
+        {"rev": ("sum", "amount"), "n": ("count", None)},
+        dims=[{"path": dim, "keys": ["cust_fk"]}],
+    )
+    V.update_table(spark, dim, {"region": F.lit("R8")}, F.col("cust_fk") < 3)
+    V.append_table(
+        spark.range(400, 430).select(
+            (F.col("id") % 25).alias("cust_fk"),
+            (F.col("id") * 1.0).alias("amount"),
+        ),
+        fact,
+    )
+    r = MV.refresh_aggregate_view(spark, view, evolve_dims=True)
+    assert r["dims_evolved"] == 1 and r["strategy"] == "delta"
+    _star_assert(spark, fact, dim, view)
