@@ -300,6 +300,7 @@ def matview_refresh_sink(
     query_name: str = "matview_refresh_sink",
     available_now: bool = True,
     interval_seconds: int | None = None,
+    evolve_dims: bool = False,
 ) -> StreamingQuery:
     """Continuous materialized-view maintenance: refresh the view
     whenever its SOURCE table commits, driven by the versioned-table
@@ -333,7 +334,12 @@ def matview_refresh_sink(
     )
 
     def _refresh(batch_df, batch_id: int) -> None:
-        MV.refresh_aggregate_view(batch_df.sparkSession, view_path)
+        # evolve_dims=True keeps the maintenance loop alive across
+        # dimension commits (folds them incrementally) instead of
+        # dying on StaleDimensions and needing a manual evolve
+        MV.refresh_aggregate_view(
+            batch_df.sparkSession, view_path, evolve_dims=evolve_dims
+        )
 
     w = (
         feed.writeStream.foreachBatch(_refresh)
