@@ -424,9 +424,20 @@ def refresh_aggregate_view(
                 f"or full_refresh_aggregate_view to re-pin from scratch"
             )
         ev = evolve_dimensions(spark, dst)
-        out = refresh_aggregate_view(spark, dst)  # re-reads fresh meta
-        out["dims_evolved"] = ev["dims_evolved"]
+        # keep evolve_dims on the recursive call: a dim commit landing
+        # DURING the evolution would otherwise re-raise StaleDimensions
+        # — the exact failure the flag exists to prevent
+        out = refresh_aggregate_view(spark, dst, evolve_dims=True)
+        out["dims_evolved"] = (
+            ev["dims_evolved"] + out.get("dims_evolved", 0)
+        )
         out["groups_changed"] += ev["groups_changed"]
+        if out["strategy"] == "noop" and (
+            ev["groups_changed"] or ev["dims_evolved"]
+        ):
+            # a dim-only move still changed the view: don't report the
+            # whole call as a no-op
+            out["strategy"] = ev["strategy"]
         return out
     _check_state_schema(V.read_table(spark, dst), meta)
     frm = meta["source_version"]

@@ -120,9 +120,17 @@ class LakeSQL:
     ):
         self.spark = spark
         self.tables: dict[str, str] = dict(tables or {})
+        # names whose SELECT resolution must go through the matview
+        # reader (logical columns, avg/sum derived from state) rather
+        # than the raw state table
+        self.views: set[str] = set()
 
-    def register(self, name: str, path: str) -> None:
+    def register(self, name: str, path: str, view: bool = False) -> None:
         self.tables[name] = path
+        if view:
+            self.views.add(name)
+        else:
+            self.views.discard(name)
 
     def _path(self, name: str) -> str:
         if name not in self.tables:
@@ -180,6 +188,21 @@ class LakeSQL:
         rewritten (a literal containing 'FROM orders' stays intact)."""
         def _resolve(name, ver, ts):
             path = self.tables[name]
+            if name in self.views:
+                # a materialized view reads through its LOGICAL
+                # projection (avg derived, state internals hidden)
+                if ver is not None or ts is not None:
+                    raise SQLParseError(
+                        f"time travel on materialized view {name!r} is "
+                        f"not supported; query its source table instead"
+                    )
+                from .io import matview as MV
+
+                view = f"{name}__cur"
+                MV.read_aggregate_view(
+                    self.spark, path
+                ).createOrReplaceTempView(view)
+                return view
             if ver is not None:
                 view = f"{name}__v{ver}"
                 df = V.read_table(self.spark, path, version=int(ver))
@@ -616,11 +639,10 @@ class LakeSQL:
             {"table": name, "location": path, "version": version}
         )
 
-    _AGG_FNS = ("sum", "count", "avg", "min", "max")
-
     def _create_matview(self, name: str, path: str, select: str):
         from .io import matview as MV
 
+        agg_fns = sorted(MV._SUPPORTED)  # one source of truth
         sm = re.match(
             rf"SELECT{_WS}(.*?){_WS}FROM{_WS}({_ID})"
             rf"{_WS}GROUP{_WS}BY{_WS}(.*)$",
@@ -635,23 +657,29 @@ class LakeSQL:
             )
         sel_list, src, gb = sm.groups()
         group_by = [c.strip() for c in _split_top(gb, r",")]
+        gb_lower = {c.lower() for c in group_by}
         aggs: dict[str, tuple[str, str | None]] = {}
         for item in _split_top(sel_list, r","):
             item = item.strip()
-            if item in group_by:
-                continue
+            if item.lower() in gb_lower:  # Spark resolution is
+                continue                  # case-insensitive; match it
             am = re.match(
-                rf"({'|'.join(self._AGG_FNS)})\s*\(\s*(\*|{_ID})\s*\)"
+                rf"({'|'.join(agg_fns)})\s*\(\s*(\*|{_ID})\s*\)"
                 rf"{_WS}AS{_WS}({_ID})$",
                 item, re.I,
             )
             if not am:
                 raise SQLParseError(
                     f"matview select item must be a group key or "
-                    f"fn(col) AS name with fn in {self._AGG_FNS}: "
+                    f"fn(col) AS name with fn in {agg_fns}: "
                     f"{item!r}"
                 )
             fn, col, out = am.groups()
+            if out in aggs:
+                raise SQLParseError(
+                    f"duplicate aggregate alias {out!r} — each output "
+                    f"column needs a distinct name"
+                )
             aggs[out] = (
                 fn.lower(), None if col == "*" else col
             )
@@ -660,7 +688,7 @@ class LakeSQL:
         v = MV.create_aggregate_view(
             self.spark, self._path(src), path, group_by, aggs
         )
-        self.register(name, path)
+        self.register(name, path, view=True)
         return self._result(
             {"view": name, "location": path, "version": v}
         )

@@ -334,9 +334,12 @@ def matview_refresh_sink(
     )
 
     def _refresh(batch_df, batch_id: int) -> None:
-        # evolve_dims=True keeps the maintenance loop alive across
-        # dimension commits (folds them incrementally) instead of
-        # dying on StaleDimensions and needing a manual evolve
+        # evolve_dims=True keeps the loop alive when a SOURCE commit
+        # arrives after dims moved (folds the dim change first instead
+        # of dying on StaleDimensions). Caveat: the feed triggers on
+        # SOURCE commits only, so a dim-only change folds at the NEXT
+        # source commit — a dim-driven SLA needs its own trigger (run
+        # evolve_dimensions on the dim's feed or a schedule).
         MV.refresh_aggregate_view(
             batch_df.sparkSession, view_path, evolve_dims=evolve_dims
         )

@@ -431,3 +431,35 @@ def test_create_materialized_view_sql(spark, tmp_path):
             f"CREATE MATERIALIZED VIEW m2 LOCATION '{view}2' AS "
             "SELECT g, v + 1 AS w FROM src GROUP BY g"
         )
+
+
+def test_matview_select_resolves_logical_columns(spark, tmp_path):
+    """SELECT over a SQL-created matview must read the LOGICAL view
+    (derived avg, hidden state internals, exact SUM NULL), not the raw
+    state table."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.createDataFrame(
+            [(1, 2.0), (1, 4.0), (2, None)], "g long, v double"
+        ),
+        tbl,
+    )
+    lk = LakeSQL(spark, {"src": tbl})
+    view = str(tmp_path / "mv")
+    lk.sql(
+        f"CREATE MATERIALIZED VIEW mv LOCATION '{view}' AS "
+        "SELECT g, avg(v) AS a, sum(v) AS s FROM src GROUP BY g"
+    )
+    rows = {r["g"]: (r["a"], r["s"])
+            for r in lk.sql("SELECT g, a, s FROM mv").collect()}
+    assert rows[1][0] == 3.0 and float(rows[1][1]) == 6.0
+    assert rows[2] == (None, None)  # all-NULL group: SQL NULLs, not 0
+    cols = lk.sql("SELECT * FROM mv").columns
+    assert "__mv_cnt" not in cols and not any("__mv" in c for c in cols)
+    with pytest.raises(SQLParseError, match="time travel"):
+        lk.sql("SELECT * FROM mv VERSION AS OF 1")
+    with pytest.raises(SQLParseError, match="duplicate aggregate"):
+        lk.sql(
+            f"CREATE MATERIALIZED VIEW m2 LOCATION '{view}2' AS "
+            "SELECT g, sum(v) AS x, avg(v) AS x FROM src GROUP BY g"
+        )

@@ -1014,3 +1014,20 @@ def test_refresh_evolve_dims_one_verb(spark, tmp_path):
     r = MV.refresh_aggregate_view(spark, view, evolve_dims=True)
     assert r["dims_evolved"] == 1 and r["strategy"] == "delta"
     _star_assert(spark, fact, dim, view)
+
+
+def test_refresh_evolve_dims_dim_only_move_not_noop(spark, tmp_path):
+    """A dim-only move under evolve_dims=True changed the view — the
+    merged result must not report strategy 'noop'."""
+    fact, dim = _star25(spark, tmp_path)
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region"],
+        {"rev": ("sum", "amount")},
+        dims=[{"path": dim, "keys": ["cust_fk"]}],
+    )
+    V.update_table(spark, dim, {"region": F.lit("RX")}, F.col("cust_fk") < 5)
+    r = MV.refresh_aggregate_view(spark, view, evolve_dims=True)
+    assert r["strategy"] != "noop" and r["groups_changed"] > 0
+    assert r["dims_evolved"] == 1
+    _star_assert_rev_only(spark, fact, dim, view)
