@@ -299,6 +299,41 @@ def _check_state_schema(df: DataFrame, meta: dict) -> None:
         )
 
 
+def _check_state_schema_manifest(dst: str, meta: dict) -> None:
+    """Zero-IO twin of :func:`_check_state_schema` for the refresh hot
+    path: the view's column set is recovered from the manifest's
+    per-file stats keys + null_cols (``__mvnn`` is a LONG counter, so
+    it always carries stats) instead of constructing a DataFrame,
+    whose mergeSchema inference costs a Spark job per refresh."""
+    sums = [
+        out for out, (fn, _c) in meta["aggs"].items() if fn == "sum"
+    ]
+    if not sums:
+        return
+    m = V._read_manifest(dst, V.current_version(dst))
+    if not m["files"]:
+        return  # empty state: nothing recorded to check against
+    mapping = m.get("column_mapping")
+    phys = set()
+    for f in m["files"]:
+        phys.update((f.get("stats") or {}).keys())
+        phys.update(f.get("null_cols") or ())
+    if mapping:
+        inv = {p: logical for logical, p in mapping.items()}
+        cols = {inv.get(p, p) for p in phys}
+    else:
+        cols = phys
+    missing = [
+        f"{out}__mvnn" for out in sums if f"{out}__mvnn" not in cols
+    ]
+    if missing:
+        raise ValueError(
+            f"view state predates the sum non-null counter (missing "
+            f"{missing}); run full_refresh_aggregate_view once to "
+            f"regenerate the state, then refresh incrementally as usual"
+        )
+
+
 def read_aggregate_view(spark: SparkSession, dst: str) -> DataFrame:
     """The view's logical result: group keys + the declared aggregate
     outputs (avg derived from its sum/count state, internals hidden)."""
@@ -439,7 +474,7 @@ def refresh_aggregate_view(
             # whole call as a no-op
             out["strategy"] = ev["strategy"]
         return out
-    _check_state_schema(V.read_table(spark, dst), meta)
+    _check_state_schema_manifest(dst, meta)
     frm = meta["source_version"]
     to = V.current_version(source)
     if to == frm:
