@@ -6381,6 +6381,89 @@ def k_wap_merge_publish_readback(
 
 
 @defquery(
+    "k_lakesql_verbs_readback",
+    """
+    WITH tgt AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderkey % 2 = 0
+    ), src AS (
+        SELECT o_orderkey, o_orderpriority,
+               o_totalprice * 2 AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), merged AS (
+        SELECT t.o_orderkey, t.o_orderpriority,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                         AND s.o_totalprice > 100000
+                    THEN s.o_totalprice + t.o_totalprice
+                    ELSE t.o_totalprice END AS p
+        FROM tgt t LEFT JOIN src s USING (o_orderkey)
+        UNION ALL
+        SELECT s.o_orderkey, s.o_orderpriority, s.o_totalprice
+        FROM src s LEFT JOIN tgt t USING (o_orderkey)
+        WHERE t.o_orderkey IS NULL
+    ), upd AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderkey % 5 = 0 THEN p + 7 ELSE p END AS p
+        FROM merged
+    ), final AS (
+        SELECT * FROM upd WHERE NOT (p > 400000)
+    )
+    SELECT o_orderpriority, count(*) AS n, round(sum(p), 2) AS total
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def k_lakesql_verbs_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface end-to-end (lakesql.py): a conditional
+    MERGE INTO (update-matched-over-threshold + INSERT *), an UPDATE
+    and a DELETE — written as SQL TEXT, parsed onto the versioned-table
+    verbs, read back and aggregated. The oracle reproduces the final
+    state relationally, so the hash gate proves the PARSER's clause
+    wiring (conditions, alias normalization, insert toggle), not just
+    the underlying verbs the other k_* entries already prove.
+
+    Reference parity: the reference's transform stage is a SparkSQL
+    node inside a Glue visual job — its users write SQL, not
+    DataFrames; this is the mutation-statement surface they'd expect
+    on a lakehouse table."""
+    from .io import versioned as ver_op
+    from .lakesql import LakeSQL
+
+    work = _scratch_dir("lakesql_rb")
+    tbl, srcp = f"{work}/t", f"{work}/s"
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ver_op.create_table(o.filter(F.col("o_orderkey") % 2 == 0), tbl)
+    ver_op.create_table(
+        o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        srcp,
+    )
+    lk = LakeSQL(spark, {"tgt": tbl, "delta": srcp})
+    lk.sql(
+        "MERGE INTO tgt AS t USING delta AS s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND s.o_totalprice > 100000 THEN UPDATE SET "
+        "o_totalprice = s.o_totalprice + t.o_totalprice "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    lk.sql(
+        "UPDATE tgt SET o_totalprice = o_totalprice + 7 "
+        "WHERE o_orderkey % 5 = 0"
+    )
+    lk.sql("DELETE FROM tgt WHERE o_totalprice > 400000")
+    return (
+        lk.sql("SELECT * FROM tgt")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@defquery(
     "k_table_source_readback",
     """
     SELECT o_orderstatus,
