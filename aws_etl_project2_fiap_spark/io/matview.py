@@ -109,6 +109,27 @@ def _state_exprs(aggs: dict) -> list[Column]:
     return exprs
 
 
+def _zero_state_rows(
+    groups: DataFrame, template: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Keys-only vanished groups → full state rows with ``__mv_cnt``
+    = 0 (all other state columns NULL), typed from ``template``'s
+    schema, so the vanish can ride the SAME CAS'd merge commit that
+    advances the watermark instead of a separate delete commit a
+    crash could skip. Reads hide ``__mv_cnt`` = 0 rows and the delta
+    fold's add-merge coalesces the NULLs to 0, so a zero row a crash
+    leaves behind is algebraically inert until compacted away."""
+    cols: list[Column] = [F.col(k) for k in keys]
+    for fld in template.schema.fields:
+        if fld.name in keys:
+            continue
+        if fld.name == _CNT:
+            cols.append(F.lit(0).cast(fld.dataType).alias(fld.name))
+        else:
+            cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+    return groups.select(*cols)
+
+
 def _delta_exprs(aggs: dict, sign: Column) -> list[Column]:
     """Aggregate expressions computing the CDF DELTA of every state
     column: inserts count +1, deletes −1 — sum/count fold by addition.
@@ -336,9 +357,17 @@ def _check_state_schema_manifest(dst: str, meta: dict) -> None:
 
 def read_aggregate_view(spark: SparkSession, dst: str) -> DataFrame:
     """The view's logical result: group keys + the declared aggregate
-    outputs (avg derived from its sum/count state, internals hidden)."""
+    outputs (avg derived from its sum/count state, internals hidden).
+
+    Filters ``__mv_cnt > 0``: the fold's cleanup merge (deleting
+    groups whose last row left) is a SEPARATE commit after the CAS'd
+    state merge, so a crash between the two leaves a zero-count state
+    row behind. That row is pure bookkeeping — a recompute would not
+    emit the group — so the read hides it, which turns the cleanup
+    merge into pure compaction and makes the crash window invisible to
+    every reader."""
     meta = view_meta(dst)
-    df = V.read_table(spark, dst)
+    df = V.read_table(spark, dst).filter(F.col(_CNT) > 0)
     _check_state_schema(df, meta)
     cols: list[Column] = [F.col(c) for c in meta["group_by"]]
     for out, (fn, _col) in meta["aggs"].items():
@@ -612,10 +641,25 @@ def refresh_aggregate_view(
         # probe; lineage is a source scan — materialize once
         .localCheckpoint(eager=True)
     )
+    # touched groups with NO surviving source rows: not in `recomputed`
+    # (nothing to aggregate), but their stale state rows remain. Fold
+    # them into the SAME CAS'd merge as __mv_cnt=0 zero-state rows —
+    # a separate delete commit would leave the stale (cnt>0!) rows
+    # VISIBLE if a crash landed between the two commits, and later
+    # refreshes only clean their own delta's keys
+    vanished = touched.join(
+        recomputed.select(*keys), keys, "left_anti"
+    ).localCheckpoint(eager=True)
+    has_vanished = bool(vanished.limit(1).count())
+    merge_src = (
+        recomputed.unionByName(_zero_state_rows(vanished, recomputed, keys))
+        if has_vanished
+        else recomputed
+    )
     # exactly-once under racing refreshers (see the delta path)
     try:
         V.merge_table(
-            spark, dst, recomputed, keys,
+            spark, dst, merge_src, keys,
             when_matched="replace",
             extra={"mv": new_meta},
             expect_version=view_v,
@@ -624,14 +668,13 @@ def refresh_aggregate_view(
         if view_meta(dst)["source_version"] >= to:
             return _lost_refresh(dst, frm, to)
         raise
-    # touched groups with NO surviving source rows: not in `recomputed`
-    # (nothing to aggregate), but their stale state rows remain — merge
-    # a keys-only vanish list with a matched-delete clause
-    vanished = touched.join(recomputed.select(*keys), keys, "left_anti")
-    if vanished.limit(1).count():
+    if has_vanished:
+        # pure compaction: the zero rows are already invisible to reads
         V.merge_table(
             spark, dst, vanished, keys,
-            when_matched="delete", insert_unmatched=False,
+            when_matched="delete",
+            matched_condition=F.col(f"t.{_CNT}") <= 0,
+            insert_unmatched=False,
         )
     return {
         "strategy": "scoped", "from_version": frm, "to_version": to,
@@ -673,6 +716,16 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
     :class:`StaleDimensions` — full_refresh_aggregate_view remains the
     escape hatch.
 
+    **One fact pass for all moved dims**: every moved dim's changed
+    keys are broadcast LEFT-joined onto the fact in one stacked probe
+    (per-dim hit flags), the any-hit rows are checkpointed, and each
+    dim's signed legs are staged from that materialized delivery-sized
+    subset — k moved dims cost ONE pruned fact scan for the legs, not
+    k, while the per-dim commits (and their crash resumability) stay.
+    Scoped views (min/max present) additionally re-probe the fact once
+    per dim for the touched-group recompute — inherent, since a
+    recompute must see the touched groups' UNAFFECTED rows too.
+
     Returns {"strategy", "dims_evolved", "groups_changed",
     "view_version"}."""
     meta = view_meta(dst)
@@ -691,7 +744,15 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
     delta_ok = all(fn in _SELF_MAINTAINABLE for fn, _ in aggs.values())
     src_watermark = meta["source_version"]
     fact = V.read_table(spark, meta["source"], version=src_watermark)
-    total_groups = 0
+    # only fact rows joining a changed dim key can move the view; the
+    # changed-key sets are delivery-sized (dim mutations), so the fact
+    # is probed ONCE with all of them stacked as broadcast LEFT joins
+    # (per-dim hit flags) and the any-hit subset checkpointed — the
+    # fact scan is the only big IO, and it happens exactly once no
+    # matter how many dims moved
+    changed: dict[int, tuple[int, DataFrame]] = {}
+    probe = fact
+    hit_cols: list[str] = []
     for i in moved:
         d = dims[i]
         cur_v = V.current_version(d["path"])
@@ -704,13 +765,24 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
                 f"full_refresh_aggregate_view"
             ) from exc
         dkeys = list(d["keys"])
-        changed_keys = (
-            dim_cdf.select(*dkeys).distinct().localCheckpoint(eager=True)
+        ck = dim_cdf.select(*dkeys).distinct().localCheckpoint(eager=True)
+        changed[i] = (cur_v, ck)
+        hit = f"__mv_hit_{i}"
+        probe = probe.join(
+            F.broadcast(ck.withColumn(hit, F.lit(True))), dkeys, "left"
         )
-        # only fact rows joining a changed dim key can move the view;
-        # the changed-key set is delivery-sized (a dim mutation), so
-        # broadcast the probe — the fact scan is the only big IO
-        affected = fact.join(F.broadcast(changed_keys), dkeys, "left_semi")
+        hit_cols.append(hit)
+    any_hit = F.lit(False)
+    for h in hit_cols:
+        any_hit = any_hit | F.coalesce(F.col(h), F.lit(False))
+    affected_all = probe.filter(any_hit).localCheckpoint(eager=True)
+    total_groups = 0
+    for i in moved:
+        d = dims[i]
+        cur_v, changed_keys = changed[i]
+        affected = affected_all.filter(
+            F.coalesce(F.col(f"__mv_hit_{i}"), F.lit(False))
+        ).drop(*hit_cols)
 
         def leg(dim_version: int, sign: int) -> DataFrame:
             dd = [dict(x) for x in dims]
@@ -803,19 +875,33 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
                     .agg(*_state_exprs(aggs))
                     .localCheckpoint(eager=True)
                 )
+                # vanished groups ride the SAME CAS'd merge as
+                # __mv_cnt=0 rows (see the scoped refresh path): a
+                # crash can never leave a stale pre-delete row visible
+                vanished = touched.join(
+                    recomputed.select(*keys), keys, "left_anti"
+                ).localCheckpoint(eager=True)
+                has_vanished = bool(vanished.limit(1).count())
+                merge_src = (
+                    recomputed.unionByName(
+                        _zero_state_rows(vanished, recomputed, keys)
+                    )
+                    if has_vanished
+                    else recomputed
+                )
                 V.merge_table(
-                    spark, dst, recomputed, keys,
+                    spark, dst, merge_src, keys,
                     when_matched="replace",
                     extra={"mv": new_meta},
                     expect_version=view_v,
                 )
-                vanished = touched.join(
-                    recomputed.select(*keys), keys, "left_anti"
-                )
-                if vanished.limit(1).count():
+                if has_vanished:
+                    # pure compaction of the already-invisible zero rows
                     V.merge_table(
                         spark, dst, vanished, keys,
-                        when_matched="delete", insert_unmatched=False,
+                        when_matched="delete",
+                        matched_condition=F.col(f"t.{_CNT}") <= 0,
+                        insert_unmatched=False,
                     )
             total_groups += int(n)
         dims[i] = {**d, "version": cur_v}

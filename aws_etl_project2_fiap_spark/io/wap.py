@@ -98,6 +98,23 @@ def abandon_stage(stage: str) -> None:
             f"production table — use drop/rmtree explicitly if you "
             f"really mean it"
         )
+    marker = _intent_path(stage)
+    if os.path.exists(marker):
+        # a publish crashed mid-move against this stage: some of its
+        # dirs may already sit under the PRODUCTION table's _data,
+        # referenced by nothing. Deleting the stage now would destroy
+        # the marker — the only record of which dirs are in flight —
+        # stranding them as unrecoverable orphans (or, if the commit
+        # actually landed, deleting the published table's data is the
+        # publish's cleanup job, not abandon's)
+        with open(marker) as fh:
+            intent = json.load(fh)
+        raise ValueError(
+            f"stage {stage} has an interrupted publish against "
+            f"{intent['table']!r}; retry publish_stage against that "
+            f"table first (it reverts the half-move or finishes the "
+            f"commit idempotently), then abandon"
+        )
     shutil.rmtree(stage)
 
 
@@ -177,12 +194,24 @@ def _recover_interrupted_publish(
         # reverting, check whether the CURRENT manifest references any
         # of the intent's moved dirs — a referenced dir means the
         # publish committed (and was later vacuumed past); moving it
-        # back would corrupt the live table
-        referenced = {
-            os.path.basename(os.path.dirname(f["path"]))
-            for f in V._read_manifest(table, cur)["files"]
-            if f["path"].startswith(dst_prefix)
-        }
+        # back would corrupt the live table. Walk EVERY string in each
+        # entry (the same recursive walk as publish's staged_dirs):
+        # a DV-only stage's moved dirs are dv_* sidecar dirs referenced
+        # solely via f["dv"]["path"], never f["path"]
+        referenced: set[str] = set()
+
+        def walk(v):
+            if isinstance(v, str) and v.startswith(dst_prefix):
+                referenced.add(v[len(dst_prefix):].split(os.sep, 1)[0])
+            elif isinstance(v, dict):
+                for x in v.values():
+                    walk(x)
+            elif isinstance(v, list):
+                for x in v:
+                    walk(x)
+
+        for f in V._read_manifest(table, cur)["files"]:
+            walk(f)
         if any(d in referenced for d in intent["dirs"]):
             committed_v = cur
     if committed_v is None:
@@ -282,7 +311,17 @@ def publish_stage(
         # three-way reconcile over (base, stage, current): apply the
         # stage's per-file mutations onto the table's CURRENT file
         # list, conflicting only where both sides mutated the same file
-        base_m = V._read_manifest(table, base)
+        try:
+            base_m = V._read_manifest(table, base)
+        except FileNotFoundError as exc:
+            # a vacuum on the production table dropped the stage's base
+            # manifest: the three-way diff is no longer derivable —
+            # conflict loudly rather than guess (and never resurrect
+            # what the vacuum deleted)
+            raise V.CommitConflict(
+                f"merge publish needs {table}'s base manifest v{base} "
+                f"but it was vacuumed; re-stage from the current version"
+            ) from exc
         cur_m = V._read_manifest(table, cur)
         # cluster_spec carries partition-spec evolution / hidden
         # partitioning state (versioned.py:1711 alter_clustering)

@@ -165,6 +165,12 @@ class LakeSQL:
             return self._optimize(q)
         if head == "VACUUM":
             return self._vacuum(q)
+        if head == "ALTER":
+            return self._alter(q)
+        if head == "PUBLISH":
+            return self._publish(q)
+        if head == "DROP":
+            return self._drop(q)
         if head in ("SELECT", "WITH"):
             return self._select(q)
         raise SQLParseError(f"unsupported statement: {head or text!r}")
@@ -379,10 +385,12 @@ class LakeSQL:
                             "clause rule)"
                         )
                     # Executed as two merges, so both conditions must be
-                    # SOURCE-ONLY expressions — a t.-referencing first
-                    # condition would be re-evaluated against the
-                    # already-updated rows in the second merge and
-                    # could wrongly fire the delete
+                    # SOURCE-ONLY expressions — a target-referencing
+                    # first condition (t.-qualified OR a bare column
+                    # that resolves against the target) would be
+                    # re-evaluated against the already-updated rows in
+                    # the second merge and could wrongly fire or
+                    # suppress the delete
                     second_txt = (
                         self._alias_norm(cond, talias, salias)
                         if cond else None
@@ -391,12 +399,8 @@ class LakeSQL:
                         ("first (UPDATE)", matched_cond_txt),
                         ("second (DELETE)", second_txt),
                     ):
-                        if txt and re.search(r"\bt\.", txt):
-                            raise SQLParseError(
-                                f"the {label} WHEN MATCHED condition in "
-                                f"the UPDATE+DELETE idiom must reference "
-                                f"only source (s.) columns, got {txt!r}"
-                            )
+                        if txt:
+                            self._require_source_only(label, txt)
                     matched_second_delete = (cond_col,)
                 else:
                     raise SQLParseError(
@@ -535,21 +539,78 @@ class LakeSQL:
             out.append((am.group(1), am.group(2)))
         return out
 
+    # words that may legally appear unqualified in an idiom condition:
+    # operators/predicates, literals, CASE machinery, and the cast/type
+    # names — anything else unqualified is a column reference
+    _COND_KEYWORDS = frozenset(
+        """and or not in is null like ilike rlike between true false
+        case when then else end as distinct from escape exists cast
+        try_cast date timestamp interval int integer bigint smallint
+        tinyint double float decimal numeric string varchar char
+        boolean binary array map struct day days month months year
+        years hour hours minute minutes second seconds""".split()
+    )
+
+    @classmethod
+    def _require_source_only(cls, label: str, txt: str) -> None:
+        """The UPDATE+DELETE idiom's conditions must reference ONLY
+        s.-qualified columns: the idiom executes as two merges, and the
+        second re-evaluates both conditions against already-updated
+        target rows. ``t.`` references are rejected, and so is any BARE
+        identifier outside function names, keywords, and literals — an
+        unqualified column that exists only on the target (e.g.
+        ``WHEN MATCHED AND flag``) would pass a t.-only check yet still
+        read the mutated target in the second merge."""
+        # literals out first (same single-quote split as _select),
+        # then drop the legal s.-qualified references
+        body = "".join(
+            seg
+            for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", txt))
+            if i % 2 == 0
+        )
+        if re.search(r"\bt\.", body):
+            raise SQLParseError(
+                f"the {label} WHEN MATCHED condition in the "
+                f"UPDATE+DELETE idiom must reference only source (s.) "
+                f"columns, got {txt!r}"
+            )
+        body = re.sub(rf"\bs\.{_ID}", " ", body)
+        for m in re.finditer(rf"\b({_ID})\b(\s*\()?", body):
+            name, is_call = m.group(1), m.group(2)
+            if is_call or name.lower() in cls._COND_KEYWORDS:
+                continue
+            raise SQLParseError(
+                f"the {label} WHEN MATCHED condition in the "
+                f"UPDATE+DELETE idiom must reference only source (s.) "
+                f"columns; bare identifier {name!r} would resolve "
+                f"against the already-updated target in the second "
+                f"merge — qualify it as s.{name} (or restructure)"
+            )
+
     @staticmethod
     def _alias_norm(expr: str | None, talias: str, salias: str) -> str:
         """merge_table's t/s alias contract: rewrite the statement's
         declared aliases to the canonical ``t.`` / ``s.`` prefixes in a
         SINGLE pass — sequential replace would corrupt a swapped or
         overlapping pair (``USING u AS t`` → its ``t.`` would be
-        rewritten twice, silently reading the wrong side)."""
+        rewritten twice, silently reading the wrong side). Only
+        NON-LITERAL segments are rewritten (the same single-quote
+        split as _select pass 2): with target alias ``o``, an
+        assignment like ``SET note = 'see o.admin'`` must keep its
+        string literal intact, not silently become ``'see t.admin'``."""
         if expr is None:
             return expr
         mapping = {talias.lower(): "t", salias.lower(): "s"}
-        return re.sub(
-            rf"\b({re.escape(talias)}|{re.escape(salias)})\.",
-            lambda m: mapping[m.group(1).lower()] + ".",
-            expr,
-            flags=re.I,
+        pat = re.compile(
+            rf"\b({re.escape(talias)}|{re.escape(salias)})\.", re.I
+        )
+        segments = re.split(r"('(?:[^']|'')*')", expr)
+        return "".join(
+            seg if i % 2
+            else pat.sub(
+                lambda m: mapping[m.group(1).lower()] + ".", seg
+            )
+            for i, seg in enumerate(segments)
         )
 
     def _alias_norm_expr(self, expr: str, talias: str, salias: str) -> str:
@@ -622,18 +683,50 @@ class LakeSQL:
         )
         if mv:
             return self._create_matview(*mv.groups())
+        br = re.match(
+            rf"CREATE{_WS}BRANCH{_WS}({_ID}){_WS}OF{_WS}({_ID})"
+            rf"{_WS}LOCATION{_WS}'([^']+)'$",
+            q, re.I,
+        )
+        if br:
+            # WAP stage verb: a metadata-only shallow clone of the
+            # table at its current version, registered as a writable
+            # name — INSERT/MERGE/UPDATE/DELETE against it stage
+            # invisibly until PUBLISH BRANCH (io/wap.py begin_stage)
+            from .io import wap as W
+
+            bname, tname, loc = br.groups()
+            base_v = W.begin_stage(self.spark, self._path(tname), loc)
+            self.register(bname, loc)
+            return self._result(
+                {"branch": bname, "of": tname, "location": loc,
+                 "base_version": base_v}
+            )
         m = re.match(
             rf"CREATE{_WS}TABLE{_WS}({_ID}){_WS}LOCATION{_WS}'([^']+)'"
+            rf"(?:{_WS}CLUSTERED{_WS}BY{_WS}\((.*?)\))?"
             rf"{_WS}AS{_WS}(.*)$",
             q, re.I | re.S,
         )
         if not m:
             raise SQLParseError(
-                f"only CREATE TABLE|MATERIALIZED VIEW <name> LOCATION "
-                f"'<path>' AS <select> is supported: {q!r}"
+                f"only CREATE TABLE|MATERIALIZED VIEW|BRANCH <name> "
+                f"LOCATION '<path>' [CLUSTERED BY (spec)] AS <select> "
+                f"is supported: {q!r}"
             )
-        name, path, select = m.groups()
-        version = V.create_table(self._select(select.strip()), path)
+        name, path, clustered, select = m.groups()
+        # CLUSTERED BY accepts the hidden-partitioning transforms the
+        # cluster spec supports: raw cols, year/month/day/hour(ts),
+        # truncate(N,col), bucket(N,col) — versioned.py create_table
+        # validates and canonicalizes them
+        cluster_by = (
+            [c.strip() for c in _split_top(clustered, r",")]
+            if clustered
+            else None
+        )
+        version = V.create_table(
+            self._select(select.strip()), path, cluster_by=cluster_by
+        )
         self.register(name, path)
         return self._result(
             {"table": name, "location": path, "version": version}
@@ -781,3 +874,108 @@ class LakeSQL:
         return self._result(
             {"table": name, "removed_dirs": len(removed)}
         )
+
+    # -- ALTER TABLE / WAP branches ------------------------------------
+
+    def _alter(self, q: str) -> DataFrame:
+        """``ALTER TABLE t RENAME COLUMN a TO b`` / ``DROP COLUMN a`` /
+        ``CLUSTER BY (spec, ...)`` / ``CLUSTER BY NONE`` — all three
+        land on the METADATA-ONLY versioned-table verbs: rename/drop
+        commit a new column mapping with zero data IO
+        (versioned.py rename_column/drop_column), CLUSTER BY commits a
+        new cluster spec (Iceberg-shaped partition-spec evolution,
+        alter_clustering) whose columns may be hidden-partitioning
+        transforms like ``month(ts)`` or ``bucket(16, key)``."""
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}RENAME{_WS}COLUMN"
+            rf"{_WS}({_ID}){_WS}TO{_WS}({_ID})$",
+            q, re.I,
+        )
+        if m:
+            name, old, new = m.groups()
+            v = V.rename_column(self._path(name), old, new)
+            return self._result(
+                {"table": name, "renamed": f"{old} -> {new}",
+                 "version": v}
+            )
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}DROP{_WS}COLUMN"
+            rf"{_WS}({_ID})$",
+            q, re.I,
+        )
+        if m:
+            name, col = m.groups()
+            v = V.drop_column(self._path(name), col)
+            return self._result(
+                {"table": name, "dropped": col, "version": v}
+            )
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}CLUSTER{_WS}BY"
+            rf"{_WS}(?:(NONE)|\((.*)\))\s*$",
+            q, re.I | re.S,
+        )
+        if m:
+            name, none, cols = m.groups()
+            spec = (
+                None
+                if none
+                else [c.strip() for c in _split_top(cols, r",")]
+            )
+            v = V.alter_clustering(self._path(name), spec)
+            return self._result(
+                {"table": name,
+                 "cluster_by": ", ".join(spec or []) or "NONE",
+                 "version": v}
+            )
+        raise SQLParseError(
+            f"supported ALTER forms: ALTER TABLE t RENAME COLUMN a TO "
+            f"b | DROP COLUMN a | CLUSTER BY (spec,...) | CLUSTER BY "
+            f"NONE — got {q!r}"
+        )
+
+    def _publish(self, q: str) -> DataFrame:
+        """``PUBLISH BRANCH b [MODE fail|append|merge]`` — atomically
+        publish a CREATE BRANCH stage onto its base table
+        (io/wap.py publish_stage; the base is read from the stage's
+        own cloned_from record, so the statement names only the
+        branch). The stage directory is consumed on success and the
+        name deregistered."""
+        from .io import wap as W
+
+        m = re.match(
+            rf"PUBLISH{_WS}BRANCH{_WS}({_ID})"
+            rf"(?:{_WS}MODE{_WS}({_ID}))?$",
+            q, re.I,
+        )
+        if not m:
+            raise SQLParseError(f"cannot parse PUBLISH BRANCH: {q!r}")
+        name, mode = m.groups()
+        stage = self._path(name)
+        base_table = V._read_manifest(stage, 1).get("cloned_from")
+        if not base_table:
+            raise SQLParseError(
+                f"{name!r} is not a branch (no cloned_from); PUBLISH "
+                f"BRANCH only publishes CREATE BRANCH stages"
+            )
+        res = W.publish_stage(
+            self.spark, base_table, stage,
+            mode=(mode or "fail").lower(),
+        )
+        self.tables.pop(name, None)
+        return self._result({"branch": name, **res})
+
+    def _drop(self, q: str) -> DataFrame:
+        """``DROP BRANCH b`` — abandon an unpublished stage
+        (io/wap.py abandon_stage: refuses production tables and stages
+        with an interrupted publish, so a typo can't delete data)."""
+        from .io import wap as W
+
+        m = re.match(rf"DROP{_WS}BRANCH{_WS}({_ID})$", q, re.I)
+        if not m:
+            raise SQLParseError(
+                f"only DROP BRANCH <name> is supported: {q!r}"
+            )
+        name = m.group(1)
+        W.abandon_stage(self._path(name))
+        self.tables.pop(name, None)
+        return self._result({"branch": name, "dropped": "true"})

@@ -6453,12 +6453,18 @@ def k_lakesql_verbs_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE o_orderkey % 5 = 0"
     )
     lk.sql("DELETE FROM tgt WHERE o_totalprice > 400000")
+    # the DDL verbs (round 8): a metadata-only column rename and a
+    # cluster-spec evolution — both must leave every value readable
+    # (the readback below consumes the RENAMED column), proving the
+    # ALTER surface under the same driver hash gate as the mutations
+    lk.sql("ALTER TABLE tgt RENAME COLUMN o_totalprice TO price")
+    lk.sql("ALTER TABLE tgt CLUSTER BY (bucket(4, o_orderkey))")
     return (
         lk.sql("SELECT * FROM tgt")
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum("price"), 2).alias("total"),
         )
     )
 
@@ -6739,21 +6745,22 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-# Positions 1-50 of queries(): the driver's hash window, ROTATED for
-# round 7. The r3-r6 window was byte-identical four rounds running, so
-# 30 oracle-backed entries (all 14 TPC-H shapes, all 13 k_* lakehouse
-# readbacks, dedup_span_exact, sample_stratified, ...) had never
-# received a driver-grade hash check — this window carries every one of
-# them, plus 20 continuity sentinels from the proven r3 set spanning
-# each operator family (agg/join/window/stream/dedup/text/similarity/
-# multimodal/update/suites). Everything evicted from the window stays
-# oracle-backed in the tail, where the judge's full-catalog replay
-# (tools/driver_sim.py) still verifies it.
+# Positions 1-50 of queries(): the driver's hash window, re-rotated
+# for round 8. The r7 window went 50/50 green (CORRECTNESS_r07.json);
+# two oracle-backed entries landed AFTER that rotation and so have
+# never received a driver-grade hash check — k_wap_merge_publish_
+# readback and k_lakesql_verbs_readback (VERDICT r7 #1). This window
+# swaps them in for tpch_q3/tpch_q5 (both driver-green r3-r7, and the
+# join family keeps join_star_revenue plus the 12 other TPC-H shapes
+# green in r7). Everything evicted stays oracle-backed in the tail,
+# where the judge's full-catalog replay (tools/driver_sim.py) still
+# verifies it. After this rotation, every oracle-backed entry in the
+# catalog has at least one driver-green CORRECTNESS_r*.json row.
 # tests/test_entry_contract.py keeps an independent copy of this list.
 DRIVER_WINDOW: tuple[str, ...] = (
     # continuity sentinel first — green in every round so far
     "a1_top5_7day_sum",
-    # --- the 30 never-driver-checked oracle-backed entries ---
+    # --- driver-checked r7 (the round-7 rotation's 30 entries) ---
     "tpch_q4_order_priority", "tpch_q7_nation_volume",
     "tpch_q10_returned_items", "tpch_q12_priority_class",
     "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
@@ -6768,12 +6775,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "k_replicate_readback",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_span_exact",
     "sample_stratified", "text_rolling_chunks", "corpus_shard_export",
-    # --- 19 more continuity sentinels (r3-green, one per family) ---
+    # --- the 2 entries added after the r7 rotation: never
+    # driver-hash-checked until this round ---
+    "k_wap_merge_publish_readback", "k_lakesql_verbs_readback",
+    # --- 17 continuity sentinels (driver-green r7, one per family) ---
     "a2_count", "k_matview_dim_evolution_readback", "join_star_revenue",
     "window_keep_latest", "sessionize_30m", "event_time_tumbling_1h",
     "dedup_exact", "dedup_ngram_jaccard", "text_langid",
-    "similarity_knn", "multimodal_meta", "tpch_q3_shipping_priority",
-    "tpch_q5_regional_revenue", "dedup_embedding_cosine",
+    "similarity_knn", "multimodal_meta", "dedup_embedding_cosine",
     "k6_update_readback", "p_projection_suite", "suite_subquery",
     "suite_asof", "suite_text",
 )

@@ -463,3 +463,179 @@ def test_matview_select_resolves_logical_columns(spark, tmp_path):
             f"CREATE MATERIALIZED VIEW m2 LOCATION '{view}2' AS "
             "SELECT g, sum(v) AS x, avg(v) AS x FROM src GROUP BY g"
         )
+
+
+def test_alias_norm_preserves_string_literals(spark, tmp_path):
+    """ADVICE r7: with target alias ``o``, an assignment like
+    SET note = 'see o.admin' must keep its literal intact — the alias
+    rewrite applies only to non-literal segments."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit("x").alias("note")
+        ),
+        tbl,
+    )
+    srcp = str(tmp_path / "src")
+    V.create_table(
+        spark.range(0, 5).select(
+            F.col("id").alias("k"), F.lit("s").alias("note")
+        ),
+        srcp,
+    )
+    lk = LakeSQL(spark, {"tgt": tbl, "delta": srcp})
+    lk.sql(
+        "MERGE INTO tgt AS o USING delta AS s ON o.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET note = 'see o.admin'"
+    )
+    got = {r["k"]: r["note"] for r in V.read_table(spark, tbl).collect()}
+    assert got[0] == "see o.admin"
+    assert got[9] == "x"
+    # and the unit surface directly: both aliases, literals untouched
+    out = LakeSQL._alias_norm(
+        "o.v > s.v AND note = 'o.v and s.v stay'", "o", "s"
+    )
+    assert out == "t.v > s.v AND note = 'o.v and s.v stay'"
+
+
+def test_idiom_rejects_bare_target_column(spark, tmp_path):
+    """ADVICE r7: an unqualified column in either UPDATE+DELETE idiom
+    condition resolves against the already-updated target in the
+    second merge — reject it, not just explicit t. references."""
+    t_sql, src = _fixture(spark, tmp_path, "t_sql")
+    srcp = str(tmp_path / "src")
+    V.create_table(src, srcp)
+    lk = LakeSQL(spark, {"tgt": t_sql, "delta": srcp})
+    for cond in ("tag = 'old'", "s.k > 2 AND tag = 'old'", "t.k > 2"):
+        with pytest.raises(SQLParseError, match="source \\(s\\.\\)"):
+            lk.sql(
+                "MERGE INTO tgt AS t USING delta AS s ON t.k = s.k "
+                f"WHEN MATCHED AND {cond} THEN UPDATE SET v = s.v "
+                "WHEN MATCHED AND s.k % 2 = 1 THEN DELETE"
+            )
+    # and the DELETE-side condition is checked too
+    with pytest.raises(SQLParseError, match="source \\(s\\.\\)"):
+        lk.sql(
+            "MERGE INTO tgt AS t USING delta AS s ON t.k = s.k "
+            "WHEN MATCHED AND s.k > 2 THEN UPDATE SET v = s.v "
+            "WHEN MATCHED AND tag = 'old' THEN DELETE"
+        )
+    # source-only conditions with functions/casts/keywords still pass
+    lk.sql(
+        "MERGE INTO tgt AS t USING delta AS s ON t.k = s.k "
+        "WHEN MATCHED AND abs(s.v) > 2 AND cast(s.k AS int) "
+        "BETWEEN 1 AND 1000 AND s.tag IS NOT NULL "
+        "THEN UPDATE SET v = s.v "
+        "WHEN MATCHED AND s.k % 2 = 1 THEN DELETE"
+    )
+
+
+def test_alter_rename_and_drop_column_sql(spark, tmp_path):
+    """SQL spellings for the metadata-only column mapping verbs
+    (test_versioned_mapping shapes): rename keeps data readable under
+    the new name at a new version; drop hides the column."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.0).alias("v"),
+            F.lit("x").alias("extra"),
+        ),
+        tbl,
+    )
+    lk = LakeSQL(spark, {"tgt": tbl})
+    lk.sql("ALTER TABLE tgt RENAME COLUMN v TO amount")
+    df = V.read_table(spark, tbl)
+    assert "amount" in df.columns and "v" not in df.columns
+    assert df.agg(F.sum("amount")).collect()[0][0] == sum(
+        i * 1.0 for i in range(20)
+    )
+    # SELECT through the SQL surface resolves the new name
+    got = lk.sql("SELECT sum(amount) AS s FROM tgt").collect()[0]["s"]
+    assert float(got) == sum(i * 1.0 for i in range(20))
+    lk.sql("ALTER TABLE tgt DROP COLUMN extra")
+    assert "extra" not in V.read_table(spark, tbl).columns
+    # both verbs were metadata-only: versions advanced, no data rewrite
+    assert V.current_version(tbl) == 3
+
+
+def test_alter_cluster_by_sql(spark, tmp_path):
+    """SQL spelling for partition-spec evolution, including hidden-
+    partitioning transforms; CLUSTER BY NONE un-clusters."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        tbl,
+    )
+    lk = LakeSQL(spark, {"tgt": tbl})
+    lk.sql("ALTER TABLE tgt CLUSTER BY (bucket(4, k))")
+    m = V._read_manifest(tbl, V.current_version(tbl))
+    assert m["cluster_spec"]["cols"] == ["bucket(4,k)"]
+    lk.sql("ALTER TABLE tgt CLUSTER BY NONE")
+    m = V._read_manifest(tbl, V.current_version(tbl))
+    assert not (m.get("cluster_spec") or {}).get("cols")
+    # data untouched throughout
+    assert V.read_table(spark, tbl).count() == 50
+
+
+def test_create_table_clustered_by_sql(spark, tmp_path):
+    """CTAS with CLUSTERED BY records the cluster spec at creation —
+    the hidden-partitioning transforms parse through the top-level
+    comma split (nested parens in bucket(8,k))."""
+    src = str(tmp_path / "src")
+    V.create_table(
+        spark.range(0, 40).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        ),
+        src,
+    )
+    lk = LakeSQL(spark, {"src": src})
+    out = str(tmp_path / "out")
+    lk.sql(
+        f"CREATE TABLE derived LOCATION '{out}' "
+        f"CLUSTERED BY (bucket(8, k)) AS SELECT k, v FROM src"
+    )
+    m = V._read_manifest(out, V.current_version(out))
+    assert m["cluster_spec"]["cols"] == ["bucket(8,k)"]
+    assert sorted(
+        tuple(r) for r in lk.sql("SELECT * FROM derived").collect()
+    ) == _rows(spark, src)
+
+
+def test_branch_sql_roundtrip(spark, tmp_path):
+    """The WAP verbs in SQL: CREATE BRANCH stages invisibly, writes
+    against the branch name stay off the base table, PUBLISH BRANCH
+    lands them atomically, DROP BRANCH abandons."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        tbl,
+    )
+    lk = LakeSQL(spark, {"tgt": tbl})
+    stg = str(tmp_path / "stage")
+    lk.sql(f"CREATE BRANCH wip OF tgt LOCATION '{stg}'")
+    lk.sql("INSERT INTO wip SELECT k + 100 AS k, v FROM tgt")
+    # staged rows invisible on the base, visible on the branch
+    assert lk.sql("SELECT count(*) AS n FROM tgt").collect()[0]["n"] == 10
+    assert lk.sql("SELECT count(*) AS n FROM wip").collect()[0]["n"] == 20
+    res = lk.sql("PUBLISH BRANCH wip").collect()[0]
+    assert res["mode"] == "exact"
+    assert V.read_table(spark, tbl).count() == 20
+    assert "wip" not in lk.tables  # consumed and deregistered
+    # DROP BRANCH abandons an unpublished stage without touching base
+    stg2 = str(tmp_path / "stage2")
+    lk.sql(f"CREATE BRANCH wip2 OF tgt LOCATION '{stg2}'")
+    lk.sql("INSERT INTO wip2 SELECT k + 900 AS k, v FROM tgt")
+    lk.sql("DROP BRANCH wip2")
+    import os as _os
+
+    assert not _os.path.exists(stg2)
+    assert V.read_table(spark, tbl).count() == 20
+    # and DROP BRANCH refuses a production table (abandon's guard)
+    lk.register("prod", tbl)
+    with pytest.raises(ValueError, match="not a stage"):
+        lk.sql("DROP BRANCH prod")

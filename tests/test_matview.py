@@ -1031,3 +1031,200 @@ def test_refresh_evolve_dims_dim_only_move_not_noop(spark, tmp_path):
     assert r["strategy"] != "noop" and r["groups_changed"] > 0
     assert r["dims_evolved"] == 1
     _star_assert_rev_only(spark, fact, dim, view)
+
+
+def _crash_on_call(monkeypatch, n):
+    """Monkeypatch V.merge_table to raise on its n-th call — simulates
+    a hard crash between the CAS'd state merge and the follow-up
+    cleanup/compaction merge."""
+    real = V.merge_table
+    calls = {"n": 0}
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == n:
+            raise RuntimeError("injected crash before cleanup merge")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(V, "merge_table", boom)
+    return real
+
+
+def test_delta_crash_before_cleanup_hides_ghost_group(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r7: the delta fold's add-merge (which advances the
+    watermark) and the zero-count cleanup are two commits. A crash
+    between them leaves a __mv_cnt=0 state row — the read must hide
+    it (recompute would not emit the group), and the group coming
+    back later must fold onto the zero row exactly."""
+    src = _src(spark, tmp_path)
+    dst = str(tmp_path / "view")
+    MV.create_aggregate_view(spark, src, dst, ["k"], SUM_AGGS)
+    V.delete_from(spark, src, F.col("k") == 3, mode="dv")
+    real = _crash_on_call(monkeypatch, 2)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        MV.refresh_aggregate_view(spark, dst)
+    monkeypatch.setattr(V, "merge_table", real)
+    # the crash window is real: the zero-count state row exists ...
+    raw = {
+        r["k"]: r["__mv_cnt"]
+        for r in V.read_table(spark, dst).select("k", "__mv_cnt").collect()
+    }
+    assert raw[3] == 0
+    # ... but the logical read equals a recompute (no ghost row)
+    _assert_equal(_got(spark, dst), _expect(spark, src, SUM_SQL()))
+    # the watermark advanced with the add-merge: no refold
+    assert MV.refresh_aggregate_view(spark, dst)["strategy"] == "noop"
+    # group 3 reappears: the fold coalesces the zero row correctly
+    V.append_table(
+        spark.range(1000, 1010).select(
+            F.lit(3).cast("long").alias("k"),
+            (F.col("id") * 1.5).alias("x"),
+            F.col("id").alias("n"),
+        ),
+        src,
+    )
+    MV.refresh_aggregate_view(spark, dst)
+    _assert_equal(_got(spark, dst), _expect(spark, src, SUM_SQL()))
+
+
+def test_scoped_crash_before_compaction_leaves_no_stale_row(
+    spark, tmp_path, monkeypatch
+):
+    """Scoped fold, same crash: before round 8 the vanish was a
+    SEPARATE delete commit, so this crash left the group's stale
+    pre-delete row (cnt>0!) visible forever. The vanish now rides the
+    CAS'd replace-merge as a __mv_cnt=0 row; the second merge is pure
+    compaction and losing it must be invisible."""
+    src = _src(spark, tmp_path)
+    dst = str(tmp_path / "view")
+    MV.create_aggregate_view(spark, src, dst, ["k"], MM_AGGS)
+    V.delete_from(spark, src, F.col("k") == 3, mode="cow")
+    real = _crash_on_call(monkeypatch, 2)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        MV.refresh_aggregate_view(spark, dst)
+    monkeypatch.setattr(V, "merge_table", real)
+    raw = {r["k"]: r for r in V.read_table(spark, dst).collect()}
+    assert raw[3]["__mv_cnt"] == 0 and raw[3]["mx"] is None
+    _assert_equal(_got(spark, dst), _expect(spark, src, MM_SQL()))
+    assert MV.refresh_aggregate_view(spark, dst)["strategy"] == "noop"
+    _assert_equal(_got(spark, dst), _expect(spark, src, MM_SQL()))
+
+
+def test_evolve_crash_before_cleanup_hides_ghost_group(
+    spark, tmp_path, monkeypatch
+):
+    """Dim-evolution fold, same crash shape: deleting every dim key of
+    one region empties its group; the cleanup merge is lost to the
+    crash and the zero row must stay invisible."""
+    fact, dim = _star(spark, tmp_path)
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region"],
+        {"rev": ("sum", "amount"), "n": ("count", None)},
+        dims=[{"path": dim, "keys": ["cust_fk"]}],
+    )
+    # region R3 loses ALL its dim keys -> inner-join drops its rows
+    V.delete_from(spark, dim, F.col("region") == "R3", mode="cow")
+    real = _crash_on_call(monkeypatch, 2)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        MV.evolve_dimensions(spark, view)
+    monkeypatch.setattr(V, "merge_table", real)
+    raw = {
+        r["region"]: r["__mv_cnt"]
+        for r in V.read_table(spark, view).collect()
+    }
+    assert raw["R3"] == 0
+    _star_assert(spark, fact, dim, view)
+    # the dim pin advanced with the add-merge: evolve is now a noop
+    assert MV.evolve_dimensions(spark, view)["strategy"] == "noop"
+
+
+def test_evolve_two_dims_is_one_physical_fact_scan(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r7: k moved dims must cost ONE pruned fact scan, not k.
+    The fact read is wrapped with a per-partition accumulator tap; two
+    dims move; the tap must fire exactly once per fact partition —
+    i.e. the stacked broadcast probe materializes the fact exactly
+    once (the checkpoint), and the per-dim folds never rescan it."""
+    import os as _os
+
+    fact = str(tmp_path / "fact")
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    V.create_table(
+        spark.range(0, 300).select(
+            (F.col("id") % 20).alias("fk1"),
+            (F.col("id") % 7).alias("fk2"),
+            (F.col("id") * 1.0).alias("amount"),
+        ).repartition(2),
+        fact,
+    )
+    V.create_table(
+        spark.range(0, 20).select(
+            F.col("id").alias("fk1"),
+            F.concat(F.lit("R"), (F.col("id") % 4).cast("string"))
+            .alias("region"),
+        ),
+        d1,
+    )
+    V.create_table(
+        spark.range(0, 7).select(
+            F.col("id").alias("fk2"),
+            F.concat(F.lit("C"), (F.col("id") % 3).cast("string"))
+            .alias("chan"),
+        ),
+        d2,
+    )
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region", "chan"],
+        {"rev": ("sum", "amount"), "cnt": ("count", None)},
+        dims=[
+            {"path": d1, "keys": ["fk1"]},
+            {"path": d2, "keys": ["fk2"]},
+        ],
+    )
+    V.update_table(spark, d1, {"region": F.lit("R7")}, F.col("fk1") < 4)
+    V.update_table(spark, d2, {"chan": F.lit("C9")}, F.col("fk2") < 2)
+    npart = V.read_table(spark, fact).rdd.getNumPartitions()
+    acc = spark.sparkContext.accumulator(0)
+    fact_real = _os.path.realpath(fact)
+    real_read = V.read_table
+
+    def counting(sp, path, **kw):
+        df = real_read(sp, path, **kw)
+        if _os.path.realpath(str(path)) == fact_real:
+            schema = df.schema
+
+            def tap(batches):
+                acc.add(1)
+                yield from batches
+
+            df = df.mapInPandas(tap, schema)
+        return df
+
+    monkeypatch.setattr(V, "read_table", counting)
+    r = MV.evolve_dimensions(spark, view)
+    monkeypatch.setattr(V, "read_table", real_read)
+    assert r["dims_evolved"] == 2 and r["strategy"] == "delta"
+    assert acc.value == npart, (acc.value, npart)
+    # and the batched fold is still exact vs a recompute
+    f = V.read_table(spark, fact)
+    exp = {
+        (x["region"], x["chan"]): (float(x["rev"]), x["cnt"])
+        for x in f.join(V.read_table(spark, d1), "fk1")
+        .join(V.read_table(spark, d2), "fk2")
+        .groupBy("region", "chan")
+        .agg(F.sum("amount").alias("rev"), F.count("*").alias("cnt"))
+        .collect()
+    }
+    got = {
+        (x["region"], x["chan"]): (float(x["rev"]), x["cnt"])
+        for x in MV.read_aggregate_view(spark, view).collect()
+    }
+    assert set(got) == set(exp)
+    for key in exp:
+        assert abs(got[key][0] - exp[key][0]) < 1e-6
+        assert got[key][1] == exp[key][1]

@@ -594,3 +594,150 @@ def test_recovery_survives_vacuumed_manifest(spark, tmp_path):
     r2 = W.publish_stage(spark, tbl, stg, keep_stage=True)
     assert r2.get("recovered")
     assert V.read_table(spark, tbl).count() == 125  # nothing reverted
+
+
+def test_recovery_dv_only_stage_vacuumed_manifest(spark, tmp_path):
+    """ADVICE r7 (medium): a DV-only stage's moved dirs are dv_*
+    sidecar dirs referenced solely via f["dv"]["path"], never
+    f["path"]. Crash after commit + vacuum past the publish version:
+    the retry must recognize the landed publish from the DV path
+    references — concluding 'not committed' would move the LIVE
+    table's DV sidecars back into the stage and break reads."""
+    import json as _json
+
+    tbl = _table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    # DV-only mutation: no new batch dirs, only dv_* sidecars
+    V.delete_from(spark, stg, F.col("id") < 10, mode="dv")
+    expect = V.current_version(tbl)
+    r1 = W.publish_stage(spark, tbl, stg, keep_stage=True)
+    with open(
+        os.path.join(tbl, "_manifests", f"v{r1['version']}.json")
+    ) as fh:
+        pid = _json.load(fh)["publish_id"]
+    # the dirs the publish moved: the DV sidecar dirs, discoverable
+    # only through f["dv"]["path"]
+    dst_root = os.path.join(os.path.realpath(tbl), "_data") + os.sep
+    dv_dirs = sorted({
+        f["dv"]["path"][len(dst_root):].split(os.sep, 1)[0]
+        for f in V._read_manifest(tbl, r1["version"])["files"]
+        if f.get("dv")
+    })
+    assert dv_dirs, "stage produced no DV sidecars — test is vacuous"
+    with open(os.path.join(stg, "_publish_intent.json"), "w") as fh:
+        _json.dump(
+            {
+                "publish_id": pid,
+                "table": os.path.realpath(tbl),
+                "dirs": dv_dirs,
+                "expect": expect,
+                "mode": "exact",
+            },
+            fh,
+        )
+    V.append_table(
+        spark.range(200, 205).select("id", (F.col("id") * 1.0).alias("x")),
+        tbl,
+    )
+    V.vacuum(tbl, keep_last=1)  # drops the publish's manifest
+    r2 = W.publish_stage(spark, tbl, stg, keep_stage=True)
+    assert r2.get("recovered")
+    # nothing reverted: the published DV delete still applies
+    assert V.read_table(spark, tbl).count() == 95
+    for d in dv_dirs:
+        assert os.path.exists(os.path.join(dst_root, d))
+
+
+def test_abandon_refuses_pending_publish_intent(spark, tmp_path):
+    """ADVICE r7: abandoning a stage whose publish crashed mid-move
+    would delete the intent marker — the only record of the half-moved
+    dirs — stranding them under the production table. Abandon must
+    refuse; the retry-then-abandon path must still work."""
+    import json as _json
+
+    tbl = _table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.append_table(
+        spark.range(100, 110).select("id", (F.col("id") * 1.0).alias("x")),
+        stg,
+    )
+    with open(os.path.join(stg, "_publish_intent.json"), "w") as fh:
+        _json.dump(
+            {
+                "publish_id": "crash-mid-move",
+                "table": os.path.realpath(tbl),
+                "dirs": [],
+                "expect": V.current_version(tbl),
+                "mode": "exact",
+            },
+            fh,
+        )
+    with pytest.raises(ValueError, match="interrupted publish"):
+        W.abandon_stage(stg)
+    # marker and stage intact; recovery through publish, then abandon
+    assert os.path.exists(os.path.join(stg, "_publish_intent.json"))
+    W.publish_stage(spark, tbl, stg, keep_stage=True)
+    W.abandon_stage(stg)
+    assert not os.path.exists(stg)
+    assert V.read_table(spark, tbl).count() == 110
+
+
+def test_merge_publish_after_vacuum_of_base_conflicts_loudly(
+    spark, tmp_path
+):
+    """Vacuum-safety for the branch-merge path: if a vacuum on the
+    PRODUCTION table dropped the stage's base manifest between
+    begin_stage and publish_stage(mode='merge'), the three-way diff is
+    underivable — the publish must raise CommitConflict (never guess,
+    never resurrect vacuumed files), and the table must be untouched."""
+    tbl = _table(spark, tmp_path)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.append_table(
+        spark.range(100, 110).select("id", (F.col("id") * 1.0).alias("x")),
+        stg,
+    )
+    # production advances twice and vacuums its history past the base
+    V.append_table(
+        spark.range(200, 210).select("id", (F.col("id") * 1.0).alias("x")),
+        tbl,
+    )
+    V.delete_from(spark, tbl, F.col("id") < 5, mode="cow")
+    V.vacuum(tbl, keep_last=1)
+    before = V.read_table(spark, tbl).count()
+    with pytest.raises(V.CommitConflict, match="vacuumed"):
+        W.publish_stage(spark, tbl, stg, mode="merge")
+    assert V.read_table(spark, tbl).count() == before
+
+
+def test_merge_publish_with_surviving_base_never_resurrects(
+    spark, tmp_path
+):
+    """Vacuum-safety, success side: a vacuum that KEEPS the base
+    manifest doesn't break the merge, and the merged manifest
+    references only files that exist on disk — a file the table
+    removed (and the vacuum physically deleted) never reappears."""
+    tbl = _table(spark, tmp_path)
+    base_v = V.current_version(tbl)
+    stg = str(tmp_path / "s")
+    W.begin_stage(spark, tbl, stg)
+    V.append_table(
+        spark.range(100, 110).select("id", (F.col("id") * 1.0).alias("x")),
+        stg,
+    )
+    # the table rewrites everything (CoW delete), orphaning its
+    # original files, then vacuums data but KEEPS manifests back to
+    # the stage's base
+    V.delete_from(spark, tbl, F.col("id") >= 50, mode="cow")
+    keep = V.current_version(tbl) - base_v + 1
+    V.vacuum(tbl, keep_last=keep)
+    r = W.publish_stage(spark, tbl, stg, mode="merge")
+    m = V._read_manifest(tbl, r["version"])
+    for f in m["files"]:
+        assert os.path.exists(f["path"]), f["path"]
+        if f.get("dv"):
+            assert os.path.exists(f["dv"]["path"])
+    # stage adds (10) + table's surviving rows (50)
+    assert V.read_table(spark, tbl).count() == 60
