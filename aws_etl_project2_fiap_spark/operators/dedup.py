@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint
@@ -715,6 +715,18 @@ def bloom_incremental_dedup(
 # the index is ~num_hashes longs per doc — ~0.1% of corpus bytes.
 
 
+def _portable_hash64(col: Column) -> Column:
+    """60-bit engine-portable hash: the first 15 hex chars of md5,
+    reassembled as a positive BIGINT. Recomputable in any engine with
+    md5 + hex→int (DuckDB: ``('0x'||substring(md5(s),1,15))::BIGINT``)
+    — the property the oracle-backed near-dup gate needs. 15 hex chars
+    (60 bits) rather than 16 so the value never overflows a signed
+    64-bit int on either engine."""
+    return F.conv(
+        F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
 def minhash_index_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -722,17 +734,38 @@ def minhash_index_signatures(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc signature rows for the index: (id, mh array<long>, band,
     sig) — one row per band. Same shuffle-free projection as
     :func:`minhash_lsh_pairs` (shingle array → K minhashes → B band
     keys, no explode/groupBy on shingles); docs too short to shingle
-    are excluded (they cannot near-dup by shingle Jaccard)."""
+    are excluded (they cannot near-dup by shingle Jaccard).
+
+    ``token_hash``: ``"xxhash64"`` (default, fastest — one JVM hash per
+    shingle) or ``"md5"``, the ENGINE-PORTABLE variant: shingle hash,
+    per-seed minhash mix, and band signature are all md5-derived
+    (:func:`_portable_hash64`), so an external engine can recompute the
+    exact signatures — the driver's DuckDB oracle for the near-dup
+    ingest gate does. The two variants produce disjoint signature
+    spaces; the index's params sidecar pins whichever it was built
+    with."""
+    if token_hash not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"token_hash must be xxhash64|md5, got {token_hash!r}"
+        )
     rows = num_hashes // bands
     parts = ", ".join(f"tk[i-1+{j}]" for j in range(shingle_n))
+    if token_hash == "md5":
+        one = (
+            f"cast(conv(substring(md5(cast(concat_ws(' ', {parts}) "
+            f"as binary)), 1, 15), 16, 10) as bigint)"
+        )
+    else:
+        one = f"xxhash64(concat_ws(' ', {parts}))"
     sh_arr = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(tk)-{shingle_n - 1}, 0)),"
-        f" i -> xxhash64(concat_ws(' ', {parts}))))"
+        f" i -> {one}))"
     )
     docs = (
         df.select(
@@ -746,17 +779,33 @@ def minhash_index_signatures(
         # single-arg lambda via factory: a defaulted second parameter
         # would make F.transform pass the ARRAY INDEX into it, silently
         # replacing the seed (same pitfall noted in minhash_lsh_pairs)
+        if token_hash == "md5":
+            return F.array_min(
+                F.transform(
+                    "sh",
+                    lambda s: _portable_hash64(
+                        F.concat_ws(":", F.lit(seed), s.cast("string"))
+                    ),
+                )
+            )
         return F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(seed))))
 
     mh = F.array(*[_mh(seed) for seed in range(num_hashes)])
     sig = docs.select("id", mh.alias("mh"))
+
+    def _band_sig(b: int) -> Column:
+        cols = [F.col("mh")[i] for i in range(b * rows, (b + 1) * rows)]
+        if token_hash == "md5":
+            return F.md5(
+                F.concat_ws(":", *[c.cast("string") for c in cols])
+                .cast("binary")
+            )
+        return F.xxhash64(*cols)
+
     band_keys = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col("mh")[i] for i in range(b * rows, (b + 1) * rows)]
-                ).alias("sig"),
+                F.lit(b).alias("band"), _band_sig(b).alias("sig")
             )
             for b in range(bands)
         ]
@@ -768,18 +817,18 @@ def minhash_index_signatures(
 
 def _check_index_params(
     index_path: str, shingle_n: int, num_hashes: int, bands: int,
-    write: bool = False,
+    write: bool = False, token_hash: str = "xxhash64",
 ) -> None:
     """Persist/validate the signature parameters beside the index. A
-    probe or append whose (shingle_n, num_hashes, bands) differ from
-    the build's would produce band signatures that match NOTHING — a
-    silent all-clear over a corpus full of duplicates — so a mismatch
-    is a hard error, not a wrong answer."""
+    probe or append whose (shingle_n, num_hashes, bands, token_hash)
+    differ from the build's would produce band signatures that match
+    NOTHING — a silent all-clear over a corpus full of duplicates — so
+    a mismatch is a hard error, not a wrong answer."""
     import json
     import os
 
     params = {"shingle_n": shingle_n, "num_hashes": num_hashes,
-              "bands": bands}
+              "bands": bands, "token_hash": token_hash}
     ppath = os.path.join(index_path, "_minhash_params.json")
     if write:
         os.makedirs(index_path, exist_ok=True)
@@ -791,6 +840,8 @@ def _check_index_params(
             stored = json.load(fh)
     except FileNotFoundError:
         return  # pre-params index: caller's responsibility (documented)
+    # indexes written before token_hash existed were all xxhash64
+    stored.setdefault("token_hash", "xxhash64")
     if stored != params:
         raise ValueError(
             f"minhash index at {index_path} was built with {stored}; "
@@ -808,6 +859,7 @@ def build_minhash_index(
     num_hashes: int = 16,
     bands: int = 4,
     extra: dict | None = None,
+    token_hash: str = "xxhash64",
 ) -> int:
     """Create the persisted signature index (versioned table v1) from
     the current corpus. One corpus pass; index size ≈ bands rows ×
@@ -815,10 +867,14 @@ def build_minhash_index(
     a sidecar and later probes/appends are validated against them."""
     from ..io import versioned as V
 
-    _check_index_params(index_path, shingle_n, num_hashes, bands, write=True)
+    _check_index_params(
+        index_path, shingle_n, num_hashes, bands, write=True,
+        token_hash=token_hash,
+    )
     return V.create_table(
         minhash_index_signatures(
-            df, text_col, id_col, shingle_n, num_hashes, bands
+            df, text_col, id_col, shingle_n, num_hashes, bands,
+            token_hash=token_hash,
         ),
         index_path,
         extra=extra,
@@ -834,6 +890,7 @@ def append_to_minhash_index(
     num_hashes: int = 16,
     bands: int = 4,
     extra: dict | None = None,
+    token_hash: str = "xxhash64",
 ) -> int:
     """Append a delivery's signatures as one more versioned commit —
     the accepted-novel-docs half of the incremental loop. Retries are
@@ -842,10 +899,13 @@ def append_to_minhash_index(
     stream's ``batch_id`` replay marker into the index's manifest)."""
     from ..io import versioned as V
 
-    _check_index_params(index_path, shingle_n, num_hashes, bands)
+    _check_index_params(
+        index_path, shingle_n, num_hashes, bands, token_hash=token_hash
+    )
     return V.append_table(
         minhash_index_signatures(
-            df, text_col, id_col, shingle_n, num_hashes, bands
+            df, text_col, id_col, shingle_n, num_hashes, bands,
+            token_hash=token_hash,
         ),
         index_path,
         extra=extra,
@@ -863,6 +923,7 @@ def probe_minhash_index(
     num_hashes: int = 16,
     bands: int = 4,
     version: int | None = None,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs (batch_id, index_id, est_jaccard) between a
     delivery and the persisted corpus index.
@@ -877,10 +938,13 @@ def probe_minhash_index(
     only. A pair colliding in several bands dedups via max()."""
     from ..io import versioned as V
 
-    _check_index_params(index_path, shingle_n, num_hashes, bands)
+    _check_index_params(
+        index_path, shingle_n, num_hashes, bands, token_hash=token_hash
+    )
     idx = V.read_table(spark, index_path, version=version)
     q = minhash_index_signatures(
-        batch, text_col, id_col, shingle_n, num_hashes, bands
+        batch, text_col, id_col, shingle_n, num_hashes, bands,
+        token_hash=token_hash,
     ).select(
         F.col("id").alias("__qid"),
         F.col("mh").alias("__qmh"),

@@ -588,10 +588,14 @@ def apply_near_dup_batch(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    token_hash: str = "xxhash64",
 ) -> None:
     """One micro-batch of :func:`near_dup_gated_sink`, module-level so
     the replay/crash matrix is directly testable without driving a
-    stream (the sink is a thin foreachBatch wrapper)."""
+    stream (the sink is a thin foreachBatch wrapper). ``token_hash=
+    "md5"`` selects the engine-portable signature variant (see
+    operators/dedup.minhash_index_signatures) — the driver's DuckDB
+    oracle recomputes that gate decision bit-for-bit."""
     import os
 
     from ..io import versioned as V
@@ -642,6 +646,7 @@ def apply_near_dup_batch(
                 spark, index_path, batch_df,
                 text_col=text_col, id_col=id_col, threshold=threshold,
                 shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+                token_hash=token_hash,
             )
             dup_ids = hits.select(
                 F.col("batch_id").alias(id_col)
@@ -697,6 +702,7 @@ def apply_near_dup_batch(
                 novel, index_path, text_col=text_col, id_col=id_col,
                 shingle_n=shingle_n, num_hashes=num_hashes,
                 bands=bands, extra={"batch_id": batch_id},
+                token_hash=token_hash,
             )
         else:
             for attempt in range(5):
@@ -705,6 +711,7 @@ def apply_near_dup_batch(
                         novel, index_path, text_col=text_col,
                         id_col=id_col, shingle_n=shingle_n,
                         num_hashes=num_hashes, bands=bands,
+                        token_hash=token_hash,
                         extra={"batch_id": batch_id},
                     )
                     break

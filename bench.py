@@ -140,6 +140,10 @@ LAKEHOUSE_BASELINE = {
     "matview_create": 2.332,
     "matview_refresh_incremental": 2.667,
     "matview_full_recompute": 1.649,
+    # recorded round 8 (first measurement of the verb): one pruned fact
+    # pass folding a ~1/37-key dim mutation into the star view, fact
+    # carrying DVs from delete_dv above
+    "matview_evolve_dims": 4.793,
     "wap_publish": 0.008,
 }
 
@@ -244,6 +248,30 @@ def _lakehouse_verbs(spark, sf_dir: str) -> dict[str, float]:
         timed(
             "matview_full_recompute",
             lambda: MV.full_refresh_aggregate_view(spark, view),
+        )
+
+        # --- matview dim evolution (VERDICT r7 #4): one pruned fact
+        # pass folds a dimension mutation into a star-schema view -----
+        dimt = f"{work}/dim_cust"
+        V.create_table(
+            o.select("o_custkey").distinct().withColumn(
+                "cohort", (F.col("o_custkey") % 50).cast("string")
+            ),
+            dimt,
+        )
+        sview = f"{work}/view_star"
+        MV.create_aggregate_view(
+            spark, tbl, sview, ["cohort"],
+            {"n": ("count", None), "total": ("sum", "o_totalprice")},
+            dims=[{"path": dimt, "keys": ["o_custkey"]}],
+        )
+        V.update_table(
+            spark, dimt, {"cohort": F.lit("moved")},
+            F.col("o_custkey") % 37 == 0,
+        )
+        timed(
+            "matview_evolve_dims",
+            lambda: MV.evolve_dimensions(spark, sview),
         )
 
         # --- WAP publish ---------------------------------------------

@@ -128,3 +128,49 @@ def test_probe_with_mismatched_params_raises(spark, index):
         probe_minhash_index(spark, index, batch, num_hashes=32, bands=8)
     with pytest.raises(ValueError, match="built with"):
         append_to_minhash_index(batch, index, shingle_n=5)
+
+
+def test_md5_portable_variant_roundtrip(spark, tmp_path):
+    """token_hash='md5' (the engine-portable signature pipeline behind
+    the oracle-backed near-dup ingest gate): exact copies match at
+    est=1.0, unrelated docs don't, the params sidecar pins the variant
+    (an xxhash64 probe against an md5 index is a hard error), and the
+    60-bit md5-derived hash is bit-equal to DuckDB's recomputation."""
+    path = str(tmp_path / "mh_md5")
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    assert build_minhash_index(df, path, token_hash="md5") == 1
+    batch = spark.createDataFrame(
+        [
+            (101, CORPUS[1][1]),  # exact copy of doc 2
+            (102, "completely unrelated words about cooking pasta with garlic butter sauce"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        (r["batch_id"], r["index_id"]): r["est_jaccard"]
+        for r in probe_minhash_index(
+            spark, path, batch, threshold=0.5, token_hash="md5"
+        ).collect()
+    }
+    assert hits[(101, 2)] == 1.0
+    assert all(b != 102 for (b, _i) in hits)
+    # variant mismatch is loud, both directions
+    with pytest.raises(ValueError, match="built with"):
+        probe_minhash_index(spark, path, batch)  # default xxhash64
+    with pytest.raises(ValueError, match="built with"):
+        append_to_minhash_index(batch, path)
+    # cross-engine bit-equality of the portable hash primitive
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from aws_etl_project2_fiap_spark.operators.dedup import _portable_hash64
+
+    got = (
+        spark.createDataFrame([("abc xyz 42",)], "s string")
+        .select(_portable_hash64(F.col("s")).alias("h"))
+        .collect()[0]["h"]
+    )
+    exp = duckdb.sql(
+        "SELECT ('0x' || substring(md5('abc xyz 42'), 1, 15))::BIGINT"
+    ).fetchone()[0]
+    assert got == exp

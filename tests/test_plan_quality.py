@@ -609,3 +609,69 @@ def test_q17_threshold_decorrelates_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_merge_probe_prunes_to_touched_files(spark, tmp_path):
+    """VERDICT r7 #7, bench-independent: a delivery-sized MERGE into a
+    many-file clustered table must probe only the files whose manifest
+    key-envelope (and bloom) can hold the delivery's keys — a future
+    change that reintroduces a full-table probe fails here, not in a
+    bench regression three rounds later."""
+    from aws_etl_project2_fiap_spark.io import versioned as V
+
+    tbl = str(tmp_path / "orders")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    V.create_table(o, tbl, cluster_by=["o_orderkey"], num_files=8)
+    nfiles = len(V._read_manifest(tbl, 1)["files"])
+    assert nfiles >= 8
+    lo, hi = o.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    # delivery confined to the bottom ~10% of the key range: the
+    # range-clustered layout must prune the probe to a small minority
+    delivery = (
+        V.read_table(spark, tbl)
+        .filter(F.col("o_orderkey") <= lo + (hi - lo) // 10)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    res = V.merge_table(
+        spark, tbl, delivery, ["o_orderkey"],
+        when_matched="replace", insert_unmatched=False,
+    )
+    assert res["files_probed"] < nfiles / 2, (res, nfiles)
+    assert res["files_reused"] >= nfiles - res["files_probed"]
+
+
+def test_matview_refresh_merge_is_bucket_pruned(spark, tmp_path):
+    """VERDICT r7 #7: the incremental refresh's state merge must reuse
+    every state file whose bucket the delta didn't touch. A one-group
+    delta against an 8-bucket view carries >= N-1 files by reference —
+    a refresh that rewrites (or even probes) the whole view state is a
+    reintroduced full-table scan and fails here."""
+    from aws_etl_project2_fiap_spark.io import matview as MV
+    from aws_etl_project2_fiap_spark.io import versioned as V
+
+    src = str(tmp_path / "src")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").alias("x"),
+    )
+    V.create_table(o.repartition(4), src)
+    dst = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, src, dst, ["k"], {"sx": ("sum", "x")}, bucket_by_key=8
+    )
+    nfiles = len(V._read_manifest(dst, V.current_version(dst))["files"])
+    assert nfiles > 1
+    one_key = o.limit(1).collect()[0]["k"]
+    V.append_table(
+        spark.createDataFrame([(one_key, 5.0)], "k long, x double"), src
+    )
+    r = MV.refresh_aggregate_view(spark, dst)
+    assert r["groups_changed"] == 1
+    v = V.current_version(dst)
+    pre = {f["path"] for f in V._read_manifest(dst, v - 1)["files"]}
+    now = {f["path"] for f in V._read_manifest(dst, v)["files"]}
+    assert len(pre & now) >= nfiles - 1, (len(pre & now), nfiles)
