@@ -167,6 +167,8 @@ class LakeSQL:
             return self._vacuum(q)
         if head == "ALTER":
             return self._alter(q)
+        if head == "SHOW":
+            return self._show(q)
         if head == "PUBLISH":
             return self._publish(q)
         if head == "DROP":
@@ -825,10 +827,42 @@ class LakeSQL:
         )
 
     def _describe(self, q: str) -> DataFrame:
+        dm = re.match(rf"DESCRIBE{_WS}(?:TABLE{_WS})?({_ID})$", q, re.I)
+        if dm and dm.group(1).upper() != "HISTORY":
+            # DESCRIBE [TABLE] t: logical schema + per-column notes
+            # (cluster-spec membership, CHECK constraints) — the
+            # session-introspection verb a SQL-first user reaches for
+            # right after SHOW TABLES
+            name = dm.group(1)
+            path = self._path(name)
+            df = V.read_table(self.spark, path)
+            spec = (V.table_cluster_spec(path) or {}).get("cols") or []
+            cons = V.table_constraints(path)
+            rows = [
+                {
+                    "col_name": f.name,
+                    "data_type": f.dataType.simpleString(),
+                    "cluster": next(
+                        (c for c in spec if f.name in c), ""
+                    ),
+                }
+                for f in df.schema.fields
+            ] + [
+                {
+                    "col_name": f"constraint:{cname}",
+                    "data_type": "check",
+                    "cluster": expr,
+                }
+                for cname, expr in sorted(cons.items())
+            ]
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, cluster string"
+            )
         m = re.match(rf"DESCRIBE{_WS}HISTORY{_WS}({_ID})$", q, re.I)
         if not m:
             raise SQLParseError(
-                f"only DESCRIBE HISTORY <table> is supported: {q!r}"
+                f"only DESCRIBE [TABLE] <table> | DESCRIBE HISTORY "
+                f"<table> is supported: {q!r}"
             )
         hist = V.table_history(self._path(m.group(1)))
         rows = [
@@ -873,6 +907,19 @@ class LakeSQL:
         )
         return self._result(
             {"table": name, "removed_dirs": len(removed)}
+        )
+
+    def _show(self, q: str) -> DataFrame:
+        """``SHOW TABLES`` — the session's registered name → path
+        bindings (matviews flagged)."""
+        if not re.match(rf"SHOW{_WS}TABLES$", q, re.I):
+            raise SQLParseError(f"only SHOW TABLES is supported: {q!r}")
+        rows = [
+            {"name": n, "location": p, "is_view": n in self.views}
+            for n, p in sorted(self.tables.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, location string, is_view boolean"
         )
 
     # -- ALTER TABLE / WAP branches ------------------------------------
@@ -927,10 +974,35 @@ class LakeSQL:
                  "cluster_by": ", ".join(spec or []) or "NONE",
                  "version": v}
             )
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}ADD{_WS}CONSTRAINT"
+            rf"{_WS}({_ID}){_WS}CHECK{_WS}\((.*)\)\s*$",
+            q, re.I | re.S,
+        )
+        if m:
+            name, cname, expr = m.groups()
+            # existing data is validated first (one scan, Delta's ADD
+            # CONSTRAINT shape) — a rule can't be born already broken
+            V.add_constraint(self.spark, self._path(name), cname, expr)
+            return self._result(
+                {"table": name, "constraint": cname, "check": expr}
+            )
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}DROP{_WS}CONSTRAINT"
+            rf"{_WS}({_ID})$",
+            q, re.I,
+        )
+        if m:
+            name, cname = m.groups()
+            V.drop_constraint(self._path(name), cname)
+            return self._result(
+                {"table": name, "dropped_constraint": cname}
+            )
         raise SQLParseError(
             f"supported ALTER forms: ALTER TABLE t RENAME COLUMN a TO "
             f"b | DROP COLUMN a | CLUSTER BY (spec,...) | CLUSTER BY "
-            f"NONE — got {q!r}"
+            f"NONE | ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n "
+            f"— got {q!r}"
         )
 
     def _publish(self, q: str) -> DataFrame:

@@ -639,3 +639,52 @@ def test_branch_sql_roundtrip(spark, tmp_path):
     lk.register("prod", tbl)
     with pytest.raises(ValueError, match="not a stage"):
         lk.sql("DROP BRANCH prod")
+
+
+def test_alter_constraint_sql(spark, tmp_path):
+    """ALTER TABLE ADD/DROP CONSTRAINT in SQL: existing data validates
+    at add time, later writes enforce the rule, drop lifts it."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(1, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        tbl,
+    )
+    lk = LakeSQL(spark, {"tgt": tbl})
+    lk.sql("ALTER TABLE tgt ADD CONSTRAINT v_pos CHECK (v > 0)")
+    with pytest.raises(Exception, match="v_pos|constraint"):
+        lk.sql("INSERT INTO tgt VALUES (99, -5.0)")
+    # a constraint can't be born already broken
+    with pytest.raises(Exception, match="k_big|constraint"):
+        lk.sql("ALTER TABLE tgt ADD CONSTRAINT k_big CHECK (k > 100)")
+    lk.sql("ALTER TABLE tgt DROP CONSTRAINT v_pos")
+    lk.sql("INSERT INTO tgt VALUES (99, -5.0)")
+    assert V.read_table(spark, tbl).count() == 20
+
+
+def test_show_tables_and_describe_table(spark, tmp_path):
+    """Session introspection: SHOW TABLES lists the registered
+    bindings (matviews flagged); DESCRIBE TABLE shows the logical
+    schema plus cluster-spec membership and CHECK constraints."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        tbl,
+        cluster_by=["bucket(4, k)"],
+        constraints={"v_nonneg": "v >= 0"},
+    )
+    lk = LakeSQL(spark, {"tgt": tbl})
+    shown = {r["name"]: (r["location"], r["is_view"])
+             for r in lk.sql("SHOW TABLES").collect()}
+    assert shown == {"tgt": (tbl, False)}
+    desc = {r["col_name"]: (r["data_type"], r["cluster"])
+            for r in lk.sql("DESCRIBE TABLE tgt").collect()}
+    assert desc["k"] == ("bigint", "bucket(4,k)")
+    assert desc["v"][0] == "double" and desc["v"][1] == ""
+    assert desc["constraint:v_nonneg"] == ("check", "v >= 0")
+    # bare DESCRIBE <name> works too; DESCRIBE HISTORY still routes
+    assert lk.sql("DESCRIBE tgt").count() == 3
+    assert lk.sql("DESCRIBE HISTORY tgt").count() >= 1
