@@ -94,7 +94,8 @@ def cmd_lakesql(args) -> int:
             return 2
         tables[name] = path
     lk = LakeSQL(_session(), tables)
-    df = lk.sql(args.query)
+    # multi-statement scripts run sequentially; the last result shows
+    df = lk.sql_script(args.query)
     df.show(args.limit, truncate=not args.wide)
     return 0
 

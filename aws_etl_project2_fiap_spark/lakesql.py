@@ -177,6 +177,21 @@ class LakeSQL:
             return self._select(q)
         raise SQLParseError(f"unsupported statement: {head or text!r}")
 
+    def sql_script(self, text: str) -> DataFrame:
+        """Execute a multi-statement script (statements separated by
+        top-level ``;`` — semicolons inside string literals and parens
+        don't split), sequentially, returning the LAST statement's
+        result. The shape a SQL-first user pastes: stage, mutate,
+        publish, select."""
+        results = [
+            self.sql(stmt)
+            for stmt in _split_top(text, r";")
+            if stmt.strip()
+        ]
+        if not results:
+            raise SQLParseError("empty SQL script")
+        return results[-1]
+
     def _result(self, res: dict) -> DataFrame:
         from pyspark.sql import Row
 

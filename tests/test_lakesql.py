@@ -688,3 +688,53 @@ def test_show_tables_and_describe_table(spark, tmp_path):
     # bare DESCRIBE <name> works too; DESCRIBE HISTORY still routes
     assert lk.sql("DESCRIBE tgt").count() == 3
     assert lk.sql("DESCRIBE HISTORY tgt").count() >= 1
+
+
+def test_sql_script_multi_statement(spark, tmp_path):
+    """sql_script: top-level semicolons split statements (literals and
+    parens don't), they run in order, the last result returns — the
+    paste-a-script ergonomic, also the CLI lakesql verb's entry."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit("a;b").alias("note")
+        ),
+        tbl,
+    )
+    lk = LakeSQL(spark, {"tgt": tbl})
+    out = lk.sql_script(
+        "UPDATE tgt SET note = 'x;y' WHERE k < 3;\n"
+        "DELETE FROM tgt WHERE k >= 8;\n"
+        "SELECT count(*) AS n FROM tgt"
+    )
+    assert out.collect()[0]["n"] == 8
+    got = {r["k"]: r["note"] for r in V.read_table(spark, tbl).collect()}
+    assert got[0] == "x;y" and got[5] == "a;b"
+    with pytest.raises(SQLParseError, match="empty"):
+        lk.sql_script("  ;  ;  ")
+
+
+def test_publish_branch_mode_merge_sql(spark, tmp_path):
+    """PUBLISH BRANCH ... MODE merge: the base table advances under
+    the branch; the three-way reconcile lands both sides' rows."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        tbl,
+    )
+    lk = LakeSQL(spark, {"tgt": tbl})
+    stg = str(tmp_path / "stage")
+    lk.sql(f"CREATE BRANCH wip OF tgt LOCATION '{stg}'")
+    lk.sql("INSERT INTO wip SELECT k + 100 AS k, v FROM wip")
+    # base advances underneath the stage
+    lk.sql("INSERT INTO tgt SELECT k + 500 AS k, v FROM tgt")
+    with pytest.raises(V.CommitConflict, match="advanced"):
+        lk.sql("PUBLISH BRANCH wip")  # default MODE fail
+    res = lk.sql("PUBLISH BRANCH wip MODE merge").collect()[0]
+    assert res["mode"] == "merge"
+    ks = {r["k"] for r in V.read_table(spark, tbl).collect()}
+    assert ks == set(range(10)) | {k + 100 for k in range(10)} | {
+        k + 500 for k in range(10)
+    }
