@@ -682,6 +682,112 @@ def refresh_aggregate_view(
     }
 
 
+def _evolve_scoped_batched(
+    spark: SparkSession,
+    dst: str,
+    meta: dict,
+    aggs: dict,
+    keys: list[str],
+    dims: list[dict],
+    moved: list[int],
+    changed: dict,
+    fact: DataFrame,
+    affected_all: DataFrame,
+    hit_cols: list[str],
+) -> dict:
+    """Scoped (min/max) dim evolution, ALL moved dims in one commit.
+
+    The touched-group superset is the union, over every moved dim, of
+    the affected rows' groups evaluated under the ALL-OLD dim versions
+    and under the ALL-NEW versions: a group's value changes only if
+    some row enters or leaves it, such a row carries a changed dim key
+    (so it is in some dim's affected set), and its exact old/new group
+    comes from evaluating that row under all-old / all-new — so the
+    union covers every changing group, and recomputing a superset is
+    always exact. Cost: the touched legs read the CHECKPOINTED
+    affected subset (no fact IO), the recompute is the one extra fact
+    probe — two fact scans per evolve call no matter how many dims
+    moved, vs 1 + 2k for the per-dim fold this replaces. The single
+    CAS'd commit re-pins every moved dim at once: a crash means
+    nothing happened (retry redoes the evolution); vanished groups
+    ride the commit as zero-count rows (reads hide them) and the
+    follow-up delete is pure compaction."""
+    old_dims = dims
+    new_dims = [
+        {**d, "version": changed[i][0]} if i in changed else dict(d)
+        for i, d in enumerate(dims)
+    ]
+    touched = None
+    for i in moved:
+        affected = affected_all.filter(
+            F.coalesce(F.col(f"__mv_hit_{i}"), F.lit(False))
+        ).drop(*hit_cols)
+        for dd in (old_dims, new_dims):
+            lg = _with_dims(spark, affected, dd).select(*keys)
+            touched = lg if touched is None else touched.unionByName(lg)
+    touched = touched.distinct().localCheckpoint(eager=True)
+    tstats = touched.agg(
+        F.count(F.lit(1)).alias("n"),
+        _null_key_expr(keys).alias("null_key"),
+    ).collect()[0]
+    n = tstats["n"]
+    if tstats["null_key"]:
+        _raise_null_keys(keys, "the dim-evolution touched-group list")
+    view_v = V.current_version(dst)
+    new_meta = {**meta, "dims": new_dims}
+    if n == 0:
+        V._commit(
+            dst,
+            V._read_manifest(dst, view_v)["files"],
+            extra={"mv": new_meta},
+            expect_version=view_v,
+            operation=f"EVOLVE_MV_DIMS({len(moved)})",
+        )
+        return {
+            "strategy": "scoped", "dims_evolved": len(moved),
+            "groups_changed": 0,
+            "view_version": V.current_version(dst),
+        }
+    src = _with_dims(spark, fact, new_dims)
+    recomputed = (
+        src.join(touched, keys, "left_semi")
+        .groupBy(*keys)
+        .agg(*_state_exprs(aggs))
+        .localCheckpoint(eager=True)
+    )
+    # vanished groups ride the SAME CAS'd merge as __mv_cnt=0 rows
+    # (see the scoped refresh path): a crash can never leave a stale
+    # pre-delete row visible
+    vanished = touched.join(
+        recomputed.select(*keys), keys, "left_anti"
+    ).localCheckpoint(eager=True)
+    has_vanished = bool(vanished.limit(1).count())
+    merge_src = (
+        recomputed.unionByName(_zero_state_rows(vanished, recomputed, keys))
+        if has_vanished
+        else recomputed
+    )
+    V.merge_table(
+        spark, dst, merge_src, keys,
+        when_matched="replace",
+        extra={"mv": new_meta},
+        expect_version=view_v,
+    )
+    if has_vanished:
+        # pure compaction of the already-invisible zero rows
+        V.merge_table(
+            spark, dst, vanished, keys,
+            when_matched="delete",
+            matched_condition=F.col(f"t.{_CNT}") <= 0,
+            insert_unmatched=False,
+        )
+    return {
+        "strategy": "scoped", "dims_evolved": len(moved),
+        "groups_changed": int(n),
+        "view_version": V.current_version(dst),
+    }
+
+
 def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
     """Fold advanced DIMENSION versions into a star-schema view
     incrementally — the verb :class:`StaleDimensions` points at.
@@ -700,19 +806,25 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
       dim-key DELETE removes its rows from the view (star-schema
       inner-join semantics); an INSERT admits previously-dropped fact
       rows.
-    - **scoped views** (min/max present): the signed union contributes
-      only its DISTINCT group list (old groups ∪ new groups); those
-      groups are recomputed from the fact at the view's CURRENT
-      watermark joined to the dims with this dim at its new version,
-      and merge-replaced; groups with no surviving rows are deleted.
+    - **scoped views** (min/max present): the affected rows contribute
+      only their DISTINCT group list (groups under the all-old dim
+      versions ∪ groups under the all-new versions — a superset of
+      every group whose membership changes); those groups are
+      recomputed ONCE from the fact at the view's watermark joined to
+      ALL dims at their new versions, and merge-replaced in a single
+      CAS'd commit covering every moved dim; groups with no surviving
+      rows ride the same commit as zero-count rows (reads hide them).
 
     The fact is read AT THE VIEW'S WATERMARK version — dim evolution
     and fact refresh are orthogonal folds; run
     :func:`refresh_aggregate_view` before/after for fact changes.
-    Each dim folds in its own commit that re-pins that dim's version,
-    so a crash mid-way resumes exactly where it left (the same
-    exactly-once watermark argument as refresh). Dims whose CDF range
-    is no longer derivable (vacuumed manifests) raise
+    Delta views fold each dim in its own commit that re-pins that
+    dim's version, so a crash mid-way resumes exactly where it left
+    (the same exactly-once watermark argument as refresh); scoped
+    views fold all moved dims in ONE CAS'd commit, so a crash means
+    nothing happened and the retry redoes the whole evolution —
+    all-or-nothing rather than resumable, equally crash-safe. Dims
+    whose CDF range is no longer derivable (vacuumed manifests) raise
     :class:`StaleDimensions` — full_refresh_aggregate_view remains the
     escape hatch.
 
@@ -721,10 +833,10 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
     (per-dim hit flags), the any-hit rows are checkpointed, and each
     dim's signed legs are staged from that materialized delivery-sized
     subset — k moved dims cost ONE pruned fact scan for the legs, not
-    k, while the per-dim commits (and their crash resumability) stay.
-    Scoped views (min/max present) additionally re-probe the fact once
-    per dim for the touched-group recompute — inherent, since a
-    recompute must see the touched groups' UNAFFECTED rows too.
+    k. Scoped views add exactly one more fact probe (the touched-group
+    recompute must see the touched groups' UNAFFECTED rows too): two
+    fact scans total per evolve call, regardless of how many dims
+    moved.
 
     Returns {"strategy", "dims_evolved", "groups_changed",
     "view_version"}."""
@@ -776,6 +888,11 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
     for h in hit_cols:
         any_hit = any_hit | F.coalesce(F.col(h), F.lit(False))
     affected_all = probe.filter(any_hit).localCheckpoint(eager=True)
+    if not delta_ok:
+        return _evolve_scoped_batched(
+            spark, dst, meta, aggs, keys, dims, moved, changed,
+            fact, affected_all, hit_cols,
+        )
     total_groups = 0
     for i in moved:
         d = dims[i]
@@ -799,115 +916,55 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
                 for j, x in enumerate(dims)
             ],
         }
-        if delta_ok:
-            signed = leg(d["version"], -1).unionByName(leg(cur_v, 1))
-            delta = signed.groupBy(*keys).agg(
-                *_delta_exprs(aggs, F.col("__mv_sign"))
+        signed = leg(d["version"], -1).unionByName(leg(cur_v, 1))
+        delta = signed.groupBy(*keys).agg(
+            *_delta_exprs(aggs, F.col("__mv_sign"))
+        )
+        state_cols = [c for c in delta.columns if c not in keys]
+        nonzero = F.lit(False)
+        for c in state_cols:
+            nonzero = nonzero | (F.coalesce(F.col(c), F.lit(0)) != 0)
+        delta = delta.filter(nonzero).localCheckpoint(eager=True)
+        stats = delta.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(_CNT).alias("min_cnt"),
+            _null_key_expr(keys).alias("null_key"),
+        ).collect()[0]
+        n, min_cnt = stats["n"], stats["min_cnt"]
+        if stats["null_key"]:
+            _raise_null_keys(keys, "the dim-evolution delta")
+        if n == 0:
+            V._commit(
+                dst,
+                V._read_manifest(dst, view_v)["files"],
+                extra={"mv": new_meta},
+                expect_version=view_v,
+                operation=f"EVOLVE_MV_DIM({d['path']}@v{cur_v})",
             )
-            state_cols = [c for c in delta.columns if c not in keys]
-            nonzero = F.lit(False)
-            for c in state_cols:
-                nonzero = nonzero | (F.coalesce(F.col(c), F.lit(0)) != 0)
-            delta = delta.filter(nonzero).localCheckpoint(eager=True)
-            stats = delta.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min(_CNT).alias("min_cnt"),
-                _null_key_expr(keys).alias("null_key"),
-            ).collect()[0]
-            n, min_cnt = stats["n"], stats["min_cnt"]
-            if stats["null_key"]:
-                _raise_null_keys(keys, "the dim-evolution delta")
-            if n == 0:
-                V._commit(
-                    dst,
-                    V._read_manifest(dst, view_v)["files"],
-                    extra={"mv": new_meta},
-                    expect_version=view_v,
-                    operation=f"EVOLVE_MV_DIM({d['path']}@v{cur_v})",
-                )
-            else:
-                add = {
-                    c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
-                    + F.coalesce(F.col(f"s.{c}"), F.lit(0))
-                    for c in state_cols
-                }
-                V.merge_table(
-                    spark, dst, delta, keys,
-                    when_matched=add,
-                    extra={"mv": new_meta},
-                    expect_version=view_v,
-                )
-                if min_cnt is not None and min_cnt < 0:
-                    V.merge_table(
-                        spark, dst, delta.select(*keys), keys,
-                        when_matched="delete",
-                        matched_condition=F.col(f"t.{_CNT}") <= 0,
-                        insert_unmatched=False,
-                    )
-            total_groups += int(n)
         else:
-            signed = leg(d["version"], -1).unionByName(leg(cur_v, 1))
-            touched = (
-                signed.select(*keys).distinct().localCheckpoint(eager=True)
+            add = {
+                c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                for c in state_cols
+            }
+            V.merge_table(
+                spark, dst, delta, keys,
+                when_matched=add,
+                extra={"mv": new_meta},
+                expect_version=view_v,
             )
-            tstats = touched.agg(
-                F.count(F.lit(1)).alias("n"),
-                _null_key_expr(keys).alias("null_key"),
-            ).collect()[0]
-            n = tstats["n"]
-            if tstats["null_key"]:
-                _raise_null_keys(
-                    keys, "the dim-evolution touched-group list"
-                )
-            if n == 0:
-                V._commit(
-                    dst,
-                    V._read_manifest(dst, view_v)["files"],
-                    extra={"mv": new_meta},
-                    expect_version=view_v,
-                    operation=f"EVOLVE_MV_DIM({d['path']}@v{cur_v})",
-                )
-            else:
-                src = _with_dims(spark, fact, new_meta["dims"])
-                recomputed = (
-                    src.join(touched, keys, "left_semi")
-                    .groupBy(*keys)
-                    .agg(*_state_exprs(aggs))
-                    .localCheckpoint(eager=True)
-                )
-                # vanished groups ride the SAME CAS'd merge as
-                # __mv_cnt=0 rows (see the scoped refresh path): a
-                # crash can never leave a stale pre-delete row visible
-                vanished = touched.join(
-                    recomputed.select(*keys), keys, "left_anti"
-                ).localCheckpoint(eager=True)
-                has_vanished = bool(vanished.limit(1).count())
-                merge_src = (
-                    recomputed.unionByName(
-                        _zero_state_rows(vanished, recomputed, keys)
-                    )
-                    if has_vanished
-                    else recomputed
-                )
+            if min_cnt is not None and min_cnt < 0:
                 V.merge_table(
-                    spark, dst, merge_src, keys,
-                    when_matched="replace",
-                    extra={"mv": new_meta},
-                    expect_version=view_v,
+                    spark, dst, delta.select(*keys), keys,
+                    when_matched="delete",
+                    matched_condition=F.col(f"t.{_CNT}") <= 0,
+                    insert_unmatched=False,
                 )
-                if has_vanished:
-                    # pure compaction of the already-invisible zero rows
-                    V.merge_table(
-                        spark, dst, vanished, keys,
-                        when_matched="delete",
-                        matched_condition=F.col(f"t.{_CNT}") <= 0,
-                        insert_unmatched=False,
-                    )
-            total_groups += int(n)
+        total_groups += int(n)
         dims[i] = {**d, "version": cur_v}
         meta = new_meta
     return {
-        "strategy": "delta" if delta_ok else "scoped",
+        "strategy": "delta",
         "dims_evolved": len(moved),
         "groups_changed": total_groups,
         "view_version": V.current_version(dst),

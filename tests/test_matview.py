@@ -1228,3 +1228,100 @@ def test_evolve_two_dims_is_one_physical_fact_scan(
     for key in exp:
         assert abs(got[key][0] - exp[key][0]) < 1e-6
         assert got[key][1] == exp[key][1]
+
+
+def test_evolve_scoped_two_dims_one_commit_two_scans(
+    spark, tmp_path, monkeypatch
+):
+    """Scoped (min/max) evolution with TWO moved dims: one CAS'd
+    commit re-pins both, the result equals a recompute, and the fact
+    materializes exactly twice (affected probe + recompute) no matter
+    how many dims moved — the accumulator tap pins the scan count."""
+    import os as _os
+
+    fact = str(tmp_path / "fact")
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    V.create_table(
+        spark.range(0, 300).select(
+            (F.col("id") % 20).alias("fk1"),
+            (F.col("id") % 7).alias("fk2"),
+            (F.col("id") * 1.0).alias("amount"),
+        ).repartition(2),
+        fact,
+    )
+    V.create_table(
+        spark.range(0, 20).select(
+            F.col("id").alias("fk1"),
+            F.concat(F.lit("R"), (F.col("id") % 4).cast("string"))
+            .alias("region"),
+        ),
+        d1,
+    )
+    V.create_table(
+        spark.range(0, 7).select(
+            F.col("id").alias("fk2"),
+            F.concat(F.lit("C"), (F.col("id") % 3).cast("string"))
+            .alias("chan"),
+        ),
+        d2,
+    )
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region", "chan"],
+        {"mx": ("max", "amount"), "rev": ("sum", "amount")},
+        dims=[
+            {"path": d1, "keys": ["fk1"]},
+            {"path": d2, "keys": ["fk2"]},
+        ],
+    )
+    pre_v = V.current_version(view)
+    # dim moves that change group membership AND empty a group slice
+    V.update_table(spark, d1, {"region": F.lit("R7")}, F.col("fk1") < 4)
+    V.delete_from(spark, d2, F.col("fk2") == 6, mode="cow")
+    npart = V.read_table(spark, fact).rdd.getNumPartitions()
+    acc = spark.sparkContext.accumulator(0)
+    fact_real = _os.path.realpath(fact)
+    real_read = V.read_table
+
+    def counting(sp, path, **kw):
+        df = real_read(sp, path, **kw)
+        if _os.path.realpath(str(path)) == fact_real:
+            schema = df.schema
+
+            def tap(batches):
+                acc.add(1)
+                yield from batches
+
+            df = df.mapInPandas(tap, schema)
+        return df
+
+    monkeypatch.setattr(V, "read_table", counting)
+    r = MV.evolve_dimensions(spark, view)
+    monkeypatch.setattr(V, "read_table", real_read)
+    assert r["dims_evolved"] == 2 and r["strategy"] == "scoped"
+    assert acc.value == 2 * npart, (acc.value, npart)
+    # ONE commit re-pinned both dims (plus the compaction delete if
+    # groups vanished): the CAS'd merge carries the new meta
+    meta = MV.view_meta(view)
+    assert [d["version"] for d in meta["dims"]] == [
+        V.current_version(d1), V.current_version(d2)
+    ]
+    f = V.read_table(spark, fact)
+    exp = {
+        (x["region"], x["chan"]): (float(x["mx"]), float(x["rev"]))
+        for x in f.join(V.read_table(spark, d1), "fk1")
+        .join(V.read_table(spark, d2), "fk2")
+        .groupBy("region", "chan")
+        .agg(F.max("amount").alias("mx"), F.sum("amount").alias("rev"))
+        .collect()
+    }
+    got = {
+        (x["region"], x["chan"]): (float(x["mx"]), float(x["rev"]))
+        for x in MV.read_aggregate_view(spark, view).collect()
+    }
+    assert set(got) == set(exp)
+    for key in exp:
+        assert abs(got[key][0] - exp[key][0]) < 1e-6
+        assert abs(got[key][1] - exp[key][1]) < 1e-6
+    assert MV.evolve_dimensions(spark, view)["strategy"] == "noop"
+    assert V.current_version(view) >= pre_v + 1
