@@ -296,10 +296,19 @@ def create_aggregate_view(
     )
 
 
-def view_meta(dst: str) -> dict:
-    m = V._read_manifest(dst, V.current_version(dst)).get("mv")
+def view_meta(dst: str, version: int | None = None) -> dict:
+    """The view's spec (group keys, aggs, source pin, dims) as of
+    ``version`` (default: current). The spec is per-manifest state, so
+    time travel reads each version under its OWN spec — a view whose
+    aggregate list or dim set evolved replays its history correctly."""
+    m = V._read_manifest(
+        dst, V.current_version(dst) if version is None else version
+    ).get("mv")
     if not m:
-        raise ValueError(f"{dst} is not a materialized view")
+        raise ValueError(
+            f"{dst} is not a materialized view"
+            + (f" at v{version}" if version is not None else "")
+        )
     return m
 
 
@@ -355,9 +364,14 @@ def _check_state_schema_manifest(dst: str, meta: dict) -> None:
         )
 
 
-def read_aggregate_view(spark: SparkSession, dst: str) -> DataFrame:
+def read_aggregate_view(
+    spark: SparkSession, dst: str, version: int | None = None
+) -> DataFrame:
     """The view's logical result: group keys + the declared aggregate
     outputs (avg derived from its sum/count state, internals hidden).
+    ``version`` time-travels: the state AND the spec are read at that
+    version (the spec is per-manifest, like a column mapping), so a
+    view whose refresh history is retained replays any past result.
 
     Filters ``__mv_cnt > 0``: the fold's cleanup merge (deleting
     groups whose last row left) is a SEPARATE commit after the CAS'd
@@ -366,8 +380,8 @@ def read_aggregate_view(spark: SparkSession, dst: str) -> DataFrame:
     emit the group — so the read hides it, which turns the cleanup
     merge into pure compaction and makes the crash window invisible to
     every reader."""
-    meta = view_meta(dst)
-    df = V.read_table(spark, dst).filter(F.col(_CNT) > 0)
+    meta = view_meta(dst, version)
+    df = V.read_table(spark, dst, version=version).filter(F.col(_CNT) > 0)
     _check_state_schema(df, meta)
     cols: list[Column] = [F.col(c) for c in meta["group_by"]]
     for out, (fn, _col) in meta["aggs"].items():

@@ -213,14 +213,20 @@ class LakeSQL:
             path = self.tables[name]
             if name in self.views:
                 # a materialized view reads through its LOGICAL
-                # projection (avg derived, state internals hidden)
-                if ver is not None or ts is not None:
-                    raise SQLParseError(
-                        f"time travel on materialized view {name!r} is "
-                        f"not supported; query its source table instead"
-                    )
+                # projection (avg derived, state internals hidden);
+                # VERSION/TIMESTAMP AS OF time-travels state AND spec
+                # together (the spec is per-manifest state)
                 from .io import matview as MV
 
+                if ts is not None:
+                    epoch = _dt.datetime.fromisoformat(ts).timestamp()
+                    ver = V.version_at(path, epoch)
+                if ver is not None:
+                    view = f"{name}__v{ver}"
+                    MV.read_aggregate_view(
+                        self.spark, path, version=int(ver)
+                    ).createOrReplaceTempView(view)
+                    return view
                 view = f"{name}__cur"
                 MV.read_aggregate_view(
                     self.spark, path

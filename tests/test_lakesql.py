@@ -738,3 +738,34 @@ def test_publish_branch_mode_merge_sql(spark, tmp_path):
     assert ks == set(range(10)) | {k + 100 for k in range(10)} | {
         k + 500 for k in range(10)
     }
+
+
+def test_matview_time_travel_sql(spark, tmp_path):
+    """SELECT ... FROM <matview> VERSION AS OF n resolves through the
+    logical reader at that version — state and spec travel together."""
+    from aws_etl_project2_fiap_spark.io import matview as MV
+
+    src = str(tmp_path / "src")
+    V.create_table(
+        spark.range(0, 100).select(
+            (F.col("id") % 5).alias("k"), (F.col("id") * 1.0).alias("x")
+        ),
+        src,
+    )
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, src, view, ["k"], {"sx": ("sum", "x")}
+    )
+    v1 = V.current_version(view)
+    V.append_table(
+        spark.createDataFrame([(0, 1000.0)], "k long, x double"), src
+    )
+    MV.refresh_aggregate_view(spark, view)
+    lk = LakeSQL(spark, {"v": view})
+    lk.views.add("v")
+    cur = {r["k"]: float(r["sx"]) for r in
+           lk.sql("SELECT k, sx FROM v").collect()}
+    old = {r["k"]: float(r["sx"]) for r in
+           lk.sql(f"SELECT k, sx FROM v VERSION AS OF {v1}").collect()}
+    assert cur[0] == old[0] + 1000.0
+    assert cur[1] == old[1]

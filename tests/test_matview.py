@@ -1325,3 +1325,29 @@ def test_evolve_scoped_two_dims_one_commit_two_scans(
         assert abs(got[key][1] - exp[key][1]) < 1e-6
     assert MV.evolve_dimensions(spark, view)["strategy"] == "noop"
     assert V.current_version(view) >= pre_v + 1
+
+
+def test_read_aggregate_view_time_travel(spark, tmp_path):
+    """read_aggregate_view(version=...) replays any retained past
+    result: the state AND the spec are read at that version."""
+    src = _src(spark, tmp_path)
+    dst = str(tmp_path / "view")
+    MV.create_aggregate_view(spark, src, dst, ["k"], SUM_AGGS)
+    v1_exp = _expect(spark, src, SUM_SQL())
+    v1 = V.current_version(dst)
+    V.append_table(
+        spark.range(2000, 2100).select(
+            (F.col("id") % 7).alias("k"),
+            (F.col("id") * 1.5).alias("x"),
+            F.col("id").alias("n"),
+        ),
+        src,
+    )
+    MV.refresh_aggregate_view(spark, dst)
+    # current reflects the refresh; v1 replays the original
+    _assert_equal(_got(spark, dst), _expect(spark, src, SUM_SQL()))
+    got_v1 = {
+        tuple(r[:1]): tuple(r[1:])
+        for r in MV.read_aggregate_view(spark, dst, version=v1).collect()
+    }
+    _assert_equal(got_v1, v1_exp)
