@@ -810,25 +810,32 @@ class LakeSQL:
         )
 
     def _refresh(self, q: str) -> DataFrame:
-        """``REFRESH MATERIALIZED VIEW name [FULL]`` — the incremental
-        CDF fold (io/matview.py), or the full recompute with FULL."""
+        """``REFRESH MATERIALIZED VIEW name [FULL | EVOLVE]`` — the
+        incremental CDF fold (io/matview.py), the full recompute with
+        FULL, or EVOLVE to also fold advanced dimension versions in
+        the same verb (refresh_aggregate_view(evolve_dims=True) — the
+        scheduled-refresher ergonomic for star views)."""
         from . import io as _io  # noqa: F401 (package import path)
         from .io import matview as MV
 
         m = re.match(
             rf"REFRESH{_WS}MATERIALIZED{_WS}VIEW{_WS}({_ID})"
-            rf"({_WS}FULL)?$",
+            rf"(?:{_WS}(FULL|EVOLVE))?$",
             q, re.I,
         )
         if not m:
             raise SQLParseError(f"cannot parse REFRESH: {q!r}")
-        name, full = m.groups()
+        name, mode = m.groups()
         path = self._path(name)
-        res = (
-            MV.full_refresh_aggregate_view(self.spark, path)
-            if full
-            else MV.refresh_aggregate_view(self.spark, path)
-        )
+        mode = (mode or "").upper()
+        if mode == "FULL":
+            res = MV.full_refresh_aggregate_view(self.spark, path)
+        elif mode == "EVOLVE":
+            res = MV.refresh_aggregate_view(
+                self.spark, path, evolve_dims=True
+            )
+        else:
+            res = MV.refresh_aggregate_view(self.spark, path)
         return self._result(res)
 
     # -- maintenance verbs --------------------------------------------

@@ -769,3 +769,61 @@ def test_matview_time_travel_sql(spark, tmp_path):
            lk.sql(f"SELECT k, sx FROM v VERSION AS OF {v1}").collect()}
     assert cur[0] == old[0] + 1000.0
     assert cur[1] == old[1]
+
+
+def test_refresh_matview_evolve_sql(spark, tmp_path):
+    """REFRESH MATERIALIZED VIEW ... EVOLVE folds a dim move AND the
+    fact delta in one SQL statement (the scheduled-refresher verb)."""
+    from aws_etl_project2_fiap_spark.io import matview as MV
+
+    fact, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    V.create_table(
+        spark.range(0, 100).select(
+            (F.col("id") % 10).alias("fk"),
+            (F.col("id") * 1.0).alias("amount"),
+        ),
+        fact,
+    )
+    V.create_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("fk"),
+            F.concat(F.lit("R"), (F.col("id") % 3).cast("string"))
+            .alias("region"),
+        ),
+        dim,
+    )
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region"],
+        {"rev": ("sum", "amount"), "n": ("count", None)},
+        dims=[{"path": dim, "keys": ["fk"]}],
+    )
+    V.update_table(spark, dim, {"region": F.lit("R9")}, F.col("fk") < 2)
+    V.append_table(
+        spark.range(100, 120).select(
+            (F.col("id") % 10).alias("fk"),
+            (F.col("id") * 2.0).alias("amount"),
+        ),
+        fact,
+    )
+    lk = LakeSQL(spark, {"v": view})
+    lk.views.add("v")
+    # plain refresh refuses (stale dims), EVOLVE folds both
+    with pytest.raises(MV.StaleDimensions):
+        lk.sql("REFRESH MATERIALIZED VIEW v")
+    lk.sql("REFRESH MATERIALIZED VIEW v EVOLVE")
+    exp = {
+        r["region"]: (float(r["rev"]), r["n"])
+        for r in V.read_table(spark, fact)
+        .join(V.read_table(spark, dim), "fk")
+        .groupBy("region")
+        .agg(F.sum("amount").alias("rev"), F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        r["region"]: (float(r["rev"]), r["n"])
+        for r in lk.sql("SELECT region, rev, n FROM v").collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k][0] - exp[k][0]) < 1e-6 and got[k][1] == exp[k][1]
