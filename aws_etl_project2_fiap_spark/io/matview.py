@@ -910,7 +910,7 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
     total_groups = 0
     for i in moved:
         d = dims[i]
-        cur_v, changed_keys = changed[i]
+        cur_v, _ck = changed[i]  # keys already folded into the probe
         affected = affected_all.filter(
             F.coalesce(F.col(f"__mv_hit_{i}"), F.lit(False))
         ).drop(*hit_cols)
