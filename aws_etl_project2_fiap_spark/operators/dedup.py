@@ -139,9 +139,17 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.7,
     max_bucket: int = 1000,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard on
     shingle sets.
+
+    ``token_hash="md5"`` selects the engine-portable signature variant
+    (same md5-derived 60-bit hashes as
+    :func:`minhash_index_signatures`), letting an external engine
+    recompute the full pipeline — banding, hot-bucket star-thinning,
+    and the exact-Jaccard verify — bit-for-bit; the driver's DuckDB
+    oracle for ``dedup_minhash_lsh_portable`` does exactly that.
 
     Pipeline: shingle-set array + K minhashes + B band signatures — ALL
     in one shuffle-free projection (shingles stay an ``array<long>`` per
@@ -169,14 +177,25 @@ def minhash_lsh_pairs(
     """
     from ..session import parallelize_small
 
+    if token_hash not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"token_hash must be xxhash64|md5, got {token_hash!r}"
+        )
     rows = num_hashes // bands
     # single-row-group inputs scan as one task; spread the shingle/minhash
     # computation across the cluster before the heavy projection
     df = parallelize_small(df.select(id_col, text_col))
     parts = ", ".join(f"tk[i-1+{j}]" for j in range(shingle_n))
+    if token_hash == "md5":
+        one = (
+            f"cast(conv(substring(md5(cast(concat_ws(' ', {parts}) "
+            f"as binary)), 1, 15), 16, 10) as bigint)"
+        )
+    else:
+        one = f"xxhash64(concat_ws(' ', {parts}))"
     sh_arr = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(tk)-{shingle_n - 1}, 0)),"
-        f" i -> xxhash64(concat_ws(' ', {parts}))))"
+        f" i -> {one}))"
     )
     docs = (
         df.select(
@@ -195,14 +214,32 @@ def minhash_lsh_pairs(
     def _minhash(seed: int):
         # single-arg lambda only: F.transform passes the array index to a
         # second parameter, which would silently shadow the seed
+        if token_hash == "md5":
+            return F.array_min(
+                F.transform(
+                    "sh",
+                    lambda s: _portable_hash64(
+                        F.concat_ws(":", F.lit(seed), s.cast("string"))
+                    ),
+                )
+            )
         return F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(seed))))
 
     mh = [_minhash(seed) for seed in range(num_hashes)]
+
+    def _band_sig(b: int):
+        cols = mh[b * rows : (b + 1) * rows]
+        if token_hash == "md5":
+            return F.md5(
+                F.concat_ws(":", *[c.cast("string") for c in cols])
+                .cast("binary")
+            )
+        return F.xxhash64(*cols)
+
     band_keys = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*mh[b * rows : (b + 1) * rows]).alias("sig"),
+                F.lit(b).alias("band"), _band_sig(b).alias("sig")
             )
             for b in range(bands)
         ]

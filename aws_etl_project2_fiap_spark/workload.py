@@ -5488,6 +5488,90 @@ _NEARDUP_ORACLE = (
 )
 
 
+_LSH_PAIRS_ORACLE = (
+    """
+    WITH eligible AS (
+        SELECT doc_id, tk FROM (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+            FROM documents
+        ) WHERE len(tk) >= 3
+    ), shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 1, 1)),
+                   i -> ('0x' || substring(
+                       md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                       1, 15))::BIGINT
+               )) AS sh
+        FROM eligible
+    ), mh AS (
+        SELECT doc_id, sh, ["""
+    + ", ".join(
+        f"list_min(list_transform(sh, h -> ('0x' || substring("
+        f"md5(CAST({s} AS VARCHAR) || ':' || CAST(h AS VARCHAR)), "
+        f"1, 15))::BIGINT))"
+        for s in range(8)
+    )
+    + """] AS m
+        FROM shl
+    ), bnd AS (
+        SELECT doc_id, b.band,
+               md5(CAST(m[2*b.band+1] AS VARCHAR) || ':' ||
+                   CAST(m[2*b.band+2] AS VARCHAR)) AS sig
+        FROM mh, (SELECT unnest([0,1,2,3]) AS band) AS b
+    ), st AS (
+        SELECT doc_id, band, sig,
+               count(*) OVER (PARTITION BY band, sig) AS n,
+               min(doc_id) OVER (PARTITION BY band, sig) AS rep
+        FROM bnd
+    ), cand AS (
+        SELECT DISTINCT id1, id2 FROM (
+            SELECT a.doc_id AS id1, b.doc_id AS id2
+            FROM (SELECT doc_id, band, sig FROM st WHERE n <= 1000) a
+            JOIN (SELECT doc_id, band, sig FROM st WHERE n <= 1000) b
+              USING (band, sig)
+            WHERE a.doc_id < b.doc_id
+            UNION ALL
+            SELECT rep AS id1, doc_id AS id2 FROM st
+            WHERE n > 1000 AND doc_id != rep
+        )
+    ), ver AS (
+        SELECT c.id1, c.id2,
+               len(list_intersect(x.sh, y.sh)) AS ic,
+               len(x.sh) AS n1, len(y.sh) AS n2
+        FROM cand c
+        JOIN shl x ON x.doc_id = c.id1
+        JOIN shl y ON y.doc_id = c.id2
+    )
+    SELECT id1, id2, ic / (n1 + n2 - ic) AS jaccard
+    FROM ver WHERE ic / (n1 + n2 - ic) >= 0.5
+    """
+)
+
+
+@defquery("dedup_minhash_lsh_portable", _LSH_PAIRS_ORACLE)
+def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship near-dup operator ORACLE-CHECKED end-to-end
+    (round 8): minhash_lsh_pairs with the engine-portable md5 hashing
+    (operators/dedup.py token_hash="md5") — shingling, 8 minhash
+    mixes, 4-band candidate generation, hot-bucket star-thinning, and
+    the exact-Jaccard verify are ALL recomputed by the DuckDB oracle,
+    so the hash gate proves the whole LSH pipeline's pair set and
+    Jaccard values bit-for-bit, not just row counts. The xxhash64
+    sibling (`dedup_minhash_lsh`, rows-only + recall-tested) stays the
+    bench/production path — one JVM hash per shingle instead of an
+    md5 round-trip.
+
+    Scale posture is identical to the sibling: shuffle-free signature
+    projection, (band, sig) self-join, one-pass verify."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, num_hashes=8, bands=4, threshold=0.5, token_hash="md5"
+    )
+
+
 @defquery("stream_neardup_ingest", _NEARDUP_ORACLE)
 def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup-gated ingest loop (streaming/sinks

@@ -174,3 +174,26 @@ def test_md5_portable_variant_roundtrip(spark, tmp_path):
         "SELECT ('0x' || substring(md5('abc xyz 42'), 1, 15))::BIGINT"
     ).fetchone()[0]
     assert got == exp
+
+
+def test_minhash_lsh_pairs_md5_variant(spark):
+    """minhash_lsh_pairs(token_hash='md5') — the oracle-backed portable
+    variant: exact copies pair at jaccard 1.0, unrelated docs don't,
+    and a bad token_hash is a loud error."""
+    from aws_etl_project2_fiap_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame(
+        CORPUS + [(101, CORPUS[0][1])], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, num_hashes=8, bands=4, threshold=0.5, token_hash="md5"
+        ).collect()
+    }
+    assert pairs[(1, 101)] == 1.0
+    assert all({a, b} == {1, 101} for a, b in pairs)
+    with pytest.raises(ValueError, match="token_hash"):
+        minhash_lsh_pairs(df, token_hash="sha1")
