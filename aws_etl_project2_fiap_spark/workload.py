@@ -5328,14 +5328,43 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery("similarity_knn_quantized", None)  # int8 rounding: not ANSI SQL
+@defquery(
+    "similarity_knn_quantized",
+    """
+    WITH pre AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), sc AS (
+        SELECT id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM pre
+    ), dq AS (
+        SELECT id,
+               list_transform(v, x -> CASE WHEN scale > 0
+                   THEN CAST(round(x / scale) AS TINYINT)::DOUBLE * scale
+                   ELSE 0.0 END) AS v
+        FROM sc
+    )
+    SELECT d.id,
+           round(list_cosine_similarity(
+               d.v, (SELECT v FROM dq WHERE id = 0)), 6) AS sim
+    FROM dq d
+    ORDER BY sim DESC, id ASC
+    LIMIT 10
+    """,
+)
 def similarity_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 over int8-QUANTIZED vectors
     (operators/similarity.quantize_embeddings): the 4×-smaller storage
     representation a 100 TB embedding table actually scans. Cosine is
     scale-invariant, so only rounding noise separates this from
-    `similarity_knn`; tests assert ≥9/10 top-k overlap. Rows-only
-    driver check (int8 rounding isn't ANSI-portable)."""
+    `similarity_knn`; tests assert ≥9/10 top-k overlap.
+
+    ORACLE-BACKED (round 8): the quantize→dequantize→cosine chain is
+    pure deterministic arithmetic (scale = max|x|/127, q = round(x/
+    scale) as int8), so DuckDB recomputes it exactly with list ops —
+    the hash gate proves the quantization itself, not just a recall
+    bound."""
     e = t(spark, sf_dir, "embeddings")
     qz = sim_op.quantize_embeddings(e)
     dq = qz.select("id", sim_op.dequantize(F.col("qvec"), F.col("scale")).alias("v"))
@@ -5351,7 +5380,109 @@ def similarity_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery("dedup_cluster_lsh", None)  # LSH banding: not SQL-expressible
+def _lsh_portable_ctes(
+    num_hashes: int, bands: int, threshold: float, shingle_n: int,
+    max_bucket: int = 1000,
+) -> str:
+    """CTE chain recomputing minhash_lsh_pairs(token_hash="md5") in
+    DuckDB SQL, ending in a ``pairs(id1, id2, jaccard)`` relation:
+    shingling, the md5-derived 60-bit hashes, K minhash mixes, B band
+    signatures, the (band, sig) candidate join with the hot-bucket
+    star-thinning, and the exact-Jaccard verify — bit-for-bit the
+    Spark pipeline."""
+    rows = num_hashes // bands
+    if shingle_n == 1:
+        sh = (
+            "list_distinct(list_transform(tk, t -> ('0x' || "
+            "substring(md5(t), 1, 15))::BIGINT))"
+        )
+    else:
+        gram = " || ' ' || ".join(
+            f"tk[i+{j}]" if j else "tk[i]" for j in range(shingle_n)
+        )
+        sh = (
+            f"list_distinct(list_transform("
+            f"range(1, greatest(len(tk) - {shingle_n - 2}, 1)), "
+            f"i -> ('0x' || substring(md5({gram}), 1, 15))::BIGINT))"
+        )
+    mixes = ", ".join(
+        f"list_min(list_transform(sh, h -> ('0x' || substring("
+        f"md5(CAST({s} AS VARCHAR) || ':' || CAST(h AS VARCHAR)), "
+        f"1, 15))::BIGINT))"
+        for s in range(num_hashes)
+    )
+    sig = " || ':' || ".join(
+        f"CAST(m[{rows}*b.band + {j + 1}] AS VARCHAR)"
+        for j in range(rows)
+    )
+    band_list = ", ".join(str(b) for b in range(bands))
+    return f"""eligible AS (
+        SELECT doc_id, tk FROM (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+            FROM documents
+        ) WHERE len(tk) >= {shingle_n}
+    ), shl AS (
+        SELECT doc_id, {sh} AS sh
+        FROM eligible
+    ), mh AS (
+        SELECT doc_id, sh, [{mixes}] AS m
+        FROM shl
+    ), bnd AS (
+        SELECT doc_id, b.band, md5({sig}) AS sig
+        FROM mh, (SELECT unnest([{band_list}]) AS band) AS b
+    ), st AS (
+        SELECT doc_id, band, sig,
+               count(*) OVER (PARTITION BY band, sig) AS n,
+               min(doc_id) OVER (PARTITION BY band, sig) AS rep
+        FROM bnd
+    ), cand AS (
+        SELECT DISTINCT id1, id2 FROM (
+            SELECT a.doc_id AS id1, b.doc_id AS id2
+            FROM (SELECT doc_id, band, sig FROM st
+                  WHERE n <= {max_bucket}) a
+            JOIN (SELECT doc_id, band, sig FROM st
+                  WHERE n <= {max_bucket}) b
+              USING (band, sig)
+            WHERE a.doc_id < b.doc_id
+            UNION ALL
+            SELECT rep AS id1, doc_id AS id2 FROM st
+            WHERE n > {max_bucket} AND doc_id != rep
+        )
+    ), ver AS (
+        SELECT c.id1, c.id2,
+               len(list_intersect(x.sh, y.sh)) AS ic,
+               len(x.sh) AS n1, len(y.sh) AS n2
+        FROM cand c
+        JOIN shl x ON x.doc_id = c.id1
+        JOIN shl y ON y.doc_id = c.id2
+    ), pairs AS (
+        SELECT id1, id2, ic / (n1 + n2 - ic) AS jaccard
+        FROM ver WHERE ic / (n1 + n2 - ic) >= {threshold}
+    )"""
+
+
+
+_CLUSTER_LSH_ORACLE = (
+    "WITH RECURSIVE "
+    + _lsh_portable_ctes(64, 16, 0.9, 1)
+    + """, und AS (
+        SELECT id1 AS u, id2 AS v FROM pairs
+        UNION
+        SELECT id2, id1 FROM pairs
+    ), reach AS (
+        SELECT u, u AS r FROM (SELECT DISTINCT u FROM und)
+        UNION
+        SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
+    ), labels AS (
+        SELECT u AS id, min(r) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+    """
+)
+
+
+@defquery("dedup_cluster_lsh", _CLUSTER_LSH_ORACLE)
 def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB clustering pipeline end-to-end: MinHash+LSH near-dup
     pairs (near-linear, band-bucketed, hot-bucket-capped) feed the same
@@ -5363,11 +5494,16 @@ def dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4e-8, and the verify step is exact Jaccard on the same token sets —
     so the component labels agree with the exact-edge clustering
     (asserted in tests/test_cc.py; CC needs only connectivity, not
-    every edge, which amplifies that robustness). Rows-only driver
-    check (band hashing isn't ANSI SQL)."""
+    every edge, which amplifies that robustness).
+
+    ORACLE-BACKED (round 8): the engine-portable md5 hashing lets the
+    DuckDB oracle recompute the LSH edge set exactly and close the
+    components with a recursive CTE — banding, star-thinning, verify,
+    AND the transitive closure all hash-gated."""
     d = t(spark, sf_dir, "documents")
     pairs = dedup_op.minhash_lsh_pairs(
-        d, shingle_n=1, num_hashes=64, bands=16, threshold=0.9
+        d, shingle_n=1, num_hashes=64, bands=16, threshold=0.9,
+        token_hash="md5",
     ).select("id1", "id2")
     labels = cc_op.connected_components(pairs)
     return d.select("doc_id").join(
@@ -5489,63 +5625,9 @@ _NEARDUP_ORACLE = (
 
 
 _LSH_PAIRS_ORACLE = (
-    """
-    WITH eligible AS (
-        SELECT doc_id, tk FROM (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
-            FROM documents
-        ) WHERE len(tk) >= 3
-    ), shl AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   range(1, greatest(len(tk) - 1, 1)),
-                   i -> ('0x' || substring(
-                       md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
-                       1, 15))::BIGINT
-               )) AS sh
-        FROM eligible
-    ), mh AS (
-        SELECT doc_id, sh, ["""
-    + ", ".join(
-        f"list_min(list_transform(sh, h -> ('0x' || substring("
-        f"md5(CAST({s} AS VARCHAR) || ':' || CAST(h AS VARCHAR)), "
-        f"1, 15))::BIGINT))"
-        for s in range(8)
-    )
-    + """] AS m
-        FROM shl
-    ), bnd AS (
-        SELECT doc_id, b.band,
-               md5(CAST(m[2*b.band+1] AS VARCHAR) || ':' ||
-                   CAST(m[2*b.band+2] AS VARCHAR)) AS sig
-        FROM mh, (SELECT unnest([0,1,2,3]) AS band) AS b
-    ), st AS (
-        SELECT doc_id, band, sig,
-               count(*) OVER (PARTITION BY band, sig) AS n,
-               min(doc_id) OVER (PARTITION BY band, sig) AS rep
-        FROM bnd
-    ), cand AS (
-        SELECT DISTINCT id1, id2 FROM (
-            SELECT a.doc_id AS id1, b.doc_id AS id2
-            FROM (SELECT doc_id, band, sig FROM st WHERE n <= 1000) a
-            JOIN (SELECT doc_id, band, sig FROM st WHERE n <= 1000) b
-              USING (band, sig)
-            WHERE a.doc_id < b.doc_id
-            UNION ALL
-            SELECT rep AS id1, doc_id AS id2 FROM st
-            WHERE n > 1000 AND doc_id != rep
-        )
-    ), ver AS (
-        SELECT c.id1, c.id2,
-               len(list_intersect(x.sh, y.sh)) AS ic,
-               len(x.sh) AS n1, len(y.sh) AS n2
-        FROM cand c
-        JOIN shl x ON x.doc_id = c.id1
-        JOIN shl y ON y.doc_id = c.id2
-    )
-    SELECT id1, id2, ic / (n1 + n2 - ic) AS jaccard
-    FROM ver WHERE ic / (n1 + n2 - ic) >= 0.5
-    """
+    "WITH "
+    + _lsh_portable_ctes(8, 4, 0.5, 3)
+    + "\n    SELECT id1, id2, jaccard FROM pairs"
 )
 
 
