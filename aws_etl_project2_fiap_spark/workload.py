@@ -7078,11 +7078,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- the 2 entries added after the r7 rotation: never
     # driver-hash-checked until this round ---
     "k_wap_merge_publish_readback", "k_lakesql_verbs_readback",
-    # --- 17 continuity sentinels (driver-green r7, one per family) ---
+    # --- the 4 entries oracle-backed DURING round 8 (portable-md5
+    # LSH pipeline, LSH clustering + CC closure, int8 quantized kNN,
+    # the near-dup ingest gate): in the window from birth so no entry
+    # ever waits a round for its driver-grade check ---
+    "dedup_minhash_lsh_portable", "dedup_cluster_lsh",
+    "similarity_knn_quantized", "stream_neardup_ingest",
+    # --- 13 continuity sentinels (driver-green r7, one per family;
+    # the 4 evicted stay oracle-backed in the replay-verified tail) ---
     "a2_count", "k_matview_dim_evolution_readback", "join_star_revenue",
-    "window_keep_latest", "sessionize_30m", "event_time_tumbling_1h",
-    "dedup_exact", "dedup_ngram_jaccard", "text_langid",
-    "similarity_knn", "multimodal_meta", "dedup_embedding_cosine",
+    "window_keep_latest", "sessionize_30m",
+    "dedup_exact", "multimodal_meta", "dedup_embedding_cosine",
     "k6_update_readback", "p_projection_suite", "suite_subquery",
     "suite_asof", "suite_text",
 )

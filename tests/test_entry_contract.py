@@ -96,10 +96,11 @@ _R8_WINDOW = [
     "dedup_simhash", "dedup_simhash_pairs", "dedup_span_exact",
     "sample_stratified", "text_rolling_chunks", "corpus_shard_export",
     "k_wap_merge_publish_readback", "k_lakesql_verbs_readback",
+    "dedup_minhash_lsh_portable", "dedup_cluster_lsh",
+    "similarity_knn_quantized", "stream_neardup_ingest",
     "a2_count", "k_matview_dim_evolution_readback", "join_star_revenue",
-    "window_keep_latest", "sessionize_30m", "event_time_tumbling_1h",
-    "dedup_exact", "dedup_ngram_jaccard", "text_langid",
-    "similarity_knn", "multimodal_meta", "dedup_embedding_cosine",
+    "window_keep_latest", "sessionize_30m",
+    "dedup_exact", "multimodal_meta", "dedup_embedding_cosine",
     "k6_update_readback", "p_projection_suite", "suite_subquery",
     "suite_asof", "suite_text",
 ]
