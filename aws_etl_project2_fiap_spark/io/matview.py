@@ -708,8 +708,12 @@ def _evolve_scoped_batched(
     fact: DataFrame,
     affected_all: DataFrame,
     hit_cols: list[str],
+    view_v: int,
 ) -> dict:
     """Scoped (min/max) dim evolution, ALL moved dims in one commit.
+    ``view_v`` is the version ``meta`` was read from — the CAS target,
+    so a commit racing in since the caller's snapshot conflicts loudly
+    instead of being overwritten with legs derived from stale pins.
 
     The touched-group superset is the union, over every moved dim, of
     the affected rows' groups evaluated under the ALL-OLD dim versions
@@ -747,10 +751,9 @@ def _evolve_scoped_batched(
     n = tstats["n"]
     if tstats["null_key"]:
         _raise_null_keys(keys, "the dim-evolution touched-group list")
-    view_v = V.current_version(dst)
     new_meta = {**meta, "dims": new_dims}
     if n == 0:
-        V._commit(
+        ver = V._commit(
             dst,
             V._read_manifest(dst, view_v)["files"],
             extra={"mv": new_meta},
@@ -760,7 +763,7 @@ def _evolve_scoped_batched(
         return {
             "strategy": "scoped", "dims_evolved": len(moved),
             "groups_changed": 0,
-            "view_version": V.current_version(dst),
+            "view_version": ver,
         }
     src = _with_dims(spark, fact, new_dims)
     recomputed = (
@@ -781,24 +784,30 @@ def _evolve_scoped_batched(
         if has_vanished
         else recomputed
     )
-    V.merge_table(
+    committed = V.merge_table(
         spark, dst, merge_src, keys,
         when_matched="replace",
         extra={"mv": new_meta},
         expect_version=view_v,
-    )
+    )["version"]
     if has_vanished:
-        # pure compaction of the already-invisible zero rows
-        V.merge_table(
-            spark, dst, vanished, keys,
-            when_matched="delete",
-            matched_condition=F.col(f"t.{_CNT}") <= 0,
-            insert_unmatched=False,
-        )
+        # pure compaction of the already-invisible zero rows; losing
+        # this CAS to a racer is safe (nothing visible changes) and
+        # the evolution itself already committed
+        try:
+            committed = V.merge_table(
+                spark, dst, vanished, keys,
+                when_matched="delete",
+                matched_condition=F.col(f"t.{_CNT}") <= 0,
+                insert_unmatched=False,
+                expect_version=committed,
+            )["version"]
+        except V.CommitConflict:
+            pass
     return {
         "strategy": "scoped", "dims_evolved": len(moved),
         "groups_changed": int(n),
-        "view_version": V.current_version(dst),
+        "view_version": committed,
     }
 
 
@@ -854,7 +863,16 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
 
     Returns {"strategy", "dims_evolved", "groups_changed",
     "view_version"}."""
-    meta = view_meta(dst)
+    # version FIRST, meta FROM that manifest (same order as refresh):
+    # reading meta from "current" and the CAS version later would open
+    # a window where a racing evolver's commit lands in between — our
+    # CAS would then succeed against the post-race version while our
+    # legs were derived from the PRE-race dim pins, silently folding
+    # the same dim delta twice. Every commit below CASes on view_v and
+    # threads the returned version forward, so any foreign commit
+    # between ours raises CommitConflict instead of double-folding.
+    view_v = V.current_version(dst)
+    meta = view_meta(dst, view_v)
     aggs = {k: (fn, col) for k, (fn, col) in meta["aggs"].items()}
     keys = list(meta["group_by"])
     dims = [dict(d) for d in (meta.get("dims") or [])]
@@ -905,7 +923,7 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
     if not delta_ok:
         return _evolve_scoped_batched(
             spark, dst, meta, aggs, keys, dims, moved, changed,
-            fact, affected_all, hit_cols,
+            fact, affected_all, hit_cols, view_v,
         )
     total_groups = 0
     for i in moved:
@@ -922,7 +940,6 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
                 "__mv_sign", F.lit(sign)
             )
 
-        view_v = V.current_version(dst)
         new_meta = {
             **meta,
             "dims": [
@@ -947,8 +964,11 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
         n, min_cnt = stats["n"], stats["min_cnt"]
         if stats["null_key"]:
             _raise_null_keys(keys, "the dim-evolution delta")
+        # every commit CASes on OUR chain (view_v threads forward): a
+        # foreign commit between our commits raises CommitConflict
+        # loudly instead of the fold applying against drifted state
         if n == 0:
-            V._commit(
+            view_v = V._commit(
                 dst,
                 V._read_manifest(dst, view_v)["files"],
                 extra={"mv": new_meta},
@@ -961,19 +981,26 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
                 + F.coalesce(F.col(f"s.{c}"), F.lit(0))
                 for c in state_cols
             }
-            V.merge_table(
+            view_v = V.merge_table(
                 spark, dst, delta, keys,
                 when_matched=add,
                 extra={"mv": new_meta},
                 expect_version=view_v,
-            )
+            )["version"]
             if min_cnt is not None and min_cnt < 0:
-                V.merge_table(
+                # the cleanup is pure compaction of already-invisible
+                # zero rows, but it stays ON the CAS chain: a foreign
+                # commit here means OUR meta snapshot is stale for the
+                # remaining dims (their commits would rewind the
+                # racer's mv state), so a conflict aborts — the dims
+                # already folded are committed and a retry resumes
+                view_v = V.merge_table(
                     spark, dst, delta.select(*keys), keys,
                     when_matched="delete",
                     matched_condition=F.col(f"t.{_CNT}") <= 0,
                     insert_unmatched=False,
-                )
+                    expect_version=view_v,
+                )["version"]
         total_groups += int(n)
         dims[i] = {**d, "version": cur_v}
         meta = new_meta
@@ -981,5 +1008,5 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
         "strategy": "delta",
         "dims_evolved": len(moved),
         "groups_changed": total_groups,
-        "view_version": V.current_version(dst),
+        "view_version": view_v,
     }

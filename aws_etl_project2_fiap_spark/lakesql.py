@@ -571,7 +571,8 @@ class LakeSQL:
         try_cast date timestamp interval int integer bigint smallint
         tinyint double float decimal numeric string varchar char
         boolean binary array map struct day days month months year
-        years hour hours minute minutes second seconds""".split()
+        years hour hours minute minutes second seconds
+        current_date current_timestamp current_timezone now""".split()
     )
 
     @classmethod
@@ -597,7 +598,9 @@ class LakeSQL:
                 f"UPDATE+DELETE idiom must reference only source (s.) "
                 f"columns, got {txt!r}"
             )
-        body = re.sub(rf"\bs\.{_ID}", " ", body)
+        # strip the whole dotted chain: s.meta.flag is one (legal)
+        # source reference, not 's.meta' plus a bare 'flag'
+        body = re.sub(rf"\bs\.{_ID}(?:\.{_ID})*", " ", body)
         for m in re.finditer(rf"\b({_ID})\b(\s*\()?", body):
             name, is_call = m.group(1), m.group(2)
             if is_call or name.lower() in cls._COND_KEYWORDS:
@@ -855,8 +858,15 @@ class LakeSQL:
         )
 
     def _describe(self, q: str) -> DataFrame:
-        dm = re.match(rf"DESCRIBE{_WS}(?:TABLE{_WS})?({_ID})$", q, re.I)
-        if dm and dm.group(1).upper() != "HISTORY":
+        # DESCRIBE TABLE <name> is unambiguous (even for a table
+        # literally named 'history'); bare DESCRIBE <name> describes
+        # unless the name is the HISTORY keyword
+        dm = re.match(rf"DESCRIBE{_WS}TABLE{_WS}({_ID})$", q, re.I)
+        if not dm:
+            bare = re.match(rf"DESCRIBE{_WS}({_ID})$", q, re.I)
+            if bare and bare.group(1).upper() != "HISTORY":
+                dm = bare
+        if dm:
             # DESCRIBE [TABLE] t: logical schema + per-column notes
             # (cluster-spec membership, CHECK constraints) — the
             # session-introspection verb a SQL-first user reaches for
@@ -870,8 +880,16 @@ class LakeSQL:
                 {
                     "col_name": f.name,
                     "data_type": f.dataType.simpleString(),
+                    # exact source-column match, not substring: with
+                    # columns k and k2 and spec bucket(4,k2), k must
+                    # NOT report as clustered
                     "cluster": next(
-                        (c for c in spec if f.name in c), ""
+                        (
+                            c
+                            for c in spec
+                            if V._spec_source_col(c) == f.name
+                        ),
+                        "",
                     ),
                 }
                 for f in df.schema.fields

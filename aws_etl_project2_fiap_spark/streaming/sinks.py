@@ -738,6 +738,7 @@ def near_dup_gated_sink(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    token_hash: str = "xxhash64",
     query_name: str = "near_dup_gated_sink",
 ) -> StreamingQuery:
     """Streaming ingest gated by CORPUS-SCALE near-dup detection — the
@@ -774,7 +775,7 @@ def near_dup_gated_sink(
             table_path=table_path, index_path=index_path,
             text_col=text_col, id_col=id_col, threshold=threshold,
             quarantine_path=quarantine_path, shingle_n=shingle_n,
-            num_hashes=num_hashes, bands=bands,
+            num_hashes=num_hashes, bands=bands, token_hash=token_hash,
         )
 
     return (

@@ -2188,7 +2188,16 @@ def similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("id"),
-            F.round(sim_op.cosine(F.col("embedding"), F.col("__qv")), 6).alias("sim"),
+            # zero-norm guard: Spark's 0/0 cosine is NaN (sorts FIRST
+            # in DESC); DuckDB's list_cosine_similarity returns -1.0
+            # there — nanvl matches the engines exactly
+            F.round(
+                F.nanvl(
+                    sim_op.cosine(F.col("embedding"), F.col("__qv")),
+                    F.lit(-1.0),
+                ),
+                6,
+            ).alias("sim"),
         )
         .orderBy(F.desc("sim"), F.asc("id"))
         .limit(10)
@@ -5373,7 +5382,14 @@ def similarity_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         dq.crossJoin(F.broadcast(qv))
         .select(
             "id",
-            F.round(sim_op.cosine(F.col("v"), F.col("__qv")), 6).alias("sim"),
+            # same zero-norm nanvl -> -1 contract as similarity_knn
+            F.round(
+                F.nanvl(
+                    sim_op.cosine(F.col("v"), F.col("__qv")),
+                    F.lit(-1.0),
+                ),
+                6,
+            ).alias("sim"),
         )
         .orderBy(F.desc("sim"), F.asc("id"))
         .limit(10)

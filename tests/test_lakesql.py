@@ -832,3 +832,55 @@ def test_refresh_matview_evolve_sql(spark, tmp_path):
     assert set(got) == set(exp)
     for k in exp:
         assert abs(got[k][0] - exp[k][0]) < 1e-6 and got[k][1] == exp[k][1]
+
+
+def test_idiom_accepts_source_struct_fields_and_builtins(spark, tmp_path):
+    """Review r8: a source-only struct-field condition (s.meta.flag)
+    and parameterless builtins (current_date) must pass the idiom's
+    source-only guard — only genuinely bare identifiers reject."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"),
+            F.struct(F.lit("x").alias("flag")).alias("meta"),
+        ),
+        tbl,
+    )
+    srcp = str(tmp_path / "src")
+    V.create_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 10.0).alias("v"),
+            F.struct(F.lit("x").alias("flag")).alias("meta"),
+        ),
+        srcp,
+    )
+    lk = LakeSQL(spark, {"tgt": tbl, "delta": srcp})
+    lk.sql(
+        "MERGE INTO tgt AS t USING delta AS s ON t.k = s.k "
+        "WHEN MATCHED AND s.meta.flag = 'x' AND s.k < 100 "
+        "THEN UPDATE SET v = s.v "
+        "WHEN MATCHED AND s.k % 2 = 1 THEN DELETE"
+    )
+    got = {r["k"]: r["v"] for r in V.read_table(spark, tbl).collect()}
+    assert got[2] == 20.0  # updated via the struct-field condition
+
+
+def test_describe_table_named_history_and_exact_cluster_match(
+    spark, tmp_path
+):
+    """Review r8: DESCRIBE TABLE works for a table literally named
+    'history', and cluster membership matches the spec's SOURCE column
+    exactly (k must not report bucket(4,k2))."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("k2")
+        ),
+        tbl,
+        cluster_by=["bucket(4, k2)"],
+    )
+    lk = LakeSQL(spark, {"history": tbl})
+    desc = {r["col_name"]: r["cluster"]
+            for r in lk.sql("DESCRIBE TABLE history").collect()}
+    assert desc["k"] == "" and desc["k2"] == "bucket(4,k2)"
+    assert lk.sql("DESCRIBE HISTORY history").count() >= 1

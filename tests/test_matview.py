@@ -1351,3 +1351,94 @@ def test_read_aggregate_view_time_travel(spark, tmp_path):
         for r in MV.read_aggregate_view(spark, dst, version=v1).collect()
     }
     _assert_equal(got_v1, v1_exp)
+
+
+def test_evolve_conflicts_loudly_on_foreign_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Review r8: every evolve commit CASes on the function's OWN
+    version chain — a foreign commit landing between two per-dim folds
+    must raise CommitConflict (never silently double-fold or rewind
+    the racer's state), and the retry must resume to the exact
+    recompute."""
+    fact = str(tmp_path / "fact")
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    V.create_table(
+        spark.range(0, 200).select(
+            (F.col("id") % 10).alias("fk1"),
+            (F.col("id") % 5).alias("fk2"),
+            (F.col("id") * 1.0).alias("amount"),
+        ),
+        fact,
+    )
+    V.create_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("fk1"),
+            F.concat(F.lit("R"), (F.col("id") % 3).cast("string"))
+            .alias("region"),
+        ),
+        d1,
+    )
+    V.create_table(
+        spark.range(0, 5).select(
+            F.col("id").alias("fk2"),
+            F.concat(F.lit("C"), (F.col("id") % 2).cast("string"))
+            .alias("chan"),
+        ),
+        d2,
+    )
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region", "chan"],
+        {"rev": ("sum", "amount"), "n": ("count", None)},
+        dims=[
+            {"path": d1, "keys": ["fk1"]},
+            {"path": d2, "keys": ["fk2"]},
+        ],
+    )
+    V.update_table(spark, d1, {"region": F.lit("R9")}, F.col("fk1") < 3)
+    V.update_table(spark, d2, {"chan": F.lit("C9")}, F.col("fk2") < 2)
+    real = V.merge_table
+    state = {"n": 0}
+
+    def foreign_after_first(*a, **kw):
+        out = real(*a, **kw)
+        state["n"] += 1
+        if state["n"] == 1:
+            # a racer commits between our dim-1 and dim-2 folds
+            cur = V.current_version(view)
+            V._commit(
+                view,
+                V._read_manifest(view, cur)["files"],
+                extra={"mv": MV.view_meta(view)},
+                operation="FOREIGN",
+            )
+        return out
+
+    monkeypatch.setattr(V, "merge_table", foreign_after_first)
+    with pytest.raises(V.CommitConflict):
+        MV.evolve_dimensions(spark, view)
+    monkeypatch.setattr(V, "merge_table", real)
+    # dim 1's fold committed; the retry folds dim 2 and lands exactly
+    r = MV.evolve_dimensions(spark, view)
+    assert r["dims_evolved"] == 1
+    f = V.read_table(spark, fact)
+    exp = {
+        (x["region"], x["chan"]): (float(x["rev"]), x["n"])
+        for x in f.join(V.read_table(spark, d1), "fk1")
+        .join(V.read_table(spark, d2), "fk2")
+        .groupBy("region", "chan")
+        .agg(F.sum("amount").alias("rev"), F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        (x["region"], x["chan"]): (float(x["rev"]), x["n"])
+        for x in MV.read_aggregate_view(spark, view).collect()
+    }
+    assert got == {k: (v[0], v[1]) for k, v in exp.items()} or (
+        set(got) == set(exp)
+        and all(
+            abs(got[k][0] - exp[k][0]) < 1e-6 and got[k][1] == exp[k][1]
+            for k in exp
+        )
+    )
