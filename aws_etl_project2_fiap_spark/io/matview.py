@@ -753,13 +753,18 @@ def _evolve_scoped_batched(
         _raise_null_keys(keys, "the dim-evolution touched-group list")
     new_meta = {**meta, "dims": new_dims}
     if n == 0:
-        ver = V._commit(
-            dst,
-            V._read_manifest(dst, view_v)["files"],
-            extra={"mv": new_meta},
-            expect_version=view_v,
-            operation=f"EVOLVE_MV_DIMS({len(moved)})",
-        )
+        try:
+            ver = V._commit(
+                dst,
+                V._read_manifest(dst, view_v)["files"],
+                extra={"mv": new_meta},
+                expect_version=view_v,
+                operation=f"EVOLVE_MV_DIMS({len(moved)})",
+            )
+        except V.CommitConflict:
+            # lost the CAS: restart from a fresh snapshot (noop if the
+            # racer folded everything) — nothing of ours committed
+            return evolve_dimensions(spark, dst)
         return {
             "strategy": "scoped", "dims_evolved": len(moved),
             "groups_changed": 0,
@@ -784,12 +789,17 @@ def _evolve_scoped_batched(
         if has_vanished
         else recomputed
     )
-    committed = V.merge_table(
-        spark, dst, merge_src, keys,
-        when_matched="replace",
-        extra={"mv": new_meta},
-        expect_version=view_v,
-    )["version"]
+    try:
+        committed = V.merge_table(
+            spark, dst, merge_src, keys,
+            when_matched="replace",
+            extra={"mv": new_meta},
+            expect_version=view_v,
+        )["version"]
+    except V.CommitConflict:
+        # lost the CAS: nothing of ours committed — restart from a
+        # fresh snapshot (the racer's folds become noops there)
+        return evolve_dimensions(spark, dst)
     if has_vanished:
         # pure compaction of the already-invisible zero rows; losing
         # this CAS to a racer is safe (nothing visible changes) and
@@ -803,6 +813,8 @@ def _evolve_scoped_batched(
                 expect_version=committed,
             )["version"]
         except V.CommitConflict:
+            # the evolution itself committed; losing the compaction to
+            # a racer leaves only invisible zero rows behind
             pass
     return {
         "strategy": "scoped", "dims_evolved": len(moved),
@@ -926,6 +938,7 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
             fact, affected_all, hit_cols, view_v,
         )
     total_groups = 0
+    total_folded = 0
     for i in moved:
         d = dims[i]
         cur_v, _ck = changed[i]  # keys already folded into the probe
@@ -965,43 +978,66 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
         if stats["null_key"]:
             _raise_null_keys(keys, "the dim-evolution delta")
         # every commit CASes on OUR chain (view_v threads forward): a
-        # foreign commit between our commits raises CommitConflict
-        # loudly instead of the fold applying against drifted state
-        if n == 0:
-            view_v = V._commit(
-                dst,
-                V._read_manifest(dst, view_v)["files"],
-                extra={"mv": new_meta},
-                expect_version=view_v,
-                operation=f"EVOLVE_MV_DIM({d['path']}@v{cur_v})",
-            )
-        else:
-            add = {
-                c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
-                + F.coalesce(F.col(f"s.{c}"), F.lit(0))
-                for c in state_cols
-            }
-            view_v = V.merge_table(
-                spark, dst, delta, keys,
-                when_matched=add,
-                extra={"mv": new_meta},
-                expect_version=view_v,
-            )["version"]
-            if min_cnt is not None and min_cnt < 0:
-                # the cleanup is pure compaction of already-invisible
-                # zero rows, but it stays ON the CAS chain: a foreign
-                # commit here means OUR meta snapshot is stale for the
-                # remaining dims (their commits would rewind the
-                # racer's mv state), so a conflict aborts — the dims
-                # already folded are committed and a retry resumes
+        # foreign commit between our commits can never be folded over
+        # with legs derived from the stale snapshot — losing the CAS
+        # restarts the evolution from a FRESH snapshot instead (dims a
+        # racer already folded become noops there; our own committed
+        # per-dim folds are durable), the same lost-race convergence
+        # refresh_aggregate_view has
+        folded_this = False
+        try:
+            if n == 0:
+                view_v = V._commit(
+                    dst,
+                    V._read_manifest(dst, view_v)["files"],
+                    extra={"mv": new_meta},
+                    expect_version=view_v,
+                    operation=f"EVOLVE_MV_DIM({d['path']}@v{cur_v})",
+                )
+                folded_this = True
+            else:
+                add = {
+                    c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                    for c in state_cols
+                }
                 view_v = V.merge_table(
-                    spark, dst, delta.select(*keys), keys,
-                    when_matched="delete",
-                    matched_condition=F.col(f"t.{_CNT}") <= 0,
-                    insert_unmatched=False,
+                    spark, dst, delta, keys,
+                    when_matched=add,
+                    extra={"mv": new_meta},
                     expect_version=view_v,
                 )["version"]
+                folded_this = True
+                if min_cnt is not None and min_cnt < 0:
+                    # pure compaction of already-invisible zero rows —
+                    # still CAS'd: a racer here makes our meta snapshot
+                    # stale for the REMAINING dims, so restart for them
+                    view_v = V.merge_table(
+                        spark, dst, delta.select(*keys), keys,
+                        when_matched="delete",
+                        matched_condition=F.col(f"t.{_CNT}") <= 0,
+                        insert_unmatched=False,
+                        expect_version=view_v,
+                    )["version"]
+        except V.CommitConflict:
+            rest = evolve_dimensions(spark, dst)
+            ours = total_folded + (1 if folded_this else 0)
+            return {
+                # "noop" only if WE folded nothing and the restart had
+                # nothing left (the racer did it all)
+                "strategy": (
+                    rest["strategy"]
+                    if rest["strategy"] != "noop" or ours == 0
+                    else "delta"
+                ),
+                "dims_evolved": ours + rest["dims_evolved"],
+                "groups_changed": total_groups
+                + (int(n) if folded_this else 0)
+                + rest["groups_changed"],
+                "view_version": rest["view_version"],
+            }
         total_groups += int(n)
+        total_folded += 1
         dims[i] = {**d, "version": cur_v}
         meta = new_meta
     return {

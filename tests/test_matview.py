@@ -1353,14 +1353,14 @@ def test_read_aggregate_view_time_travel(spark, tmp_path):
     _assert_equal(got_v1, v1_exp)
 
 
-def test_evolve_conflicts_loudly_on_foreign_commit(
+def test_evolve_converges_past_foreign_commit(
     spark, tmp_path, monkeypatch
 ):
     """Review r8: every evolve commit CASes on the function's OWN
     version chain — a foreign commit landing between two per-dim folds
-    must raise CommitConflict (never silently double-fold or rewind
-    the racer's state), and the retry must resume to the exact
-    recompute."""
+    can never be silently double-folded or have its state rewound.
+    Losing the CAS restarts from a fresh snapshot, so the call
+    CONVERGES to the exact recompute in one invocation."""
     fact = str(tmp_path / "fact")
     d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
     V.create_table(
@@ -1416,12 +1416,12 @@ def test_evolve_conflicts_loudly_on_foreign_commit(
         return out
 
     monkeypatch.setattr(V, "merge_table", foreign_after_first)
-    with pytest.raises(V.CommitConflict):
-        MV.evolve_dimensions(spark, view)
-    monkeypatch.setattr(V, "merge_table", real)
-    # dim 1's fold committed; the retry folds dim 2 and lands exactly
     r = MV.evolve_dimensions(spark, view)
-    assert r["dims_evolved"] == 1
+    monkeypatch.setattr(V, "merge_table", real)
+    # dim 1 folded on the first chain, the foreign commit broke the
+    # chain, the restart folded dim 2 — both counted, result exact
+    assert r["dims_evolved"] == 2, r
+    assert MV.evolve_dimensions(spark, view)["strategy"] == "noop"
     f = V.read_table(spark, fact)
     exp = {
         (x["region"], x["chan"]): (float(x["rev"]), x["n"])
@@ -1442,3 +1442,38 @@ def test_evolve_conflicts_loudly_on_foreign_commit(
             for k in exp
         )
     )
+
+
+def test_racing_evolvers_fold_exactly_once(spark, tmp_path, monkeypatch):
+    """Two evolvers race on the same dim move: the loser's CAS fails,
+    its restart sees the dim already re-pinned and reports noop — the
+    fold lands exactly once and the view equals a recompute."""
+    fact, dim = _star(spark, tmp_path)
+    view = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, view, ["region"],
+        {"rev": ("sum", "amount"), "n": ("count", None)},
+        dims=[{"path": dim, "keys": ["cust_fk"]}],
+    )
+    V.update_table(
+        spark, dim, {"region": F.lit("R8")}, F.col("cust_fk") < 6
+    )
+    real = V.merge_table
+    state = {"raced": False}
+
+    def racing(spark_, path, source, keys, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # evolver B completes the WHOLE evolution mid-flight of A
+            monkeypatch.setattr(V, "merge_table", real)
+            rb = MV.evolve_dimensions(spark_, view)
+            assert rb["dims_evolved"] == 1
+            monkeypatch.setattr(V, "merge_table", racing)
+        return real(spark_, path, source, keys, **kw)
+
+    monkeypatch.setattr(V, "merge_table", racing)
+    ra = MV.evolve_dimensions(spark, view)
+    monkeypatch.setattr(V, "merge_table", real)
+    # A lost the CAS to B; its restart found nothing left to fold
+    assert ra["strategy"] == "noop" and ra["dims_evolved"] == 0, ra
+    _star_assert(spark, fact, dim, view)
