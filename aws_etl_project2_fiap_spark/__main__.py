@@ -93,7 +93,9 @@ def cmd_lakesql(args) -> int:
             print(f"--table needs NAME=PATH, got {spec!r}", file=sys.stderr)
             return 2
         tables[name] = path
-    lk = LakeSQL(_session(), tables)
+    # --catalog: file-backed name→path registry — bindings registered
+    # by one invocation (CREATE TABLE, --table) survive to the next
+    lk = LakeSQL(_session(), tables, catalog_path=args.catalog)
     # multi-statement scripts run sequentially; the last result shows
     df = lk.sql_script(args.query)
     df.show(args.limit, truncate=not args.wide)
@@ -468,6 +470,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--table", action="append", metavar="NAME=PATH",
         help="bind a table name to a versioned-table path (repeatable)",
+    )
+    p.add_argument(
+        "--catalog", metavar="FILE", default=None,
+        help="file-backed name→path catalog: bindings registered in "
+        "one invocation (CREATE TABLE, --table) survive to the next",
     )
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--wide", action="store_true")

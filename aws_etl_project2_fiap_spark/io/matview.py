@@ -74,6 +74,24 @@ def _check_spec(group_by: list[str], aggs: dict) -> None:
             raise ValueError(f"agg output name {out!r} is reserved")
 
 
+def _guard_reserved_cols(cols: list[str], what: str) -> None:
+    """The view's state counters (``__mv_cnt``), the evolve probe's
+    per-dim hit flags (``__mv_hit_{i}``), and the signed-leg marker
+    (``__mv_sign``) all live in the ``__mv_`` prefix namespace. A fact
+    or dim column with that prefix would make the evolve probe's left
+    join ambiguous or silently corrupt the any-hit filter — reject at
+    create AND at evolve (the source may have gained such a column
+    since create), mirroring the reserved-name check ``_check_spec``
+    applies to view outputs."""
+    bad = sorted(c for c in cols if c.startswith("__mv"))
+    if bad:
+        raise ValueError(
+            f"{what} column(s) {bad} collide with the materialized "
+            f"view's reserved __mv* namespace (state counters / evolve "
+            f"probe flags); rename them first"
+        )
+
+
 def _dec(col: str) -> Column:
     """Sums/averages fold through DECIMAL(28,6): float addition is
     order-dependent AND a delta-maintained float sum would accumulate
@@ -265,15 +283,13 @@ def create_aggregate_view(
         for d in (dims or [])
     ]
     src_version = V.current_version(source)
-    state = (
-        _with_dims(
-            spark,
-            V.read_table(spark, source, version=src_version),
-            dims,
-        )
-        .groupBy(*group_by)
-        .agg(*_state_exprs(aggs))
+    joined = _with_dims(
+        spark,
+        V.read_table(spark, source, version=src_version),
+        dims,
     )
+    _guard_reserved_cols(joined.columns, "the view's source/dim")
+    state = joined.groupBy(*group_by).agg(*_state_exprs(aggs))
     # NULL group keys: the refresh MERGE probes join on SQL equality
     # (NULL matches nothing — the Delta MERGE caveat), so a NULL-keyed
     # group could never be updated, only duplicated. Reject up front
@@ -900,6 +916,9 @@ def evolve_dimensions(spark: SparkSession, dst: str) -> dict:
     delta_ok = all(fn in _SELF_MAINTAINABLE for fn, _ in aggs.values())
     src_watermark = meta["source_version"]
     fact = V.read_table(spark, meta["source"], version=src_watermark)
+    # the source may have gained a __mv_-prefixed column since create
+    # (schema evolution): it would collide with the probe's hit flags
+    _guard_reserved_cols(fact.columns, "the view's fact source")
     # only fact rows joining a changed dim key can move the view; the
     # changed-key sets are delivery-sized (dim mutations), so the fact
     # is probed ONCE with all of them stacked as broadcast LEFT joins

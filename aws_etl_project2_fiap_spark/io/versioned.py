@@ -2011,18 +2011,147 @@ def vacuum(
     return removed
 
 
-def _probe_keys(source: DataFrame, keys: list[str]) -> DataFrame:
+def _probe_keys(
+    source: DataFrame, keys: list[str]
+) -> tuple[DataFrame, bool]:
     """The merge probes' build side: the source's key columns, hinted
     ``F.broadcast`` only when a BOUNDED row probe (limit cap+1, count —
     never a full count/scan of an unbounded source) proves the source
     is delivery-sized. Past :data:`_MERGE_BROADCAST_CAP` the hint is
     dropped and AQE sizes the join itself, so a table-sized merge
     source (``replicate_table`` re-syncs, bulk backfills) can never
-    force a broadcast the optimizer would refuse."""
+    force a broadcast the optimizer would refuse. Returns
+    ``(probe_df, hinted)`` so EXPLAIN can report the strategy."""
     probe = source.select(*keys)
     if probe.limit(_MERGE_BROADCAST_CAP + 1).count() <= _MERGE_BROADCAST_CAP:
-        return F.broadcast(probe)
-    return probe
+        return F.broadcast(probe), True
+    return probe, False
+
+
+def _prune_probe_entries(
+    source: DataFrame, files: list, mapping: dict | None, keys: list[str]
+) -> tuple[list, dict]:
+    """The merge probe's FILE pruning, shared by :func:`merge_table`
+    and :func:`merge_probe_plan` (EXPLAIN MERGE): returns the
+    surviving manifest entries plus per-stage counters.
+
+    Stage 1 — stats envelope (the Delta MERGE scan-pruning idea): a
+    file whose write-time [min, max] for ANY merge key cannot
+    intersect the source's key envelope can hold no match — compute
+    the envelope in one O(keys)-wide driver row and drop those files
+    BEFORE the probe scan. A delivery keyed into a narrow range of a
+    range-partitioned/z-ordered table probes (and rewrites) only the
+    files it can touch; the envelope is useless for scattered keys and
+    the probe then degrades gracefully to the full scan.
+
+    Stage 2 — bloom-index + bucket-membership pruning catch what the
+    envelope can't: SCATTERED keys. For each key column that is
+    bloom-indexed or bucket-clustered (hidden partitioning), collect
+    the source's distinct values (bounded — past the cap the collect
+    is skipped, the probe scan absorbs it), then drop every file whose
+    bucket set misses ALL of the values' buckets (free — manifest-only)
+    and every file whose bloom rules out ALL of them."""
+    env = source.select(
+        *[
+            c
+            for i, k in enumerate(keys)
+            for c in (
+                F.min(k).alias(f"__lo{i}"),
+                F.max(k).alias(f"__hi{i}"),
+            )
+        ]
+    ).collect()[0]
+    probe_entries = files
+    for i, k in enumerate(keys):
+        lo, hi = env[f"__lo{i}"], env[f"__hi{i}"]
+        if lo is None:
+            continue  # empty source: nothing prunes, probe finds 0
+        probe_entries = prunable(
+            probe_entries, _phys_col(mapping, k), lo, hi
+        )[0]
+    after_stats = len(probe_entries)
+    for k in keys:
+        pcol = _phys_col(mapping, k)
+        has_bloom = any(
+            f.get("blooms", {}).get(pcol) for f in probe_entries
+        )
+        has_bucket = any(
+            _parse_spec_col(bk)[0] == "bucket"
+            and _parse_spec_col(bk)[2] == pcol
+            for f in probe_entries
+            for bk in f.get("buckets", {})
+        )
+        if not (has_bloom or has_bucket):
+            continue
+        rows = (
+            source.select(k).distinct()
+            .limit(_MERGE_BLOOM_PROBE_CAP + 1).collect()
+        )
+        if len(rows) > _MERGE_BLOOM_PROBE_CAP:
+            continue  # not delivery-sized on this key: skip, stay cheap
+        vals = [r[0] for r in rows]
+        if has_bucket:
+            probe_entries = prunable_bucket_any(
+                probe_entries, pcol, vals
+            )[0]
+        if has_bloom:
+            probe_entries = prunable_eq_any(probe_entries, pcol, vals)[0]
+    return probe_entries, {
+        "files_total": len(files),
+        "files_after_stats": after_stats,
+        "files_after_index": len(probe_entries),
+    }
+
+
+def merge_probe_plan(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    has_by_source_clause: bool = False,
+) -> dict:
+    """Dry-run the MERGE probe phase (the plan EXPLAIN MERGE shows):
+    runs exactly the pruning + semi-probe :func:`merge_table` would —
+    stats envelope, bucket membership, per-file blooms, then the
+    (broadcast when delivery-sized) key semi-probe — WITHOUT mutating
+    anything, and reports how far each stage narrowed the rewrite.
+
+    Returns ``{"table_version", "files_total", "files_after_stats",
+    "files_after_index", "files_matched", "files_reused",
+    "probe_strategy", "by_source_anti_probe"}`` — ``files_matched``
+    is the files-to-touch estimate for the matched clause (exact for
+    the current table state; a by-source clause would add its
+    anti-probe's files on top, flagged by ``by_source_anti_probe``)."""
+    base_version = current_version(path)
+    manifest = _read_manifest(path, base_version)
+    files = manifest["files"]
+    mapping = manifest.get("column_mapping")
+    probe_entries, counts = _prune_probe_entries(
+        source, files, mapping, keys
+    )
+    probe_src, is_broadcast = _probe_keys(source, keys)
+    if probe_entries:
+        touched = (
+            _apply_mapping(
+                _scan(spark, probe_entries, keep_meta=True), mapping
+            )
+            .join(probe_src, keys, "semi")
+            .select("__file")
+            .distinct()
+            .count()
+        )
+    else:
+        touched = 0
+    return {
+        "table_version": base_version,
+        **counts,
+        "files_matched": int(touched),
+        "files_reused": counts["files_total"] - int(touched),
+        "probe_strategy": (
+            "broadcast-semi" if is_broadcast else "shuffle-semi"
+        ),
+        "by_source_anti_probe": bool(has_by_source_clause),
+    }
 
 
 def merge_table(
@@ -2204,66 +2333,10 @@ def merge_table(
             f"never match; filter or fill them before merging"
         )
 
-    # stats-pruned probe (the Delta MERGE scan-pruning idea): a file
-    # whose write-time [min, max] for ANY merge key cannot intersect
-    # the source's key envelope can hold no match — compute the
-    # envelope in one O(keys)-wide driver row and drop those files
-    # BEFORE the probe scan. A delivery keyed into a narrow range of a
-    # range-partitioned/z-ordered table probes (and rewrites) only the
-    # files it can touch; the envelope is useless for scattered keys
-    # and the probe then degrades gracefully to the full scan.
-    env = source.select(
-        *[
-            c
-            for i, k in enumerate(keys)
-            for c in (
-                F.min(k).alias(f"__lo{i}"),
-                F.max(k).alias(f"__hi{i}"),
-            )
-        ]
-    ).collect()[0]
-    probe_entries = files
-    for i, k in enumerate(keys):
-        lo, hi = env[f"__lo{i}"], env[f"__hi{i}"]
-        if lo is None:
-            continue  # empty source: nothing prunes, probe finds 0
-        probe_entries = prunable(
-            probe_entries, _phys_col(mapping, k), lo, hi
-        )[0]
-    # bloom-index + bucket-membership pruning catch what the envelope
-    # can't: SCATTERED keys. For each key column that is bloom-indexed
-    # or bucket-clustered (hidden partitioning), collect the source's
-    # distinct values (bounded — past the cap the collect is skipped,
-    # the probe scan absorbs it), then drop every file whose bucket
-    # set misses ALL of the values' buckets (free — manifest-only) and
-    # every file whose bloom rules out ALL of them
-    for k in keys:
-        pcol = _phys_col(mapping, k)
-        has_bloom = any(
-            f.get("blooms", {}).get(pcol) for f in probe_entries
-        )
-        has_bucket = any(
-            _parse_spec_col(bk)[0] == "bucket"
-            and _parse_spec_col(bk)[2] == pcol
-            for f in probe_entries
-            for bk in f.get("buckets", {})
-        )
-        if not (has_bloom or has_bucket):
-            continue
-        rows = (
-            source.select(k).distinct()
-            .limit(_MERGE_BLOOM_PROBE_CAP + 1).collect()
-        )
-        if len(rows) > _MERGE_BLOOM_PROBE_CAP:
-            continue  # not delivery-sized on this key: skip, stay cheap
-        vals = [r[0] for r in rows]
-        if has_bucket:
-            probe_entries = prunable_bucket_any(
-                probe_entries, pcol, vals
-            )[0]
-        if has_bloom:
-            probe_entries = prunable_eq_any(probe_entries, pcol, vals)[0]
-    probe_src = _probe_keys(source, keys)
+    probe_entries, _prune_counts = _prune_probe_entries(
+        source, files, mapping, keys
+    )
+    probe_src, _ = _probe_keys(source, keys)
     if probe_entries:
         matched_rows = _apply_mapping(
             _scan(spark, probe_entries, keep_meta=True), mapping

@@ -116,14 +116,71 @@ class LakeSQL:
     executing lakehouse SQL against them."""
 
     def __init__(
-        self, spark: SparkSession, tables: dict[str, str] | None = None
+        self,
+        spark: SparkSession,
+        tables: dict[str, str] | None = None,
+        catalog_path: str | None = None,
     ):
         self.spark = spark
-        self.tables: dict[str, str] = dict(tables or {})
+        self.tables: dict[str, str] = {}
         # names whose SELECT resolution must go through the matview
         # reader (logical columns, avg/sum derived from state) rather
         # than the raw state table
         self.views: set[str] = set()
+        # file-backed name → path catalog: with catalog_path, every
+        # register/CREATE/DROP persists, so a NEW LakeSQL (a
+        # reconnecting client, the CLI's next invocation) sees the same
+        # SHOW TABLES — without it the session is in-memory, as before
+        self.catalog_path = catalog_path
+        if catalog_path is not None:
+            self._load_catalog()
+        for name, path in (tables or {}).items():
+            self.register(name, path)
+
+    def _load_catalog(self) -> None:
+        import json
+
+        try:
+            with open(self.catalog_path) as fh:
+                saved = json.load(fh)
+        except FileNotFoundError:
+            return
+        except (OSError, ValueError) as exc:
+            raise SQLParseError(
+                f"catalog file {self.catalog_path!r} is unreadable "
+                f"({exc}); fix or remove it"
+            ) from exc
+        for name, rec in saved.get("tables", {}).items():
+            self.tables[name] = rec["path"]
+            if rec.get("view"):
+                self.views.add(name)
+
+    def _persist_catalog(self) -> None:
+        if self.catalog_path is None:
+            return
+        import json
+        import os
+        import tempfile
+
+        payload = {
+            "tables": {
+                n: {"path": p, "view": n in self.views}
+                for n, p in self.tables.items()
+            }
+        }
+        d = os.path.dirname(os.path.abspath(self.catalog_path))
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".catalog.tmp")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(payload, fh, indent=1)
+            os.replace(tmp, self.catalog_path)  # atomic on POSIX
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     def register(self, name: str, path: str, view: bool = False) -> None:
         self.tables[name] = path
@@ -131,6 +188,12 @@ class LakeSQL:
             self.views.add(name)
         else:
             self.views.discard(name)
+        self._persist_catalog()
+
+    def unregister(self, name: str) -> None:
+        self.tables.pop(name, None)
+        self.views.discard(name)
+        self._persist_catalog()
 
     def _path(self, name: str) -> str:
         if name not in self.tables:
@@ -173,6 +236,8 @@ class LakeSQL:
             return self._publish(q)
         if head == "DROP":
             return self._drop(q)
+        if head == "EXPLAIN":
+            return self._explain(q)
         if head in ("SELECT", "WITH"):
             return self._select(q)
         raise SQLParseError(f"unsupported statement: {head or text!r}")
@@ -201,14 +266,20 @@ class LakeSQL:
     # -- SELECT + time travel -----------------------------------------
 
     def _select(self, q: str) -> DataFrame:
+        return self.spark.sql(self._rewrite_select(q))
+
+    def _rewrite_select(self, q: str) -> str:
         """Register every referenced lakehouse table as a temp view —
         at its CURRENT version, or the version/timestamp a trailing
-        ``VERSION AS OF n`` / ``TIMESTAMP AS OF 'ts'`` names — then let
-        Spark SQL run the query unchanged (Catalyst still prunes and
-        pushes down: the temp view is a plain parquet scan plan).
-        Table references after FROM / JOIN and in comma-separated
-        FROM lists are resolved; only text OUTSIDE string literals is
-        rewritten (a literal containing 'FROM orders' stays intact)."""
+        ``VERSION AS OF n`` / ``TIMESTAMP AS OF 'ts'`` names — and
+        return the statement with those references rewritten to the
+        temp-view names, for Spark SQL to run unchanged (Catalyst
+        still prunes and pushes down: the temp view is a plain parquet
+        scan plan; EXPLAIN prepends Spark's own EXPLAIN to the same
+        rewritten text). Table references after FROM / JOIN and in
+        comma-separated FROM lists are resolved; only text OUTSIDE
+        string literals is rewritten (a literal containing
+        'FROM orders' stays intact)."""
         def _resolve(name, ver, ts):
             path = self.tables[name]
             if name in self.views:
@@ -278,11 +349,68 @@ class LakeSQL:
             return f"{kw}{_resolve(name, ver, None)}"
 
         segments = re.split(r"('(?:[^']|'')*')", q)
-        rewritten = "".join(
+        return "".join(
             seg if i % 2 else pat.sub(sub, seg)
             for i, seg in enumerate(segments)
         )
-        return self.spark.sql(rewritten)
+
+    # -- EXPLAIN -------------------------------------------------------
+
+    def _explain(self, q: str) -> DataFrame:
+        """``EXPLAIN [FORMATTED|EXTENDED|COST|CODEGEN] SELECT ...`` —
+        Spark's own plan over the rewritten statement, so pushdown and
+        pruning are user-visible for lakehouse tables exactly as for
+        native ones — or ``EXPLAIN MERGE INTO ...``, which DRY-RUNS
+        the merge's probe phase (io/versioned.merge_probe_plan) and
+        returns the probe strategy plus the files-to-touch estimate:
+        how many files survive stats-envelope pruning, then
+        bucket/bloom pruning, then the key semi-probe — the CI plan
+        gates (tests/test_plan_quality.py), queryable per statement."""
+        m = re.match(
+            rf"EXPLAIN(?:{_WS}(FORMATTED|EXTENDED|COST|CODEGEN))?"
+            rf"{_WS}(.*)$",
+            q, re.I | re.S,
+        )
+        if not m:
+            raise SQLParseError(f"cannot parse EXPLAIN: {q!r}")
+        mode, body = m.groups()
+        body = body.strip()
+        head = body.split(None, 1)[0].upper() if body else ""
+        if head in ("SELECT", "WITH"):
+            return self.spark.sql(
+                f"EXPLAIN {(mode or 'FORMATTED').upper()} "
+                + self._rewrite_select(body)
+            )
+        if head == "MERGE":
+            if mode:
+                raise SQLParseError(
+                    "EXPLAIN MERGE takes no mode (the probe dry-run "
+                    "is its own format)"
+                )
+            return self._explain_merge(body)
+        raise SQLParseError(
+            f"EXPLAIN supports SELECT/WITH and MERGE statements: "
+            f"{body!r}"
+        )
+
+    def _explain_merge(self, q: str) -> DataFrame:
+        """Dry-run the probe phase of a MERGE statement: no mutation,
+        no commit — reports how the stats/bucket/bloom pruning and the
+        key semi-probe would confine the rewrite."""
+        tname, talias, src, salias, rest = self._parse_merge_header(q)
+        chunks = _split_top(rest, r"\bWHEN\b")
+        keys = self._merge_keys(chunks[0].strip(), talias, salias)
+        has_by_source = any(
+            re.match(rf"\s*NOT{_WS}MATCHED{_WS}BY{_WS}SOURCE\b", c, re.I)
+            for c in chunks[1:]
+        )
+        plan = V.merge_probe_plan(
+            self.spark, self._path(tname), self._merge_source(src),
+            keys, has_by_source_clause=has_by_source,
+        )
+        return self._result(
+            {"statement": "MERGE", "table": tname, **plan}
+        )
 
     # -- UPDATE / DELETE ----------------------------------------------
 
@@ -318,7 +446,10 @@ class LakeSQL:
 
     # -- MERGE ---------------------------------------------------------
 
-    def _merge(self, q: str) -> DataFrame:
+    @staticmethod
+    def _parse_merge_header(q: str) -> tuple[str, str, str, str, str]:
+        """Parse ``MERGE INTO t [AS a] USING <name|(subquery)> [AS b]
+        ON`` and return (tname, talias, src, salias, rest-after-ON)."""
         head = re.match(
             rf"MERGE{_WS}INTO{_WS}({_ID})(?:{_WS}AS{_WS}({_ID}))?"
             rf"{_WS}USING\s+",
@@ -359,6 +490,10 @@ class LakeSQL:
         salias = tail.group(1)
         talias, salias = talias or "t", salias or "s"
         rest = q[pos + tail.end():]
+        return tname, talias, src, salias, rest
+
+    def _merge(self, q: str) -> DataFrame:
+        tname, talias, src, salias, rest = self._parse_merge_header(q)
         chunks = _split_top(rest, r"\bWHEN\b")
         on_cond = chunks[0].strip()
         keys = self._merge_keys(on_cond, talias, salias)
@@ -571,7 +706,9 @@ class LakeSQL:
         try_cast date timestamp interval int integer bigint smallint
         tinyint double float decimal numeric string varchar char
         boolean binary array map struct day days month months year
-        years hour hours minute minutes second seconds
+        years hour hours minute minutes second seconds week weeks
+        quarter quarters millisecond milliseconds microsecond
+        microseconds nanosecond nanoseconds
         current_date current_timestamp current_timezone now""".split()
     )
 
@@ -763,18 +900,19 @@ class LakeSQL:
 
         agg_fns = sorted(MV._SUPPORTED)  # one source of truth
         sm = re.match(
-            rf"SELECT{_WS}(.*?){_WS}FROM{_WS}({_ID})"
+            rf"SELECT{_WS}(.*?){_WS}FROM{_WS}(.*?)"
             rf"{_WS}GROUP{_WS}BY{_WS}(.*)$",
             select.strip(), re.I | re.S,
         )
         if not sm:
             raise SQLParseError(
                 "CREATE MATERIALIZED VIEW needs the shape SELECT "
-                "<keys and aggs> FROM <table> GROUP BY <keys> "
-                f"(joins/dims: use the Python/CLI matview surface): "
+                "<keys and aggs> FROM <fact> [JOIN <dim> ON <fact.k = "
+                "dim.k> ...] GROUP BY <keys>: "
                 f"{select!r}"
             )
-        sel_list, src, gb = sm.groups()
+        sel_list, from_clause, gb = sm.groups()
+        src, dims = self._parse_matview_from(from_clause)
         group_by = [c.strip() for c in _split_top(gb, r",")]
         gb_lower = {c.lower() for c in group_by}
         aggs: dict[str, tuple[str, str | None]] = {}
@@ -805,12 +943,80 @@ class LakeSQL:
         if not aggs:
             raise SQLParseError("matview needs at least one aggregate")
         v = MV.create_aggregate_view(
-            self.spark, self._path(src), path, group_by, aggs
+            self.spark, self._path(src), path, group_by, aggs,
+            dims=dims or None,
         )
         self.register(name, path, view=True)
         return self._result(
-            {"view": name, "location": path, "version": v}
+            {"view": name, "location": path, "version": v,
+             "dims": str(len(dims))}
         )
+
+    def _parse_matview_from(self, from_clause: str):
+        """Parse a matview's FROM clause — ``fact [JOIN dim ON <eq
+        conjunction>]*`` — onto ``create_aggregate_view``'s ``dims``
+        spec. Each ON term must be a same-named ``a.col = b.col``
+        equality (the dim-join key contract — the fold joins by column
+        NAME) where one side is the dim being joined and the other the
+        fact or an earlier-joined dim (snowflake chains resolve left
+        to right, same as the sequential broadcast fold). Each dim is
+        pinned at its current version by create_aggregate_view;
+        ``REFRESH ... EVOLVE`` folds later dim changes."""
+        pieces = _split_top(from_clause, r"\bJOIN\b")
+        fact = pieces[0].strip()
+        if not re.fullmatch(_ID, fact):
+            raise SQLParseError(
+                f"matview FROM must start with a registered fact "
+                f"table name, got {fact!r}"
+            )
+        dims: list[dict] = []
+        avail = {fact.lower()}
+        for piece in pieces[1:]:
+            jm = re.match(
+                rf"\s*({_ID}){_WS}ON{_WS}(.*)$", piece, re.I | re.S
+            )
+            if not jm:
+                raise SQLParseError(
+                    f"matview JOIN needs '<dim> ON <cond>': {piece!r}"
+                )
+            dname, cond = jm.groups()
+            keys: list[str] = []
+            for term in _split_top(cond, r"\bAND\b"):
+                tm = re.match(
+                    rf"\s*({_ID})\.({_ID})\s*=\s*({_ID})\.({_ID})\s*$",
+                    term,
+                )
+                if not tm:
+                    raise SQLParseError(
+                        f"matview join ON must be a conjunction of "
+                        f"name.col = name.col equalities, got {term!r}"
+                    )
+                a1, c1, a2, c2 = tm.groups()
+                pair = {a1.lower(): c1, a2.lower(): c2}
+                other = set(pair) - {dname.lower()}
+                if dname.lower() not in pair or not other or not (
+                    other <= avail
+                ):
+                    raise SQLParseError(
+                        f"ON term {term!r} must join {dname} to the "
+                        f"fact or an earlier-joined dim "
+                        f"(available: {sorted(avail)})"
+                    )
+                if c1 != c2:
+                    raise SQLParseError(
+                        f"matview join keys must be same-named on both "
+                        f"sides (got {term!r}); the incremental fold "
+                        f"joins by column name — alias in a CTAS first"
+                    )
+                keys.append(pair[dname.lower()])
+            if not keys:
+                raise SQLParseError(
+                    f"matview JOIN {dname} needs at least one ON "
+                    f"equality"
+                )
+            dims.append({"path": self._path(dname), "keys": keys})
+            avail.add(dname.lower())
+        return fact, dims
 
     def _refresh(self, q: str) -> DataFrame:
         """``REFRESH MATERIALIZED VIEW name [FULL | EVOLVE]`` — the
@@ -873,6 +1079,35 @@ class LakeSQL:
             # right after SHOW TABLES
             name = dm.group(1)
             path = self._path(name)
+            if name in self.views:
+                # a materialized view describes through its LOGICAL
+                # schema — the columns SELECT resolves (avg derived,
+                # __mv_cnt/__mvsum/__mvcnt/__mvnn state internals
+                # hidden) — so DESCRIBE and SELECT agree on the same
+                # name, plus one marker row naming the source table
+                from .io import matview as MV
+
+                meta = MV.view_meta(path)
+                rows = [
+                    {
+                        "col_name": f.name,
+                        "data_type": f.dataType.simpleString(),
+                        "cluster": "",
+                    }
+                    for f in MV.read_aggregate_view(
+                        self.spark, path
+                    ).schema.fields
+                ] + [
+                    {
+                        "col_name": "# materialized view of",
+                        "data_type": "",
+                        "cluster": meta["source"],
+                    }
+                ]
+                return self.spark.createDataFrame(
+                    rows,
+                    "col_name string, data_type string, cluster string",
+                )
             df = V.read_table(self.spark, path)
             spec = (V.table_cluster_spec(path) or {}).get("cols") or []
             cons = V.table_constraints(path)
@@ -1079,7 +1314,7 @@ class LakeSQL:
             self.spark, base_table, stage,
             mode=(mode or "fail").lower(),
         )
-        self.tables.pop(name, None)
+        self.unregister(name)
         return self._result({"branch": name, **res})
 
     def _drop(self, q: str) -> DataFrame:
@@ -1095,5 +1330,5 @@ class LakeSQL:
             )
         name = m.group(1)
         W.abandon_stage(self._path(name))
-        self.tables.pop(name, None)
+        self.unregister(name)
         return self._result({"branch": name, "dropped": "true"})

@@ -884,3 +884,215 @@ def test_describe_table_named_history_and_exact_cluster_match(
             for r in lk.sql("DESCRIBE TABLE history").collect()}
     assert desc["k"] == "" and desc["k2"] == "bucket(4,k2)"
     assert lk.sql("DESCRIBE HISTORY history").count() >= 1
+
+
+# -- round 9: star matview DDL, persistent catalog, EXPLAIN, ADVICE --
+
+
+def _star_fixture(spark, tmp_path):
+    fact, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    V.create_table(
+        spark.range(0, 100).select(
+            (F.col("id") % 10).alias("fk"),
+            (F.col("id") * 1.0).alias("amount"),
+        ),
+        fact,
+    )
+    V.create_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("fk"),
+            F.concat(F.lit("R"), (F.col("id") % 3).cast("string"))
+            .alias("region"),
+        ),
+        dim,
+    )
+    return fact, dim
+
+
+def test_create_matview_star_dims_sql(spark, tmp_path):
+    """VERDICT r8 #3: CREATE MATERIALIZED VIEW ... FROM fact JOIN dim
+    ON fact.fk = dim.fk GROUP BY region parses onto
+    create_aggregate_view(dims=...) — the declaration half of the
+    EVOLVE verb that already existed. Parity with the Python surface's
+    star shapes, then a dim move + fact append folds via EVOLVE."""
+    from aws_etl_project2_fiap_spark.io import matview as MV
+
+    fact, dim = _star_fixture(spark, tmp_path)
+    view = str(tmp_path / "mv")
+    lk = LakeSQL(spark, {"fact": fact, "dim": dim})
+    r = lk.sql(
+        f"CREATE MATERIALIZED VIEW v LOCATION '{view}' AS "
+        "SELECT region, sum(amount) AS rev, count(*) AS n "
+        "FROM fact JOIN dim ON fact.fk = dim.fk GROUP BY region"
+    ).collect()[0]
+    assert r["dims"] == "1"
+    assert MV.view_meta(view)["dims"][0]["keys"] == ["fk"]
+    # dim mutation + fact delta, folded by the SQL EVOLVE verb
+    V.update_table(spark, dim, {"region": F.lit("R9")}, F.col("fk") < 2)
+    V.append_table(
+        spark.range(100, 120).select(
+            (F.col("id") % 10).alias("fk"),
+            (F.col("id") * 2.0).alias("amount"),
+        ),
+        fact,
+    )
+    lk.sql("REFRESH MATERIALIZED VIEW v EVOLVE")
+    exp = {
+        r["region"]: (float(r["rev"]), r["n"])
+        for r in V.read_table(spark, fact)
+        .join(V.read_table(spark, dim), "fk")
+        .groupBy("region")
+        .agg(F.sum("amount").alias("rev"), F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        r["region"]: (float(r["rev"]), r["n"])
+        for r in lk.sql("SELECT region, rev, n FROM v").collect()
+    }
+    assert got == exp
+
+
+def test_create_matview_star_rejects_bad_joins(spark, tmp_path):
+    fact, dim = _star_fixture(spark, tmp_path)
+    lk = LakeSQL(spark, {"fact": fact, "dim": dim})
+    view = str(tmp_path / "mv")
+    with pytest.raises(SQLParseError, match="same-named"):
+        lk.sql(
+            f"CREATE MATERIALIZED VIEW v LOCATION '{view}' AS "
+            "SELECT region, count(*) AS n "
+            "FROM fact JOIN dim ON fact.fk = dim.id GROUP BY region"
+        )
+    with pytest.raises(SQLParseError, match="must join"):
+        lk.sql(
+            f"CREATE MATERIALIZED VIEW v LOCATION '{view}' AS "
+            "SELECT region, count(*) AS n "
+            "FROM fact JOIN dim ON other.fk = dim2.fk GROUP BY region"
+        )
+    with pytest.raises(SQLParseError, match="ON"):
+        lk.sql(
+            f"CREATE MATERIALIZED VIEW v LOCATION '{view}' AS "
+            "SELECT region, count(*) AS n "
+            "FROM fact JOIN dim GROUP BY region"
+        )
+
+
+def test_describe_matview_logical_schema(spark, tmp_path):
+    """ADVICE r8: DESCRIBE on a registered matview must show the
+    LOGICAL schema SELECT resolves (avg derived, state internals
+    hidden), not the raw state table's __mv columns."""
+    fact, dim = _star_fixture(spark, tmp_path)
+    view = str(tmp_path / "mv")
+    lk = LakeSQL(spark, {"fact": fact})
+    lk.sql(
+        f"CREATE MATERIALIZED VIEW v LOCATION '{view}' AS "
+        "SELECT fk, avg(amount) AS a, sum(amount) AS s "
+        "FROM fact GROUP BY fk"
+    )
+    rows = lk.sql("DESCRIBE v").collect()
+    names = [r["col_name"] for r in rows]
+    assert not any(n.startswith("__mv") for n in names)
+    assert names[:3] == ["fk", "a", "s"]
+    marker = [r for r in rows if "materialized view" in r["col_name"]]
+    assert marker and marker[0]["cluster"] == fact
+    # DESCRIBE TABLE spells the same thing
+    assert [r["col_name"] for r in lk.sql("DESCRIBE TABLE v").collect()] \
+        == names
+
+
+def test_idiom_guard_accepts_all_interval_units():
+    """ADVICE r8: week/quarter/millisecond/microsecond (+ plurals) are
+    legal unqualified tokens in an idiom condition — a source-only
+    condition using them must not be falsely rejected."""
+    for unit in (
+        "week", "weeks", "quarter", "quarters", "millisecond",
+        "milliseconds", "microsecond", "microseconds",
+    ):
+        LakeSQL._require_source_only(
+            "t", f"s.ts > current_timestamp - interval 3 {unit}"
+        )
+    # bare identifiers still reject (fail-closed is preserved)
+    with pytest.raises(SQLParseError, match="bare identifier"):
+        LakeSQL._require_source_only("t", "flag")
+
+
+def test_lakesql_catalog_persists(spark, tmp_path):
+    """VERDICT r8 #4: a file-backed catalog — bindings registered (or
+    CTAS-created) by one LakeSQL survive into a NEW instance; SHOW
+    TABLES and SELECT work after 'reconnecting'; unregister persists
+    too."""
+    fact, dim = _star_fixture(spark, tmp_path)
+    cat = str(tmp_path / "catalog.json")
+    lk = LakeSQL(spark, {"fact": fact}, catalog_path=cat)
+    tbl2 = str(tmp_path / "small")
+    lk.sql(
+        f"CREATE TABLE small LOCATION '{tbl2}' AS "
+        "SELECT fk, amount FROM fact WHERE fk < 3"
+    )
+    view = str(tmp_path / "mv")
+    lk.sql(
+        f"CREATE MATERIALIZED VIEW v LOCATION '{view}' AS "
+        "SELECT fk, count(*) AS n FROM fact GROUP BY fk"
+    )
+
+    lk2 = LakeSQL(spark, catalog_path=cat)  # a fresh "connection"
+    shown = {r["name"]: r["is_view"]
+             for r in lk2.sql("SHOW TABLES").collect()}
+    assert shown == {"fact": False, "small": False, "v": True}
+    assert lk2.sql("SELECT count(*) AS n FROM small").collect()[0]["n"] \
+        == 30
+    # the view flag survived: SELECT resolves logical columns
+    assert "__mv_cnt" not in lk2.sql("SELECT * FROM v").columns
+    lk2.unregister("small")
+    lk3 = LakeSQL(spark, catalog_path=cat)
+    assert "small" not in lk3.tables and "v" in lk3.views
+    # a catalog-less session is unchanged (in-memory, as before)
+    assert LakeSQL(spark).tables == {}
+
+
+def test_explain_select_and_merge(spark, tmp_path):
+    """VERDICT r8 #6: EXPLAIN SELECT shows Spark's plan over the
+    rewritten query; EXPLAIN MERGE dry-runs the probe phase and
+    reports the pruned-probe markers (files pruned by stats, probe
+    strategy, files-to-touch) WITHOUT mutating the table."""
+    tbl = str(tmp_path / "orders")
+    V.create_table(
+        spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ).repartition(16),
+        tbl,
+        cluster_by=["bucket(16,k)"],
+    )
+    srcp = str(tmp_path / "delta")
+    V.create_table(
+        spark.range(0, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        ),
+        srcp,
+    )
+    lk = LakeSQL(spark, {"orders": tbl, "delta": srcp})
+    plan = "\n".join(
+        r[0] for r in lk.sql("EXPLAIN SELECT * FROM orders WHERE k = 3")
+        .collect()
+    )
+    assert "Physical Plan" in plan
+    before = V.current_version(tbl)
+    r = lk.sql(
+        "EXPLAIN MERGE INTO orders AS t USING delta AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET *"
+    ).collect()[0]
+    assert V.current_version(tbl) == before  # dry-run: no commit
+    assert r["probe_strategy"] == "broadcast-semi"
+    assert int(r["files_matched"]) < int(r["files_total"])
+    assert int(r["files_after_stats"]) <= int(r["files_total"])
+    assert int(r["files_reused"]) == (
+        int(r["files_total"]) - int(r["files_matched"])
+    )
+    assert r["by_source_anti_probe"] == "False"
+    # the real merge touches exactly the estimated files
+    res = V.merge_table(
+        spark, tbl, V.read_table(spark, srcp), ["k"],
+        when_matched="replace", insert_unmatched=False,
+    )
+    assert res["files_touched"] == int(r["files_matched"])
+    with pytest.raises(SQLParseError, match="EXPLAIN"):
+        lk.sql("EXPLAIN VACUUM orders")

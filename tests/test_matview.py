@@ -1477,3 +1477,45 @@ def test_racing_evolvers_fold_exactly_once(spark, tmp_path, monkeypatch):
     # A lost the CAS to B; its restart found nothing left to fold
     assert ra["strategy"] == "noop" and ra["dims_evolved"] == 0, ra
     _star_assert(spark, fact, dim, view)
+
+
+def test_reserved_mv_columns_rejected(spark, tmp_path):
+    """ADVICE r8: a fact or dim column in the __mv* namespace would
+    collide with the evolve probe's hit flags / the view's state
+    counters — rejected at create (and the same guard runs at evolve,
+    for sources that gain such a column via schema evolution later)."""
+    bad = str(tmp_path / "bad")
+    V.create_table(
+        spark.range(5).select(
+            F.col("id").alias("g"), F.lit(1).alias("__mv_hit_0")
+        ),
+        bad,
+    )
+    with pytest.raises(ValueError, match="__mv"):
+        MV.create_aggregate_view(
+            spark, bad, str(tmp_path / "v"), ["g"],
+            {"n": ("count", None)},
+        )
+    # a colliding DIM column is equally rejected (the probe would
+    # stack its flags over the joined frame)
+    fact = str(tmp_path / "fact")
+    V.create_table(
+        spark.range(10).select(
+            (F.col("id") % 3).alias("fk"),
+            (F.col("id") * 1.0).alias("amount"),
+        ),
+        fact,
+    )
+    dimt = str(tmp_path / "dim")
+    V.create_table(
+        spark.range(3).select(
+            F.col("id").alias("fk"), F.lit("x").alias("__mv_sign")
+        ),
+        dimt,
+    )
+    with pytest.raises(ValueError, match="__mv"):
+        MV.create_aggregate_view(
+            spark, fact, str(tmp_path / "v2"), ["fk"],
+            {"n": ("count", None)},
+            dims=[{"path": dimt, "keys": ["fk"]}],
+        )

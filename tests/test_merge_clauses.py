@@ -445,16 +445,13 @@ def test_probe_keys_hints_broadcast_only_under_cap(spark, monkeypatch):
     a table-sized merge source can never force a table-sized
     broadcast."""
     src = spark.range(0, 50).select(F.col("id"))
-    plan = (
-        V._probe_keys(src, ["id"])
-        ._jdf.queryExecution().analyzed().toString()
-    )
-    assert "broadcast" in plan.lower(), plan
+    probe, hinted = V._probe_keys(src, ["id"])
+    plan = probe._jdf.queryExecution().analyzed().toString()
+    assert hinted and "broadcast" in plan.lower(), plan
     monkeypatch.setattr(V, "_MERGE_BROADCAST_CAP", 10)
-    plan_capped = (
-        V._probe_keys(src, ["id"])
-        ._jdf.queryExecution().analyzed().toString()
-    )
+    probe_capped, hinted_capped = V._probe_keys(src, ["id"])
+    plan_capped = probe_capped._jdf.queryExecution().analyzed().toString()
+    assert not hinted_capped
     assert "broadcast" not in plan_capped.lower(), plan_capped
 
 
