@@ -5734,6 +5734,118 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _INDEX_PROBE_SHINGLES(src: str) -> str:
+    """DuckDB CTE body: distinct (doc_id, 60-bit md5 shingle hash)
+    rows for 3-gram shingles over ``src`` — documents with <3 tokens
+    produce no rows, mirroring the Spark side's size(tk)>=3 filter."""
+    return f"""
+        SELECT DISTINCT doc_id,
+               ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(tk) - 1, 1)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                   )) AS shingle
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS tk
+                  FROM {src})
+        )"""
+
+
+_INDEX_PROBE_ORACLE = (
+    """
+    WITH qdocs AS (
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id < 100
+    ), sh1 AS ("""
+    + _INDEX_PROBE_SHINGLES("documents")
+    + """
+    ), sh2 AS ("""
+    + _INDEX_PROBE_SHINGLES("qdocs")
+    + """
+    ), mh1 AS (
+        SELECT doc_id, """
+    + ", ".join(_NEARDUP_MIX_SQL(s) for s in range(8))
+    + """
+        FROM sh1 GROUP BY doc_id
+    ), mh2 AS (
+        SELECT doc_id, """
+    + ", ".join(_NEARDUP_MIX_SQL(s) for s in range(8))
+    + """
+        FROM sh2 GROUP BY doc_id
+    ), bands1 AS (
+    """
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(m{2 * b} AS VARCHAR) || ':' || "
+        f"CAST(m{2 * b + 1} AS VARCHAR)) AS sig FROM mh1"
+        for b in range(4)
+    )
+    + """
+    ), bands2 AS (
+    """
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(m{2 * b} AS VARCHAR) || ':' || "
+        f"CAST(m{2 * b + 1} AS VARCHAR)) AS sig FROM mh2"
+        for b in range(4)
+    )
+    + """
+    ), cand AS (
+        SELECT DISTINCT q.doc_id AS qid, i.doc_id AS iid
+        FROM bands2 q JOIN bands1 i USING (band, sig)
+    ), est AS (
+        SELECT c.qid, c.iid, ("""
+    + " + ".join(f"(a.m{s} = b.m{s})::INT" for s in range(8))
+    + """) / 8.0 AS est
+        FROM cand c
+        JOIN mh2 a ON a.doc_id = c.qid
+        JOIN mh1 b ON b.doc_id = c.iid
+    )
+    SELECT qid AS batch_id, iid AS index_id,
+           max(est) AS est_jaccard
+    FROM est GROUP BY qid, iid HAVING max(est) >= 0.5
+    """
+)
+
+
+@defquery("dedup_index_probe_portable", _INDEX_PROBE_ORACLE)
+def dedup_index_probe_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index PROBE pipeline ORACLE-CHECKED end-to-end
+    (VERDICT r8 #5): build_minhash_index with the engine-portable md5
+    hashing summarizes the corpus into a versioned signature table,
+    then probe_minhash_index runs a re-delivered batch (first 100
+    docs, ids shifted +1e6) against it exactly as the standalone
+    `dedup_index_probe` / the streaming ingest gate do — and the
+    DuckDB oracle recomputes the WHOLE probe result bit-for-bit:
+    3-gram shingles → 60-bit md5 hashes → 8 minhash mixes → 4 band
+    signatures on BOTH sides → the (band, sig) candidate join →
+    per-pair max agreement fraction → threshold 0.5. This closes the
+    last dedup surface whose own (batch_id, index_id, est_jaccard)
+    rows were never hash-gated (previously only the quarantine
+    DECISION was, via `stream_neardup_ingest`). The xxhash64 sibling
+    (`dedup_index_probe`, rows-only) stays the bench path.
+
+    Scale posture is the sibling's: the corpus is summarized ONCE
+    (index rows ~0.1% of corpus bytes), the delivery's signatures
+    broadcast to an unshuffled index scan, corpus text never re-read."""
+    from .operators.dedup import build_minhash_index, probe_minhash_index
+
+    d = t(spark, sf_dir, "documents")
+    work = _scratch_dir("mh_index_portable")
+    build_minhash_index(
+        d, work, num_hashes=8, bands=4, token_hash="md5"
+    )
+    batch = d.filter(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return probe_minhash_index(
+        spark, work, batch, threshold=0.5, num_hashes=8, bands=4,
+        token_hash="md5",
+    )
+
+
 @defquery("stream_price_alerts", None)  # self-referencing anchor: not ANSI SQL
 def stream_price_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-ratchet large-move alerts per event_type over the events
@@ -6723,9 +6835,22 @@ def k_wap_merge_publish_readback(
         FROM merged
     ), final AS (
         SELECT * FROM upd WHERE NOT (p > 400000)
+    ), bands AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderpriority LIKE '1-%' THEN 'B9'
+                    ELSE 'B' || CAST(length(o_orderpriority) % 2
+                                     AS VARCHAR)
+               END AS band
+        FROM (SELECT DISTINCT o_orderpriority FROM final)
     )
     SELECT o_orderpriority, count(*) AS n, round(sum(p), 2) AS total
     FROM final GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'band:' || b.band AS o_orderpriority, count(*) AS n,
+           CAST(round(sum(CAST(p AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS total
+    FROM final f JOIN bands b USING (o_orderpriority)
+    GROUP BY b.band
     """,
 )
 def k_lakesql_verbs_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6775,7 +6900,29 @@ def k_lakesql_verbs_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ALTER surface under the same driver hash gate as the mutations
     lk.sql("ALTER TABLE tgt RENAME COLUMN o_totalprice TO price")
     lk.sql("ALTER TABLE tgt CLUSTER BY (bucket(4, o_orderkey))")
-    return (
+    # the star-view DDL (round 9): DECLARE a dim-bearing materialized
+    # view in SQL (CREATE ... JOIN dim ON ... GROUP BY), move a dim
+    # attribute, fold it with the EVOLVE verb — the declaration half
+    # of the SQL matview surface under the same hash gate. The view
+    # leg rides the result as 'band:'-prefixed rows.
+    lk.sql(
+        f"CREATE TABLE prio_dim LOCATION '{work}/dim' AS "
+        "SELECT o_orderpriority, "
+        "concat('B', CAST(length(o_orderpriority) % 2 AS STRING)) "
+        "AS band "
+        "FROM (SELECT DISTINCT o_orderpriority FROM tgt)"
+    )
+    lk.sql(
+        f"CREATE MATERIALIZED VIEW vband LOCATION '{work}/mv' AS "
+        "SELECT band, count(*) AS n, sum(price) AS total "
+        "FROM tgt JOIN prio_dim "
+        "ON tgt.o_orderpriority = prio_dim.o_orderpriority "
+        "GROUP BY band"
+    )
+    lk.sql("UPDATE prio_dim SET band = 'B9' "
+           "WHERE o_orderpriority LIKE '1-%'")
+    lk.sql("REFRESH MATERIALIZED VIEW vband EVOLVE")
+    base = (
         lk.sql("SELECT * FROM tgt")
         .groupBy("o_orderpriority")
         .agg(
@@ -6783,6 +6930,12 @@ def k_lakesql_verbs_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("price"), 2).alias("total"),
         )
     )
+    view_leg = lk.sql("SELECT band, n, total FROM vband").select(
+        F.concat(F.lit("band:"), F.col("band")).alias("o_orderpriority"),
+        "n",
+        F.round(F.col("total"), 2).cast("double").alias("total"),
+    )
+    return base.unionByName(view_leg)
 
 
 @defquery(
@@ -7076,32 +7229,37 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_WINDOW: tuple[str, ...] = (
     # continuity sentinel first — green in every round so far
     "a1_top5_7day_sum",
-    # --- driver-checked r7 (the round-7 rotation's 30 entries) ---
-    "tpch_q4_order_priority", "tpch_q7_nation_volume",
-    "tpch_q10_returned_items", "tpch_q12_priority_class",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders", "tpch_q19_discounted_revenue",
-    "tpch_q21_waiting_supplier", "tpch_q22_global_sales",
+    # --- r9 birth entry (oracle-backed THIS round — the persisted
+    # minhash index probe, md5-portable — in the window from birth,
+    # the standing policy since r8) ---
+    "dedup_index_probe_portable",
+    # --- r9 rotate-backs: the 6 entries evicted by the r8 rotation
+    # (all driver-green r3-r7 and replay-green r8) return for a
+    # continuity re-check ---
+    "tpch_q3_shipping_priority", "tpch_q5_regional_revenue",
+    "dedup_ngram_jaccard", "event_time_tumbling_1h",
+    "similarity_knn", "text_langid",
+    # --- retained from the r8 window (driver-green r8); evicted to
+    # make room: tpch_q4/q12/q13/q14/q15/q22 + dedup_simhash, each
+    # driver-green in 2+ rounds, all still oracle-backed in the tail --
+    "tpch_q7_nation_volume", "tpch_q10_returned_items",
+    "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue", "tpch_q21_waiting_supplier",
     "k_zorder_readback", "k_bloom_readback", "k_dv_delete_readback",
     "k_partition_overwrite_readback", "k_cluster_evolution_readback",
     "k_matview_incremental_readback", "k_matview_star_readback",
     "k_wap_publish_readback", "k_table_source_readback",
     "k_merge_clauses_readback", "k_merge_sync_readback",
     "k_replicate_readback",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_span_exact",
+    "dedup_simhash_pairs", "dedup_span_exact",
     "sample_stratified", "text_rolling_chunks", "corpus_shard_export",
-    # --- the 2 entries added after the r7 rotation: never
-    # driver-hash-checked until this round ---
+    # the SQL-surface readbacks (k_lakesql_verbs_readback's script now
+    # also declares + evolves a dim-bearing star view — r9)
     "k_wap_merge_publish_readback", "k_lakesql_verbs_readback",
-    # --- the 4 entries oracle-backed DURING round 8 (portable-md5
-    # LSH pipeline, LSH clustering + CC closure, int8 quantized kNN,
-    # the near-dup ingest gate): in the window from birth so no entry
-    # ever waits a round for its driver-grade check ---
+    # the r8 birth entries, kept for a second driver-green round
     "dedup_minhash_lsh_portable", "dedup_cluster_lsh",
     "similarity_knn_quantized", "stream_neardup_ingest",
-    # --- 13 continuity sentinels (driver-green r7, one per family;
-    # the 4 evicted stay oracle-backed in the replay-verified tail) ---
+    # --- 13 continuity sentinels (one per family) ---
     "a2_count", "k_matview_dim_evolution_readback", "join_star_revenue",
     "window_keep_latest", "sessionize_30m",
     "dedup_exact", "multimodal_meta", "dedup_embedding_cosine",
