@@ -16,7 +16,10 @@ tests/test_lakesql.py against the test_merge_clauses shapes).
 
 Usage::
 
-    lk = LakeSQL(spark)
+    lk = LakeSQL(spark)                            # in-memory session
+    lk = LakeSQL(spark, catalog_path="/data/catalog.json")  # persisted:
+    #   register/CREATE/DROP write through, a new LakeSQL (reconnect,
+    #   next CLI invocation) loads the same bindings
     lk.register("orders", "/data/orders")         # name -> table path
     lk.register("updates", "/data/updates")
     lk.sql('''MERGE INTO orders AS t USING updates AS s
@@ -33,6 +36,15 @@ Usage::
     lk.sql("DESCRIBE HISTORY orders")
     lk.sql("OPTIMIZE orders ZORDER BY (o_custkey)")
     lk.sql("VACUUM orders RETAIN 4 VERSIONS")
+    lk.sql('''CREATE MATERIALIZED VIEW rev LOCATION '/data/rev' AS
+              SELECT region, sum(amount) AS total
+              FROM fact JOIN dim ON fact.fk = dim.fk
+              GROUP BY region''')          # star dims, EVOLVE-foldable
+    lk.sql("EXPLAIN SELECT * FROM orders WHERE o_orderkey = 7")
+    lk.sql("EXPLAIN MERGE INTO orders AS t USING updates AS s "
+           "ON t.o_orderkey = s.o_orderkey WHEN MATCHED THEN DELETE")
+    #   ^ dry-runs the probe: stats/bucket/bloom pruning stages,
+    #     probe strategy, files-to-touch estimate — no mutation
 
 Every call returns a DataFrame: SELECTs return their result; mutations
 return a one-row summary (the dict the underlying verb returned), so a

@@ -28,12 +28,40 @@ def test_headline_names_resolve():
     assert not missing, f"HEADLINE names not in workload: {missing}"
 
 
+def test_sf1_payload_contract_is_total():
+    """VERDICT r8 #1: the payload can never be silent about sf1 — the
+    code paths all end in sf1_queries_steady+fingerprint or an
+    explicit sf1_skipped marker. Source-level check: every early
+    return in _ensure_tiled_sf1 sets a marker, and main() records the
+    opt-out. Plus the fingerprint is deterministic and moves with the
+    source."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    fp1 = bench._sf1_source_fingerprint()
+    fp2 = bench._sf1_source_fingerprint()
+    assert fp1 == fp2 and len(fp1) == 16
+    # the ensure call ends in exactly one of the two payload states:
+    # runnable (fingerprint stamped) or an explicit skip marker — and
+    # it builds the tiled cache when absent/stale rather than skipping
+    payload = {}
+    ok = bench._ensure_tiled_sf1("/tmp/spark_graft_tiled_sf1", payload)
+    assert ok == ("sf1_skipped" not in payload)
+    if ok:
+        assert payload["sf1_source_fingerprint"] == fp1
+        assert os.path.exists("/tmp/spark_graft_tiled_sf1/lineitem.parquet")
+
+
 def test_bench_emits_one_json_line_at_smallest_sf():
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_RECHUNK="0",
         SPARK_GRAFT_CPUS="8",
+        # the sf1 column would tile 10x data and bench it — out of
+        # scope for this smallest-SF smoke; the explicit opt-out must
+        # surface as a LOUD skip marker in the payload (asserted below)
+        SPARK_GRAFT_SF1_BENCH="0",
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -62,6 +90,11 @@ def test_bench_emits_one_json_line_at_smallest_sf():
     # the round-7 write-path column rides the default run
     assert payload["lakehouse_verbs"] and payload["lakehouse_total"] > 0
     assert "lakehouse_gate_violations" in payload
+    # the sf1 contract is TOTAL (VERDICT r8 #1): either the gated
+    # column ran, or the payload says loudly why not — here the env
+    # opt-out above must surface as the explicit marker
+    assert ("sf1_queries_steady" in payload) != ("sf1_skipped" in payload)
+    assert payload["sf1_skipped"] == "disabled by SPARK_GRAFT_SF1_BENCH=0"
     assert payload["unit"] == "sec" and payload["value"] > 0
     import bench
 

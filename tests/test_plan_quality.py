@@ -435,14 +435,20 @@ def test_variant_extract_is_map_only(spark):
 
 
 def test_hopping_window_is_expand_plus_single_agg_shuffle(spark):
-    """Hopping windows must plan as ONE Expand (each event replicated
-    into its 2 windows) + partial/final agg around a single exchange —
-    not a self-union or join."""
+    """Hopping windows must plan as ONE row-expansion node (each event
+    replicated into its 2 windows — since round 9 a Generate/explode
+    of the two window-start TIMESTAMPS, an 8-byte group key, rather
+    than F.window's Expand into (start, end) structs) + partial/final
+    agg around a single exchange — not a self-union or join."""
     p = plan(DEFS["window_hopping_2h"].spark(spark, SF))
-    assert p.count("Expand") >= 1
+    assert ("Generate" in p) or (p.count("Expand") >= 1)
     assert p.count("Exchange") == 1
     assert "Join" not in p
     assert "partial" in p.lower()
+    # the per-row group key must stay the exploded timestamp, never a
+    # per-row formatted string (the round-9 tumbling finding)
+    tp = plan(DEFS["event_time_tumbling_1h"].spark(spark, SF))
+    assert tp.count("Exchange") == 1 and "Join" not in tp
 
 
 def test_index_probe_plan_no_corpus_shuffle(spark, tmp_path):
