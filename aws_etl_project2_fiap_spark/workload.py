@@ -5835,6 +5835,49 @@ _INDEX_PROBE_ORACLE = (
 )
 
 
+_INDEX_BUILD_ORACLE = (
+    """
+    WITH sh1 AS ("""
+    + _INDEX_PROBE_SHINGLES("documents")
+    + """
+    ), mh1 AS (
+        SELECT doc_id, """
+    + ", ".join(_NEARDUP_MIX_SQL(s) for s in range(8))
+    + """
+        FROM sh1 GROUP BY doc_id
+    )
+    """
+    + " UNION ALL ".join(
+        f"SELECT doc_id AS id, {b} AS band, "
+        f"md5(CAST(m{2 * b} AS VARCHAR) || ':' || "
+        f"CAST(m{2 * b + 1} AS VARCHAR)) AS sig FROM mh1"
+        for b in range(4)
+    )
+)
+
+
+@defquery("dedup_index_build_portable", _INDEX_BUILD_ORACLE)
+def dedup_index_build_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index BUILD's persisted rows ORACLE-CHECKED (round 9):
+    build_minhash_index (md5-portable) commits the corpus signatures
+    as a versioned table; this reads them BACK from that table and
+    the DuckDB oracle recomputes every (id, band, sig) row — so the
+    hash gate covers the signature pipeline AND the versioned-write
+    round trip, completing the index family (`dedup_index_probe_
+    portable` gates the probe, `stream_neardup_ingest` the gate
+    decision). The xxhash64 sibling (`dedup_index_build`) stays the
+    bench path."""
+    from .io import versioned as V
+    from .operators.dedup import build_minhash_index
+
+    work = _scratch_dir("mh_index_build_portable")
+    build_minhash_index(
+        t(spark, sf_dir, "documents"), work,
+        num_hashes=8, bands=4, token_hash="md5",
+    )
+    return V.read_table(spark, work).select("id", "band", "sig")
+
+
 @defquery("dedup_index_probe_portable", _INDEX_PROBE_ORACLE)
 def dedup_index_probe_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index PROBE pipeline ORACLE-CHECKED end-to-end
@@ -5868,6 +5911,77 @@ def dedup_index_probe_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_minhash_index(
         spark, work, batch, threshold=0.5, num_hashes=8, bands=4,
         token_hash="md5",
+    )
+
+
+_ALERTS_ORACLE = """
+    WITH RECURSIVE s AS (
+        SELECT event_type AS key, ts, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts
+               ) AS rn
+        FROM events WHERE value IS NOT NULL AND value > 0
+    ), r AS (
+        SELECT key, rn, value AS anchor, false AS emit,
+               ts, value AS price,
+               CAST(NULL AS DOUBLE) AS prev_anchor,
+               CAST(NULL AS DOUBLE) AS move_pct
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.key, s.rn,
+               CASE WHEN abs(s.value / r.anchor - 1) >= 0.5
+                    THEN s.value ELSE r.anchor END AS anchor,
+               abs(s.value / r.anchor - 1) >= 0.5 AS emit,
+               s.ts, s.value AS price, r.anchor AS prev_anchor,
+               CAST(NULL AS DOUBLE) AS move_pct
+        FROM r JOIN s ON s.key = r.key AND s.rn = r.rn + 1
+    )
+    SELECT key, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           price, prev_anchor AS anchor
+    FROM r WHERE emit
+    """
+
+
+@defquery("stream_price_alerts_portable", _ALERTS_ORACLE)
+def stream_price_alerts_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anchor-ratchet ORACLE-CHECKED (round 9): the SAME
+    applyInPandas batch ratchet `stream_price_alerts` runs
+    (streaming/pipelines.stateful_price_alerts — emit when the price
+    moves ≥ pct from the last EMITTED price, then re-anchor), checked
+    bit-for-bit against a DuckDB RECURSIVE CTE that threads the anchor
+    through the per-key row sequence (the same engine-portable
+    recursion trick as `window_ewma`'s oracle — "no window/aggregate
+    expresses it" never meant "no SQL at all"). Emission timestamps
+    are compared as formatted strings to keep the tz-free micros
+    wall-clock identical across engines; the per-key order is
+    deterministic because (event_type, ts) is unique in the events
+    data (ns-resolution timestamps). The compared columns are
+    (key, ts, price, anchor) — the full ratchet trajectory; the
+    operator's ``move_pct`` is excluded because it is Python-rounded
+    (half-even) while ANSI round() is half-away, and 2-decimal prices
+    make the 6th-decimal .5 boundary COMMON, not rare (e.g.
+    3.39/32−1 = −0.8940625 exactly) — the emission DECISION itself
+    compares the unrounded IEEE double, identical on both engines.
+
+    The plain `stream_price_alerts` entry stays (rows-only) as the
+    streaming-default surface; this sibling closes the last
+    stateful-operator family whose VALUES were never hash-gated.
+
+    Scale: identical to the sibling — one shuffle on the key,
+    sequential scan inside Arrow batches, O(keys) doubles of state."""
+    ev = t(spark, sf_dir, "events")
+    out = stream_op.stateful_price_alerts(
+        ev.filter(F.col("value").isNotNull() & (F.col("value") > 0)),
+        pct=0.5,
+        key_col="event_type",
+        value_col="value",
+        ts_col="ts",
+    )
+    return out.select(
+        "key",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "price",
+        "anchor",
     )
 
 
@@ -7254,10 +7368,13 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_WINDOW: tuple[str, ...] = (
     # continuity sentinel first — green in every round so far
     "a1_top5_7day_sum",
-    # --- r9 birth entry (oracle-backed THIS round — the persisted
-    # minhash index probe, md5-portable — in the window from birth,
-    # the standing policy since r8) ---
-    "dedup_index_probe_portable",
+    # --- r9 birth entries (oracle-backed THIS round — the persisted
+    # minhash index build + probe, md5-portable, and the anchor-ratchet
+    # recursive-CTE conversion — in the window from birth, the
+    # standing policy since r8; enforced by the registration-order
+    # test in tests/test_entry_contract.py) ---
+    "dedup_index_probe_portable", "dedup_index_build_portable",
+    "stream_price_alerts_portable",
     # --- r9 rotate-backs: the 6 entries evicted by the r8 rotation
     # (all driver-green r3-r7 and replay-green r8) return for a
     # continuity re-check ---
@@ -7265,8 +7382,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_ngram_jaccard", "event_time_tumbling_1h",
     "similarity_knn", "text_langid",
     # --- retained from the r8 window (driver-green r8); evicted to
-    # make room: tpch_q4/q12/q13/q14/q15/q22 + dedup_simhash, each
-    # driver-green in 2+ rounds, all still oracle-backed in the tail --
+    # make room: tpch_q4/q12/q13/q14/q15/q22, dedup_simhash,
+    # text_rolling_chunks, corpus_shard_export — each driver-green in
+    # 2+ rounds, all still oracle-backed in the tail (their families
+    # stay covered: suite_text, sample_stratified) ---
     "tpch_q7_nation_volume", "tpch_q10_returned_items",
     "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
     "tpch_q19_discounted_revenue", "tpch_q21_waiting_supplier",
@@ -7276,8 +7395,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "k_wap_publish_readback", "k_table_source_readback",
     "k_merge_clauses_readback", "k_merge_sync_readback",
     "k_replicate_readback",
-    "dedup_simhash_pairs", "dedup_span_exact",
-    "sample_stratified", "text_rolling_chunks", "corpus_shard_export",
+    "dedup_simhash_pairs", "dedup_span_exact", "sample_stratified",
     # the SQL-surface readbacks (k_lakesql_verbs_readback's script now
     # also declares + evolves a dim-bearing star view — r9)
     "k_wap_merge_publish_readback", "k_lakesql_verbs_readback",

@@ -82,7 +82,8 @@ def test_every_oracle_parses(duck, name):
 # reorder-and-evict a row mid-round.
 _R9_WINDOW = [
     "a1_top5_7day_sum",
-    "dedup_index_probe_portable",
+    "dedup_index_probe_portable", "dedup_index_build_portable",
+    "stream_price_alerts_portable",
     "tpch_q3_shipping_priority", "tpch_q5_regional_revenue",
     "dedup_ngram_jaccard", "event_time_tumbling_1h",
     "similarity_knn", "text_langid",
@@ -95,8 +96,7 @@ _R9_WINDOW = [
     "k_wap_publish_readback", "k_table_source_readback",
     "k_merge_clauses_readback", "k_merge_sync_readback",
     "k_replicate_readback",
-    "dedup_simhash_pairs", "dedup_span_exact",
-    "sample_stratified", "text_rolling_chunks", "corpus_shard_export",
+    "dedup_simhash_pairs", "dedup_span_exact", "sample_stratified",
     "k_wap_merge_publish_readback", "k_lakesql_verbs_readback",
     "dedup_minhash_lsh_portable", "dedup_cluster_lsh",
     "similarity_knn_quantized", "stream_neardup_ingest",
@@ -203,7 +203,10 @@ def test_window_rotation_properties():
     """Rotation hygiene: the r9 window re-checks entries the r8
     rotation evicted (continuity), carries the r9 birth entry, and
     everything ever evicted stays oracle-backed in the tail."""
-    assert "dedup_index_probe_portable" in _R9_WINDOW  # birth entry
+    # birth entries (all three r9 oracle conversions)
+    assert "dedup_index_probe_portable" in _R9_WINDOW
+    assert "dedup_index_build_portable" in _R9_WINDOW
+    assert "stream_price_alerts_portable" in _R9_WINDOW
     # ≥5 tail rotate-backs (VERDICT r8 #7)
     rotated_back = {
         "tpch_q3_shipping_priority", "tpch_q5_regional_revenue",
