@@ -2154,6 +2154,33 @@ def merge_probe_plan(
     }
 
 
+def mutation_probe_plan(
+    spark: SparkSession, path: str, where: Column
+) -> dict:
+    """Dry-run the discovery phase of UPDATE/DELETE (the plan EXPLAIN
+    UPDATE / EXPLAIN DELETE shows): the same one metadata-augmented
+    scan :func:`update_table` / ``delete_from`` run to find which
+    FILES hold matched rows — reported without mutating anything, so a
+    user can see how confined the rewrite (CoW) or the DV sidecar set
+    (merge-on-read) would be before running the statement.
+
+    Returns ``{"table_version", "files_total", "files_matched",
+    "files_reused", "rows_matched"}``."""
+    base_version = current_version(path)
+    manifest = _read_manifest(path, base_version)
+    files = manifest["files"]
+    mapping = manifest.get("column_mapping")
+    df = _apply_mapping(_scan(spark, files, keep_meta=True), mapping)
+    per_file = df.filter(where).groupBy("__file").count().collect()
+    return {
+        "table_version": base_version,
+        "files_total": len(files),
+        "files_matched": len(per_file),
+        "files_reused": len(files) - len(per_file),
+        "rows_matched": int(sum(r["count"] for r in per_file)),
+    }
+
+
 def merge_table(
     spark: SparkSession,
     path: str,

@@ -393,16 +393,42 @@ class LakeSQL:
                 f"EXPLAIN {(mode or 'FORMATTED').upper()} "
                 + self._rewrite_select(body)
             )
-        if head == "MERGE":
+        if head in ("MERGE", "UPDATE", "DELETE"):
             if mode:
                 raise SQLParseError(
-                    "EXPLAIN MERGE takes no mode (the probe dry-run "
-                    "is its own format)"
+                    f"EXPLAIN {head} takes no mode (the probe dry-run "
+                    f"is its own format)"
                 )
-            return self._explain_merge(body)
+            if head == "MERGE":
+                return self._explain_merge(body)
+            return self._explain_mutation(head, body)
         raise SQLParseError(
-            f"EXPLAIN supports SELECT/WITH and MERGE statements: "
-            f"{body!r}"
+            f"EXPLAIN supports SELECT/WITH, MERGE, UPDATE and DELETE "
+            f"statements: {body!r}"
+        )
+
+    def _explain_mutation(self, kind: str, q: str) -> DataFrame:
+        """Dry-run an UPDATE/DELETE's discovery scan: which files hold
+        matched rows (the CoW rewrite / DV sidecar set), how many rows
+        match — no mutation, no commit."""
+        if kind == "UPDATE":
+            m = re.match(
+                rf"UPDATE{_WS}({_ID}){_WS}SET{_WS}.*?"
+                rf"(?:{_WS}WHERE{_WS}(.*))?$",
+                q, re.I | re.S,
+            )
+        else:
+            m = re.match(
+                rf"DELETE{_WS}FROM{_WS}({_ID})(?:{_WS}WHERE{_WS}(.*))?$",
+                q, re.I | re.S,
+            )
+        if not m:
+            raise SQLParseError(f"cannot parse EXPLAIN {kind}: {q!r}")
+        name, where = m.groups()
+        pred = F.expr(where) if where else F.lit(True)
+        plan = V.mutation_probe_plan(self.spark, self._path(name), pred)
+        return self._result(
+            {"statement": kind, "table": name, **plan}
         )
 
     def _explain_merge(self, q: str) -> DataFrame:

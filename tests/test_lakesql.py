@@ -1096,3 +1096,18 @@ def test_explain_select_and_merge(spark, tmp_path):
     assert res["files_touched"] == int(r["files_matched"])
     with pytest.raises(SQLParseError, match="EXPLAIN"):
         lk.sql("EXPLAIN VACUUM orders")
+    # EXPLAIN UPDATE/DELETE: same discovery scan the verbs run, no
+    # commit; the real UPDATE then touches exactly the estimate
+    before = V.current_version(tbl)
+    ru = lk.sql(
+        "EXPLAIN UPDATE orders SET v = v + 1 WHERE k < 100"
+    ).collect()[0]
+    assert V.current_version(tbl) == before
+    assert int(ru["rows_matched"]) == 100
+    assert int(ru["files_matched"]) < int(ru["files_total"])
+    real = V.update_table(
+        spark, tbl, {"v": F.col("v") + 1}, F.col("k") < 100
+    )
+    assert real["files_touched"] == int(ru["files_matched"])
+    rd = lk.sql("EXPLAIN DELETE FROM orders WHERE k < 0").collect()[0]
+    assert int(rd["rows_matched"]) == 0 and int(rd["files_matched"]) == 0
