@@ -1358,13 +1358,37 @@ class LakeSQL:
     def _drop(self, q: str) -> DataFrame:
         """``DROP BRANCH b`` — abandon an unpublished stage
         (io/wap.py abandon_stage: refuses production tables and stages
-        with an interrupted publish, so a typo can't delete data)."""
+        with an interrupted publish, so a typo can't delete data) —
+        or ``DROP TABLE [IF EXISTS] t``, which removes the CATALOG
+        BINDING only (the versioned table's data and history stay on
+        disk — VACUUM is the data-removal verb; re-register to bind
+        again). With a persisted catalog the unbind persists too."""
+        tm = re.match(
+            rf"DROP{_WS}TABLE(?:{_WS}IF{_WS}EXISTS)?{_WS}({_ID})$",
+            q, re.I,
+        )
+        if tm:
+            name = tm.group(1)
+            if name not in self.tables and not re.search(
+                rf"IF{_WS}EXISTS", q, re.I
+            ):
+                raise SQLParseError(
+                    f"unknown table {name!r}; DROP TABLE IF EXISTS "
+                    f"to make this a no-op"
+                )
+            existed = name in self.tables
+            self.unregister(name)
+            return self._result(
+                {"table": name, "unbound": str(existed).lower(),
+                 "note": "binding removed; data retained on disk"}
+            )
         from .io import wap as W
 
         m = re.match(rf"DROP{_WS}BRANCH{_WS}({_ID})$", q, re.I)
         if not m:
             raise SQLParseError(
-                f"only DROP BRANCH <name> is supported: {q!r}"
+                f"only DROP BRANCH <name> | DROP TABLE [IF EXISTS] "
+                f"<name> is supported: {q!r}"
             )
         name = m.group(1)
         W.abandon_stage(self._path(name))

@@ -126,6 +126,18 @@ SF1_BASELINE = {
     "tpch_q18_large_orders": 1.600,
     "tpch_q7_nation_volume": 1.845,
     "tpch_q21_waiting_supplier": 2.142,
+    # first-appearance recordings, round 9 (idle machine, sentinels
+    # 0.089-0.165, fingerprint efdc6ed1a7912f80): the ingest loop's
+    # two halves at 10x corpus, pinned from the IN-BENCH context (the
+    # sf1 column runs after 37 headline queries + lakehouse verbs —
+    # session heap state costs the fresh-build ~35% vs a light
+    # session's 5.11 s; the gate compares in-bench runs, so the
+    # baseline must too). Scaling story (light-session pair): build
+    # 1.38 s sf0.1 -> 5.11 s sf1 (~linear, one-time by design); probe
+    # 0.65 -> 0.81 (1.24x at 10x corpus — delivery-bound, the
+    # broadcast-probe design's whole claim)
+    "dedup_index_build": 7.015,
+    "dedup_index_probe": 0.901,
 }
 
 
@@ -548,6 +560,11 @@ def main() -> None:
             # appearance)
             "tpch_q10_returned_items", "tpch_q18_large_orders",
             "tpch_q7_nation_volume", "tpch_q21_waiting_supplier",
+            # round-9 additions at 10x: the 100 TB ingest loop's two
+            # halves — one-time corpus summarization vs per-delivery
+            # probe (build runs first so the probe measures only the
+            # probe, same split as the sf0.1 headline)
+            "dedup_index_build", "dedup_index_probe",
         ]
         sf1_steady: dict[str, float] = {}
         for name in sf1_set:

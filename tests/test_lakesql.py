@@ -1042,9 +1042,14 @@ def test_lakesql_catalog_persists(spark, tmp_path):
         == 30
     # the view flag survived: SELECT resolves logical columns
     assert "__mv_cnt" not in lk2.sql("SELECT * FROM v").columns
-    lk2.unregister("small")
+    # DROP TABLE removes the BINDING (persisted), never the data
+    lk2.sql("DROP TABLE small")
     lk3 = LakeSQL(spark, catalog_path=cat)
     assert "small" not in lk3.tables and "v" in lk3.views
+    assert V.read_table(spark, tbl2).count() == 30  # data retained
+    with pytest.raises(SQLParseError, match="IF EXISTS"):
+        lk3.sql("DROP TABLE small")
+    lk3.sql("DROP TABLE IF EXISTS small")  # no-op, no error
     # a catalog-less session is unchanged (in-memory, as before)
     assert LakeSQL(spark).tables == {}
 
