@@ -142,7 +142,12 @@ class LakeSQL:
         # file-backed name → path catalog: with catalog_path, every
         # register/CREATE/DROP persists, so a NEW LakeSQL (a
         # reconnecting client, the CLI's next invocation) sees the same
-        # SHOW TABLES — without it the session is in-memory, as before
+        # SHOW TABLES — without it the session is in-memory, as before.
+        # Writes are atomic (tmp + rename) but whole-file last-writer-
+        # wins: this is a single-user session catalog, not a multi-
+        # writer metastore — concurrent sessions registering different
+        # names can lose one binding (re-register; the DATA is never
+        # touched — bindings are pointers)
         self.catalog_path = catalog_path
         if catalog_path is not None:
             self._load_catalog()

@@ -96,6 +96,31 @@ HEADLINE = [
 ]
 
 
+# the queries timed against the tiled 10x dataset (module-level so the
+# contract test can referentially check every name resolves — a rename
+# must fail CI, not the driver's bench run at its last column)
+SF1_SET = [
+    "a1_top5_7day_sum", "join_star_revenue",
+    "tpch_q5_regional_revenue", "dedup_exact", "window_top3_per_cust",
+    "event_time_tumbling_1h",
+    # LLM-pipeline representatives at 10x
+    "dedup_minhash_lsh", "text_paragraph_dedup", "text_langid",
+    # round-4 additions at 10x
+    "text_gopher_rules", "text_chunk_overlap", "window_hopping_2h",
+    "dedup_semantic",
+    # round-5 addition at 10x (baseline records on first appearance)
+    "dedup_span_exact",
+    # round-6 additions at 10x (baseline records on first appearance)
+    "tpch_q10_returned_items", "tpch_q18_large_orders",
+    "tpch_q7_nation_volume", "tpch_q21_waiting_supplier",
+    # round-9 additions at 10x: the 100 TB ingest loop's two halves —
+    # one-time corpus summarization vs per-delivery probe (build runs
+    # first so the probe measures only the probe, same split as the
+    # sf0.1 headline)
+    "dedup_index_build", "dedup_index_probe",
+]
+
+
 # sf1 (tiled, 10x data) steady-state baseline, recorded round 4 — the
 # per-query 2x gate applies to these exactly as the round-1 recording
 # gates sf0.1 (BASELINE.md "sf1 baseline"). Queries added to the sf1
@@ -545,29 +570,8 @@ def main() -> None:
     else:
         run_sf1 = _ensure_tiled_sf1(tiled, payload)
     if run_sf1:
-        sf1_set = [
-            "a1_top5_7day_sum", "join_star_revenue",
-            "tpch_q5_regional_revenue", "dedup_exact", "window_top3_per_cust",
-            "event_time_tumbling_1h",
-            # LLM-pipeline representatives at 10x
-            "dedup_minhash_lsh", "text_paragraph_dedup", "text_langid",
-            # round-4 additions at 10x
-            "text_gopher_rules", "text_chunk_overlap", "window_hopping_2h",
-            "dedup_semantic",
-            # round-5 addition at 10x (baseline records on first appearance)
-            "dedup_span_exact",
-            # round-6 additions at 10x (baseline records on first
-            # appearance)
-            "tpch_q10_returned_items", "tpch_q18_large_orders",
-            "tpch_q7_nation_volume", "tpch_q21_waiting_supplier",
-            # round-9 additions at 10x: the 100 TB ingest loop's two
-            # halves — one-time corpus summarization vs per-delivery
-            # probe (build runs first so the probe measures only the
-            # probe, same split as the sf0.1 headline)
-            "dedup_index_build", "dedup_index_probe",
-        ]
         sf1_steady: dict[str, float] = {}
-        for name in sf1_set:
+        for name in SF1_SET:
             fn = DEFS[name].spark
             fn(spark, tiled).count()  # warm
             # best of two, same as the sf0.1 steady column: a single

@@ -26,6 +26,14 @@ def test_headline_names_resolve():
     defs = {**CATALOG, **COMPONENTS}
     missing = [n for n in bench.HEADLINE if n not in defs]
     assert not missing, f"HEADLINE names not in workload: {missing}"
+    # the sf1 column's names too: a rename must fail HERE, not at the
+    # driver bench's last column (the smoke run below opts out of sf1)
+    missing_sf1 = [n for n in bench.SF1_SET if n not in defs]
+    assert not missing_sf1, f"SF1_SET names not in workload: {missing_sf1}"
+    # every gated name is actually timed: a baseline for a query that
+    # left the set would silently stop gating it
+    assert set(bench.SF1_BASELINE) <= set(bench.SF1_SET)
+    assert set(bench.LAKEHOUSE_BASELINE) and set(bench.HEADLINE)
 
 
 def test_sf1_payload_contract_is_total():
