@@ -955,17 +955,31 @@ class LakeSQL:
                 f"{select!r}"
             )
         sel_list, from_clause, gb = sm.groups()
-        src, dims = self._parse_matview_from(from_clause)
-        group_by = [c.strip() for c in _split_top(gb, r",")]
+        src, dims, avail = self._parse_matview_from(from_clause)
+
+        def _unqualify(item: str) -> str:
+            # SQL users naturally qualify star columns (dim.region,
+            # fact.amount); the maintenance layer joins by column NAME,
+            # so a table-qualifier over a table in this FROM clause is
+            # just notation — strip it (an UNKNOWN qualifier still
+            # fails loud below)
+            qm = re.fullmatch(rf"({_ID})\.({_ID})", item)
+            if qm and qm.group(1).lower() in avail:
+                return qm.group(2)
+            return item
+
+        group_by = [
+            _unqualify(c.strip()) for c in _split_top(gb, r",")
+        ]
         gb_lower = {c.lower() for c in group_by}
         aggs: dict[str, tuple[str, str | None]] = {}
         for item in _split_top(sel_list, r","):
-            item = item.strip()
+            item = _unqualify(item.strip())
             if item.lower() in gb_lower:  # Spark resolution is
                 continue                  # case-insensitive; match it
             am = re.match(
-                rf"({'|'.join(agg_fns)})\s*\(\s*(\*|{_ID})\s*\)"
-                rf"{_WS}AS{_WS}({_ID})$",
+                rf"({'|'.join(agg_fns)})\s*\(\s*(\*|(?:{_ID}\.)?{_ID})"
+                rf"\s*\){_WS}AS{_WS}({_ID})$",
                 item, re.I,
             )
             if not am:
@@ -981,7 +995,7 @@ class LakeSQL:
                     f"column needs a distinct name"
                 )
             aggs[out] = (
-                fn.lower(), None if col == "*" else col
+                fn.lower(), None if col == "*" else _unqualify(col)
             )
         if not aggs:
             raise SQLParseError("matview needs at least one aggregate")
@@ -1059,7 +1073,7 @@ class LakeSQL:
                 )
             dims.append({"path": self._path(dname), "keys": keys})
             avail.add(dname.lower())
-        return fact, dims
+        return fact, dims, avail
 
     def _refresh(self, q: str) -> DataFrame:
         """``REFRESH MATERIALIZED VIEW name [FULL | EVOLVE]`` — the

@@ -1116,3 +1116,35 @@ def test_explain_select_and_merge(spark, tmp_path):
     assert real["files_touched"] == int(ru["files_matched"])
     rd = lk.sql("EXPLAIN DELETE FROM orders WHERE k < 0").collect()[0]
     assert int(rd["rows_matched"]) == 0 and int(rd["files_matched"]) == 0
+
+
+def test_create_matview_star_accepts_qualified_columns(spark, tmp_path):
+    """SQL users qualify star columns naturally (dim.region,
+    sum(fact.amount)) — the parser strips qualifiers over tables in
+    the FROM clause (the fold joins by column name); an unknown
+    qualifier still fails loud."""
+    from aws_etl_project2_fiap_spark.io import matview as MV
+
+    fact, dim = _star_fixture(spark, tmp_path)
+    lk = LakeSQL(spark, {"fact": fact, "dim": dim})
+    view = str(tmp_path / "mv")
+    lk.sql(
+        f"CREATE MATERIALIZED VIEW v LOCATION '{view}' AS "
+        "SELECT dim.region, sum(fact.amount) AS rev, count(*) AS n "
+        "FROM fact JOIN dim ON fact.fk = dim.fk GROUP BY dim.region"
+    )
+    meta = MV.view_meta(view)
+    assert meta["group_by"] == ["region"]
+    assert meta["aggs"]["rev"] == ["sum", "amount"]
+    got = {r["region"]: r["n"]
+           for r in lk.sql("SELECT region, n FROM v").collect()}
+    assert sum(got.values()) == 100
+    # an UNKNOWN qualifier is not stripped — it reaches Spark's
+    # analyzer verbatim and fails loud (never silently rebound)
+    with pytest.raises(Exception, match="other"):
+        lk.sql(
+            f"CREATE MATERIALIZED VIEW m2 LOCATION '{view}2' AS "
+            "SELECT other.region, count(*) AS n "
+            "FROM fact JOIN dim ON fact.fk = dim.fk "
+            "GROUP BY other.region"
+        )
