@@ -464,7 +464,9 @@ def main(argv: list[str] | None = None) -> int:
         "lakesql",
         help="lakehouse SQL over versioned tables (MERGE INTO / UPDATE / "
         "DELETE / VERSION AS OF / RESTORE / DESCRIBE HISTORY / OPTIMIZE / "
-        "VACUUM)",
+        "VACUUM / CREATE TABLE|MATERIALIZED VIEW [with JOIN dims]|BRANCH "
+        "/ REFRESH ... [EVOLVE] / ALTER TABLE / SHOW TABLES / EXPLAIN "
+        "SELECT|MERGE|UPDATE|DELETE / DROP TABLE|BRANCH)",
     )
     p.add_argument("query")
     p.add_argument(
