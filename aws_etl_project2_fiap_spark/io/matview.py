@@ -228,6 +228,14 @@ def _with_dims(spark: SparkSession, df: DataFrame, dims: list) -> DataFrame:
     join query would drop them)."""
     for d in dims or []:
         dim_df = V.read_table(spark, d["path"], version=d["version"])
+        # a dim may GAIN a __mv* column after create (schema
+        # evolution): guard on every join — create's joined-frame
+        # check plus this covers each evolve/refresh leg, where a
+        # colliding column would be clobbered by the signed-leg
+        # marker instead of erroring (driver-side metadata, no IO)
+        _guard_reserved_cols(
+            dim_df.columns, f"the dimension {d['path']}"
+        )
         if d.get("select"):
             dim_df = dim_df.select(
                 *dict.fromkeys(list(d["keys"]) + list(d["select"]))

@@ -151,8 +151,14 @@ class LakeSQL:
         self.catalog_path = catalog_path
         if catalog_path is not None:
             self._load_catalog()
+        # constructor bindings land as plain dict writes, then ONE
+        # persist — register() would rewrite the whole catalog file
+        # once per binding
         for name, path in (tables or {}).items():
-            self.register(name, path)
+            self.tables[name] = path
+            self.views.discard(name)
+        if tables:
+            self._persist_catalog()
 
     def _load_catalog(self) -> None:
         import json
@@ -956,15 +962,24 @@ class LakeSQL:
             )
         sel_list, from_clause, gb = sm.groups()
         src, dims, avail = self._parse_matview_from(from_clause)
+        qualified_refs: dict[str, set[str]] = {}
 
         def _unqualify(item: str) -> str:
             # SQL users naturally qualify star columns (dim.region,
             # fact.amount); the maintenance layer joins by column NAME,
             # so a table-qualifier over a table in this FROM clause is
             # just notation — strip it (an UNKNOWN qualifier still
-            # fails loud below)
+            # fails loud below). Qualified DIM references additionally
+            # become that dim's projection list, so a dim column that
+            # shares a name with a fact column never enters the join
+            # unless asked for — qualify ALL references to a dim if
+            # you qualify any (a half-qualified dim projects only the
+            # qualified columns and the rest fail loud).
             qm = re.fullmatch(rf"({_ID})\.({_ID})", item)
             if qm and qm.group(1).lower() in avail:
+                qualified_refs.setdefault(
+                    qm.group(1).lower(), set()
+                ).add(qm.group(2))
                 return qm.group(2)
             return item
 
@@ -999,9 +1014,20 @@ class LakeSQL:
             )
         if not aggs:
             raise SQLParseError("matview needs at least one aggregate")
+        for d in dims:
+            refs = qualified_refs.get(d["name"])
+            if refs:
+                # project the dim to its join keys + the referenced
+                # columns: disambiguates shared fact/dim column names
+                # AND keeps every refresh/evolve fold from
+                # broadcasting unused dim columns
+                d["select"] = sorted(refs - set(d["keys"]))
         v = MV.create_aggregate_view(
             self.spark, self._path(src), path, group_by, aggs,
-            dims=dims or None,
+            dims=[
+                {k: v2 for k, v2 in d.items() if k != "name"}
+                for d in dims
+            ] or None,
         )
         self.register(name, path, view=True)
         return self._result(
@@ -1071,7 +1097,10 @@ class LakeSQL:
                     f"matview JOIN {dname} needs at least one ON "
                     f"equality"
                 )
-            dims.append({"path": self._path(dname), "keys": keys})
+            dims.append(
+                {"name": dname.lower(), "path": self._path(dname),
+                 "keys": keys}
+            )
             avail.add(dname.lower())
         return fact, dims, avail
 

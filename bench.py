@@ -395,6 +395,23 @@ def _sf1_source_fingerprint(src: str = "/root/testdata/sf0.1") -> str:
     return h.hexdigest()[:16]
 
 
+# every table the sf1 queries read must exist in the tiled dir — the
+# cache is valid only when ALL of them are present (a partial dir, e.g.
+# after a /tmp cleaner or an interrupted build, must rebuild, not crash
+# the sf1 column mid-loop)
+_SF1_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _tiled_complete(tiled: str) -> bool:
+    return all(
+        os.path.exists(os.path.join(tiled, f"{t}.parquet"))
+        for t in _SF1_TABLES
+    )
+
+
 def _ensure_tiled_sf1(tiled: str, payload: dict) -> bool:
     """Make the sf1 gate un-skippable (VERDICT r8 #1): when the tiled
     10x dir is absent or was built from a DIFFERENT source (fingerprint
@@ -418,9 +435,7 @@ def _ensure_tiled_sf1(tiled: str, payload: dict) -> bool:
             have = json.load(fh).get("fingerprint")
     except (OSError, ValueError):
         pass
-    if have != fp or not os.path.exists(
-        os.path.join(tiled, "lineitem.parquet")
-    ):
+    if have != fp or not _tiled_complete(tiled):
         try:
             subprocess.run(
                 [
@@ -432,6 +447,20 @@ def _ensure_tiled_sf1(tiled: str, payload: dict) -> bool:
                 ],
                 check=True, capture_output=True, text=True,
             )
+            # the fingerprint stamps only a VERIFIED-complete build —
+            # a tiler that exits 0 without producing every table must
+            # not mint a valid-looking cache
+            if not _tiled_complete(tiled):
+                missing = [
+                    t for t in _SF1_TABLES
+                    if not os.path.exists(
+                        os.path.join(tiled, f"{t}.parquet")
+                    )
+                ]
+                payload["sf1_skipped"] = (
+                    f"tiled sf1 build incomplete: missing {missing}"
+                )
+                return False
             with open(fp_path, "w") as fh:
                 json.dump(
                     {"fingerprint": fp, "src": "/root/testdata/sf0.1"},
@@ -570,32 +599,45 @@ def main() -> None:
     else:
         run_sf1 = _ensure_tiled_sf1(tiled, payload)
     if run_sf1:
-        sf1_steady: dict[str, float] = {}
-        for name in SF1_SET:
-            fn = DEFS[name].spark
-            fn(spark, tiled).count()  # warm
-            # best of two, same as the sf0.1 steady column: a single
-            # sample at sub-second scale flags scheduler/GC blips (and
-            # any co-tenant load) as gate violations
-            runs = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, tiled).count()
-                runs.append(time.perf_counter() - t0)
-            sf1_steady[name] = round(min(runs), 3)
-        sentinel["after_sf1"] = _sentinel(spark)
-        payload["sf1_queries_steady"] = sf1_steady
-        payload["sf1_steady_total"] = round(sum(sf1_steady.values()), 3)
-        # per-query 2x regression gate at sf1 (BASELINE.md "sf1
-        # baseline"): recorded round-4 steady numbers; any query over
-        # 2x its baseline is named in the payload so regressions at
-        # 10x data are as visible as the sf0.1 gate
-        payload["sf1_gate_violations"] = {
-            name: {"sec": sf1_steady[name], "baseline": SF1_BASELINE[name]}
-            for name in sf1_steady
-            if name in SF1_BASELINE
-            and sf1_steady[name] > 2.0 * SF1_BASELINE[name]
-        }
+        try:
+            sf1_steady: dict[str, float] = {}
+            for name in SF1_SET:
+                fn = DEFS[name].spark
+                fn(spark, tiled).count()  # warm
+                # best of two, same as the sf0.1 steady column: a
+                # single sample at sub-second scale flags scheduler/GC
+                # blips (and any co-tenant load) as gate violations
+                runs = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, tiled).count()
+                    runs.append(time.perf_counter() - t0)
+                sf1_steady[name] = round(min(runs), 3)
+            sentinel["after_sf1"] = _sentinel(spark)
+            payload["sf1_queries_steady"] = sf1_steady
+            payload["sf1_steady_total"] = round(
+                sum(sf1_steady.values()), 3
+            )
+            # per-query 2x regression gate at sf1 (BASELINE.md "sf1
+            # baseline"); any query over 2x its baseline is named in
+            # the payload so regressions at 10x data are as visible as
+            # the sf0.1 gate
+            payload["sf1_gate_violations"] = {
+                name: {
+                    "sec": sf1_steady[name],
+                    "baseline": SF1_BASELINE[name],
+                }
+                for name in sf1_steady
+                if name in SF1_BASELINE
+                and sf1_steady[name] > 2.0 * SF1_BASELINE[name]
+            }
+        except Exception as exc:  # the payload is NEVER silent on sf1
+            payload.pop("sf1_queries_steady", None)
+            payload.pop("sf1_steady_total", None)
+            payload.pop("sf1_gate_violations", None)
+            payload["sf1_skipped"] = (
+                f"sf1 column crashed mid-run: {exc}"[:300]
+            )
 
     _emit(payload)
     spark.stop()

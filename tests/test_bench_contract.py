@@ -33,7 +33,6 @@ def test_headline_names_resolve():
     # every gated name is actually timed: a baseline for a query that
     # left the set would silently stop gating it
     assert set(bench.SF1_BASELINE) <= set(bench.SF1_SET)
-    assert set(bench.LAKEHOUSE_BASELINE) and set(bench.HEADLINE)
 
 
 def test_sf1_payload_contract_is_total():
@@ -95,9 +94,15 @@ def test_bench_emits_one_json_line_at_smallest_sf():
     payload = parsed[-1]
     for key in ("metric", "value", "unit", "queries", "queries_steady", "sf"):
         assert key in payload, f"missing {key}"
-    # the round-7 write-path column rides the default run
+    # the round-7 write-path column rides the default run — and every
+    # PINNED lakehouse baseline must name a verb this run actually
+    # timed (a renamed verb would otherwise silently stop being gated:
+    # the violation comprehension filters on baseline membership)
     assert payload["lakehouse_verbs"] and payload["lakehouse_total"] > 0
     assert "lakehouse_gate_violations" in payload
+    import bench as _b
+
+    assert set(_b.LAKEHOUSE_BASELINE) <= set(payload["lakehouse_verbs"])
     # the sf1 contract is TOTAL (VERDICT r8 #1): either the gated
     # column ran, or the payload says loudly why not — here the env
     # opt-out above must surface as the explicit marker

@@ -1148,3 +1148,41 @@ def test_create_matview_star_accepts_qualified_columns(spark, tmp_path):
             "FROM fact JOIN dim ON fact.fk = dim.fk "
             "GROUP BY other.region"
         )
+
+
+def test_create_matview_star_shared_column_name(spark, tmp_path):
+    """Review r9: a fact and dim sharing a non-key column name must be
+    declarable when the user qualifies — qualified dim references
+    become the dim's projection list, so the colliding dim column
+    never enters the join unless asked for."""
+    from aws_etl_project2_fiap_spark.io import matview as MV
+
+    fact, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    V.create_table(
+        spark.range(0, 60).select(
+            (F.col("id") % 6).alias("fk"),
+            (F.col("id") * 1.0).alias("amount"),  # fact.amount
+        ),
+        fact,
+    )
+    V.create_table(
+        spark.range(0, 6).select(
+            F.col("id").alias("fk"),
+            F.concat(F.lit("R"), (F.col("id") % 2).cast("string"))
+            .alias("region"),
+            F.lit(-1.0).alias("amount"),  # colliding dim column
+        ),
+        dim,
+    )
+    lk = LakeSQL(spark, {"fact": fact, "dim": dim})
+    view = str(tmp_path / "mv")
+    lk.sql(
+        f"CREATE MATERIALIZED VIEW v LOCATION '{view}' AS "
+        "SELECT dim.region, sum(fact.amount) AS rev "
+        "FROM fact JOIN dim ON fact.fk = dim.fk GROUP BY dim.region"
+    )
+    meta = MV.view_meta(view)
+    assert meta["dims"][0]["select"] == ["region"]  # pruned projection
+    got = {r["region"]: float(r["rev"])
+           for r in lk.sql("SELECT region, rev FROM v").collect()}
+    assert got["R0"] > 0 and got["R1"] > 0  # fact.amount, not the -1s

@@ -1519,3 +1519,47 @@ def test_reserved_mv_columns_rejected(spark, tmp_path):
             {"n": ("count", None)},
             dims=[{"path": dimt, "keys": ["fk"]}],
         )
+
+
+def test_reserved_dim_column_rejected_at_evolve(spark, tmp_path):
+    """Review r9: a dim that GAINS a __mv* column after create (schema
+    evolution) must be rejected loudly at evolve, not silently
+    clobbered by the signed-leg marker."""
+    fact, dimt = str(tmp_path / "fact"), str(tmp_path / "dim")
+    V.create_table(
+        spark.range(20).select(
+            (F.col("id") % 4).alias("fk"),
+            (F.col("id") * 1.0).alias("amount"),
+        ),
+        fact,
+    )
+    V.create_table(
+        spark.range(4).select(
+            F.col("id").alias("fk"),
+            (F.col("id") % 2).cast("string").alias("grp"),
+        ),
+        dimt,
+    )
+    dst = str(tmp_path / "view")
+    MV.create_aggregate_view(
+        spark, fact, dst, ["grp"],
+        {"n": ("count", None), "total": ("sum", "amount")},
+        dims=[{"path": dimt, "keys": ["fk"]}],
+    )
+    # the dim evolves a reserved-named column, then a key moves
+    V.merge_table(
+        spark, dimt,
+        spark.range(4).select(
+            F.col("id").alias("fk"),
+            (F.col("id") % 2).cast("string").alias("grp"),
+            F.lit("boom").alias("__mv_sign"),
+        ),
+        ["fk"],
+        when_matched="replace",
+        schema_evolution=True,
+    )
+    V.update_table(
+        spark, dimt, {"grp": F.lit("9")}, F.col("fk") == 0
+    )
+    with pytest.raises(ValueError, match="__mv"):
+        MV.evolve_dimensions(spark, dst)

@@ -445,10 +445,14 @@ def test_hopping_window_is_expand_plus_single_agg_shuffle(spark):
     assert p.count("Exchange") == 1
     assert "Join" not in p
     assert "partial" in p.lower()
-    # the per-row group key must stay the exploded timestamp, never a
-    # per-row formatted string (the round-9 tumbling finding)
+    # the group key must stay the truncated timestamp — a revert to
+    # grouping by the per-row formatted STRING (the round-9 finding)
+    # would put date_format BELOW the exchange, computed per input
+    # row; in the fixed shape it appears only above the final agg
     tp = plan(DEFS["event_time_tumbling_1h"].spark(spark, SF))
     assert tp.count("Exchange") == 1 and "Join" not in tp
+    assert "date_format" not in tp[tp.index("Exchange"):]
+    assert "date_format" not in p[p.index("Exchange"):]  # hopping too
 
 
 def test_index_probe_plan_no_corpus_shuffle(spark, tmp_path):
