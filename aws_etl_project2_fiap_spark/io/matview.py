@@ -236,7 +236,10 @@ def _with_dims(spark: SparkSession, df: DataFrame, dims: list) -> DataFrame:
         _guard_reserved_cols(
             dim_df.columns, f"the dimension {d['path']}"
         )
-        if d.get("select"):
+        # None = no projection requested (full dim); [] = project
+        # join keys ONLY (the SQL layer qualified nothing but the
+        # keys) — an empty list is a real projection, not falsy
+        if d.get("select") is not None:
             dim_df = dim_df.select(
                 *dict.fromkeys(list(d["keys"]) + list(d["select"]))
             )
@@ -285,7 +288,9 @@ def create_aggregate_view(
         {
             "path": d["path"],
             "keys": list(d["keys"]),
-            "select": list(d.get("select") or []) or None,
+            "select": (
+                None if d.get("select") is None else list(d["select"])
+            ),
             "version": V.current_version(d["path"]),
         }
         for d in (dims or [])

@@ -2103,6 +2103,18 @@ def _prune_probe_entries(
     }
 
 
+def _source_has_null_keys(source: DataFrame, keys: list[str]) -> bool:
+    """One bounded probe: does any source row carry a NULL merge key?
+    Shared by merge_table's up-front reject and merge_probe_plan's
+    dry-run report."""
+    null_pred = None
+    for k in keys:
+        null_pred = F.col(k).isNull() if null_pred is None else (
+            null_pred | F.col(k).isNull()
+        )
+    return bool(source.filter(null_pred).limit(1).collect())
+
+
 def merge_probe_plan(
     spark: SparkSession,
     path: str,
@@ -2111,17 +2123,24 @@ def merge_probe_plan(
     has_by_source_clause: bool = False,
 ) -> dict:
     """Dry-run the MERGE probe phase (the plan EXPLAIN MERGE shows):
-    runs exactly the pruning + semi-probe :func:`merge_table` would —
+    runs the same pruning + semi-probe :func:`merge_table` would —
     stats envelope, bucket membership, per-file blooms, then the
     (broadcast when delivery-sized) key semi-probe — WITHOUT mutating
     anything, and reports how far each stage narrowed the rewrite.
+    The null-merge-key guard merge_table enforces runs here too and
+    is REPORTED (``source_null_keys``) rather than raised, so EXPLAIN
+    can show the full plan while flagging that the real MERGE would
+    reject this source. Duplicate-key and WHEN-clause validation
+    remain execution-time only (they need the clause dict, which
+    EXPLAIN doesn't carry).
 
     Returns ``{"table_version", "files_total", "files_after_stats",
     "files_after_index", "files_matched", "files_reused",
-    "probe_strategy", "by_source_anti_probe"}`` — ``files_matched``
-    is the files-to-touch estimate for the matched clause (exact for
-    the current table state; a by-source clause would add its
-    anti-probe's files on top, flagged by ``by_source_anti_probe``)."""
+    "probe_strategy", "by_source_anti_probe", "source_null_keys"}`` —
+    ``files_matched`` is the files-to-touch estimate for the matched
+    clause (exact for the current table state; a by-source clause
+    would add its anti-probe's files on top, flagged by
+    ``by_source_anti_probe``)."""
     base_version = current_version(path)
     manifest = _read_manifest(path, base_version)
     files = manifest["files"]
@@ -2151,6 +2170,7 @@ def merge_probe_plan(
             "broadcast-semi" if is_broadcast else "shuffle-semi"
         ),
         "by_source_anti_probe": bool(has_by_source_clause),
+        "source_null_keys": _source_has_null_keys(source, keys),
     }
 
 
@@ -2349,12 +2369,7 @@ def merge_table(
     # NULL merge keys never equi-join: such a source row would silently
     # "insert" as all-NULL target-side values (s_present is derived from
     # the joined key columns). Reject up front, same as the dup check.
-    null_pred = None
-    for k in keys:
-        null_pred = F.col(k).isNull() if null_pred is None else (
-            null_pred | F.col(k).isNull()
-        )
-    if source.filter(null_pred).limit(1).collect():
+    if _source_has_null_keys(source, keys):
         raise ValueError(
             f"merge source has NULL in merge key(s) {keys} — NULL keys "
             f"never match; filter or fill them before merging"

@@ -173,7 +173,22 @@ class LakeSQL:
                 f"catalog file {self.catalog_path!r} is unreadable "
                 f"({exc}); fix or remove it"
             ) from exc
-        for name, rec in saved.get("tables", {}).items():
+        # structural validation: a malformed-but-parseable file gets
+        # the same fix-or-remove SQLParseError as an unparseable one,
+        # not a raw KeyError/AttributeError from deep inside the loop
+        tables = (
+            saved.get("tables", {}) if isinstance(saved, dict) else None
+        )
+        if not isinstance(tables, dict) or not all(
+            isinstance(rec, dict) and isinstance(rec.get("path"), str)
+            for rec in tables.values()
+        ):
+            raise SQLParseError(
+                f"catalog file {self.catalog_path!r} is malformed "
+                f"(expected {{'tables': {{name: {{'path': str, "
+                f"...}}}}}}); fix or remove it"
+            )
+        for name, rec in tables.items():
             self.tables[name] = rec["path"]
             if rec.get("view"):
                 self.views.add(name)

@@ -60,6 +60,15 @@ def build_session(
         )
         # --- columnar interop ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- deterministic event-time semantics ---
+        # date_trunc/date_format floor and render in the SESSION
+        # timezone while F.window buckets are epoch-aligned; pinning
+        # UTC makes the two coincide (window_hopping_2h's explode
+        # rewrite relies on it) and keeps oracle comparisons
+        # machine-independent. Only effective for confs read at query
+        # time — getOrCreate() against a live session keeps its value,
+        # so we also set it post-hoc below.
+        .config("spark.sql.session.timeZone", "UTC")
         # --- partitioned-write semantics (K1: overwrite-by-day) ---
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # --- keep parquet scans tight ---
@@ -90,6 +99,14 @@ def build_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # session.timeZone is a runtime SQL conf — enforce it even when
+    # getOrCreate() returned a pre-existing session built elsewhere
+    # (the driver harness builds its own session, then calls us);
+    # an explicit extra_conf override wins
+    spark.conf.set(
+        "spark.sql.session.timeZone",
+        (extra_conf or {}).get("spark.sql.session.timeZone", "UTC"),
+    )
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

@@ -412,7 +412,26 @@ def _tiled_complete(tiled: str) -> bool:
     )
 
 
-def _ensure_tiled_sf1(tiled: str, payload: dict) -> bool:
+def _run_tiler() -> None:
+    """The real sf1 tile build: tools/tile_sf.py as a subprocess
+    (deterministic, ~2 min, writes /tmp/spark_graft_tiled_sf1).
+    Isolated so tests can inject a stub builder instead of mutating
+    /tmp from a unit test (ADVICE r9)."""
+    import subprocess
+
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tools", "tile_sf.py",
+            ),
+        ],
+        check=True, capture_output=True, text=True,
+    )
+
+
+def _ensure_tiled_sf1(tiled: str, payload: dict, build=None) -> bool:
     """Make the sf1 gate un-skippable (VERDICT r8 #1): when the tiled
     10x dir is absent or was built from a DIFFERENT source (fingerprint
     sidecar mismatch), BUILD it with tools/tile_sf.py (deterministic,
@@ -420,7 +439,8 @@ def _ensure_tiled_sf1(tiled: str, payload: dict) -> bool:
     Every outcome is loud in the payload: ``sf1_built`` when a build
     ran, ``sf1_source_fingerprint`` always on success, ``sf1_skipped``
     with the reason on failure. Returns True when the sf1 column can
-    run."""
+    run. ``build`` is injectable for tests (default: the real tiler
+    subprocess)."""
     import subprocess
 
     try:
@@ -437,16 +457,7 @@ def _ensure_tiled_sf1(tiled: str, payload: dict) -> bool:
         pass
     if have != fp or not _tiled_complete(tiled):
         try:
-            subprocess.run(
-                [
-                    sys.executable,
-                    os.path.join(
-                        os.path.dirname(os.path.abspath(__file__)),
-                        "tools", "tile_sf.py",
-                    ),
-                ],
-                check=True, capture_output=True, text=True,
-            )
+            (build or _run_tiler)()
             # the fingerprint stamps only a VERIFIED-complete build —
             # a tiler that exits 0 without producing every table must
             # not mint a valid-looking cache

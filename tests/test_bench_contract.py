@@ -35,12 +35,13 @@ def test_headline_names_resolve():
     assert set(bench.SF1_BASELINE) <= set(bench.SF1_SET)
 
 
-def test_sf1_payload_contract_is_total():
+def test_sf1_payload_contract_is_total(tmp_path):
     """VERDICT r8 #1: the payload can never be silent about sf1 — the
     code paths all end in sf1_queries_steady+fingerprint or an
-    explicit sf1_skipped marker. Source-level check: every early
-    return in _ensure_tiled_sf1 sets a marker, and main() records the
-    opt-out. Plus the fingerprint is deterministic and moves with the
+    explicit sf1_skipped marker. Branch coverage runs against a
+    tmp_path tiled dir with an injected stub builder (ADVICE r9: the
+    unit suite must not shell out to the real ~2 min tiler or mutate
+    /tmp). Plus the fingerprint is deterministic and moves with the
     source."""
     sys.path.insert(0, REPO)
     import bench
@@ -48,15 +49,61 @@ def test_sf1_payload_contract_is_total():
     fp1 = bench._sf1_source_fingerprint()
     fp2 = bench._sf1_source_fingerprint()
     assert fp1 == fp2 and len(fp1) == 16
-    # the ensure call ends in exactly one of the two payload states:
-    # runnable (fingerprint stamped) or an explicit skip marker — and
-    # it builds the tiled cache when absent/stale rather than skipping
+
+    tiled = str(tmp_path / "tiled_sf1")
+
+    def full_build():
+        os.makedirs(tiled, exist_ok=True)
+        for t in bench._SF1_TABLES:
+            with open(os.path.join(tiled, f"{t}.parquet"), "w") as fh:
+                fh.write("x")
+
+    # 1. absent dir → builds, stamps the fingerprint, returns runnable
     payload = {}
-    ok = bench._ensure_tiled_sf1("/tmp/spark_graft_tiled_sf1", payload)
-    assert ok == ("sf1_skipped" not in payload)
-    if ok:
-        assert payload["sf1_source_fingerprint"] == fp1
-        assert os.path.exists("/tmp/spark_graft_tiled_sf1/lineitem.parquet")
+    assert bench._ensure_tiled_sf1(tiled, payload, build=full_build)
+    assert payload["sf1_built"] is True
+    assert payload["sf1_source_fingerprint"] == fp1
+    assert "sf1_skipped" not in payload
+    with open(os.path.join(tiled, "_source_fingerprint.json")) as fh:
+        assert json.load(fh)["fingerprint"] == fp1
+
+    # 2. complete + fingerprint-fresh → runnable WITHOUT rebuilding
+    def must_not_build():
+        raise AssertionError("fresh cache must not rebuild")
+
+    payload = {}
+    assert bench._ensure_tiled_sf1(tiled, payload, build=must_not_build)
+    assert "sf1_built" not in payload and "sf1_skipped" not in payload
+    assert payload["sf1_source_fingerprint"] == fp1
+
+    # 3. stale fingerprint → rebuild runs (sidecar says another source)
+    with open(os.path.join(tiled, "_source_fingerprint.json"), "w") as fh:
+        json.dump({"fingerprint": "someoneelse0000"}, fh)
+    payload = {}
+    assert bench._ensure_tiled_sf1(tiled, payload, build=full_build)
+    assert payload["sf1_built"] is True
+
+    # 4. builder exits clean but the dir is incomplete → LOUD skip,
+    # no valid-looking fingerprint minted
+    os.unlink(os.path.join(tiled, "lineitem.parquet"))
+    os.unlink(os.path.join(tiled, "_source_fingerprint.json"))
+    payload = {}
+    assert not bench._ensure_tiled_sf1(
+        tiled, payload, build=lambda: None
+    )
+    assert "incomplete" in payload["sf1_skipped"]
+    assert "lineitem" in payload["sf1_skipped"]
+    assert not os.path.exists(
+        os.path.join(tiled, "_source_fingerprint.json")
+    )
+
+    # 5. builder crashes → LOUD skip with the reason
+    def boom():
+        raise OSError("no disk")
+
+    payload = {}
+    assert not bench._ensure_tiled_sf1(tiled, payload, build=boom)
+    assert "no disk" in payload["sf1_skipped"]
 
 
 def test_bench_emits_one_json_line_at_smallest_sf():

@@ -1186,3 +1186,122 @@ def test_create_matview_star_shared_column_name(spark, tmp_path):
     got = {r["region"]: float(r["rev"])
            for r in lk.sql("SELECT region, rev FROM v").collect()}
     assert got["R0"] > 0 and got["R1"] > 0  # fact.amount, not the -1s
+
+
+def test_create_matview_keys_only_dim_refs_project_keys(spark, tmp_path):
+    """ADVICE r9: when the ONLY qualified dim references are the join
+    keys, refs - keys is EMPTY — that must still mean 'project keys
+    only' ([]), not 'no projection' (None): the old falsy check joined
+    the FULL dim, reintroducing the fact/dim name-collision the
+    projection exists to prevent."""
+    from aws_etl_project2_fiap_spark.io import matview as MV
+
+    fact, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    V.create_table(
+        spark.range(0, 60).select(
+            (F.col("id") % 6).alias("fk"),
+            (F.col("id") * 1.0).alias("amount"),  # fact.amount
+        ),
+        fact,
+    )
+    V.create_table(
+        spark.range(0, 6).select(
+            F.col("id").alias("fk"),
+            F.lit(-1.0).alias("amount"),  # colliding dim column
+        ),
+        dim,
+    )
+    lk = LakeSQL(spark, {"fact": fact, "dim": dim})
+    view = str(tmp_path / "mv")
+    lk.sql(
+        f"CREATE MATERIALIZED VIEW v LOCATION '{view}' AS "
+        "SELECT dim.fk, sum(fact.amount) AS rev "
+        "FROM fact JOIN dim ON fact.fk = dim.fk GROUP BY dim.fk"
+    )
+    meta = MV.view_meta(view)
+    assert meta["dims"][0]["select"] == []  # keys-only projection
+    got = {r["fk"]: float(r["rev"])
+           for r in lk.sql("SELECT fk, rev FROM v").collect()}
+    assert len(got) == 6 and all(v > 0 for v in got.values())
+    # the projection survives the refresh path too (metadata
+    # round-trip: [] must not collapse to None)
+    V.append_table(
+        spark.range(60, 66).select(
+            (F.col("id") % 6).alias("fk"),
+            (F.col("id") * 1.0).alias("amount"),
+        ),
+        fact,
+    )
+    out = MV.refresh_aggregate_view(spark, view)
+    assert out["groups_changed"] > 0
+    got2 = {r["fk"]: float(r["rev"])
+            for r in lk.sql("SELECT fk, rev FROM v").collect()}
+    assert all(got2[k] > got[k] for k in got)
+
+
+def test_malformed_catalog_file_fails_loud(spark, tmp_path):
+    """ADVICE r9: a parseable-but-structurally-wrong catalog file gets
+    the same fix-or-remove SQLParseError as an unparseable one — not a
+    raw KeyError/AttributeError from inside the load loop."""
+    import json
+
+    cat = str(tmp_path / "catalog.json")
+    for bad in (
+        [1, 2],                                # not a dict
+        {"tables": ["x"]},                     # tables not a dict
+        {"tables": {"t": "notadict"}},         # rec not a dict
+        {"tables": {"t": {"view": True}}},     # rec missing path
+        {"tables": {"t": {"path": 7}}},        # path not a string
+    ):
+        with open(cat, "w") as fh:
+            json.dump(bad, fh)
+        with pytest.raises(SQLParseError, match="malformed"):
+            LakeSQL(spark, catalog_path=cat)
+    # unparseable keeps its own message
+    with open(cat, "w") as fh:
+        fh.write("{nope")
+    with pytest.raises(SQLParseError, match="unreadable"):
+        LakeSQL(spark, catalog_path=cat)
+
+
+def test_explain_merge_reports_null_source_keys(spark, tmp_path):
+    """ADVICE r9: EXPLAIN MERGE runs the null-merge-key probe the real
+    MERGE enforces and REPORTS it (source_null_keys) instead of
+    raising — the dry-run shows the plan AND flags that execution
+    would reject this source."""
+    tbl, _ = _fixture(spark, tmp_path, "t")
+    srcp = str(tmp_path / "src")
+    V.create_table(
+        spark.range(0, 5).select(
+            F.when(F.col("id") == 3, None).otherwise(F.col("id"))
+            .alias("k"),
+            (F.col("id") * 10.0).alias("v"),
+            F.lit("new").alias("tag"),
+        ),
+        srcp,
+    )
+    lk = LakeSQL(spark, {"tgt": tbl, "delta": srcp})
+    stmt = (
+        "MERGE INTO tgt AS t USING delta AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    plan = lk.sql("EXPLAIN " + stmt).collect()[0].asDict()
+    assert plan["source_null_keys"] == "True"
+    with pytest.raises(ValueError, match="NULL in merge key"):
+        lk.sql(stmt)
+    # a clean source reports False
+    clean = str(tmp_path / "clean")
+    V.create_table(
+        spark.range(0, 5).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10.0).alias("v"),
+            F.lit("new").alias("tag"),
+        ),
+        clean,
+    )
+    lk.register("delta2", clean)
+    plan2 = lk.sql(
+        "EXPLAIN MERGE INTO tgt AS t USING delta2 AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET *"
+    ).collect()[0].asDict()
+    assert plan2["source_null_keys"] == "False"
