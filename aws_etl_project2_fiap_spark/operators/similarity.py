@@ -349,6 +349,7 @@ def kmeans_fit(
     k: int = 16,
     iters: int = 5,
     sample_limit: int = 10_000,
+    order_hash: str = "xxhash64",
 ):
     """Deterministic Lloyd k-means trained on a bounded sample.
 
@@ -358,19 +359,30 @@ def kmeans_fit(
     size, and the expensive distributed passes are reserved for
     :func:`ivf_assign`/:func:`ivf_search`.
 
-    - sample: the ``sample_limit`` rows with smallest ``xxhash64(id)`` —
-      a reproducible pseudo-random sample (no RNG state), fetched in ONE
-      Spark job (TakeOrderedAndProject, never a full collect);
+    - sample: the ``sample_limit`` rows with smallest ``order_hash(id)``
+      — a reproducible pseudo-random sample (no RNG state), fetched in
+      ONE Spark job (TakeOrderedAndProject, never a full collect);
     - init: first k sample vectors (already hash-shuffled → unbiased);
     - Lloyd iterations run in numpy on the driver.
+
+    ``order_hash``: "xxhash64" (default — one JVM hash, the production
+    path) or "md5" (hex-string ordering of md5(id::string) — portable
+    across engines, so a DuckDB oracle can reproduce the sample and
+    init exactly; the `similarity_ivf_knn_portable` gate).
 
     Returns a k×dim list-of-lists (centroids).
     """
     import numpy as np
 
+    if order_hash == "md5":
+        key = F.md5(F.col("id").cast("string"))
+    elif order_hash == "xxhash64":
+        key = F.xxhash64(F.col("id"))
+    else:
+        raise ValueError(f"order_hash must be xxhash64|md5: {order_hash!r}")
     sample_rows = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .orderBy(key, F.col("id"))
         .limit(sample_limit)
         .collect()
     )

@@ -73,20 +73,23 @@ def test_every_oracle_parses(duck, name):
     duck.execute(f"EXPLAIN {sql}")
 
 
-# the round-9 window: the r8 window with the new birth entry
-# (dedup_index_probe_portable, oracle-backed r9) plus the 6 entries
-# the r8 rotation evicted rotated back for a continuity re-check;
-# evicted to make room: tpch_q4/q12/q13/q14/q15/q22 + dedup_simhash
-# (each driver-green in 2+ rounds, all still oracle-backed in the
-# tail). Pinned so that appending new catalog entries can never
+# the round-10 window: the r9 window with the two r10 birth entries
+# (similarity_pairs_lsh_portable + similarity_ivf_knn_portable — the
+# last two rows-only ANN surfaces converted to full-pipeline oracles)
+# plus the 6 TPC-H shapes the r9 rotation evicted rotated back for a
+# continuity re-check; evicted to make room: tpch_q3/q5,
+# dedup_ngram_jaccard, event_time_tumbling_1h, similarity_knn,
+# text_langid (all just re-checked green r9), dedup_simhash_pairs and
+# sample_stratified (driver-green r8+r9) — all still oracle-backed in
+# the tail. Pinned so that appending new catalog entries can never
 # reorder-and-evict a row mid-round.
-_R9_WINDOW = [
-    "a1_top5_7day_sum",
-    "dedup_index_probe_portable", "dedup_index_build_portable",
-    "stream_price_alerts_portable",
-    "tpch_q3_shipping_priority", "tpch_q5_regional_revenue",
-    "dedup_ngram_jaccard", "event_time_tumbling_1h",
-    "similarity_knn", "text_langid",
+_R10_WINDOW = [
+    "a1_top5_7day_sum", "similarity_pairs_lsh_portable",
+    "similarity_ivf_knn_portable", "dedup_index_probe_portable",
+    "dedup_index_build_portable", "stream_price_alerts_portable",
+    "tpch_q4_order_priority", "tpch_q12_priority_class",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q22_global_sales",
     "tpch_q7_nation_volume", "tpch_q10_returned_items",
     "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
     "tpch_q19_discounted_revenue", "tpch_q21_waiting_supplier",
@@ -95,16 +98,14 @@ _R9_WINDOW = [
     "k_matview_incremental_readback", "k_matview_star_readback",
     "k_wap_publish_readback", "k_table_source_readback",
     "k_merge_clauses_readback", "k_merge_sync_readback",
-    "k_replicate_readback",
-    "dedup_simhash_pairs", "dedup_span_exact", "sample_stratified",
+    "k_replicate_readback", "dedup_span_exact",
     "k_wap_merge_publish_readback", "k_lakesql_verbs_readback",
     "dedup_minhash_lsh_portable", "dedup_cluster_lsh",
-    "similarity_knn_quantized", "stream_neardup_ingest",
-    "a2_count", "k_matview_dim_evolution_readback", "join_star_revenue",
-    "window_keep_latest", "sessionize_30m",
-    "dedup_exact", "multimodal_meta", "dedup_embedding_cosine",
-    "k6_update_readback", "p_projection_suite", "suite_subquery",
-    "suite_asof", "suite_text",
+    "similarity_knn_quantized", "stream_neardup_ingest", "a2_count",
+    "k_matview_dim_evolution_readback", "join_star_revenue",
+    "window_keep_latest", "sessionize_30m", "dedup_exact",
+    "multimodal_meta", "dedup_embedding_cosine", "k6_update_readback",
+    "p_projection_suite", "suite_subquery", "suite_asof", "suite_text",
 ]
 
 # every oracle-backed catalog name at the moment the r9 window was
@@ -112,16 +113,17 @@ _R9_WINDOW = [
 # against this snapshot, so it covers ANY entry oracle-backed after
 # the rotation regardless of registration order — no per-round
 # hardcoded "new entries" list to forget updating.
-_ORACLE_BACKED_AT_R9_ROTATION = frozenset([
+_ORACLE_BACKED_AT_R10_ROTATION = frozenset([
     "a1_top5_7day_sum", "a2_count", "agg_count_distinct", "agg_having",
     "agg_percentiles", "agg_pivot", "agg_pricing_summary",
     "corpus_select", "corpus_shard_export", "dedup_cluster_assign",
     "dedup_cluster_lsh", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_fuzzy_levenshtein", "dedup_index_probe_portable",
-    "dedup_keep_latest", "dedup_minhash_lsh_portable",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_span_exact", "event_time_tumbling_1h", "explode_token_topk",
-    "join_anti", "join_left_count", "join_range_binned", "join_semi",
+    "dedup_fuzzy_levenshtein", "dedup_index_build_portable",
+    "dedup_index_probe_portable", "dedup_keep_latest",
+    "dedup_minhash_lsh_portable", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_span_exact",
+    "event_time_tumbling_1h", "explode_token_topk", "join_anti",
+    "join_left_count", "join_range_binned", "join_semi",
     "join_star_revenue", "k6_update_readback", "k_bloom_readback",
     "k_cluster_evolution_readback", "k_dv_delete_readback",
     "k_lakesql_verbs_readback", "k_matview_dim_evolution_readback",
@@ -132,14 +134,15 @@ _ORACLE_BACKED_AT_R9_ROTATION = frozenset([
     "k_wap_publish_readback", "k_zorder_readback", "multimodal_meta",
     "o1_topk", "o2_ordered_scan", "p6_arith_projection",
     "p_projection_suite", "sample_stratified", "session_window_native",
-    "sessionize_30m", "similarity_knn", "similarity_knn_quantized",
-    "similarity_pairs_exact", "stream_neardup_ingest",
-    "stream_stats_by_key", "suite_agg_grouping", "suite_asof",
-    "suite_corpus_ops", "suite_join_outer", "suite_proj_customer",
-    "suite_proj_events", "suite_proj_orders", "suite_setops",
-    "suite_subquery", "suite_text", "suite_window_frames",
-    "suite_window_rank", "text_langid", "text_rolling_chunks",
-    "text_tfidf_topk", "tpch_q10_returned_items",
+    "sessionize_30m", "similarity_ivf_knn_portable", "similarity_knn",
+    "similarity_knn_quantized", "similarity_pairs_exact",
+    "similarity_pairs_lsh_portable", "stream_neardup_ingest",
+    "stream_price_alerts_portable", "stream_stats_by_key",
+    "suite_agg_grouping", "suite_asof", "suite_corpus_ops",
+    "suite_join_outer", "suite_proj_customer", "suite_proj_events",
+    "suite_proj_orders", "suite_setops", "suite_subquery", "suite_text",
+    "suite_window_frames", "suite_window_rank", "text_langid",
+    "text_rolling_chunks", "text_tfidf_topk", "tpch_q10_returned_items",
     "tpch_q12_priority_class", "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
@@ -176,7 +179,7 @@ def test_driver_window_order_is_pinned():
     window, in order: the driver hash-compares by position, so any
     reorder (e.g. registering a new oracle-backed query before the
     suites) silently evicts a row mid-round."""
-    assert list(ordered_catalog())[:50] == _R9_WINDOW
+    assert list(ordered_catalog())[:50] == _R10_WINDOW
 
 
 def test_new_oracle_backed_entries_enter_window_at_birth():
@@ -189,34 +192,38 @@ def test_new_oracle_backed_entries_enter_window_at_birth():
     forgetting to update a hardcoded 'new this round' list."""
     current = set(oracle_sql())
     window = set(list(ordered_catalog())[:50])
-    born_after_rotation = current - _ORACLE_BACKED_AT_R9_ROTATION
+    born_after_rotation = current - _ORACLE_BACKED_AT_R10_ROTATION
     assert born_after_rotation <= window, sorted(
         born_after_rotation - window
     )
     # the snapshot itself can only shrink if an oracle was genuinely
     # removed — flag silent demotions to rows-only
-    demoted = _ORACLE_BACKED_AT_R9_ROTATION - current
+    demoted = _ORACLE_BACKED_AT_R10_ROTATION - current
     assert not demoted, sorted(demoted)
 
 
 def test_window_rotation_properties():
-    """Rotation hygiene: the r9 window re-checks entries the r8
-    rotation evicted (continuity), carries the r9 birth entry, and
-    everything ever evicted stays oracle-backed in the tail."""
-    # birth entries (all three r9 oracle conversions)
-    assert "dedup_index_probe_portable" in _R9_WINDOW
-    assert "dedup_index_build_portable" in _R9_WINDOW
-    assert "stream_price_alerts_portable" in _R9_WINDOW
+    """Rotation hygiene: the r10 window re-checks entries the r9
+    rotation evicted (continuity), carries the r10 birth entries (and
+    the r9 births for a second round), and everything ever evicted
+    stays oracle-backed in the tail."""
+    # birth entries (both r10 oracle conversions, plus r9's three
+    # kept for a second driver-green round)
+    assert "similarity_pairs_lsh_portable" in _R10_WINDOW
+    assert "similarity_ivf_knn_portable" in _R10_WINDOW
+    assert "dedup_index_probe_portable" in _R10_WINDOW
+    assert "dedup_index_build_portable" in _R10_WINDOW
+    assert "stream_price_alerts_portable" in _R10_WINDOW
     # ≥5 tail rotate-backs (VERDICT r8 #7)
     rotated_back = {
-        "tpch_q3_shipping_priority", "tpch_q5_regional_revenue",
-        "dedup_ngram_jaccard", "event_time_tumbling_1h",
-        "similarity_knn", "text_langid",
+        "tpch_q4_order_priority", "tpch_q12_priority_class",
+        "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+        "tpch_q15_top_supplier", "tpch_q22_global_sales",
     }
-    assert rotated_back <= set(_R9_WINDOW)
-    fresh = [n for n in _R9_WINDOW if n not in _R3_GREEN_WINDOW]
+    assert rotated_back <= set(_R10_WINDOW)
+    fresh = [n for n in _R10_WINDOW if n not in _R3_GREEN_WINDOW]
     assert len(fresh) >= 25, fresh
-    evicted = [n for n in _R3_GREEN_WINDOW if n not in _R9_WINDOW]
+    evicted = [n for n in _R3_GREEN_WINDOW if n not in _R10_WINDOW]
     cat, o = list(ordered_catalog()), oracle_sql()
     for n in evicted:
         assert n in cat and n in o

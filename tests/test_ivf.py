@@ -305,3 +305,30 @@ def test_ivfpq_index_persists_and_prunes(spark, tmp_path):
     )
     pf = [ln for ln in s.splitlines() if "PartitionFilters" in ln]
     assert pf and any("cluster" in ln for ln in pf), s
+
+
+def test_kmeans_md5_order_hash_deterministic_and_guarded(spark):
+    """order_hash='md5' (the portable-oracle sample ordering) is
+    deterministic, trains a usable quantizer (full probe == brute
+    force, same as the xxhash64 path), and bad values fail loud."""
+    import pytest
+
+    e = _embeddings(spark)
+    c1 = sim.kmeans_fit(e, k=8, iters=2, order_hash="md5")
+    c2 = sim.kmeans_fit(e, k=8, iters=2, order_hash="md5")
+    assert c1 == c2
+    # a different sample order trains different (but valid) centroids
+    cx = sim.kmeans_fit(e, k=8, iters=2, order_hash="xxhash64")
+    assert c1 != cx
+    idx = sim.ivf_assign(e, c1)
+    q = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    ann = [
+        (r.id, r.sim)
+        for r in sim.ivf_search(idx, c1, q, k=10, nprobe=8).collect()
+    ]
+    exact = [
+        (r.id, r.sim) for r in sim.knn_brute_force(e, q, k=10).collect()
+    ]
+    assert ann == exact
+    with pytest.raises(ValueError, match="order_hash"):
+        sim.kmeans_fit(e, k=8, iters=2, order_hash="sha1")

@@ -106,3 +106,24 @@ def test_int8_quantization_preserves_topk(spark):
         qz.select("id", dequantize(F.col("qvec"), F.col("scale")).alias("v")), "v"
     )
     assert len(set(exact) & set(quant)) >= 9
+
+
+def test_fixed_param_bucketed_pairs_subset_of_exact(spark):
+    """The portable gate's fixed (planes=6, tables=8) configuration:
+    every emitted pair must appear in the exact all-pairs result with
+    the same rounded similarity (LSH can only MISS pairs, never
+    invent them — the in-bucket verify recomputes exact cosine)."""
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = {
+        (r.id1, r.id2): r.sim
+        for r in near_dup_pairs_bucketed(
+            e, threshold=0.4, planes=6, tables=8, max_bucket=1_000_000
+        ).collect()
+    }
+    exact = {
+        (r.id1, r.id2): r.sim
+        for r in near_dup_pairs_exact(e, threshold=0.4).collect()
+    }
+    assert got, "fixed-param LSH emitted no pairs at sf0.01"
+    assert set(got) <= set(exact)
+    assert all(abs(got[k] - exact[k]) < 1e-9 for k in got)
