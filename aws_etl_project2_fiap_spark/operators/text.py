@@ -139,10 +139,14 @@ def chunk_documents(
     max(ceil((n − overlap)/stride), 1)``).
 
     Pure codegen: one projection builds the token array, a
-    ``transform(sequence(...))`` slices the windows, ``posexplode``
-    emits (id, chunk_idx, chunk_text, n_chunk_tokens). No shuffle, no
-    UDF — at 100 TB this fuses into the scan and the output is written
-    straight back out, which is exactly how corpus chunking must run."""
+    ``transform(sequence(...))`` slices the windows into
+    (text, n_tokens) structs, ``posexplode`` emits
+    (id, chunk_idx, chunk_text, n_chunk_tokens). No shuffle, no UDF —
+    at 100 TB this fuses into the scan and the output is written
+    straight back out, which is exactly how corpus chunking must run.
+    The token count rides the slice itself (its length IS the count,
+    r10) — the earlier re-split of the joined chunk text cost a second
+    regex pass over every output byte, ~25% of the sf1 wall-clock."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
@@ -154,23 +158,22 @@ def chunk_documents(
         F.ceil((F.size("__tk") - F.lit(overlap)) / F.lit(float(stride))),
         F.lit(1),
     ).cast("int")
-    windows = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice("__tk", i * stride + 1, chunk_tokens)
-        ),
-    )
+
+    def window(i):
+        sl = F.slice("__tk", i * stride + 1, chunk_tokens)
+        return F.struct(
+            F.concat_ws(" ", sl).alias("t"),
+            F.size(sl).cast("long").alias("n"),
+        )
+
+    windows = F.transform(F.sequence(F.lit(0), n_chunks - 1), window)
     return (
-        pre.select(id_col, F.posexplode(windows).alias("chunk_idx", "chunk_text"))
+        pre.select(id_col, F.posexplode(windows).alias("chunk_idx", "__c"))
         .select(
             id_col,
             F.col("chunk_idx").cast("long").alias("chunk_idx"),
-            "chunk_text",
-            F.size(
-                F.filter(
-                    F.split("chunk_text", r"\s+"), lambda w: w != F.lit("")
-                )
-            ).cast("long").alias("n_chunk_tokens"),
+            F.col("__c.t").alias("chunk_text"),
+            F.col("__c.n").alias("n_chunk_tokens"),
         )
     )
 
