@@ -1135,9 +1135,12 @@ def _commit(
     # "mv": materialized-view metadata (io/matview.py) — rides the same
     # inheritance so intermediate commits of a multi-step refresh
     # (merge + zero-group delete) keep the view's watermark intact
+    # cloned_from/clone_version identify a WAP stage: inheriting them
+    # means a stage stays identifiable from its CURRENT manifest even
+    # after vacuum drops v1 (branch reads resolve against current)
     for state_key in (
         "column_mapping", "retired_physical", "cluster_spec", "mv",
-        "added_columns",
+        "added_columns", "cloned_from", "clone_version",
     ):
         if state_key not in extra:
             prev = prev_manifest.get(state_key)
@@ -3281,6 +3284,10 @@ def clone_table(
             "column_mapping": m.get("column_mapping"),
             "retired_physical": m.get("retired_physical"),
             "cluster_spec": m.get("cluster_spec"),
+            # declared-only ADD COLUMN state must travel with the
+            # mapping it belongs to — a mapping naming a physical
+            # column no file carries is unreadable without it
+            "added_columns": m.get("added_columns"),
         },
         operation="CLONE",
     )

@@ -296,10 +296,14 @@ def publish_stage(
         published = sm["files"]
         extra = {
             # table-state evolved IN the stage (schema evolution under a
-            # mapping, re-clustering) publishes with the files
+            # mapping, re-clustering, a declared-only ADD COLUMN)
+            # publishes with the files — a mapping naming a physical
+            # column no file carries is unreadable without its
+            # added_columns entry
             "column_mapping": sm.get("column_mapping"),
             "retired_physical": sm.get("retired_physical"),
             "cluster_spec": sm.get("cluster_spec"),
+            "added_columns": sm.get("added_columns"),
         }
     elif mode == "fail":
         raise V.CommitConflict(
@@ -325,7 +329,10 @@ def publish_stage(
         cur_m = V._read_manifest(table, cur)
         # cluster_spec carries partition-spec evolution / hidden
         # partitioning state (versioned.py:1711 alter_clustering)
-        for key in ("column_mapping", "retired_physical", "cluster_spec"):
+        for key in (
+            "column_mapping", "retired_physical", "cluster_spec",
+            "added_columns",
+        ):
             b = base_m.get(key)
             if sm.get(key) != b or cur_m.get(key) != b:
                 raise V.CommitConflict(

@@ -336,9 +336,20 @@ class LakeSQL:
                     f"no branch {branch!r} registered — CREATE BRANCH "
                     f"{branch} OF {base} LOCATION '...' first"
                 )
+            import os as _os
+
             stage = self.tables[branch]
-            cloned = V._read_manifest(stage, 1).get("cloned_from")
-            if cloned != self.tables[base]:
+            # cloned_from is inherited manifest state (r10) so the
+            # CURRENT manifest carries it even after a vacuum dropped
+            # v1; stages cloned before the inheritance fall back to v1
+            cloned = V._read_manifest(
+                stage, V.current_version(stage)
+            ).get("cloned_from") or V._read_manifest(stage, 1).get(
+                "cloned_from"
+            )
+            if _os.path.realpath(cloned or "") != _os.path.realpath(
+                self.tables[base]
+            ):
                 raise SQLParseError(
                     f"{branch!r} is not a branch of {base!r} "
                     f"(cloned_from={cloned!r})"
@@ -414,7 +425,9 @@ class LakeSQL:
             rf"|\s*@\s*({_ID})"
             rf"|{_WS}BRANCH{_WS}"
             rf"(?!(?:JOIN|WHERE|GROUP|ORDER|ON|LEFT|RIGHT|FULL|CROSS"
-            rf"|INNER|UNION|LIMIT|HAVING|AS)\b)({_ID}))?",
+            rf"|INNER|UNION|LIMIT|HAVING|AS|EXCEPT|INTERSECT|OFFSET"
+            rf"|WINDOW|QUALIFY|NATURAL|SEMI|ANTI|LATERAL|PIVOT"
+            rf"|UNPIVOT|SORT|CLUSTER|DISTRIBUTE)\b)({_ID}))?",
             re.I,
         )
 

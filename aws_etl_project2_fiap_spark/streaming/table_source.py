@@ -223,7 +223,12 @@ def build_versioned_table_source():
         if mapping:
             # column mapping: files hold frozen PHYSICAL names; the
             # source exposes the version's LOGICAL names (renames/drops
-            # are metadata-only — io/versioned.py rename_column)
+            # are metadata-only — io/versioned.py rename_column).
+            # Declared-only columns (metadata ADD COLUMN, no data file
+            # carries them yet) are SKIPPED — the Arrow reader has no
+            # bytes to serve and its DDL surface can't express every
+            # declared type (decimal); batch read_table serves them as
+            # typed NULLs. They appear here the moment real bytes land.
             return [
                 pa.field(log, fields[phys].type)
                 for log, phys in mapping.items()
@@ -233,11 +238,20 @@ def build_versioned_table_source():
 
     def _physical_columns(path: str, version=None) -> list:
         """Physical column names to READ, aligned 1:1 with
-        _table_columns' logical field order."""
+        _table_columns' logical field order — including its
+        declared-only-column skip (a mapping entry whose physical name
+        exists in no file must not enter the positional zip against
+        the schema)."""
+        import pyarrow.parquet as pq
+
         v = _current_version(path) if version is None else int(version)
-        mapping = _manifest(path, v).get("column_mapping")
+        m = _manifest(path, v)
+        mapping = m.get("column_mapping")
         if mapping:
-            return list(mapping.values())
+            present: set = set()
+            for entry in m["files"]:
+                present.update(pq.read_schema(entry["path"]).names)
+            return [p for p in mapping.values() if p in present]
         return [f.name for f in _table_columns(path, v)]
 
     def _arrow_to_ddl(schema) -> str:

@@ -2604,7 +2604,10 @@ def _hyperplane_pairs_oracle(
     ``(mat @ W) >= 0``; table p//planes gets bit 2^(p%planes);
     candidates form inside (table, bucket) and dedup across tables;
     the verify is exact cosine with the SAME round-then-compare the
-    Arrow scorer uses. The oracle models no hot-bucket star-thinning —
+    Arrow scorer uses, with a NaN guard mirroring the scorer's
+    zero-norm handling (a zero vector's sims are 0 there, below any
+    positive threshold; DuckDB's NaN would otherwise sort ABOVE the
+    threshold). The oracle models no hot-bucket star-thinning —
     the portable query passes max_bucket high enough that the cap
     can't fire at test SFs."""
     from .operators.similarity import hyperplane_weights
@@ -2642,7 +2645,8 @@ def _hyperplane_pairs_oracle(
     FROM cand c
     JOIN emb ea ON ea.id = c.id1
     JOIN emb eb ON eb.id = c.id2
-    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+    WHERE NOT isnan(list_cosine_similarity(ea.v, eb.v))
+      AND round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
     """
 
 

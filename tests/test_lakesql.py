@@ -1375,3 +1375,62 @@ def test_select_branch_of_base(spark, tmp_path):
         "SELECT count(*) AS n FROM tgt branch JOIN tgt b "
         "ON branch.k = b.k"
     ).collect()[0]["n"] == 10
+
+
+def test_select_branch_survives_vacuum_and_keyword_aliases(
+    spark, tmp_path
+):
+    """Review r10: cloned_from is inherited manifest state, so
+    t@branch still resolves after vacuum dropped the stage's v1; the
+    BRANCH word-form's keyword guard covers set operators (a table
+    aliased `branch` followed by EXCEPT parses as an alias, not a
+    branch name)."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        tbl,
+    )
+    lk = LakeSQL(spark, {"tgt": tbl})
+    stg = str(tmp_path / "stage")
+    lk.sql(f"CREATE BRANCH wip OF tgt LOCATION '{stg}'")
+    lk.sql("INSERT INTO wip SELECT k + 100 AS k, v FROM tgt")
+    lk.sql("INSERT INTO wip SELECT k + 200 AS k, v FROM tgt")
+    V.vacuum(stg, keep_last=1)  # drops v1 + v2 manifests
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        V._read_manifest(stg, 1)
+    assert lk.sql("SELECT count(*) AS n FROM tgt@wip") \
+        .collect()[0]["n"] == 30
+    # alias literally named `branch` before a set operator
+    assert lk.sql(
+        "SELECT k FROM tgt branch EXCEPT SELECT k + 1000 AS k FROM tgt"
+    ).count() == 10
+
+
+def test_lsh_portable_oracle_nan_guard():
+    """Review r10: a zero embedding makes DuckDB's cosine NaN, which
+    sorts ABOVE any threshold — the portable oracle must suppress it,
+    mirroring the Arrow scorer's zero-norm handling (sims stay 0)."""
+    import duckdb
+
+    from aws_etl_project2_fiap_spark.workload import (
+        _hyperplane_pairs_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        "SELECT 1::BIGINT AS vec_id,"
+        " list_transform(range(64), x -> 0.5::FLOAT) AS embedding "
+        "UNION ALL SELECT 2,"
+        " list_transform(range(64), x -> 0.5::FLOAT) "
+        "UNION ALL SELECT 3,"
+        " list_transform(range(64), x -> 0.0::FLOAT)"  # zero vector
+    )
+    rows = con.sql(_hyperplane_pairs_oracle(6, 8, 0.4)).fetchall()
+    # the identical pair survives; no NaN pair involving vec 3 leaks
+    assert (1, 2, 1.0) in rows
+    assert all(3 not in (r[0], r[1]) for r in rows)

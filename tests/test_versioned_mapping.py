@@ -482,3 +482,52 @@ def test_add_column_change_feed(spark, table):
     ch = V.table_changes(spark, table, 1, V.current_version(table))
     assert "q" in ch.columns
     assert ch.filter(F.col("q") == 0.5).count() == 2
+
+
+def test_add_column_state_travels_with_clone_and_wap(spark, table, tmp_path):
+    """Review r10: added_columns must travel wherever the mapping
+    travels — a clone (CREATE BRANCH) of a table with a declared-only
+    column, and a WAP fast-forward publish of a stage that declared
+    one, were both unreadable (UNRESOLVED_COLUMN) without it."""
+    from aws_etl_project2_fiap_spark.io import wap as W
+
+    V.add_column(spark, table, "score", "decimal(10,2)")
+    stage = str(tmp_path / "stage")
+    V.clone_table(spark, table, stage)
+    got = V.read_table(spark, stage)
+    assert got.filter(F.col("score").isNull()).count() == 300
+
+    # publish a stage that DECLARED a column while staged
+    stage2 = str(tmp_path / "stage2")
+    V.clone_table(spark, table, stage2)
+    V.add_column(spark, stage2, "note", "string")
+    W.publish_stage(spark, table, stage2)
+    got = V.read_table(spark, table)
+    assert "note" in got.columns
+    assert got.filter(F.col("note").isNull()).count() == 300
+
+
+def test_add_column_table_source_skips_declared_only(spark, table):
+    """Review r10: the versioned_table DataSource's physical/logical
+    column lists must stay positionally aligned when a declared-only
+    column exists — it is skipped on BOTH sides (the Arrow reader has
+    no bytes to serve), and appears once real data lands."""
+    from aws_etl_project2_fiap_spark.streaming.table_source import (
+        build_versioned_table_source,
+    )
+
+    spark.dataSource.register(build_versioned_table_source())
+    V.add_column(spark, table, "q", "double")
+    df = spark.read.format("versioned_table").option("path", table).load()
+    assert "q" not in df.columns
+    assert df.count() == 300
+    V.append_table(
+        spark.range(300, 302).select(
+            F.col("id"), (F.col("id") % 3).alias("g"),
+            (F.col("id") * 2.0).alias("v"), F.lit(0.5).alias("q"),
+        ),
+        table,
+    )
+    df2 = spark.read.format("versioned_table").option("path", table).load()
+    assert "q" in df2.columns
+    assert df2.filter(F.col("q") == 0.5).count() == 2
