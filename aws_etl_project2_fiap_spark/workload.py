@@ -2344,26 +2344,22 @@ def similarity_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_op.ivf_search(idx, cents, list(q), k=10, nprobe=4)
 
 
-def _ivf_portable_oracle(
-    k: int = 16,
-    iters: int = 3,
-    nprobe: int = 4,
-    topk: int = 10,
-    dim: int = 64,
-    sample_limit: int = 10_000,
-    query_id: int = 0,
+def _kmeans_assign_ctes(
+    k: int, iters: int, dim: int, sample_limit: int
 ) -> str:
-    """DuckDB recompute of the ENTIRE IVF pipeline (kmeans_fit with
-    order_hash="md5" + ivf_assign + ivf_search): the hash-ordered
-    bounded sample, init = first k sample vectors, ``iters`` unrolled
-    Lloyd iterations (assign by squared L2, first-index tie-break =
-    ORDER BY d2, cl; empty clusters keep their previous centroid via
-    the LEFT JOIN coalesce, numpy's behavior), full-corpus assignment,
-    stable-argsort probe of the ``nprobe`` nearest cells, exact cosine
-    inside, (sim DESC, id) top-k. Element arithmetic runs on DOUBLE
-    exactly as numpy float64 — summation order differs by ulps, which
-    only matters at exact argmin ties (measure-zero on real data and
-    deterministic per dataset)."""
+    """Shared WITH-body for the k-means-based portable oracles
+    (`similarity_ivf_knn_portable`, `dedup_semantic_portable`): the
+    DuckDB recompute of kmeans_fit(order_hash="md5") + ivf_assign —
+    hash-ordered bounded sample, init = first k sample vectors,
+    ``iters`` unrolled Lloyd iterations (assign by squared L2,
+    first-index tie-break = ORDER BY d2, cl; empty clusters keep
+    their previous centroid via the LEFT JOIN coalesce, numpy's
+    behavior), then full-corpus nearest-centroid assignment (asg).
+    Element arithmetic runs on DOUBLE exactly as numpy float64 —
+    summation order differs by ulps, which only matters at exact
+    argmin ties (measure-zero on real data and deterministic per
+    dataset). Exposes CTEs: emb(id, v), c{iters}(cl, i, w),
+    asg(id, cl)."""
     it = []
     prev = "c0"
     for n in range(1, iters + 1):
@@ -2389,8 +2385,7 @@ def _ivf_portable_oracle(
     )""")
         prev = f"c{n}"
     iter_sql = ",".join(it)
-    return f"""
-    WITH emb AS (
+    return f"""emb AS (
       SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings
     ),
@@ -2427,7 +2422,25 @@ def _ivf_portable_oracle(
         FROM embe s JOIN {prev} c ON c.i = s.i
         GROUP BY s.id, c.cl
       ) WHERE rn = 1
-    ),
+    )"""
+
+
+def _ivf_portable_oracle(
+    k: int = 16,
+    iters: int = 3,
+    nprobe: int = 4,
+    topk: int = 10,
+    dim: int = 64,
+    sample_limit: int = 10_000,
+    query_id: int = 0,
+) -> str:
+    """DuckDB recompute of the ENTIRE IVF pipeline: the shared
+    k-means+assignment CTEs (:func:`_kmeans_assign_ctes`), then
+    ivf_search — stable-argsort probe of the ``nprobe`` nearest
+    cells, exact cosine inside, (sim DESC, id) top-k."""
+    prev = f"c{iters}"
+    return f"""
+    WITH {_kmeans_assign_ctes(k, iters, dim, sample_limit)},
     qv AS (SELECT v FROM emb WHERE id = {query_id}),
     qe AS (
       SELECT r.i, q.v[r.i] AS x
@@ -2481,6 +2494,75 @@ def similarity_ivf_knn_portable(
     q = e.filter(F.col("vec_id") == 0).first()["embedding"]
     idx = sim_op.ivf_assign(e, cents)
     return sim_op.ivf_search(idx, cents, list(q), k=10, nprobe=4)
+
+
+def _semantic_dedup_portable_oracle(
+    k: int = 16,
+    iters: int = 3,
+    threshold: float = 0.4,
+    dim: int = 64,
+    sample_limit: int = 10_000,
+) -> str:
+    """DuckDB recompute of the ENTIRE SemDeDup pipeline
+    (operators/similarity.semantic_dedup with md5-ordered k-means):
+    the shared k-means+assignment CTEs, then the keep rule — a vector
+    is dropped iff its cluster holds a LOWER-id vector with
+    round(cos, 6) >= threshold, and ``dup_of`` is the SMALLEST such
+    id (numpy's argmax over the id-sorted boolean block = first
+    qualifying index). The NaN guard mirrors the scorer's zero-norm
+    handling (normalized zero rows stay 0, below any positive
+    threshold). The oracle models no hot-cluster star-thinning — the
+    portable query's clusters sit far under max_cluster at test SFs;
+    the thinning semantics stay pinned in tests/test_ivf.py."""
+    return f"""
+    WITH {_kmeans_assign_ctes(k, iters, dim, sample_limit)},
+    pairs AS (
+      SELECT a.id AS id, b.id AS j,
+             list_cosine_similarity(ea.v, eb.v) AS s
+      FROM asg a
+      JOIN asg b ON a.cl = b.cl AND b.id < a.id
+      JOIN emb ea ON ea.id = a.id
+      JOIN emb eb ON eb.id = b.id
+    ),
+    dups AS (
+      SELECT id, min(j) AS dup_of
+      FROM pairs
+      WHERE NOT isnan(s) AND round(s, 6) >= {threshold}
+      GROUP BY id
+    )
+    SELECT a.id,
+           CAST(a.cl AS INT) AS cluster,
+           CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS keep,
+           d.dup_of
+    FROM asg a LEFT JOIN dups d ON d.id = a.id
+    """
+
+
+@defquery(
+    "dedup_semantic_portable", _semantic_dedup_portable_oracle()
+)
+def dedup_semantic_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup ORACLE-CHECKED end-to-end (round 10, beyond the
+    VERDICT r9 #3 list): semantic_dedup driven by the md5-ordered
+    k-means quantizer, so the DuckDB oracle replays clustering,
+    assignment, AND the within-cluster keep rule — drop iff a
+    lower-id cluster-mate has round(cos, 6) >= threshold, dup_of =
+    the smallest such id — for every vector, bit-for-bit. The auto-k
+    xxhash64 sibling (`dedup_semantic`, rows-only + differential
+    tests) stays the bench/production path; fixed k=16 keeps the
+    oracle's within-cluster pair join tractable at test SFs while
+    exercising every stage.
+
+    Scale posture matches the sibling: one assignment pass, one
+    cluster-keyed shuffle, blocked in-cluster gram scoring."""
+    from .operators.similarity import kmeans_fit, semantic_dedup
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=16, iters=3, order_hash="md5")
+    return semantic_dedup(e, k=16, threshold=0.4, centroids=cents)
 
 
 @defquery("text_bpe_tokens", None)  # trained BPE: not ANSI SQL
@@ -7605,10 +7687,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # continuity sentinel first — green in every round so far
     "a1_top5_7day_sum",
     # --- r10 birth entries (oracle-backed THIS round: the hyperplane
-    # LSH pair miner and the IVF k-means probe, both recomputed
-    # end-to-end by their DuckDB oracles — in the window from birth,
-    # the standing policy since r8) ---
+    # LSH pair miner, the IVF k-means probe, and SemDeDup — each
+    # recomputed end-to-end by its DuckDB oracle — in the window from
+    # birth, the standing policy since r8; k_bloom_readback evicted
+    # to make room, driver-green r8+r9 with 11 lakehouse siblings
+    # still in-window) ---
     "similarity_pairs_lsh_portable", "similarity_ivf_knn_portable",
+    "dedup_semantic_portable",
     # --- r9 birth entries, kept for a second driver-green round ---
     "dedup_index_probe_portable", "dedup_index_build_portable",
     "stream_price_alerts_portable",
@@ -7622,7 +7707,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q7_nation_volume", "tpch_q10_returned_items",
     "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
     "tpch_q19_discounted_revenue", "tpch_q21_waiting_supplier",
-    "k_zorder_readback", "k_bloom_readback", "k_dv_delete_readback",
+    "k_zorder_readback", "k_dv_delete_readback",
     "k_partition_overwrite_readback", "k_cluster_evolution_readback",
     "k_matview_incremental_readback", "k_matview_star_readback",
     "k_wap_publish_readback", "k_table_source_readback",
