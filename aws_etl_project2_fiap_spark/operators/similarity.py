@@ -781,18 +781,26 @@ def pq_train(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sample_limit: int = 10_000,
+    order_hash: str = "xxhash64",
 ):
     """Train per-subspace codebooks on RESIDUALS (vector − assigned
     coarse centroid) from a bounded hash-sample — same deterministic
     sampling and driver-side Lloyd as :func:`kmeans_fit`, same FAISS
     rationale: codebook quality converges on a sample, so training is
     O(sample) regardless of table size. Returns an m-list of
-    (ksub × dim/m) codebooks."""
+    (ksub × dim/m) codebooks. ``order_hash`` as in :func:`kmeans_fit`
+    ("md5" = engine-portable sample ordering for the oracle gate)."""
     import numpy as np
 
+    if order_hash == "md5":
+        key = F.md5(F.col("id").cast("string"))
+    elif order_hash == "xxhash64":
+        key = F.xxhash64(F.col("id"))
+    else:
+        raise ValueError(f"order_hash must be xxhash64|md5: {order_hash!r}")
     rows = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .orderBy(key, F.col("id"))
         .limit(sample_limit)
         .collect()
     )

@@ -332,3 +332,34 @@ def test_kmeans_md5_order_hash_deterministic_and_guarded(spark):
     assert ann == exact
     with pytest.raises(ValueError, match="order_hash"):
         sim.kmeans_fit(e, k=8, iters=2, order_hash="sha1")
+
+
+def test_pq_md5_order_hash_deterministic_and_guarded(spark):
+    """order_hash='md5' on pq_train (the IVF-PQ portable gate):
+    deterministic codebooks, full-probe search still exact after
+    rerank, bad values fail loud."""
+    import pytest
+
+    e = _embeddings(spark)
+    cents = sim.kmeans_fit(e, k=8, iters=2, order_hash="md5")
+    b1 = sim.pq_train(e, cents, m=8, ksub=16, iters=2, order_hash="md5")
+    b2 = sim.pq_train(e, cents, m=8, ksub=16, iters=2, order_hash="md5")
+    assert b1 == b2
+    enc = sim.pq_encode(e, cents, b1)
+    q = list(e.filter(F.col("vec_id") == 0).first()["embedding"])
+    got = [
+        (r.id, r.sim)
+        for r in sim.ivf_pq_search(
+            enc, cents, b1, q, k=5, nprobe=8, rerank=e
+        ).collect()
+    ]
+    exact = [
+        (r.id, r.sim) for r in sim.knn_brute_force(e, q, k=5).collect()
+    ]
+    # ADC is lossy even at full probe (candidates are cut on APPROX
+    # distance before the exact rerank): assert the self-match and
+    # recall, same contract as test_ivfpq_rerank_recall
+    assert got[0] == exact[0]
+    assert len({i for i, _ in got} & {i for i, _ in exact}) >= 3
+    with pytest.raises(ValueError, match="order_hash"):
+        sim.pq_train(e, cents, order_hash="sha1")
