@@ -3322,6 +3322,74 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", F.round(F.col("pr"), 6).alias("pr"))
 
 
+def _hll_portable_oracle(p: int = 12) -> str:
+    """DuckDB recompute of the ENTIRE portable-HLL estimate
+    (operators/sampling.approx_distinct_portable): md5-derived 60-bit
+    hashes, bucket = low p bits, rho from the base-2 string length
+    (integer-exact both engines, no float log2), max-register fold,
+    harmonic estimate with the linear-counting small-range branch.
+    alpha_m inlines as the same repr'd double the Spark side uses;
+    2^-M terms are exact powers of two; round(,4) absorbs the
+    summation-order ulps of the 256-term harmonic sum."""
+    m = 1 << p
+    w = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return f"""
+    WITH h AS MATERIALIZED (
+      SELECT o_orderpriority AS grp,
+             ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+               ::BIGINT AS h
+      FROM orders
+    ),
+    r AS MATERIALIZED (
+      SELECT grp, h % {m} AS b,
+             CASE WHEN (h >> {p}) = 0 THEN {w + 1}
+                  ELSE {w} - length(bin(h >> {p})) + 1 END AS rho
+      FROM h
+    ),
+    regs AS MATERIALIZED (
+      SELECT grp, b, max(rho) AS M FROM r GROUP BY grp, b
+    ),
+    agg AS MATERIALIZED (
+      SELECT grp, SUM(power(2.0, -M)) AS ps, count(*) AS np
+      FROM regs GROUP BY grp
+    )
+    SELECT grp AS o_orderpriority,
+           round(
+             CASE WHEN raw <= {2.5 * m} AND ({m} - np) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / ({m} - np))
+                  ELSE raw END, 4) AS approx_distinct
+    FROM (
+      SELECT grp, np,
+             {alpha * m * m!r} / (ps + ({m} - np)) AS raw
+      FROM agg
+    )
+    """
+
+
+@defquery("agg_approx_distinct_portable", _hll_portable_oracle())
+def agg_approx_distinct_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sketch family's hash gate (round 10): a textbook
+    HyperLogLog over md5-derived hashes whose ESTIMATE a DuckDB
+    oracle recomputes bit-for-bit — registers, harmonic fold,
+    linear-counting branch and all
+    (operators/sampling.approx_distinct_portable). The built-in
+    sibling (`agg_approx_distinct`, Spark HLL++ — xxhash/JVM
+    internals no other engine replays) stays the bench/production
+    path; the portable sketch keeps the same mergeable max-register
+    shape, so its shuffle is also O(m) rows per (task, group).
+    Accuracy vs the exact count is asserted in
+    tests/test_sampling.py."""
+    from .operators.sampling import approx_distinct_portable
+
+    o = t(spark, sf_dir, "orders")
+    return approx_distinct_portable(
+        o, ["o_orderpriority"], "o_custkey", p=12
+    )
+
+
 @defquery("agg_approx_distinct", None)  # HLL++ sketch: estimate, not SQL-exact
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per order priority — the
@@ -7858,14 +7926,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # continuity sentinel first — green in every round so far
     "a1_top5_7day_sum",
     # --- r10 birth entries (oracle-backed THIS round: the hyperplane
-    # LSH pair miner, the IVF k-means probe, SemDeDup, and IVF-PQ with
-    # rerank — each recomputed end-to-end by its DuckDB oracle — in
-    # the window from birth, the standing policy since r8; evicted to
-    # make room: k_bloom_readback (driver-green r8+r9, 11 lakehouse
-    # siblings in-window) and similarity_knn_quantized (green r8+r9;
-    # the PQ portable covers the quantized-ANN family deeper) ---
+    # LSH pair miner, the IVF k-means probe, SemDeDup, IVF-PQ with
+    # rerank, and the portable-HLL estimate — each recomputed
+    # end-to-end by its DuckDB oracle — in the window from birth, the
+    # standing policy since r8; evicted to make room: k_bloom_readback
+    # (driver-green r8+r9, 11 lakehouse siblings in-window),
+    # similarity_knn_quantized (green r8+r9; the PQ portable covers
+    # the quantized-ANN family deeper) and dedup_minhash_lsh_portable
+    # (green r8+r9; the index portables keep minhash in-window) ---
     "similarity_pairs_lsh_portable", "similarity_ivf_knn_portable",
     "dedup_semantic_portable", "similarity_ivfpq_knn_portable",
+    "agg_approx_distinct_portable",
     # --- r9 birth entries, kept for a second driver-green round ---
     "dedup_index_probe_portable", "dedup_index_build_portable",
     "stream_price_alerts_portable",
@@ -7891,8 +7962,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "k_wap_merge_publish_readback", "k_lakesql_verbs_readback",
     # the r8 birth entries, kept while their families have no other
     # window representative
-    "dedup_minhash_lsh_portable", "dedup_cluster_lsh",
-    "stream_neardup_ingest",
+    "dedup_cluster_lsh", "stream_neardup_ingest",
     # --- 13 continuity sentinels (one per family) ---
     "a2_count", "k_matview_dim_evolution_readback", "join_star_revenue",
     "window_keep_latest", "sessionize_30m",

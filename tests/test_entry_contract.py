@@ -73,38 +73,39 @@ def test_every_oracle_parses(duck, name):
     duck.execute(f"EXPLAIN {sql}")
 
 
-# the round-10 window: the r9 window with the four r10 birth
+# the round-10 window: the r9 window with the five r10 birth
 # entries (similarity_pairs_lsh_portable, similarity_ivf_knn_portable,
-# dedup_semantic_portable, similarity_ivfpq_knn_portable — the
-# rows-only ANN/semantic surfaces converted to full-pipeline oracles)
-# plus the 6 TPC-H shapes the r9
+# dedup_semantic_portable, similarity_ivfpq_knn_portable,
+# agg_approx_distinct_portable — rows-only ANN/semantic/sketch
+# surfaces converted to full-pipeline oracles) plus the 6 TPC-H
+# shapes the r9
 # rotation evicted rotated back for a continuity re-check; evicted to
 # make room: tpch_q3/q5, dedup_ngram_jaccard, event_time_tumbling_1h,
 # similarity_knn, text_langid (all just re-checked green r9),
-# dedup_simhash_pairs, sample_stratified, k_bloom_readback and
-# similarity_knn_quantized (driver-green r8+r9) — all still oracle-backed in the tail. Pinned
+# dedup_simhash_pairs, sample_stratified, k_bloom_readback,
+# similarity_knn_quantized and dedup_minhash_lsh_portable
+# (driver-green r8+r9) — all still oracle-backed in the tail. Pinned
 # so that appending new catalog entries can never reorder-and-evict a
 # row mid-round.
 _R10_WINDOW = [
     "a1_top5_7day_sum", "similarity_pairs_lsh_portable",
     "similarity_ivf_knn_portable", "dedup_semantic_portable",
-    "similarity_ivfpq_knn_portable", "dedup_index_probe_portable",
-    "dedup_index_build_portable", "stream_price_alerts_portable",
-    "tpch_q4_order_priority", "tpch_q12_priority_class",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q22_global_sales",
-    "tpch_q7_nation_volume", "tpch_q10_returned_items",
-    "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue", "tpch_q21_waiting_supplier",
-    "k_zorder_readback", "k_dv_delete_readback",
-    "k_partition_overwrite_readback", "k_cluster_evolution_readback",
-    "k_matview_incremental_readback", "k_matview_star_readback",
-    "k_wap_publish_readback", "k_table_source_readback",
-    "k_merge_clauses_readback", "k_merge_sync_readback",
-    "k_replicate_readback", "dedup_span_exact",
+    "similarity_ivfpq_knn_portable", "agg_approx_distinct_portable",
+    "dedup_index_probe_portable", "dedup_index_build_portable",
+    "stream_price_alerts_portable", "tpch_q4_order_priority",
+    "tpch_q12_priority_class", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q22_global_sales", "tpch_q7_nation_volume",
+    "tpch_q10_returned_items", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders", "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_supplier", "k_zorder_readback",
+    "k_dv_delete_readback", "k_partition_overwrite_readback",
+    "k_cluster_evolution_readback", "k_matview_incremental_readback",
+    "k_matview_star_readback", "k_wap_publish_readback",
+    "k_table_source_readback", "k_merge_clauses_readback",
+    "k_merge_sync_readback", "k_replicate_readback", "dedup_span_exact",
     "k_wap_merge_publish_readback", "k_lakesql_verbs_readback",
-    "dedup_minhash_lsh_portable", "dedup_cluster_lsh",
-    "stream_neardup_ingest", "a2_count",
+    "dedup_cluster_lsh", "stream_neardup_ingest", "a2_count",
     "k_matview_dim_evolution_readback", "join_star_revenue",
     "window_keep_latest", "sessionize_30m", "dedup_exact",
     "multimodal_meta", "dedup_embedding_cosine", "k6_update_readback",
@@ -217,6 +218,7 @@ def test_window_rotation_properties():
     assert "similarity_ivf_knn_portable" in _R10_WINDOW
     assert "dedup_semantic_portable" in _R10_WINDOW
     assert "similarity_ivfpq_knn_portable" in _R10_WINDOW
+    assert "agg_approx_distinct_portable" in _R10_WINDOW
     assert "dedup_index_probe_portable" in _R10_WINDOW
     assert "dedup_index_build_portable" in _R10_WINDOW
     assert "stream_price_alerts_portable" in _R10_WINDOW

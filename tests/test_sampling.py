@@ -169,3 +169,39 @@ def test_cluster_aware_split_never_splits_a_cluster(spark):
     total = sum(frac.values())
     assert 0.6 < frac.get("train", 0) / total < 0.95
     assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
+
+
+def test_approx_distinct_portable_accuracy_and_determinism(spark):
+    """The portable HLL (round 10, the sketch family's hash gate):
+    estimate within the p=12 error envelope of the exact count, and
+    bit-identical across runs (pure hash arithmetic, no RNG)."""
+    from aws_etl_project2_fiap_spark.operators.sampling import (
+        approx_distinct_portable,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    got = {
+        r["o_orderpriority"]: r["approx_distinct"]
+        for r in approx_distinct_portable(
+            o, ["o_orderpriority"], "o_custkey", p=12
+        ).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for g in exact:
+        # SE at m=4096 is ~1.6%; 5 sigma headroom for the fixed corpus
+        assert abs(got[g] - exact[g]) / exact[g] < 0.08, (
+            g, got[g], exact[g],
+        )
+    again = {
+        r["o_orderpriority"]: r["approx_distinct"]
+        for r in approx_distinct_portable(
+            o, ["o_orderpriority"], "o_custkey", p=12
+        ).collect()
+    }
+    assert again == got
