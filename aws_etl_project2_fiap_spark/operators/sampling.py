@@ -172,10 +172,14 @@ def approx_distinct_portable(
     at most m rows per (task, group) regardless of cardinality, and
     the final per-group fold is O(m). ~2x the built-in sketch's
     constant factor (md5 vs xxhash), which is the price of an
-    engine-checkable estimate."""
+    engine-checkable estimate. NULLs are ignored, matching
+    approx_count_distinct (an md5(NULL) row would otherwise mint a
+    phantom register that skews both the harmonic sum and the
+    linear-counting V)."""
     m = 1 << p
     w = 60 - p
     alpha = 0.7213 / (1.0 + 1.079 / m)
+    df = df.where(F.col(col).isNotNull())
     h = F.conv(
         F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
     ).cast("bigint")
@@ -197,9 +201,7 @@ def approx_distinct_portable(
         F.count(F.lit(1)).alias("__n_present"),
     )
     v = F.lit(m) - F.col("__n_present")
-    raw = F.lit(alpha * m * m) / (
-        F.col("__present_sum") + (F.lit(m) - F.col("__n_present"))
-    )
+    raw = F.lit(alpha * m * m) / (F.col("__present_sum") + v)
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (v > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v),

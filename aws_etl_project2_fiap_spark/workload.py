@@ -2358,8 +2358,10 @@ def _kmeans_assign_ctes(
     Element arithmetic runs on DOUBLE exactly as numpy float64 —
     summation order differs by ulps, which only matters at exact
     argmin ties (measure-zero on real data and deterministic per
-    dataset). Exposes CTEs: emb(id, v), c{iters}(cl, i, w),
-    asg(id, cl)."""
+    dataset). Exposed CTEs consumed by the downstream oracles —
+    renaming or inlining ANY of these breaks a caller: emb(id, v),
+    samp(id, v), sampe(id, i, x), embe(id, i, x),
+    c{iters}(cl, i, w), asg(id, cl)."""
     it = []
     prev = "c0"
     for n in range(1, iters + 1):
@@ -3340,6 +3342,7 @@ def _hll_portable_oracle(p: int = 12) -> str:
              ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
                ::BIGINT AS h
       FROM orders
+      WHERE o_custkey IS NOT NULL
     ),
     r AS MATERIALIZED (
       SELECT grp, h % {m} AS b,

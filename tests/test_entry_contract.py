@@ -113,8 +113,10 @@ _R10_WINDOW = [
 ]
 
 # every oracle-backed catalog name at the moment the r10 window was
-# rotated (92 entries; dedup_semantic_portable landed after the
-# rotation, so the set-diff enforces its window membership). The birth-entry policy below is a set-diff
+# rotated (92 entries; dedup_semantic_portable,
+# similarity_ivfpq_knn_portable and agg_approx_distinct_portable all
+# landed AFTER the rotation — none may be added to this frozenset, or
+# the set-diff would stop enforcing their window membership). The birth-entry policy below is a set-diff
 # against this snapshot, so it covers ANY entry oracle-backed after
 # the rotation regardless of registration order — no per-round
 # hardcoded "new entries" list to forget updating.
@@ -212,8 +214,8 @@ def test_window_rotation_properties():
     rotation evicted (continuity), carries the r10 birth entries (and
     the r9 births for a second round), and everything ever evicted
     stays oracle-backed in the tail."""
-    # birth entries (both r10 oracle conversions, plus r9's three
-    # kept for a second driver-green round)
+    # birth entries (all five r10 oracle conversions, plus r9's
+    # three kept for a second driver-green round)
     assert "similarity_pairs_lsh_portable" in _R10_WINDOW
     assert "similarity_ivf_knn_portable" in _R10_WINDOW
     assert "dedup_semantic_portable" in _R10_WINDOW
