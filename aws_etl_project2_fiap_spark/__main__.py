@@ -465,7 +465,8 @@ def main(argv: list[str] | None = None) -> int:
         help="lakehouse SQL over versioned tables (MERGE INTO / UPDATE / "
         "DELETE / VERSION AS OF / RESTORE / DESCRIBE HISTORY / OPTIMIZE / "
         "VACUUM / CREATE TABLE|MATERIALIZED VIEW [with JOIN dims]|BRANCH "
-        "/ REFRESH ... [EVOLVE] / ALTER TABLE / SHOW TABLES / EXPLAIN "
+        "/ REFRESH ... [EVOLVE] / ALTER TABLE / SHOW TABLES / SHOW "
+        "CREATE TABLE / EXPLAIN "
         "SELECT|MERGE|UPDATE|DELETE / DROP TABLE|BRANCH)",
     )
     p.add_argument("query")

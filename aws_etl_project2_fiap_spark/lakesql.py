@@ -1347,15 +1347,81 @@ class LakeSQL:
 
     def _show(self, q: str) -> DataFrame:
         """``SHOW TABLES`` — the session's registered name → path
-        bindings (matviews flagged)."""
+        bindings (matviews flagged) — or ``SHOW CREATE TABLE t`` —
+        the reconstruction DDL from the table's CURRENT manifest:
+        logical columns + types, CLUSTERED BY spec, LOCATION, one
+        ALTER ... ADD CONSTRAINT line per CHECK; a matview
+        reconstructs its CREATE MATERIALIZED VIEW statement from the
+        persisted spec (dim paths reverse-resolve to registered names
+        where bound; an unregistered dim renders as its path — the
+        statement documents the view even when it isn't re-runnable
+        verbatim)."""
+        cm = re.match(
+            rf"SHOW{_WS}CREATE{_WS}TABLE{_WS}({_ID})$", q, re.I
+        )
+        if cm:
+            return self._show_create(cm.group(1))
         if not re.match(rf"SHOW{_WS}TABLES$", q, re.I):
-            raise SQLParseError(f"only SHOW TABLES is supported: {q!r}")
+            raise SQLParseError(
+                f"only SHOW TABLES | SHOW CREATE TABLE <t> are "
+                f"supported: {q!r}"
+            )
         rows = [
             {"name": n, "location": p, "is_view": n in self.views}
             for n, p in sorted(self.tables.items())
         ]
         return self.spark.createDataFrame(
             rows, "name string, location string, is_view boolean"
+        )
+
+    def _show_create(self, name: str) -> DataFrame:
+        path = self._path(name)
+        stmts: list[str] = []
+        if name in self.views:
+            from .io import matview as MV
+
+            meta = MV.view_meta(path)
+            by_path = {p: n for n, p in self.tables.items()}
+            src = by_path.get(meta["source"], f"'{meta['source']}'")
+            sel = list(meta["group_by"]) + [
+                f"{fn}({col if col is not None else '*'}) AS {out}"
+                for out, (fn, col) in (
+                    (o, tuple(v)) for o, v in meta["aggs"].items()
+                )
+            ]
+            joins = ""
+            for d in meta.get("dims") or []:
+                dname = by_path.get(d["path"], f"'{d['path']}'")
+                on = " AND ".join(
+                    f"{src}.{k} = {dname}.{k}" for k in d["keys"]
+                )
+                joins += f" JOIN {dname} ON {on}"
+            stmts.append(
+                f"CREATE MATERIALIZED VIEW {name} LOCATION '{path}' "
+                f"AS SELECT {', '.join(sel)} FROM {src}{joins} "
+                f"GROUP BY {', '.join(meta['group_by'])}"
+            )
+        else:
+            df = V.read_table(self.spark, path)
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in df.schema.fields
+            )
+            spec = (V.table_cluster_spec(path) or {}).get("cols") or []
+            clustered = (
+                f" CLUSTERED BY ({', '.join(spec)})" if spec else ""
+            )
+            stmts.append(
+                f"CREATE TABLE {name} ({cols}){clustered} "
+                f"LOCATION '{path}'"
+            )
+            for cname, expr in sorted(V.table_constraints(path).items()):
+                stmts.append(
+                    f"ALTER TABLE {name} ADD CONSTRAINT {cname} "
+                    f"CHECK ({expr})"
+                )
+        return self.spark.createDataFrame(
+            [{"create_stmt": s} for s in stmts], "create_stmt string"
         )
 
     # -- ALTER TABLE / WAP branches ------------------------------------
