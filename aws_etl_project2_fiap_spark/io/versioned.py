@@ -2008,15 +2008,17 @@ def add_column(
     Earlier versions don't show the column (time travel — the ledger
     is per-manifest state, like the mapping). ``dtype`` is any Spark
     DDL type string (``bigint``, ``decimal(12,2)``,
-    ``array<double>``); it is parsed/normalized via the session's SQL
-    parser so a typo fails HERE, not on some later read."""
+    ``array<double>``); it is parsed/normalized via Spark's DDL type
+    parser so a typo fails HERE, not on some later read. The parser
+    sees ONLY a datatype grammar — never a SQL statement — so a
+    whitelist-passing injection like ``'INT) AS c FROM range(10'``
+    fails loud instead of normalizing silently (ADVICE r10)."""
     if not _re.fullmatch(r"[A-Za-z0-9_<>(),.: ]+", dtype):
         raise ValueError(f"suspicious type string {dtype!r}")
     try:
-        normalized = (
-            spark.sql(f"SELECT CAST(NULL AS {dtype}) AS c")
-            .schema[0].dataType.simpleString()
-        )
+        from pyspark.sql.types import _parse_datatype_string
+
+        normalized = _parse_datatype_string(dtype).simpleString()
     except Exception as exc:
         raise ValueError(
             f"cannot parse column type {dtype!r}: {exc}"

@@ -341,12 +341,20 @@ class LakeSQL:
             stage = self.tables[branch]
             # cloned_from is inherited manifest state (r10) so the
             # CURRENT manifest carries it even after a vacuum dropped
-            # v1; stages cloned before the inheritance fall back to v1
+            # v1; stages cloned before the inheritance fall back to v1.
+            # The fallback read itself can miss (a plain table whose v1
+            # was vacuumed, named as @branch) — that's "not a branch",
+            # not a file error (ADVICE r10)
             cloned = V._read_manifest(
                 stage, V.current_version(stage)
-            ).get("cloned_from") or V._read_manifest(stage, 1).get(
-                "cloned_from"
-            )
+            ).get("cloned_from")
+            if cloned is None:
+                try:
+                    cloned = V._read_manifest(stage, 1).get(
+                        "cloned_from"
+                    )
+                except FileNotFoundError:
+                    cloned = None
             if _os.path.realpath(cloned or "") != _os.path.realpath(
                 self.tables[base]
             ):

@@ -202,6 +202,30 @@ def build_versioned_table_source():
                 })
         return parts
 
+    _footer_fields_cache: dict = {}
+
+    def _footer_fields(path: str, v: int) -> dict:
+        """ONE footer pass per (path, version): {physical name → first
+        pa.field carrying it}, insertion-ordered. Shared by
+        _table_columns and _physical_columns so a schema()+reader()
+        call pair costs a single O(files) pass, not two (ADVICE r10).
+        Caching is safe because a committed version's file list and
+        file schemas are immutable (every mutation commits a NEW
+        version); bounded so long-lived drivers don't accrete."""
+        import pyarrow.parquet as pq
+
+        key = (path, v)
+        hit = _footer_fields_cache.get(key)
+        if hit is None:
+            fields: dict = {}
+            for entry in _manifest(path, v)["files"]:
+                for field in pq.read_schema(entry["path"]):
+                    fields.setdefault(field.name, field)
+            if len(_footer_fields_cache) >= 64:
+                _footer_fields_cache.clear()
+            _footer_fields_cache[key] = hit = fields
+        return hit
+
     def _table_columns(path: str, version=None):
         """SUPERSET schema across a version's files (the mergeSchema
         contract): field order = first appearance, type = first file
@@ -211,14 +235,10 @@ def build_versioned_table_source():
         columns added after it would leak into the schema (NULL-filled)
         and diverge from read_table(version=v)."""
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        fields: dict = {}
         v = _current_version(path) if version is None else int(version)
         m = _manifest(path, v)
-        for entry in m["files"]:
-            for field in pq.read_schema(entry["path"]):
-                fields.setdefault(field.name, field)
+        fields = _footer_fields(path, v)
         mapping = m.get("column_mapping")
         if mapping:
             # column mapping: files hold frozen PHYSICAL names; the
@@ -241,16 +261,13 @@ def build_versioned_table_source():
         _table_columns' logical field order — including its
         declared-only-column skip (a mapping entry whose physical name
         exists in no file must not enter the positional zip against
-        the schema)."""
-        import pyarrow.parquet as pq
-
+        the schema). Reuses _table_columns' footer pass via
+        _footer_fields — zero extra footer reads."""
         v = _current_version(path) if version is None else int(version)
         m = _manifest(path, v)
         mapping = m.get("column_mapping")
         if mapping:
-            present: set = set()
-            for entry in m["files"]:
-                present.update(pq.read_schema(entry["path"]).names)
+            present = _footer_fields(path, v).keys()
             return [p for p in mapping.values() if p in present]
         return [f.name for f in _table_columns(path, v)]
 

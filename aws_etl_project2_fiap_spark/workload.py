@@ -2355,10 +2355,16 @@ def _kmeans_assign_ctes(
     first-index tie-break = ORDER BY d2, cl; empty clusters keep
     their previous centroid via the LEFT JOIN coalesce, numpy's
     behavior), then full-corpus nearest-centroid assignment (asg).
-    Element arithmetic runs on DOUBLE exactly as numpy float64 —
-    summation order differs by ulps, which only matters at exact
-    argmin ties (measure-zero on real data and deterministic per
-    dataset). Exposed CTEs consumed by the downstream oracles —
+    Element arithmetic runs on DOUBLE exactly as numpy float64, and —
+    ADVICE r10 — each assignment uses the SAME quadratic form as the
+    numpy it replays: training unrolls kmeans_fit's expanded
+    ``|x|² − 2x·c + |c|²`` and full-corpus assignment ivf_assign's
+    x²-dropped ``|c|² − 2x·c`` (never the direct ``Σ(x−c)²``, whose
+    cancellation error ~eps·|x|² vs the expanded form is largest
+    exactly at near-ties). Residual divergence is summation-order
+    ulps on each SUM, which only matters at exact argmin ties
+    (measure-zero on real data and deterministic per dataset).
+    Exposed CTEs consumed by the downstream oracles —
     renaming or inlining ANY of these breaks a caller: emb(id, v),
     samp(id, v), sampe(id, i, x), embe(id, i, x),
     c{iters}(cl, i, w), asg(id, cl)."""
@@ -2371,7 +2377,8 @@ def _kmeans_assign_ctes(
         SELECT s.id, c.cl,
                row_number() OVER (
                  PARTITION BY s.id
-                 ORDER BY SUM((s.x - c.w) * (s.x - c.w)), c.cl
+                 ORDER BY SUM(s.x * s.x) - 2 * SUM(s.x * c.w)
+                          + SUM(c.w * c.w), c.cl
                ) AS rn
         FROM sampe s JOIN {prev} c ON c.i = s.i
         GROUP BY s.id, c.cl
@@ -2419,7 +2426,7 @@ def _kmeans_assign_ctes(
         SELECT s.id, c.cl,
                row_number() OVER (
                  PARTITION BY s.id
-                 ORDER BY SUM((s.x - c.w) * (s.x - c.w)), c.cl
+                 ORDER BY SUM(c.w * c.w) - 2 * SUM(s.x * c.w), c.cl
                ) AS rn
         FROM embe s JOIN {prev} c ON c.i = s.i
         GROUP BY s.id, c.cl
@@ -2602,7 +2609,7 @@ def _ivfpq_portable_oracle(
         SELECT r.id, r.j, c.code,
                row_number() OVER (
                  PARTITION BY r.id, r.j
-                 ORDER BY SUM((r.x - c.w) * (r.x - c.w)), c.code
+                 ORDER BY SUM(c.w * c.w) - 2 * SUM(r.x * c.w), c.code
                ) AS rn
         FROM sresid r JOIN {prev} c ON c.j = r.j AND c.i = r.i
         GROUP BY r.id, r.j, c.code
@@ -2650,7 +2657,7 @@ def _ivfpq_portable_oracle(
         SELECT r.id, r.j, c.code,
                row_number() OVER (
                  PARTITION BY r.id, r.j
-                 ORDER BY SUM((r.x - c.w) * (r.x - c.w)), c.code
+                 ORDER BY SUM(c.w * c.w) - 2 * SUM(r.x * c.w), c.code
                ) AS rn
         FROM fresid r JOIN {prev} c ON c.j = r.j AND c.i = r.i
         GROUP BY r.id, r.j, c.code

@@ -1408,6 +1408,21 @@ def test_select_branch_survives_vacuum_and_keyword_aliases(
     assert lk.sql(
         "SELECT k FROM tgt branch EXCEPT SELECT k + 1000 AS k FROM tgt"
     ).count() == 10
+    # ADVICE r10: a PLAIN table (no cloned_from anywhere) whose v1 was
+    # ALSO vacuumed, named as @branch — the cloned_from=None fallback
+    # must fire the 'not a branch of' SQLParseError, not leak the
+    # fallback's FileNotFoundError
+    plain = str(tmp_path / "plain")
+    V.create_table(spark.range(3).select(F.col("id").alias("k")), plain)
+    V.append_table(
+        spark.range(3, 6).select(F.col("id").alias("k")), plain
+    )
+    V.vacuum(plain, keep_last=1)
+    with _pt.raises(FileNotFoundError):
+        V._read_manifest(plain, 1)
+    lk.register("plain", plain)
+    with _pt.raises(SQLParseError, match="not a branch of"):
+        lk.sql("SELECT * FROM tgt@plain")
 
 
 def test_lsh_portable_oracle_nan_guard():

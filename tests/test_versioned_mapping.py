@@ -375,6 +375,11 @@ def test_add_column_type_validation(spark, table):
         V.add_column(spark, table, "bad", "notatype(")
     with pytest.raises(ValueError, match="suspicious"):
         V.add_column(spark, table, "bad", "int); DROP TABLE x--")
+    # ADVICE r10: whitelist-passing SQL fragment — the DDL-only type
+    # parser rejects it instead of a CAST probe silently normalizing
+    # the prefix
+    with pytest.raises(ValueError, match="cannot parse"):
+        V.add_column(spark, table, "bad", "INT) AS c FROM range(10")
     with pytest.raises(ValueError, match="already exists"):
         V.add_column(spark, table, "v", "double")
 

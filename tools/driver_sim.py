@@ -27,7 +27,10 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_args = [a for a in sys.argv[1:] if not a.startswith("--skip=")]
+_args = [
+    a for a in sys.argv[1:]
+    if not a.startswith(("--skip=", "--only="))
+]
 # --skip=name,name: exclude entries from THIS replay (printed loudly).
 # Exists for scale replays where a query's RESULT is huge — e.g.
 # join_range_binned emits 60M match rows at sf0.1, and this tool's
@@ -35,10 +38,16 @@ _args = [a for a in sys.argv[1:] if not a.startswith("--skip=")]
 # pandas path) is O(rows) single-threaded Python. Skipping here never
 # affects the real gate: the driver compares at sf0.01, where the same
 # entry is hash-green.
+# --only=name,name: run ONLY these entries — the in-round iteration
+# loop for a single oracle conversion; never a gate (the gate is the
+# full catalog).
 SKIP = set()
+ONLY = set()
 for a in sys.argv[1:]:
     if a.startswith("--skip="):
         SKIP.update(x for x in a[len("--skip="):].split(",") if x)
+    if a.startswith("--only="):
+        ONLY.update(x for x in a[len("--only="):].split(",") if x)
 SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -102,6 +111,8 @@ def main() -> int:
     qs, osql = mod.queries(), mod.oracle_sql()
     n_green = n_rows_only = n_bad = 0
     for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
         if name in SKIP:
             print(f"{name:32s} SKIPPED (--skip; verify at the gate SF)")
             continue
