@@ -22,7 +22,22 @@ and identical on driver and executors), tf-normalized so document
 length doesn't dominate. Determinism: the sample is the smallest-
 xxhash64 prefix, SGD order is the sample order, numpy is single-
 threaded per batch — same inputs → bit-identical weights.
-"""
+
+**Engine-portable twin** (``feature_hash="md5"`` — the
+`text_quality_model_portable` oracle gate, round 11): grams hash via
+``int(md5(gram)[:15], 16) % dim`` (the repo's cross-engine hash idiom:
+Spark ``conv(substring(md5(g),1,15),16,10)``, DuckDB
+``('0x'||substring(md5(g),1,15))::BIGINT``), tokens are explicit-ASCII
+``[A-Za-z0-9_]+`` (Python ``\\w`` is Unicode; Java/RE2 ``\\w`` is
+ASCII — spelling it out makes all three engines agree), the gradient
+applies per-unique-feature as ``(lr·g)·(cnt/n)`` (one multiply — the
+exact expression a SQL engine evaluates — instead of siphash's
+per-occurrence ``np.add.at`` fold), and scoring compiles to a pure
+DataFrame projection (higher-order ``aggregate`` fold over the gram
+list against an inlined weight-array literal — zero shuffle, zero
+Python) so the whole pipeline is replayable in ANSI-ish SQL. Both
+paths are the same SGD — sample order, per-example updates, epochs,
+calibrated threshold."""
 
 from __future__ import annotations
 
@@ -35,6 +50,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+# portable twin tokenizer: explicit ASCII class so Python, Java
+# (Spark regexp_extract_all) and RE2 (DuckDB) tokenize identically
+_ASCII_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+PORTABLE_TOKEN_PATTERN = "[A-Za-z0-9_]+"
+
+
+def _md5_feature_counts(text: str, dim: int):
+    """Portable featurization: {md5-hashed gram id → count} plus the
+    total gram count. The hash is the cross-engine idiom
+    ``int(md5(gram)[:15], 16) % dim`` (15 hex chars < 2^60 — never
+    overflows a signed 64-bit int in any engine)."""
+    import hashlib
+
+    toks = _ASCII_TOKEN_RE.findall((text or "").lower())
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    counts: dict[int, int] = {}
+    for g in grams:
+        fid = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % dim
+        counts[fid] = counts.get(fid, 0) + 1
+    return counts, len(grams)
 
 
 def _doc_feature_ids(text: str, dim: int) -> np.ndarray:
@@ -64,6 +99,13 @@ def _score_texts(texts, w: np.ndarray, b: float, dim: int) -> np.ndarray:
     return out
 
 
+def _portable_score_one(uf, cnts, n, w: np.ndarray, b: float) -> float:
+    """Sigmoid score for one pre-featurized doc under the md5 twin's
+    aggregated arithmetic (mirrors the SQL oracle's SUM(wt*cnt)/n)."""
+    z = (float((w[uf] * cnts).sum()) / n + b) if n else b
+    return 1.0 / (1.0 + np.exp(-z))
+
+
 def quality_train(
     df: DataFrame,
     label_col: str,
@@ -74,15 +116,34 @@ def quality_train(
     epochs: int = 8,
     lr: float = 0.5,
     l2: float = 1e-6,
+    feature_hash: str = "sip",
+    order_hash: str = "xxhash64",
 ) -> dict:
     """Fit the classifier on a bounded deterministic hash-sample
-    (smallest xxhash64(id) — ONE TakeOrdered job, same sampling as
-    bpe_train/kmeans_fit). ``label_col`` holds 0/1 quality labels — in
-    practice heuristic keep flags (gopher_rules), a labeled seed set,
-    or "is it Wikipedia" positives per the GPT-3 recipe.
+    (smallest ``order_hash(id)`` — ONE TakeOrdered job, same sampling
+    as bpe_train/kmeans_fit). ``label_col`` holds 0/1 quality labels —
+    in practice heuristic keep flags (gopher_rules), a labeled seed
+    set, or "is it Wikipedia" positives per the GPT-3 recipe.
 
-    Returns {"w": float32[dim], "b": float, "dim": dim} — ~0.5 MB at
-    the default dim, safely broadcast-small."""
+    ``feature_hash``: "sip" (default — pandas siphash featurization,
+    per-occurrence ``np.add.at`` updates, the production path) or
+    "md5" (the engine-portable twin: md5-hashed ASCII grams,
+    per-unique-feature ``(lr·g)·(cnt/n)`` updates — the arithmetic a
+    SQL oracle evaluates verbatim; see module docstring).
+    ``order_hash``: "xxhash64" or "md5" (portable sample ordering, as
+    in kmeans_fit/pq_train).
+
+    Returns {"w": float32[dim] (float64 for md5 — the oracle replays
+    exact doubles), "b", "dim", "threshold", "feature_hash"} —
+    broadcast-small at any supported dim."""
+    if feature_hash not in ("sip", "md5"):
+        raise ValueError(f"feature_hash must be sip|md5: {feature_hash!r}")
+    if order_hash == "md5":
+        key = F.md5(F.col("id").cast("string"))
+    elif order_hash == "xxhash64":
+        key = F.xxhash64(F.col("id"))
+    else:
+        raise ValueError(f"order_hash must be xxhash64|md5: {order_hash!r}")
     rows = (
         df.select(
             F.col(id_col).alias("id"),
@@ -90,37 +151,69 @@ def quality_train(
             F.col(label_col).cast("double").alias("y"),
         )
         .filter(F.col(label_col).isNotNull())
-        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .orderBy(key, F.col("id"))
         .limit(sample_limit)
         .collect()
     )
     if not rows:
         raise ValueError("quality_train: no labeled rows to train on")
-    feats = [_doc_feature_ids(r.t, dim) for r in rows]
     ys = np.array([r.y for r in rows])
     w = np.zeros(dim, dtype=np.float64)
     b = 0.0
-    for _ in range(epochs):
-        for ids, y in zip(feats, ys):
-            if ids.size == 0:
-                z = b
-            else:
-                z = float(w[ids].sum()) / ids.size + b
-            p = 1.0 / (1.0 + np.exp(-z))
-            g = p - y  # d(logloss)/dz
-            b -= lr * g
-            if ids.size:
-                # gradient of the tf-normalized bag: g/|ids| per id
-                # occurrence; np.add.at handles repeated ids exactly
-                np.add.at(w, ids, -lr * (g / ids.size))
-        if l2:
-            w *= 1.0 - lr * l2
+    if feature_hash == "md5":
+        mfeats = [_md5_feature_counts(r.t, dim) for r in rows]
+        packed = [
+            (
+                np.array(sorted(c), dtype=np.int64),
+                np.array([c[f] for f in sorted(c)], dtype=np.float64),
+                n,
+            )
+            for c, n in mfeats
+        ]
+        for _ in range(epochs):
+            for (uf, cnts, n), y in zip(packed, ys):
+                if n:
+                    z = float((w[uf] * cnts).sum()) / n + b
+                else:
+                    z = b
+                p = 1.0 / (1.0 + np.exp(-z))
+                g = p - y
+                b -= lr * g
+                if n:
+                    # ONE rounding per feature — the exact expression
+                    # the DuckDB oracle computes (not an np.add.at
+                    # per-occurrence fold, whose cnt sequential adds
+                    # round differently)
+                    w[uf] -= (lr * g) * (cnts / n)
+            if l2:
+                w *= 1.0 - lr * l2
+        scores = np.array([
+            _portable_score_one(uf, cnts, n, w, b)
+            for uf, cnts, n in packed
+        ])
+    else:
+        feats = [_doc_feature_ids(r.t, dim) for r in rows]
+        for _ in range(epochs):
+            for ids, y in zip(feats, ys):
+                if ids.size == 0:
+                    z = b
+                else:
+                    z = float(w[ids].sum()) / ids.size + b
+                p = 1.0 / (1.0 + np.exp(-z))
+                g = p - y  # d(logloss)/dz
+                b -= lr * g
+                if ids.size:
+                    # gradient of the tf-normalized bag: g/|ids| per id
+                    # occurrence; np.add.at handles repeated ids exactly
+                    np.add.at(w, ids, -lr * (g / ids.size))
+            if l2:
+                w *= 1.0 - lr * l2
+        scores = _score_texts([r.t for r in rows], w, b, dim)
     # decision threshold: the train-sample midpoint that maximizes
     # accuracy (deterministic — ties resolve to the smallest midpoint).
     # A fixed 0.5 is miscalibrated whenever classes are imbalanced or
     # the separating signal is weak; picking it on the sample is the
     # standard classifier-calibration step and costs O(n log n).
-    scores = _score_texts([r.t for r in rows], w, b, dim)
     order = np.argsort(scores, kind="stable")
     ss, ys_sorted = scores[order], ys[order]
     best_acc, best_thr = -1.0, 0.5
@@ -139,10 +232,13 @@ def quality_train(
             else:
                 best_thr = float((ss[cut - 1] + ss[cut]) / 2.0)
     return {
-        "w": w.astype(np.float32),
+        # the md5 twin keeps float64: the SQL oracle replays exact
+        # doubles, and its sparse join ships only the touched slots
+        "w": w if feature_hash == "md5" else w.astype(np.float32),
         "b": float(b),
         "dim": int(dim),
         "threshold": best_thr,
+        "feature_hash": feature_hash,
     }
 
 
@@ -151,14 +247,24 @@ def quality_score(
     model: dict,
     text_col: str = "text",
     threshold: float | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Score every document with the trained classifier: appends
     ``q_score`` (sigmoid, [0,1]) and ``q_keep`` (score ≥ threshold;
     default = the train-time calibrated threshold from quality_train).
-    One Arrow-batched map pass, weights shipped by closure (broadcast-
-    small); adds NO shuffle — the plan is scan → mapInPandas."""
+
+    - sip models (production): one Arrow-batched map pass, weights
+      shipped by closure (broadcast-small); adds NO shuffle — the
+      plan is scan → mapInPandas.
+    - md5 models (the portable twin): compiles to a PURE DataFrame
+      plan — explode grams → md5-hash JVM-side → broadcast-join the
+      sparse nonzero weights → per-doc aggregate — no Python on the
+      executors at all; ``id_col`` keys the per-doc aggregate (the
+      sip path never needs it)."""
     import pandas as pd
 
+    if model.get("feature_hash") == "md5":
+        return _quality_score_md5(df, model, text_col, threshold, id_col)
     w = model["w"].astype(np.float64)
     b = float(model["b"])
     dim = int(model["dim"])
@@ -220,3 +326,70 @@ def quality_score(
             yield pdf
 
     return df.mapInPandas(_score, out_schema)
+
+
+def _quality_score_md5(
+    df: DataFrame,
+    model: dict,
+    text_col: str,
+    threshold: float | None,
+    id_col: str,
+) -> DataFrame:
+    """Portable-twin scorer: the WHOLE score is one codegen'd
+    projection — tokenize (JVM regex), build the unigram+bigram list,
+    fold ``Σ w[md5(gram) % dim]`` with a higher-order ``aggregate``
+    over an INLINED weight-array literal (the hyperplane-LSH portable
+    precedent: model state as SQL literals), tf-normalize, sigmoid.
+    Zero shuffle, zero joins, zero Python on executors — at any corpus
+    size the plan is scan → project, the same shape as the sip path's
+    mapInPandas but fully whole-stage-codegen. The array literal bounds
+    ``dim``: the twin exists for engine-portable oracle gates at small
+    dim; production scoring at 2^17 stays on the sip path."""
+    w = np.asarray(model["w"], dtype=np.float64)
+    b = float(model["b"])
+    dim = int(model["dim"])
+    if dim > (1 << 13):
+        raise ValueError(
+            f"md5-twin scoring inlines the {dim}-slot weight array as "
+            "a literal; use dim <= 8192 or feature_hash='sip'"
+        )
+    if threshold is None:
+        threshold = float(model.get("threshold", 0.5))
+    warr = F.array(*[F.lit(float(x)) for x in w])
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(PORTABLE_TOKEN_PATTERN), F.lit(0)
+    )
+    grams = F.when(F.size(toks) < 2, toks).otherwise(
+        F.concat(
+            toks,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            ),
+        )
+    )
+    # md5(gram) → 15 hex chars → BIGINT → % dim: the cross-engine hash
+    # (DuckDB: ('0x'||substring(md5(g),1,15))::BIGINT % dim; trainer:
+    # int(hexdigest()[:15], 16) % dim) — 60 bits, never negative
+    fid = lambda g: (  # noqa: E731 — local expression builder
+        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long") % dim
+    )
+    dot = F.aggregate(
+        F.col("__qm_grams"),
+        F.lit(0.0),
+        lambda acc, g: acc + F.element_at(warr, (fid(g) + 1).cast("int")),
+    )
+    n = F.size("__qm_grams")
+    z = dot / F.greatest(n, F.lit(1)) + F.lit(b)
+    s = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        df.withColumn("__qm_grams", grams)
+        .withColumn("__qm_s", s)
+        .withColumn("q_score", F.round("__qm_s", 6))
+        .withColumn(
+            "q_keep", (F.col("__qm_s") >= F.lit(threshold)).cast("long")
+        )
+        .drop("__qm_grams", "__qm_s")
+    )

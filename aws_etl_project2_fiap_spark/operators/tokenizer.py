@@ -47,17 +47,28 @@ def bpe_train(
     id_col: str = "doc_id",
     num_merges: int = 200,
     sample_limit: int = 2_000,
+    order_hash: str = "xxhash64",
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from a bounded hash-sample of
     the corpus (same deterministic sampling as kmeans_fit: smallest
-    xxhash64(id), ONE TakeOrdered job). Returns the ordered merge list
-    — rank i = the i-th most frequent pair at its merge time.
+    ``order_hash(id)``, ONE TakeOrdered job). Returns the ordered
+    merge list — rank i = the i-th most frequent pair at its merge
+    time. ``order_hash``: "xxhash64" (default) or "md5" (engine-
+    portable sample ordering — the `text_bpe_tokens_portable` oracle
+    gate; BPE itself is pure integer/string arithmetic, so given the
+    same sample a SQL engine replays training bit-for-bit).
 
     Ties break lexicographically, so training is bit-deterministic
     across runs and partitionings."""
+    if order_hash == "md5":
+        key = F.md5(F.col("id").cast("string"))
+    elif order_hash == "xxhash64":
+        key = F.xxhash64(F.col("id"))
+    else:
+        raise ValueError(f"order_hash must be xxhash64|md5: {order_hash!r}")
     rows = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .orderBy(key, F.col("id"))
         .limit(sample_limit)
         .collect()
     )

@@ -73,31 +73,29 @@ def test_every_oracle_parses(duck, name):
     duck.execute(f"EXPLAIN {sql}")
 
 
-# the round-10 window: the r9 window with the five r10 birth
-# entries (similarity_pairs_lsh_portable, similarity_ivf_knn_portable,
-# dedup_semantic_portable, similarity_ivfpq_knn_portable,
-# agg_approx_distinct_portable — rows-only ANN/semantic/sketch
-# surfaces converted to full-pipeline oracles) plus the 6 TPC-H
-# shapes the r9
-# rotation evicted rotated back for a continuity re-check; evicted to
-# make room: tpch_q3/q5, dedup_ngram_jaccard, event_time_tumbling_1h,
-# similarity_knn, text_langid (all just re-checked green r9),
-# dedup_simhash_pairs, sample_stratified, k_bloom_readback,
-# similarity_knn_quantized and dedup_minhash_lsh_portable
-# (driver-green r8+r9) — all still oracle-backed in the tail. Pinned
-# so that appending new catalog entries can never reorder-and-evict a
-# row mid-round.
-_R10_WINDOW = [
-    "a1_top5_7day_sum", "similarity_pairs_lsh_portable",
-    "similarity_ivf_knn_portable", "dedup_semantic_portable",
-    "similarity_ivfpq_knn_portable", "agg_approx_distinct_portable",
-    "dedup_index_probe_portable", "dedup_index_build_portable",
-    "stream_price_alerts_portable", "tpch_q4_order_priority",
-    "tpch_q12_priority_class", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
-    "tpch_q22_global_sales", "tpch_q7_nation_volume",
-    "tpch_q10_returned_items", "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders", "tpch_q19_discounted_revenue",
+# the round-11 window: the r11 birth entry
+# (text_quality_model_portable — the SGD-trained quality filter's
+# engine-portable twin, its training replayed gradient-step-by-step
+# by the DuckDB oracle), the five r10 births kept for a second
+# driver-green round, and ALL 11 entries the r10 rotation evicted
+# rotated back for their continuity re-check; evicted to make room:
+# the 6 TPC-H shapes that just took their r10 re-check
+# (q4/q12/q13/q14/q15/q22), the 3 r9 births now driver-green twice
+# (dedup_index_probe/build_portable, stream_price_alerts_portable),
+# and 3 TPC-H retained through r9+r10 (q7/q10/q17) — all still
+# oracle-backed in the tail. Pinned so that appending new catalog
+# entries can never reorder-and-evict a row mid-round.
+_R11_WINDOW = [
+    "a1_top5_7day_sum", "text_quality_model_portable",
+    "text_bpe_tokens_portable",
+    "similarity_pairs_lsh_portable", "similarity_ivf_knn_portable",
+    "dedup_semantic_portable", "similarity_ivfpq_knn_portable",
+    "agg_approx_distinct_portable", "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue", "dedup_ngram_jaccard",
+    "event_time_tumbling_1h", "similarity_knn", "text_langid",
+    "dedup_simhash_pairs", "sample_stratified", "k_bloom_readback",
+    "similarity_knn_quantized", "dedup_minhash_lsh_portable",
+    "tpch_q19_discounted_revenue",
     "tpch_q21_waiting_supplier", "k_zorder_readback",
     "k_dv_delete_readback", "k_partition_overwrite_readback",
     "k_cluster_evolution_readback", "k_matview_incremental_readback",
@@ -112,26 +110,29 @@ _R10_WINDOW = [
     "p_projection_suite", "suite_subquery", "suite_asof", "suite_text",
 ]
 
-# every oracle-backed catalog name at the moment the r10 window was
-# rotated (92 entries; dedup_semantic_portable,
-# similarity_ivfpq_knn_portable and agg_approx_distinct_portable all
-# landed AFTER the rotation — none may be added to this frozenset, or
-# the set-diff would stop enforcing their window membership). The birth-entry policy below is a set-diff
+# every oracle-backed catalog name at the moment the r11 window was
+# rotated (96 entries — includes text_quality_model_portable, which
+# landed BEFORE this rotation and is asserted in-window explicitly
+# below; entries oracle-backed after this rotation must NOT be added
+# to this frozenset, or the set-diff would stop enforcing their
+# window membership). The birth-entry policy below is a set-diff
 # against this snapshot, so it covers ANY entry oracle-backed after
 # the rotation regardless of registration order — no per-round
 # hardcoded "new entries" list to forget updating.
-_ORACLE_BACKED_AT_R10_ROTATION = frozenset([
-    "a1_top5_7day_sum", "a2_count", "agg_count_distinct", "agg_having",
-    "agg_percentiles", "agg_pivot", "agg_pricing_summary",
-    "corpus_select", "corpus_shard_export", "dedup_cluster_assign",
+_ORACLE_BACKED_AT_R11_ROTATION = frozenset([
+    "a1_top5_7day_sum", "a2_count", "agg_approx_distinct_portable",
+    "agg_count_distinct", "agg_having", "agg_percentiles",
+    "agg_pivot", "agg_pricing_summary", "corpus_select",
+    "corpus_shard_export", "dedup_cluster_assign",
     "dedup_cluster_lsh", "dedup_embedding_cosine", "dedup_exact",
     "dedup_fuzzy_levenshtein", "dedup_index_build_portable",
     "dedup_index_probe_portable", "dedup_keep_latest",
     "dedup_minhash_lsh_portable", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_span_exact",
-    "event_time_tumbling_1h", "explode_token_topk", "join_anti",
-    "join_left_count", "join_range_binned", "join_semi",
-    "join_star_revenue", "k6_update_readback", "k_bloom_readback",
+    "dedup_semantic_portable", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_span_exact", "event_time_tumbling_1h",
+    "explode_token_topk", "join_anti", "join_left_count",
+    "join_range_binned", "join_semi", "join_star_revenue",
+    "k6_update_readback", "k_bloom_readback",
     "k_cluster_evolution_readback", "k_dv_delete_readback",
     "k_lakesql_verbs_readback", "k_matview_dim_evolution_readback",
     "k_matview_incremental_readback", "k_matview_star_readback",
@@ -140,24 +141,26 @@ _ORACLE_BACKED_AT_R10_ROTATION = frozenset([
     "k_table_source_readback", "k_wap_merge_publish_readback",
     "k_wap_publish_readback", "k_zorder_readback", "multimodal_meta",
     "o1_topk", "o2_ordered_scan", "p6_arith_projection",
-    "p_projection_suite", "sample_stratified", "session_window_native",
-    "sessionize_30m", "similarity_ivf_knn_portable", "similarity_knn",
-    "similarity_knn_quantized", "similarity_pairs_exact",
-    "similarity_pairs_lsh_portable", "stream_neardup_ingest",
-    "stream_price_alerts_portable", "stream_stats_by_key",
-    "suite_agg_grouping", "suite_asof", "suite_corpus_ops",
-    "suite_join_outer", "suite_proj_customer", "suite_proj_events",
-    "suite_proj_orders", "suite_setops", "suite_subquery", "suite_text",
-    "suite_window_frames", "suite_window_rank", "text_langid",
-    "text_rolling_chunks", "text_tfidf_topk", "tpch_q10_returned_items",
-    "tpch_q12_priority_class", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue", "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q5_regional_revenue",
-    "tpch_q7_nation_volume", "window_keep_latest",
-    "window_top3_per_cust",
+    "p_projection_suite", "sample_stratified",
+    "session_window_native", "sessionize_30m",
+    "similarity_ivf_knn_portable", "similarity_ivfpq_knn_portable",
+    "similarity_knn", "similarity_knn_quantized",
+    "similarity_pairs_exact", "similarity_pairs_lsh_portable",
+    "stream_neardup_ingest", "stream_price_alerts_portable",
+    "stream_stats_by_key", "suite_agg_grouping", "suite_asof",
+    "suite_corpus_ops", "suite_join_outer", "suite_proj_customer",
+    "suite_proj_events", "suite_proj_orders", "suite_setops",
+    "suite_subquery", "suite_text", "suite_window_frames",
+    "suite_window_rank", "text_langid", "text_quality_model_portable",
+    "text_rolling_chunks", "text_tfidf_topk",
+    "tpch_q10_returned_items", "tpch_q12_priority_class",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders", "tpch_q19_discounted_revenue",
+    "tpch_q21_waiting_supplier", "tpch_q22_global_sales",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q5_regional_revenue", "tpch_q7_nation_volume",
+    "window_keep_latest", "window_top3_per_cust"
 ])
 
 # the r3-r6 window, kept to prove the rotation actually rotated
@@ -182,16 +185,16 @@ _R3_GREEN_WINDOW = [
 
 
 def test_driver_window_order_is_pinned():
-    """Positions 1-50 of queries() must stay EXACTLY the pinned r9
+    """Positions 1-50 of queries() must stay EXACTLY the pinned r11
     window, in order: the driver hash-compares by position, so any
     reorder (e.g. registering a new oracle-backed query before the
     suites) silently evicts a row mid-round."""
-    assert list(ordered_catalog())[:50] == _R10_WINDOW
+    assert list(ordered_catalog())[:50] == _R11_WINDOW
 
 
 def test_new_oracle_backed_entries_enter_window_at_birth():
     """Birth-entry policy, generalized (VERDICT r8 #7): every entry
-    that becomes oracle-backed AFTER the r9 rotation snapshot must be
+    that becomes oracle-backed AFTER the r11 rotation snapshot must be
     rotated into the driver window in the same round it lands —
     otherwise it would ship without ever taking a driver-grade hash
     check. Registration order is irrelevant: this is a set-diff
@@ -199,41 +202,56 @@ def test_new_oracle_backed_entries_enter_window_at_birth():
     forgetting to update a hardcoded 'new this round' list."""
     current = set(oracle_sql())
     window = set(list(ordered_catalog())[:50])
-    born_after_rotation = current - _ORACLE_BACKED_AT_R10_ROTATION
+    born_after_rotation = current - _ORACLE_BACKED_AT_R11_ROTATION
     assert born_after_rotation <= window, sorted(
         born_after_rotation - window
     )
     # the snapshot itself can only shrink if an oracle was genuinely
     # removed — flag silent demotions to rows-only
-    demoted = _ORACLE_BACKED_AT_R10_ROTATION - current
+    demoted = _ORACLE_BACKED_AT_R11_ROTATION - current
     assert not demoted, sorted(demoted)
 
 
 def test_window_rotation_properties():
-    """Rotation hygiene: the r10 window re-checks entries the r9
-    rotation evicted (continuity), carries the r10 birth entries (and
-    the r9 births for a second round), and everything ever evicted
+    """Rotation hygiene: the r11 window re-checks every entry the r10
+    rotation evicted (continuity), carries the r11 birth entry (and
+    the r10 births for a second round), and everything ever evicted
     stays oracle-backed in the tail."""
-    # birth entries (all five r10 oracle conversions, plus r9's
-    # three kept for a second driver-green round)
-    assert "similarity_pairs_lsh_portable" in _R10_WINDOW
-    assert "similarity_ivf_knn_portable" in _R10_WINDOW
-    assert "dedup_semantic_portable" in _R10_WINDOW
-    assert "similarity_ivfpq_knn_portable" in _R10_WINDOW
-    assert "agg_approx_distinct_portable" in _R10_WINDOW
-    assert "dedup_index_probe_portable" in _R10_WINDOW
-    assert "dedup_index_build_portable" in _R10_WINDOW
-    assert "stream_price_alerts_portable" in _R10_WINDOW
-    # ≥5 tail rotate-backs (VERDICT r8 #7)
+    # the r11 birth (landed before the rotation, so the snapshot
+    # set-diff doesn't cover it — assert membership explicitly)
+    assert "text_quality_model_portable" in _R11_WINDOW
+    # the five r10 oracle conversions, kept for a second round
+    assert "similarity_pairs_lsh_portable" in _R11_WINDOW
+    assert "similarity_ivf_knn_portable" in _R11_WINDOW
+    assert "dedup_semantic_portable" in _R11_WINDOW
+    assert "similarity_ivfpq_knn_portable" in _R11_WINDOW
+    assert "agg_approx_distinct_portable" in _R11_WINDOW
+    # ALL 11 r10 evictions rotated back for their continuity re-check
     rotated_back = {
-        "tpch_q4_order_priority", "tpch_q12_priority_class",
-        "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-        "tpch_q15_top_supplier", "tpch_q22_global_sales",
+        "tpch_q3_shipping_priority", "tpch_q5_regional_revenue",
+        "dedup_ngram_jaccard", "event_time_tumbling_1h",
+        "similarity_knn", "text_langid", "dedup_simhash_pairs",
+        "sample_stratified", "k_bloom_readback",
+        "similarity_knn_quantized", "dedup_minhash_lsh_portable",
     }
-    assert rotated_back <= set(_R10_WINDOW)
-    fresh = [n for n in _R10_WINDOW if n not in _R3_GREEN_WINDOW]
+    assert rotated_back <= set(_R11_WINDOW)
+    fresh = [n for n in _R11_WINDOW if n not in _R3_GREEN_WINDOW]
     assert len(fresh) >= 25, fresh
-    evicted = [n for n in _R3_GREEN_WINDOW if n not in _R10_WINDOW]
+    evicted = [n for n in _R3_GREEN_WINDOW if n not in _R11_WINDOW]
     cat, o = list(ordered_catalog()), oracle_sql()
     for n in evicted:
         assert n in cat and n in o
+    # the r11 evictions stay oracle-backed in the tail
+    # (tpch_q18_large_orders made room for the late-landing birth
+    # text_bpe_tokens_portable, whose window membership the snapshot
+    # set-diff enforces)
+    for n in (
+        "tpch_q4_order_priority", "tpch_q12_priority_class",
+        "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+        "tpch_q15_top_supplier", "tpch_q22_global_sales",
+        "dedup_index_probe_portable", "dedup_index_build_portable",
+        "stream_price_alerts_portable", "tpch_q7_nation_volume",
+        "tpch_q10_returned_items", "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_orders",
+    ):
+        assert n in cat and n in o and n not in _R11_WINDOW

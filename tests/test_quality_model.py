@@ -118,3 +118,74 @@ def test_threshold_calibrates_on_imbalanced_sample(spark):
     scored = Q.quality_score(df, m).collect()
     acc = sum(int(r["q_keep"] == r["label"]) for r in scored) / len(scored)
     assert acc >= 0.9
+
+
+def test_md5_twin_deterministic_and_separates(spark):
+    """The engine-portable twin (feature_hash='md5'): bit-deterministic
+    across partitionings, still separates the synthetic corpus, and
+    records its hash family in the model."""
+    train = spark.createDataFrame(
+        _corpus(40), "doc_id long, text string, label long"
+    )
+    m1 = Q.quality_train(
+        train, "label", sample_limit=64, dim=1024, epochs=3, l2=0.0,
+        feature_hash="md5", order_hash="md5",
+    )
+    m2 = Q.quality_train(
+        train.repartition(7), "label", sample_limit=64, dim=1024,
+        epochs=3, l2=0.0, feature_hash="md5", order_hash="md5",
+    )
+    assert m1["b"] == m2["b"]
+    assert np.array_equal(m1["w"], m2["w"])
+    assert m1["feature_hash"] == "md5"
+    held = spark.createDataFrame(
+        _corpus(25, offset=500), "doc_id long, text string, label long"
+    )
+    scored = Q.quality_score(held, m1).collect()
+    acc = sum(int(r["q_keep"] == r["label"]) for r in scored) / len(scored)
+    assert acc >= 0.9, f"md5-twin held-out accuracy {acc}"
+
+
+def test_md5_twin_scoring_is_pure_codegen(spark):
+    """The md5 scorer must compile to a Python-free, shuffle-free
+    projection (the fold over the inlined weight literal)."""
+    train = spark.createDataFrame(
+        _corpus(20), "doc_id long, text string, label long"
+    )
+    m = Q.quality_train(
+        train, "label", sample_limit=40, dim=512, epochs=2, l2=0.0,
+        feature_hash="md5", order_hash="md5",
+    )
+    df = Q.quality_score(train.drop("label"), m)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    # scores agree with the driver-side aggregated reference
+    got = {r["doc_id"]: r["q_score"] for r in df.collect()}
+    w = np.asarray(m["w"], dtype=np.float64)
+    for r in train.collect():
+        counts, n = Q._md5_feature_counts(r["text"], m["dim"])
+        uf = np.array(sorted(counts), dtype=np.int64)
+        cnts = np.array([counts[f] for f in sorted(counts)], float)
+        ref = Q._portable_score_one(uf, cnts, n, w, m["b"])
+        assert got[r["doc_id"]] == pytest.approx(round(float(ref), 6))
+
+
+def test_md5_twin_guards(spark):
+    train = spark.createDataFrame(
+        _corpus(5), "doc_id long, text string, label long"
+    )
+    with pytest.raises(ValueError, match="feature_hash"):
+        Q.quality_train(train, "label", feature_hash="sha1")
+    with pytest.raises(ValueError, match="order_hash"):
+        Q.quality_train(train, "label", order_hash="sha1")
+    # the inlined-literal scorer refuses silly dims instead of
+    # building a 2^17-element literal
+    m = Q.quality_train(
+        train, "label", sample_limit=10, dim=1 << 14, epochs=1,
+        feature_hash="md5",
+    )
+    with pytest.raises(ValueError, match="inlines"):
+        Q.quality_score(train, m)

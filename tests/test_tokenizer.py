@@ -78,3 +78,30 @@ def test_encode_word_lossless_property(word):
     ranks = {p: i for i, p in enumerate(dict.fromkeys(pairs))}
     toks = T.bpe_encode_word(word, ranks)
     assert "".join(toks).replace(T._EOW, "") == word
+
+
+def test_md5_order_hash_deterministic_and_guarded(spark):
+    """order_hash='md5' (the text_bpe_tokens_portable sample ordering):
+    bit-deterministic across partitionings, trains a different (but
+    valid, still lossless) merge list than the xxhash64 sample, and
+    bad values fail loud."""
+    import pytest
+
+    d = _docs(spark)
+    m1 = T.bpe_train(d, num_merges=20, sample_limit=64, order_hash="md5")
+    m2 = T.bpe_train(
+        d.repartition(13), num_merges=20, sample_limit=64,
+        order_hash="md5",
+    )
+    assert m1 == m2 and len(m1) == 20
+    rows = (
+        T.bpe_tokenize(d.limit(50), m1, with_tokens=True)
+        .join(d.select(F.col("doc_id").alias("id"), "text"), "id")
+        .collect()
+    )
+    for r in rows:  # lossless under the portable merges too
+        joined = "".join(r["tokens"])
+        ref = "".join(T._WORD_RE.findall(r["text"] or ""))
+        assert joined == ref
+    with pytest.raises(ValueError, match="order_hash"):
+        T.bpe_train(d, num_merges=5, order_hash="sha1")
