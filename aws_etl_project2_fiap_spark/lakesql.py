@@ -32,6 +32,9 @@ Usage::
     lk.sql("UPDATE orders SET o_comment = 'x' WHERE o_orderkey % 7 = 0")
     lk.sql("DELETE FROM orders WHERE o_totalprice < 0")
     lk.sql("SELECT * FROM orders VERSION AS OF 3 WHERE ...")
+    lk.sql("SELECT * FROM CHANGES(orders, 2, 5)")  # change data feed
+    #   ^ Delta's table_changes TVF shape; bounds are versions or
+    #     quoted timestamps, `to` defaults to current
     lk.sql("RESTORE TABLE orders TO VERSION AS OF 2")
     lk.sql("DESCRIBE HISTORY orders")
     lk.sql("OPTIMIZE orders ZORDER BY (o_custkey)")
@@ -403,6 +406,59 @@ class LakeSQL:
                 df = V.read_table(self.spark, path)
             df.createOrReplaceTempView(view)
             return view
+
+        # pass 0 (raw text): CHANGES(t, from[, to]) — the change-data
+        #-feed TVF (Delta's table_changes), parsed onto
+        # io/versioned.table_changes. Bounds are version numbers or
+        # quoted timestamps (resolved via version_at, same rule as
+        # TIMESTAMP AS OF); `to` defaults to the current version. Runs
+        # before the literal split because the timestamps are quoted.
+        # CHANGES/TABLE_CHANGES is reserved by this dialect: a
+        # registered-table arg is required, anything else fails loud.
+        ch_pat = re.compile(
+            rf"\b(?:TABLE_)?CHANGES\s*\(\s*(?:'({_ID})'|({_ID}))"
+            rf"\s*,\s*(?:(\d+)|'([^']+)')"
+            rf"(?:\s*,\s*(?:(\d+)|'([^']+)'))?\s*\)",
+            re.I,
+        )
+
+        def ch_sub(m: re.Match) -> str:
+            qname, bname, v1, ts1, v2, ts2 = m.groups()
+            name = qname or bname
+            if name not in self.tables:
+                raise SQLParseError(
+                    f"CHANGES: {name!r} is not a registered table"
+                )
+            if name in self.views:
+                raise SQLParseError(
+                    "CHANGES reads tables, not materialized views — "
+                    "the feed is file-diff state, which a view's "
+                    "logical projection does not have"
+                )
+            path = self.tables[name]
+            cur = V.current_version(path)
+
+            def _ver(v, ts):
+                if v is not None:
+                    return int(v)
+                epoch = _dt.datetime.fromisoformat(ts).timestamp()
+                return V.version_at(path, epoch)
+
+            lo = _ver(v1, ts1)
+            hi = _ver(v2, ts2) if (v2 is not None or ts2 is not None) \
+                else cur
+            if not 1 <= lo <= hi <= cur:
+                raise SQLParseError(
+                    f"CHANGES({name}, {lo}, {hi}): bounds must satisfy "
+                    f"1 <= from <= to <= current ({cur})"
+                )
+            view = f"{name}__ch_{lo}_{hi}"
+            V.table_changes(
+                self.spark, path, lo, hi
+            ).createOrReplaceTempView(view)
+            return view
+
+        q = ch_pat.sub(ch_sub, q)
 
         # pass 1 (raw text): TIMESTAMP AS OF — its quoted timestamp IS
         # a string literal, so it must resolve before the literal split

@@ -7923,16 +7923,24 @@ def k_wap_merge_publish_readback(
              AS total
     FROM final f JOIN bands b USING (o_orderpriority)
     GROUP BY b.band
+    UNION ALL
+    -- the CHANGES leg: the DELETE's net feed = rows present before it
+    -- (upd) that exceeded the threshold
+    SELECT 'cdf:deleted' AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n, round(sum(p), 2) AS total
+    FROM upd WHERE p > 400000
     """,
 )
 def k_lakesql_verbs_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL surface end-to-end (lakesql.py): a conditional
     MERGE INTO (update-matched-over-threshold + INSERT *), an UPDATE
     and a DELETE — written as SQL TEXT, parsed onto the versioned-table
-    verbs, read back and aggregated. The oracle reproduces the final
-    state relationally, so the hash gate proves the PARSER's clause
-    wiring (conditions, alias normalization, insert toggle), not just
-    the underlying verbs the other k_* entries already prove.
+    verbs, read back and aggregated — plus (round 11) the script
+    reading its own change feed via the CHANGES(t, from, to) TVF and
+    reconciling net deletes. The oracle reproduces the final state
+    relationally, so the hash gate proves the PARSER's clause wiring
+    (conditions, alias normalization, insert toggle, the CDF bounds),
+    not just the underlying verbs the other k_* entries already prove.
 
     Reference parity: the reference's transform stage is a SparkSQL
     node inside a Glue visual job — its users write SQL, not
@@ -8007,7 +8015,25 @@ def k_lakesql_verbs_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("total"), 2).cast("double").alias("total"),
     )
-    return base.unionByName(view_leg)
+    # the change-feed verb (round 11): read the DELETE's own CDF back
+    # through SQL — net deletes reconcile delete-vs-insert churn on the
+    # key, so a CoW rewrite and a DV delete summarize identically. The
+    # feed between the UPDATE (v3) and the DELETE (v4) is exactly the
+    # rows the DELETE removed; _commit_version is pre-rename, so the
+    # feed serves o_totalprice (v4's logical schema), not price.
+    cdf_leg = lk.sql(
+        "SELECT d.o_orderkey, d.o_totalprice "
+        "FROM CHANGES(tgt, 3, 4) d "
+        "LEFT JOIN CHANGES(tgt, 3, 4) i ON i.o_orderkey = d.o_orderkey "
+        "AND i._change_type = 'insert' "
+        "WHERE d._change_type = 'delete' AND i.o_orderkey IS NULL"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).select(
+        F.lit("cdf:deleted").alias("o_orderpriority"), "n", "total"
+    )
+    return base.unionByName(view_leg).unionByName(cdf_leg)
 
 
 @defquery(

@@ -1489,3 +1489,77 @@ def test_show_create_table_and_view(spark, tmp_path):
     assert "v2" in lk.views
     with pytest.raises(SQLParseError, match="SHOW"):
         lk.sql("SHOW GRANTS")
+
+
+def test_changes_tvf(spark, tmp_path):
+    """SELECT ... FROM CHANGES(t, from[, to]) — the change-data-feed
+    TVF (VERDICT r10 #4): parses onto io/versioned.table_changes with
+    version or timestamp bounds; `to` defaults to current."""
+    import datetime as dt
+    import time
+
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(10).select(F.col("id").alias("k")), tbl
+    )  # v1
+    V.append_table(
+        spark.range(10, 15).select(F.col("id").alias("k")), tbl
+    )  # v2: +5 inserts
+    time.sleep(1.1)
+    cut = dt.datetime.now().isoformat()  # between v2 and v3
+    time.sleep(1.1)
+    V.delete_from(spark, tbl, F.col("k") < 3)  # v3: 3 deletes
+    lk = LakeSQL(spark, {"tt": tbl})
+    got = {
+        (r["_change_type"], r["n"])
+        for r in lk.sql(
+            "SELECT _change_type, count(*) AS n FROM CHANGES(tt, 1, 3) "
+            "GROUP BY _change_type"
+        ).collect()
+    }
+    assert got == {("insert", 5), ("delete", 3)}
+    # `to` defaults to current; TABLE_CHANGES and a quoted name both
+    # parse (the Delta spelling); the feed joins like any relation
+    assert (
+        lk.sql("SELECT count(*) AS n FROM TABLE_CHANGES('tt', 2)")
+        .collect()[0]["n"] == 3
+    )
+    n = lk.sql(
+        "SELECT count(*) AS n FROM CHANGES(tt, 1, 2) c "
+        "JOIN tt b ON c.k = b.k"
+    ).collect()[0]["n"]
+    assert n == 5
+    # timestamp bounds resolve through version_at (same rule as
+    # TIMESTAMP AS OF): a cut between v2 and v3 bounds the feed at v2
+    assert (
+        lk.sql(f"SELECT count(*) AS n FROM CHANGES(tt, 1, '{cut}')")
+        .collect()[0]["n"] == 5
+    )
+    # SQL result == the DataFrame API, row for row
+    sql_rows = sorted(
+        tuple(r) for r in lk.sql("SELECT * FROM CHANGES(tt, 1, 3)").collect()
+    )
+    api_rows = sorted(
+        tuple(r) for r in V.table_changes(spark, tbl, 1, 3).collect()
+    )
+    assert sql_rows == api_rows
+
+
+def test_changes_tvf_errors(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    V.create_table(spark.range(5).select(F.col("id").alias("k")), tbl)
+    lk = LakeSQL(spark, {"tt": tbl})
+    with pytest.raises(SQLParseError, match="not a registered table"):
+        lk.sql("SELECT * FROM CHANGES(nope, 1, 1)")
+    with pytest.raises(SQLParseError, match="bounds"):
+        lk.sql("SELECT * FROM CHANGES(tt, 1, 99)")
+    with pytest.raises(SQLParseError, match="bounds"):
+        lk.sql("SELECT * FROM CHANGES(tt, 0, 1)")
+    # a materialized view has no file-diff feed
+    mv = str(tmp_path / "mv")
+    lk.sql(
+        f"CREATE MATERIALIZED VIEW m LOCATION '{mv}' AS "
+        "SELECT k, count(*) AS n FROM tt GROUP BY k"
+    )
+    with pytest.raises(SQLParseError, match="materialized views"):
+        lk.sql("SELECT * FROM CHANGES(m, 1, 1)")
