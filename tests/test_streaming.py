@@ -34,6 +34,21 @@ def _write_ticks(spark, path: str, rows: list[tuple[str, float]]) -> None:
 
 
 def _no_protobuf() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over
+    protobuf-generated Python messages (pyspark.sql.streaming.proto),
+    which need the google.protobuf RUNTIME — a third-party package
+    pyspark only declares as an optional extra.
+
+    Closing this skip was attempted (round 11): the container has no
+    google.protobuf anywhere on disk (only typeshed stubs), ships no
+    wheel to vendor, package installation is environment policy-barred,
+    and hand-writing a functional protobuf runtime (descriptor pool,
+    wire format) is out of scope and wrong to ship. The test body
+    stays, runs the moment the dependency exists, and its SEMANTICS
+    never skip: test_stateful_price_alerts_batch_ratchet is the
+    differential twin over the same operator, and
+    stream_price_alerts_portable hash-gates the ratchet against a
+    DuckDB recursive-CTE oracle every round."""
     try:
         import google.protobuf  # noqa: F401
         return False
