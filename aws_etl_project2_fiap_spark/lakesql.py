@@ -37,6 +37,7 @@ Usage::
     #     quoted timestamps, `to` defaults to current
     lk.sql("RESTORE TABLE orders TO VERSION AS OF 2")
     lk.sql("DESCRIBE HISTORY orders")
+    lk.sql("DESCRIBE DETAIL orders")   # one-row storage summary
     lk.sql("OPTIMIZE orders ZORDER BY (o_custkey)")
     lk.sql("VACUUM orders RETAIN 4 VERSIONS")
     lk.sql('''CREATE MATERIALIZED VIEW rev LOCATION '/data/rev' AS
@@ -1283,6 +1284,9 @@ class LakeSQL:
         )
 
     def _describe(self, q: str) -> DataFrame:
+        dd = re.match(rf"DESCRIBE{_WS}DETAIL{_WS}({_ID})$", q, re.I)
+        if dd:
+            return self._describe_detail(dd.group(1))
         # DESCRIBE TABLE <name> is unambiguous (even for a table
         # literally named 'history'); bare DESCRIBE <name> describes
         # unless the name is the HISTORY keyword
@@ -1361,8 +1365,8 @@ class LakeSQL:
         m = re.match(rf"DESCRIBE{_WS}HISTORY{_WS}({_ID})$", q, re.I)
         if not m:
             raise SQLParseError(
-                f"only DESCRIBE [TABLE] <table> | DESCRIBE HISTORY "
-                f"<table> is supported: {q!r}"
+                f"only DESCRIBE [TABLE] <t> | DESCRIBE DETAIL <t> | "
+                f"DESCRIBE HISTORY <t> is supported: {q!r}"
             )
         hist = V.table_history(self._path(m.group(1)))
         rows = [
@@ -1378,6 +1382,66 @@ class LakeSQL:
             rows,
             "version int, operation string, n_files int, timestamp double",
         )
+
+    def _describe_detail(self, name: str) -> DataFrame:
+        """``DESCRIBE DETAIL t`` — the Delta-parity one-row table
+        summary: format, location, current version, file/byte/row
+        counts, deletion-vector totals, cluster spec, constraint
+        count, retained manifest count, last-commit time. Everything
+        comes from the manifest plus one O(files) driver-side footer
+        pass (row counts) — no Spark job, no data read. A materialized
+        view reports its STATE table's storage detail with
+        format='materialized-view' and its source path (the logical
+        projection is DESCRIBE's job, the DDL is SHOW CREATE TABLE's;
+        DETAIL is the storage view)."""
+        import datetime as _ddt
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        path = self._path(name)
+        fmt = "versioned-parquet"
+        source = ""
+        if name in self.views:
+            from .io import matview as MV
+
+            fmt = "materialized-view"
+            source = MV.view_meta(path)["source"]
+        ver = V.current_version(path)
+        m = V._read_manifest(path, ver)
+        files = m["files"]
+        size_bytes = sum(_os.path.getsize(f["path"]) for f in files)
+        num_rows = sum(
+            _pq.ParquetFile(f["path"]).metadata.num_rows for f in files
+        )
+        dvs = [f["dv"] for f in files if f.get("dv")]
+        spec = (V.table_cluster_spec(path) or {}).get("cols") or []
+        n_manifests = sum(
+            1
+            for fn in _os.listdir(V._manifest_dir(path))
+            if V._MANIFEST_RE.fullmatch(fn)
+        )
+        last = _os.path.getmtime(
+            _os.path.join(V._manifest_dir(path), f"v{ver}.json")
+        )
+        return self._result({
+            "name": name,
+            "format": fmt,
+            "location": path,
+            "source": source,
+            "version": ver,
+            "num_files": len(files),
+            "size_bytes": size_bytes,
+            "num_rows": num_rows,
+            "num_deletion_vectors": len(dvs),
+            "dv_deleted_rows": sum(int(d["n"]) for d in dvs),
+            "cluster_by": ", ".join(spec),
+            "num_constraints": len(V.table_constraints(path)),
+            "retained_versions": n_manifests,
+            "last_modified": _ddt.datetime.fromtimestamp(
+                last
+            ).isoformat(timespec="seconds"),
+        })
 
     def _optimize(self, q: str) -> DataFrame:
         m = re.match(

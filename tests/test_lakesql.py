@@ -1563,3 +1563,56 @@ def test_changes_tvf_errors(spark, tmp_path):
     )
     with pytest.raises(SQLParseError, match="materialized views"):
         lk.sql("SELECT * FROM CHANGES(m, 1, 1)")
+
+
+def test_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL t — the one-row storage summary (round 11):
+    manifest + footer facts only, consistent before/after a DV delete
+    and a clustered rewrite; matviews report their state table with
+    the source marked."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+        ),
+        tbl,
+    )
+    V.append_table(
+        spark.range(100, 150).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+        ),
+        tbl,
+    )
+    V.delete_from(spark, tbl, F.col("k") < 10, mode="dv")
+    lk = LakeSQL(spark, {"tt": tbl})
+    d = lk.sql("DESCRIBE DETAIL tt").collect()[0].asDict()
+    assert d["name"] == "tt" and d["format"] == "versioned-parquet"
+    assert int(d["version"]) == 3
+    assert int(d["num_rows"]) == 150  # physical rows (pre-DV)
+    assert int(d["dv_deleted_rows"]) == 10
+    assert int(d["num_deletion_vectors"]) >= 1
+    assert int(d["num_files"]) >= 2
+    assert int(d["size_bytes"]) > 0
+    assert int(d["retained_versions"]) == 3
+    # visible = physical - dv'd, consistent with the actual read
+    assert (
+        int(d["num_rows"]) - int(d["dv_deleted_rows"])
+        == V.read_table(spark, tbl).count()
+    )
+    # a declared cluster spec surfaces; compaction materializes DVs
+    lk.sql("ALTER TABLE tt CLUSTER BY (bucket(4, k))")
+    lk.sql("OPTIMIZE tt")
+    d2 = lk.sql("DESCRIBE DETAIL tt").collect()[0].asDict()
+    assert "k" in d2["cluster_by"]
+    assert int(d2["dv_deleted_rows"]) == 0
+    # a matview reports its state table, flagged with its source
+    mv = str(tmp_path / "mv")
+    lk.sql(
+        f"CREATE MATERIALIZED VIEW m LOCATION '{mv}' AS "
+        "SELECT g, count(*) AS n FROM tt GROUP BY g"
+    )
+    dm = lk.sql("DESCRIBE DETAIL m").collect()[0].asDict()
+    assert dm["format"] == "materialized-view"
+    assert dm["source"] == tbl
+    with pytest.raises(SQLParseError, match="DESCRIBE"):
+        lk.sql("DESCRIBE DETAIL tt extra")
