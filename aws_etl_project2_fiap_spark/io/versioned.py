@@ -2016,9 +2016,18 @@ def add_column(
     if not _re.fullmatch(r"[A-Za-z0-9_<>(),.: ]+", dtype):
         raise ValueError(f"suspicious type string {dtype!r}")
     try:
-        from pyspark.sql.types import _parse_datatype_string
+        from pyspark.sql.types import StructType, _parse_datatype_string
 
-        normalized = _parse_datatype_string(dtype).simpleString()
+        parsed = _parse_datatype_string(dtype)
+        # _parse_datatype_string ALSO accepts bare DDL schema lists
+        # ("a int, b string" → struct) via its fallback — reject that
+        # widening: a struct column must be asked for as struct<...>,
+        # anything else that lands on StructType was not a datatype
+        # (review r11)
+        if isinstance(parsed, StructType) and not dtype.strip().lower(
+        ).startswith("struct"):
+            raise ValueError("a DDL schema list, not a single datatype")
+        normalized = parsed.simpleString()
     except Exception as exc:
         raise ValueError(
             f"cannot parse column type {dtype!r}: {exc}"

@@ -408,6 +408,15 @@ class LakeSQL:
             df.createOrReplaceTempView(view)
             return view
 
+        def _in_literal(m: re.Match) -> bool:
+            """True when a raw-text match STARTS inside a single-quoted
+            literal (quote parity before the match; '' escapes flip
+            twice and cancel). The raw-text passes below match before
+            the literal split because their own arguments are quoted —
+            this guard keeps them from rewriting quoted DATA that
+            merely looks like the construct (review r11)."""
+            return m.string[: m.start()].count("'") % 2 == 1
+
         # pass 0 (raw text): CHANGES(t, from[, to]) — the change-data
         #-feed TVF (Delta's table_changes), parsed onto
         # io/versioned.table_changes. Bounds are version numbers or
@@ -415,7 +424,8 @@ class LakeSQL:
         # TIMESTAMP AS OF); `to` defaults to the current version. Runs
         # before the literal split because the timestamps are quoted.
         # CHANGES/TABLE_CHANGES is reserved by this dialect: a
-        # registered-table arg is required, anything else fails loud.
+        # registered-table arg is required, anything else (outside a
+        # string literal) fails loud.
         ch_pat = re.compile(
             rf"\b(?:TABLE_)?CHANGES\s*\(\s*(?:'({_ID})'|({_ID}))"
             rf"\s*,\s*(?:(\d+)|'([^']+)')"
@@ -424,6 +434,8 @@ class LakeSQL:
         )
 
         def ch_sub(m: re.Match) -> str:
+            if _in_literal(m):
+                return m.group(0)
             qname, bname, v1, ts1, v2, ts2 = m.groups()
             name = qname or bname
             if name not in self.tables:
@@ -470,6 +482,8 @@ class LakeSQL:
         )
 
         def ts_sub(m: re.Match) -> str:
+            if _in_literal(m):
+                return m.group(0)
             kw, name, ts = m.groups()
             if name not in self.tables:
                 return m.group(0)
@@ -1397,8 +1411,6 @@ class LakeSQL:
         import datetime as _ddt
         import os as _os
 
-        import pyarrow.parquet as _pq
-
         path = self._path(name)
         fmt = "versioned-parquet"
         source = ""
@@ -1411,10 +1423,11 @@ class LakeSQL:
         m = V._read_manifest(path, ver)
         files = m["files"]
         size_bytes = sum(_os.path.getsize(f["path"]) for f in files)
-        num_rows = sum(
-            _pq.ParquetFile(f["path"]).metadata.num_rows for f in files
-        )
         dvs = [f["dv"] for f in files if f.get("dv")]
+        dv_rows = sum(int(d["n"]) for d in dvs)
+        # physical rows = visible rows (io/versioned.table_count: the
+        # footer-metadata count, one shared implementation) + DV'd rows
+        num_rows = V.table_count(path, ver) + dv_rows
         spec = (V.table_cluster_spec(path) or {}).get("cols") or []
         n_manifests = sum(
             1
@@ -1434,7 +1447,7 @@ class LakeSQL:
             "size_bytes": size_bytes,
             "num_rows": num_rows,
             "num_deletion_vectors": len(dvs),
-            "dv_deleted_rows": sum(int(d["n"]) for d in dvs),
+            "dv_deleted_rows": dv_rows,
             "cluster_by": ", ".join(spec),
             "num_constraints": len(V.table_constraints(path)),
             "retained_versions": n_manifests,

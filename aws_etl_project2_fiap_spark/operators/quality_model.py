@@ -33,11 +33,11 @@ ASCII — spelling it out makes all three engines agree), the gradient
 applies per-unique-feature as ``(lr·g)·(cnt/n)`` (one multiply — the
 exact expression a SQL engine evaluates — instead of siphash's
 per-occurrence ``np.add.at`` fold), and scoring compiles to a pure
-DataFrame projection (higher-order ``aggregate`` fold over the gram
-list against an inlined weight-array literal — zero shuffle, zero
-Python) so the whole pipeline is replayable in ANSI-ish SQL. Both
-paths are the same SGD — sample order, per-example updates, epochs,
-calibrated threshold."""
+DataFrame projection (higher-order ``aggregate`` fold over the
+DISTINCT grams, weighted by occurrence count, against an inlined
+weight-array literal — zero shuffle, zero Python) so the whole
+pipeline is replayable in ANSI-ish SQL. Both paths are the same SGD —
+sample order, per-example updates, epochs, calibrated threshold."""
 
 from __future__ import annotations
 
@@ -247,7 +247,6 @@ def quality_score(
     model: dict,
     text_col: str = "text",
     threshold: float | None = None,
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Score every document with the trained classifier: appends
     ``q_score`` (sigmoid, [0,1]) and ``q_keep`` (score ≥ threshold;
@@ -256,15 +255,14 @@ def quality_score(
     - sip models (production): one Arrow-batched map pass, weights
       shipped by closure (broadcast-small); adds NO shuffle — the
       plan is scan → mapInPandas.
-    - md5 models (the portable twin): compiles to a PURE DataFrame
-      plan — explode grams → md5-hash JVM-side → broadcast-join the
-      sparse nonzero weights → per-doc aggregate — no Python on the
-      executors at all; ``id_col`` keys the per-doc aggregate (the
-      sip path never needs it)."""
+    - md5 models (the portable twin): compiles to ONE codegen
+      projection — tokenize, gram list, higher-order fold against the
+      inlined weight-array literal — no Python on the executors, no
+      shuffle, no join (see _quality_score_md5)."""
     import pandas as pd
 
     if model.get("feature_hash") == "md5":
-        return _quality_score_md5(df, model, text_col, threshold, id_col)
+        return _quality_score_md5(df, model, text_col, threshold)
     w = model["w"].astype(np.float64)
     b = float(model["b"])
     dim = int(model["dim"])
@@ -333,18 +331,23 @@ def _quality_score_md5(
     model: dict,
     text_col: str,
     threshold: float | None,
-    id_col: str,
 ) -> DataFrame:
     """Portable-twin scorer: the WHOLE score is one codegen'd
     projection — tokenize (JVM regex), build the unigram+bigram list,
-    fold ``Σ w[md5(gram) % dim]`` with a higher-order ``aggregate``
-    over an INLINED weight-array literal (the hyperplane-LSH portable
-    precedent: model state as SQL literals), tf-normalize, sigmoid.
-    Zero shuffle, zero joins, zero Python on executors — at any corpus
-    size the plan is scan → project, the same shape as the sip path's
-    mapInPandas but fully whole-stage-codegen. The array literal bounds
-    ``dim``: the twin exists for engine-portable oracle gates at small
-    dim; production scoring at 2^17 stays on the sip path."""
+    fold ``Σ w[md5(g) % dim] · cnt(g)`` over the DISTINCT grams
+    against an INLINED weight-array literal (the hyperplane-LSH
+    portable precedent: model state as SQL literals), tf-normalize,
+    sigmoid. The per-UNIQUE-gram ``w·cnt`` form matches the trainer's
+    calibration arithmetic and the oracle's SUM(wt·cnt)/n term for
+    term (a per-occurrence fold would re-round cnt sequential adds —
+    the divergence the trainer's own update comment forbids); the
+    occurrence count is a nested filter over the gram list, O(g·u)
+    comparisons per doc inside codegen. Zero shuffle, zero joins,
+    zero Python on executors — the plan is scan → project, asserted
+    in tests. The array literal bounds ``dim``: the twin exists for
+    engine-portable oracle gates at small dim; production scoring at
+    2^17 stays on the sip path. NULL text scores at the bias, same
+    as the trainer's ``text or ""`` and the oracle's no-gram leg."""
     w = np.asarray(model["w"], dtype=np.float64)
     b = float(model["b"])
     dim = int(model["dim"])
@@ -357,7 +360,9 @@ def _quality_score_md5(
         threshold = float(model.get("threshold", 0.5))
     warr = F.array(*[F.lit(float(x)) for x in w])
     toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(PORTABLE_TOKEN_PATTERN), F.lit(0)
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(PORTABLE_TOKEN_PATTERN),
+        F.lit(0),
     )
     grams = F.when(F.size(toks) < 2, toks).otherwise(
         F.concat(
@@ -372,24 +377,34 @@ def _quality_score_md5(
     )
     # md5(gram) → 15 hex chars → BIGINT → % dim: the cross-engine hash
     # (DuckDB: ('0x'||substring(md5(g),1,15))::BIGINT % dim; trainer:
-    # int(hexdigest()[:15], 16) % dim) — 60 bits, never negative
-    fid = lambda g: (  # noqa: E731 — local expression builder
-        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long") % dim
-    )
-    dot = F.aggregate(
+    # int(hexdigest()[:15], 16) % dim) — 60 bits, never negative.
+    # The fid list materializes ONCE (one md5 pass per occurrence);
+    # the fold then walks the distinct FIDS — colliding grams merge
+    # into one w·cnt multiply, the trainer's and the oracle's exact
+    # per-unique-feature form
+    fids = F.transform(
         F.col("__qm_grams"),
-        F.lit(0.0),
-        lambda acc, g: acc + F.element_at(warr, (fid(g) + 1).cast("int")),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+        .cast("long") % dim,
     )
-    n = F.size("__qm_grams")
+    fcol = F.col("__qm_fids")
+    dot = F.aggregate(
+        F.array_distinct(fcol),
+        F.lit(0.0),
+        lambda acc, f: acc
+        + F.element_at(warr, (f + 1).cast("int"))
+        * F.size(F.filter(fcol, lambda x: x == f)).cast("double"),
+    )
+    n = F.size(fcol)
     z = dot / F.greatest(n, F.lit(1)) + F.lit(b)
     s = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return (
         df.withColumn("__qm_grams", grams)
+        .withColumn("__qm_fids", fids)
         .withColumn("__qm_s", s)
         .withColumn("q_score", F.round("__qm_s", 6))
         .withColumn(
             "q_keep", (F.col("__qm_s") >= F.lit(threshold)).cast("long")
         )
-        .drop("__qm_grams", "__qm_s")
+        .drop("__qm_grams", "__qm_fids", "__qm_s")
     )

@@ -31,12 +31,18 @@ from pyspark.sql import functions as F
 
 _EOW = "\x01"  # end-of-word sentinel (never matched by the word regex)
 _WORD_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+# engine-portable word regex (the text_bpe_tokens_portable gate):
+# every character class spelled out in ASCII so Python re (Unicode
+# \w/\s) and RE2 (ASCII \w, \s without \v) tokenize identically on
+# ANY input, not just ASCII corpora (review r11)
+PORTABLE_WORD_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
 
 
-def _word_freqs(texts) -> dict[str, int]:
+def _word_freqs(texts, word_re=None) -> dict[str, int]:
     freqs: dict[str, int] = {}
+    rx = word_re or _WORD_RE
     for t in texts:
-        for w in _WORD_RE.findall(t or ""):
+        for w in rx.findall(t or ""):
             freqs[w] = freqs.get(w, 0) + 1
     return freqs
 
@@ -48,6 +54,7 @@ def bpe_train(
     num_merges: int = 200,
     sample_limit: int = 2_000,
     order_hash: str = "xxhash64",
+    word_pattern: str | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from a bounded hash-sample of
     the corpus (same deterministic sampling as kmeans_fit: smallest
@@ -57,9 +64,13 @@ def bpe_train(
     portable sample ordering — the `text_bpe_tokens_portable` oracle
     gate; BPE itself is pure integer/string arithmetic, so given the
     same sample a SQL engine replays training bit-for-bit).
+    ``word_pattern`` overrides the Unicode word regex — the portable
+    gate passes :data:`PORTABLE_WORD_PATTERN` so tokenization matches
+    RE2 byte for byte.
 
     Ties break lexicographically, so training is bit-deterministic
     across runs and partitionings."""
+    word_re = re.compile(word_pattern) if word_pattern else _WORD_RE
     if order_hash == "md5":
         key = F.md5(F.col("id").cast("string"))
     elif order_hash == "xxhash64":
@@ -72,7 +83,7 @@ def bpe_train(
         .limit(sample_limit)
         .collect()
     )
-    freqs = _word_freqs([r.t for r in rows])
+    freqs = _word_freqs([r.t for r in rows], word_re)
     words = {w: tuple(w) + (_EOW,) for w in freqs}
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -128,11 +139,14 @@ def bpe_tokenize(
     text_col: str = "text",
     id_col: str = "doc_id",
     with_tokens: bool = False,
+    word_pattern: str | None = None,
 ) -> DataFrame:
     """Distributed encode: (id, n_tokens[, tokens]) in ONE Arrow pass.
     The merge ranks close over the UDF (merges ≪ corpus — a vocabulary
     is kilobytes); per-word results memoize within each batch, so hot
-    words (Zipf) encode once per batch, not once per occurrence."""
+    words (Zipf) encode once per batch, not once per occurrence.
+    ``word_pattern`` must match what the merges were TRAINED with —
+    the portable gate passes :data:`PORTABLE_WORD_PATTERN` to both."""
     ranks = {pair: i for i, pair in enumerate(merges)}
     schema = "id long, n_tokens long" + (
         ", tokens array<string>" if with_tokens else ""
@@ -141,7 +155,7 @@ def bpe_tokenize(
     # globals): executors receive it by cloudpickle under driver-path
     # loading where this package is not importable on workers — the
     # worker-shipping contract every Arrow closure here follows
-    word_pattern, eow = _WORD_RE.pattern, _EOW
+    word_pattern, eow = word_pattern or _WORD_RE.pattern, _EOW
 
     def _encode(it):
         import re as _re

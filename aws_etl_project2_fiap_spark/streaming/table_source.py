@@ -211,10 +211,20 @@ def build_versioned_table_source():
         call pair costs a single O(files) pass, not two (ADVICE r10).
         Caching is safe because a committed version's file list and
         file schemas are immutable (every mutation commits a NEW
-        version); bounded so long-lived drivers don't accrete."""
+        version); the key carries the manifest file's mtime so a
+        table DELETED and RE-CREATED at the same path (a new v{v}.json
+        out of band of the commit protocol) misses instead of serving
+        the old table's schema (review r11); bounded so long-lived
+        drivers don't accrete."""
+        import os
         import pyarrow.parquet as pq
 
-        key = (path, v)
+        mpath = os.path.join(path, "_manifests", f"v{v}.json")
+        try:
+            stamp = os.stat(mpath).st_mtime_ns
+        except OSError:
+            stamp = -1  # let _manifest raise its own loud error below
+        key = (path, v, stamp)
         hit = _footer_fields_cache.get(key)
         if hit is None:
             fields: dict = {}

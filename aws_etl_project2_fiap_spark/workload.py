@@ -2882,9 +2882,14 @@ def _bpe_portable_oracle(
     per-document token counts. BPE is pure integer/string arithmetic:
     the replay is bit-exact — no ulp caveats anywhere. EOW sentinel =
     chr(1), same codepoint both engines; pair tie-breaks compare by
-    codepoint in both (Python str <, DuckDB binary collation).
+    codepoint in both (Python str <, DuckDB binary collation); the
+    word regex is the shared explicit-ASCII PORTABLE_WORD_PATTERN
+    (Python \\w/\\s are Unicode, RE2's are ASCII — spelling the
+    classes out makes the engines agree on ANY input, review r11).
     MATERIALIZED throughout (DuckDB 1.0 inlines plain CTEs —
     exponential re-evaluation on chained state)."""
+    from .operators.tokenizer import PORTABLE_WORD_PATTERN
+
     train = "".join(_bpe_train_ctes(m) for m in range(1, num_merges + 1))
     enc = "".join(_bpe_encode_ctes(e) for e in range(1, enc_steps + 1))
     mg_union = " UNION ALL ".join(
@@ -2894,7 +2899,8 @@ def _bpe_portable_oracle(
     return rf"""
     WITH dw AS MATERIALIZED (
       SELECT doc_id AS id,
-             unnest(regexp_extract_all(text, '\w+|[^\w\s]')) AS w
+             unnest(regexp_extract_all(text,
+                    '{PORTABLE_WORD_PATTERN}')) AS w
       FROM documents
     ),
     vocab AS MATERIALIZED (
@@ -2956,11 +2962,18 @@ def text_bpe_tokens_portable(
     tolerance anywhere. The 200-merge xxhash64 sibling
     (`text_bpe_tokens`, per-lang aggregates) stays the bench path;
     determinism/losslessness stay pinned in tests/test_tokenizer.py."""
-    from .operators.tokenizer import bpe_tokenize, bpe_train
+    from .operators.tokenizer import (
+        PORTABLE_WORD_PATTERN,
+        bpe_tokenize,
+        bpe_train,
+    )
 
     d = t(spark, sf_dir, "documents")
-    merges = bpe_train(d, num_merges=20, sample_limit=64, order_hash="md5")
-    counts = bpe_tokenize(d, merges)
+    merges = bpe_train(
+        d, num_merges=20, sample_limit=64, order_hash="md5",
+        word_pattern=PORTABLE_WORD_PATTERN,
+    )
+    counts = bpe_tokenize(d, merges, word_pattern=PORTABLE_WORD_PATTERN)
     return counts.select(F.col("id").alias("doc_id"), "n_tokens")
 
 
@@ -3109,16 +3122,19 @@ def _quality_model_portable_oracle(
       FROM sampl sm JOIN sc ON sc.id = sm.id
     ),
     thrx AS MATERIALIZED (
+      -- cuts 0..n derive from srt itself (0 plus one per sample row),
+      -- so a sample smaller than the nominal limit sweeps exactly the
+      -- trainer's range instead of phantom cuts past n (review r11)
       SELECT thr FROM (
         SELECT r.cut,
                r.cut - 2*coalesce(c.cum, 0)
                  + (SELECT MAX(cum) FROM srt) AS acc_num,
                CASE WHEN r.cut = 0 THEN 0.0
-                    WHEN r.cut = {sample} THEN 1.0
+                    WHEN r.cut = (SELECT MAX(pos) FROM srt) THEN 1.0
                     ELSE (SELECT (a.s + bb.s)/2 FROM srt a, srt bb
                           WHERE a.pos = r.cut AND bb.pos = r.cut + 1)
                END AS thr
-        FROM range(0, {sample} + 1) r(cut)
+        FROM (SELECT 0 AS cut UNION ALL SELECT pos FROM srt) r
         LEFT JOIN srt c ON c.pos = r.cut
       ) ORDER BY acc_num DESC, cut ASC LIMIT 1
     )

@@ -1563,6 +1563,19 @@ def test_changes_tvf_errors(spark, tmp_path):
     )
     with pytest.raises(SQLParseError, match="materialized views"):
         lk.sql("SELECT * FROM CHANGES(m, 1, 1)")
+    # quoted DATA that merely looks like the TVF stays data: neither
+    # rewritten nor bounds-checked (review r11 — the raw-text pass
+    # must respect string literals like pass 2 does)
+    assert lk.sql(
+        "SELECT count(*) AS n FROM tt "
+        "WHERE 'see CHANGES(tt, 1, 99)' <> ''"
+    ).collect()[0]["n"] == 5
+    # same guard for the TIMESTAMP AS OF raw-text pass: without it
+    # this literal's tail plus the next quote parse as a timestamp
+    assert lk.sql(
+        "SELECT count(*) AS n FROM tt "
+        "WHERE 'FROM tt TIMESTAMP AS OF ' <> 'x'"
+    ).collect()[0]["n"] == 5
 
 
 def test_describe_detail(spark, tmp_path):

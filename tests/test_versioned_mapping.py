@@ -380,6 +380,15 @@ def test_add_column_type_validation(spark, table):
     # the prefix
     with pytest.raises(ValueError, match="cannot parse"):
         V.add_column(spark, table, "bad", "INT) AS c FROM range(10")
+    # review r11: the parser's schema-list fallback must not widen the
+    # grammar — a bare DDL list is rejected, an explicit struct<> works
+    with pytest.raises(ValueError, match="cannot parse"):
+        V.add_column(spark, table, "bad", "a int, b string")
+    v = V.add_column(spark, table, "pair", "struct<a:int,b:string>")
+    assert (
+        V.read_table(spark, table).schema["pair"].dataType.simpleString()
+        == "struct<a:int,b:string>"
+    )
     with pytest.raises(ValueError, match="already exists"):
         V.add_column(spark, table, "v", "double")
 
