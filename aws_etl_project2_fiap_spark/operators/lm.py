@@ -1,0 +1,222 @@
+"""Bigram language-model perplexity scoring (the CCNet-style filter).
+
+The classic training-data quality signal the text suite lacked: train a
+smoothed bigram LM on a reference sample of the corpus, score every
+document by per-bigram cross-entropy, and bucket the corpus into
+head / middle / tail by tertile thresholds derived from the reference
+distribution (CCNet keeps "head", audits "middle", drops "tail").
+
+Reference parity: the reference pipeline (pandas scraping,
+`/root/reference/src/*.py`) has no model-based filtering at all — this
+is engine-extension surface, same family as operators/quality_model.py.
+
+Design for 100 TB:
+- Training is O(sample): the reference sample is a bounded md5-ordered
+  ``ORDER BY md5(id) LIMIT n`` — a distributed TakeOrdered, never a full
+  sort — and every model artifact (bigram counts, context counts,
+  vocabulary size) is sample-bounded, so the count tables broadcast.
+- Scoring is ONE shuffle: tokenize + bigram expansion stay in codegen,
+  the two count lookups are broadcast left joins, and the per-document
+  reduction is a map-side-combined ``groupBy(doc_id)``. ``explode_outer``
+  keeps empty documents in the same pass (no second corpus join to
+  re-attach them).
+- Bucketing is a pure projection against two scalar thresholds computed
+  from the SAMPLE's score distribution (re-scoring 64 documents), not an
+  ``ntile`` over the corpus — no global sort anywhere.
+
+Cross-engine determinism (the oracle contract): md5 sample ordering,
+explicit ASCII tokenizer ``[a-z0-9_]+`` (Python ``\\w`` is unicode,
+Java/DuckDB here are pinned ASCII), integer-exact counts, and the one
+float — the log-probability sum — rounded to 6 decimals in both engines
+before it is compared or used as a threshold key (summation-order ulps
+are absorbed, the quality-model precedent)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The canonical ASCII word tokenizer shared with the oracle (underscore
+# included — it is a word character on both engines).
+TOKEN_RE = "[a-z0-9_]+"
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), F.lit(0))
+
+
+def _bigrams(tokens: Column) -> Column:
+    """Space-joined bigram strings; empty array under 2 tokens (the
+    ``sequence`` guard — a descending range would fabricate grams)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - 1),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, 2)),
+    )
+    return F.when(F.size(tokens) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def lm_sample_ids(
+    df: DataFrame, id_col: str = "doc_id", sample_limit: int = 64
+) -> DataFrame:
+    """The md5-ordered reference sample (id column only, broadcastable).
+
+    ``orderBy(md5(id), id).limit(n)`` compiles to TakeOrderedAndProject —
+    a per-partition heap + driver merge, not a global sort."""
+    return (
+        df.select(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_limit)
+    )
+
+
+def bigram_lm_train(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_limit: int = 64,
+) -> tuple[DataFrame, DataFrame, float, DataFrame]:
+    """Train the add-one-smoothed bigram LM on the md5-ordered sample.
+
+    Returns ``(bigram_counts, context_counts, vocab_size, sample_ids)``:
+    ``bigram_counts`` is ``(g, cb)`` keyed by the space-joined bigram,
+    ``context_counts`` is ``(a, cu)`` keyed by the context token (count
+    of ``a`` as a bigram left-hand side, the conditional's denominator),
+    ``vocab_size`` the distinct-token count of the sample (the smoothing
+    mass). All three are sample-bounded — the count frames are meant to
+    be ``broadcast()`` by the caller."""
+    sample_ids = lm_sample_ids(df, id_col, sample_limit)
+    tok = df.join(F.broadcast(sample_ids), id_col).select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("tok")
+    )
+    bg = tok.select(F.explode(_bigrams(F.col("tok"))).alias("g"))
+    bigram_counts = bg.groupBy("g").agg(F.count(F.lit(1)).alias("cb"))
+    context_counts = (
+        bg.select(F.split(F.col("g"), " ").getItem(0).alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab_size = float(
+        tok.select(F.explode("tok").alias("w")).select("w").distinct().count()
+    )
+    return bigram_counts, context_counts, vocab_size, sample_ids
+
+
+def lm_score(
+    df: DataFrame,
+    bigram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab_size: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram cross-entropy under the trained LM.
+
+    One shuffle (the ``groupBy(id)`` reduction); both count lookups are
+    broadcast left joins; ``explode_outer`` keeps zero-bigram documents
+    in-pass (they come out with ``n_bigrams = 0`` and NULL ``xent``).
+
+    ``xent`` = −Σ ln((c(a,b)+1)/(c(a·)+V)) / n_bigrams, rounded to 6
+    decimals — nats per token, smaller is more reference-like."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode_outer(_bigrams(_tokens(F.col(text_col)))).alias("g"),
+    ).withColumn("a", F.split(F.col("g"), " ").getItem(0))
+    lp = F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(vocab_size))
+    )
+    scored = (
+        ex.join(F.broadcast(bigram_counts), "g", "left")
+        .join(F.broadcast(context_counts), "a", "left")
+        .withColumn("lp", F.when(F.col("g").isNotNull(), lp))
+        .groupBy(id_col)
+        .agg(
+            F.count("g").alias("n_bigrams"),
+            F.sum("lp").alias("s"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(-F.col("s") / F.col("n_bigrams"), 6),
+        ).alias("xent"),
+    )
+
+
+def lm_tertile_thresholds(
+    sample_scored: DataFrame, id_col: str = "doc_id"
+) -> tuple[float | None, float | None]:
+    """Head/middle cut points from the SAMPLE's score distribution.
+
+    Ascending ``(xent, id)`` order; thresholds sit at positions
+    ``ceil(n/3)`` and ``ceil(2n/3)`` (1-based) — the values the oracle's
+    row_number subselects pick. The collect is sample-bounded (≤ the
+    training sample size). An all-unscored sample yields ``(None,
+    None)`` → every scored document buckets 'tail' (NULL comparison
+    semantics, identical on both engines)."""
+    rows = (
+        sample_scored.filter(F.col("xent").isNotNull())
+        .orderBy("xent", id_col)
+        .select("xent")
+        .collect()
+    )
+    n = len(rows)
+    if n == 0:
+        return None, None
+    t1 = rows[math.ceil(n / 3) - 1].xent
+    t2 = rows[math.ceil(n * 2 / 3) - 1].xent
+    return t1, t2
+
+
+def lm_bucket(
+    scored: DataFrame, t1: float | None, t2: float | None
+) -> DataFrame:
+    """CCNet head/middle/tail labels from the two tertile thresholds
+    (pure projection — the thresholds are scalars, no join, no sort).
+    ``xent`` NULL (no bigrams) → 'unscored'."""
+    t1c = F.lit(t1).cast("double")
+    t2c = F.lit(t2).cast("double")
+    return scored.withColumn(
+        "bucket",
+        F.when(F.col("xent").isNull(), F.lit("unscored"))
+        .when(F.col("xent") <= t1c, F.lit("head"))
+        .when(F.col("xent") <= t2c, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
+def lm_perplexity_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_limit: int = 64,
+    calib_limit: int = 128,
+) -> DataFrame:
+    """Train → calibrate → score → bucket, end to end.
+
+    Thresholds come from a HELD-OUT calibration sample (md5-order ranks
+    ``sample_limit+1 .. sample_limit+calib_limit``), not the training
+    sample: in-sample scores are biased low (every training bigram is a
+    seen bigram), so training-sample tertiles would shove nearly the
+    whole corpus into 'tail'. The held-out slice scores like the corpus
+    does, so the buckets split it roughly in thirds. Both samples are
+    bounded TakeOrdered prefixes of the same md5 order; the calibration
+    set is re-scored through the same scorer restricted to its ids
+    (deterministic given the model, so it agrees exactly with the
+    full-corpus pass)."""
+    cb, cu, v, train_ids = bigram_lm_train(
+        df, text_col, id_col, sample_limit
+    )
+    head_ids = lm_sample_ids(df, id_col, sample_limit + calib_limit)
+    calib_ids = head_ids.join(F.broadcast(train_ids), id_col, "left_anti")
+    calib_scored = lm_score(
+        df.join(F.broadcast(calib_ids), id_col), cb, cu, v, text_col, id_col
+    )
+    t1, t2 = lm_tertile_thresholds(calib_scored, id_col)
+    return lm_bucket(lm_score(df, cb, cu, v, text_col, id_col), t1, t2)

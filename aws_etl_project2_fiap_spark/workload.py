@@ -34,6 +34,7 @@ from .operators import asof as asof_op
 from .operators import cc as cc_op
 from .operators import corpus as corpus_op
 from .operators import decontam as decontam_op
+from .operators import lm as lm_op
 from .operators import dedup as dedup_op
 from .operators import similarity as sim_op
 from .operators import text as text_op
@@ -3183,6 +3184,99 @@ def text_quality_model_portable(
     )
     scored = quality_score(labeled, model)
     return scored.select("doc_id", "q_score", "q_keep")
+
+
+_LM_PERPLEXITY_ORACLE = r"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id AS id,
+             regexp_extract_all(lower(text), '[a-z0-9_]+') AS tok
+      FROM documents
+    ),
+    bg AS MATERIALIZED (
+      SELECT id, unnest(CASE WHEN len(tok) < 2 THEN []
+        ELSE list_transform(range(1, len(tok)),
+                            i -> tok[i] || ' ' || tok[i+1]) END) AS g
+      FROM tk
+    ),
+    rks AS MATERIALIZED (
+      SELECT id, row_number() OVER (
+        ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+      FROM tk
+    ),
+    sampl AS MATERIALIZED (SELECT id FROM rks WHERE rn <= 64),
+    calib AS MATERIALIZED (
+      SELECT id FROM rks WHERE rn > 64 AND rn <= 192
+    ),
+    cb AS MATERIALIZED (
+      SELECT g, count(*) AS cb
+      FROM bg JOIN sampl USING (id) GROUP BY g
+    ),
+    cu AS MATERIALIZED (
+      SELECT split_part(g, ' ', 1) AS a, count(*) AS cu
+      FROM bg JOIN sampl USING (id) GROUP BY a
+    ),
+    vv AS MATERIALIZED (
+      SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+      FROM (SELECT unnest(tok) AS w FROM tk JOIN sampl USING (id))
+    ),
+    sc AS MATERIALIZED (
+      SELECT b.id, count(*) AS n_bi,
+             SUM(ln((coalesce(cb.cb, 0) + 1.0)
+                    / (coalesce(cu.cu, 0) + (SELECT v FROM vv)))) AS s
+      FROM bg b
+      LEFT JOIN cb ON cb.g = b.g
+      LEFT JOIN cu ON cu.a = split_part(b.g, ' ', 1)
+      GROUP BY b.id
+    ),
+    scored AS MATERIALIZED (
+      SELECT t.id, CAST(coalesce(sc.n_bi, 0) AS BIGINT) AS n_bigrams,
+             round(-sc.s / sc.n_bi, 6) AS xent
+      FROM tk t LEFT JOIN sc ON sc.id = t.id
+    ),
+    sord AS MATERIALIZED (
+      SELECT xent, row_number() OVER (ORDER BY xent, id) AS rn
+      FROM scored JOIN calib USING (id) WHERE xent IS NOT NULL
+    ),
+    thr AS MATERIALIZED (
+      SELECT
+        (SELECT xent FROM sord WHERE rn = CAST(ceil(
+           (SELECT MAX(rn) FROM sord) / 3.0) AS BIGINT)) AS t1,
+        (SELECT xent FROM sord WHERE rn = CAST(ceil(
+           (SELECT MAX(rn) FROM sord) * 2 / 3.0) AS BIGINT)) AS t2
+    )
+    SELECT id AS doc_id, n_bigrams, xent,
+           CASE WHEN xent IS NULL THEN 'unscored'
+                WHEN xent <= (SELECT t1 FROM thr) THEN 'head'
+                WHEN xent <= (SELECT t2 FROM thr) THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored
+    """
+
+
+@defquery("text_lm_perplexity", _LM_PERPLEXITY_ORACLE)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity filter, oracle-gated at birth:
+    train an add-one-smoothed bigram LM on the md5-ordered 64-document
+    reference sample, score every document by per-bigram cross-entropy
+    (nats/token, rounded to 6 decimals in BOTH engines), and bucket the
+    corpus head/middle/tail at tertile cuts from a HELD-OUT 128-doc
+    calibration slice (md5 ranks 65-192 — in-sample cuts would be
+    biased low and drown the corpus in 'tail') —
+    the quality signal CCNet computes with a KenLM model, here as pure
+    relational algebra with no trained-weight opacity (counts are
+    integer-exact, so unlike the SGD/k-means families no unrolled
+    replay is needed — the oracle recomputes the model in three
+    aggregate CTEs).
+
+    Scale: training artifacts are sample-bounded and broadcast; corpus
+    scoring is tokenize→explode in codegen, two broadcast left joins,
+    and ONE map-side-combined shuffle on doc_id; bucketing compares
+    against two scalar thresholds from re-scoring the 128 calibration
+    docs — no ntile over the corpus, no global sort. See
+    operators/lm.py."""
+    return lm_op.lm_perplexity_pipeline(
+        t(spark, sf_dir, "documents"), "text", "doc_id", sample_limit=64
+    )
 
 
 @defquery("similarity_ivfpq_knn", None)  # PQ codes: not ANSI SQL
@@ -8350,8 +8444,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a1_top5_7day_sum",
     # --- r11 birth entries: in the window from birth (standing
     # policy since r8). text_bpe_tokens_portable landed after the
-    # rotation — tpch_q18_large_orders (green r9+r10) made room ---
+    # rotation — tpch_q18_large_orders (green r9+r10) made room;
+    # text_lm_perplexity (bigram-LM perplexity buckets, oracle-gated
+    # from birth) landed later still — tpch_q19_discounted_revenue
+    # (green r9+r10, join family still covered by q21) made room ---
     "text_quality_model_portable", "text_bpe_tokens_portable",
+    "text_lm_perplexity",
     # --- r10 birth entries, kept for a second driver-green round ---
     "similarity_pairs_lsh_portable", "similarity_ivf_knn_portable",
     "dedup_semantic_portable", "similarity_ivfpq_knn_portable",
@@ -8365,7 +8463,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "k_bloom_readback", "similarity_knn_quantized",
     "dedup_minhash_lsh_portable",
     # --- retained TPC-H (driver-green r9+r10) ---
-    "tpch_q19_discounted_revenue", "tpch_q21_waiting_supplier",
+    "tpch_q21_waiting_supplier",
     "k_zorder_readback", "k_dv_delete_readback",
     "k_partition_overwrite_readback", "k_cluster_evolution_readback",
     "k_matview_incremental_readback", "k_matview_star_readback",

@@ -87,7 +87,7 @@ def test_every_oracle_parses(duck, name):
 # entries can never reorder-and-evict a row mid-round.
 _R11_WINDOW = [
     "a1_top5_7day_sum", "text_quality_model_portable",
-    "text_bpe_tokens_portable",
+    "text_bpe_tokens_portable", "text_lm_perplexity",
     "similarity_pairs_lsh_portable", "similarity_ivf_knn_portable",
     "dedup_semantic_portable", "similarity_ivfpq_knn_portable",
     "agg_approx_distinct_portable", "tpch_q3_shipping_priority",
@@ -95,7 +95,6 @@ _R11_WINDOW = [
     "event_time_tumbling_1h", "similarity_knn", "text_langid",
     "dedup_simhash_pairs", "sample_stratified", "k_bloom_readback",
     "similarity_knn_quantized", "dedup_minhash_lsh_portable",
-    "tpch_q19_discounted_revenue",
     "tpch_q21_waiting_supplier", "k_zorder_readback",
     "k_dv_delete_readback", "k_partition_overwrite_readback",
     "k_cluster_evolution_readback", "k_matview_incremental_readback",
@@ -243,7 +242,8 @@ def test_window_rotation_properties():
         assert n in cat and n in o
     # the r11 evictions stay oracle-backed in the tail
     # (tpch_q18_large_orders made room for the late-landing birth
-    # text_bpe_tokens_portable, whose window membership the snapshot
+    # text_bpe_tokens_portable, and tpch_q19_discounted_revenue for
+    # text_lm_perplexity — both births' window membership the snapshot
     # set-diff enforces)
     for n in (
         "tpch_q4_order_priority", "tpch_q12_priority_class",
@@ -252,6 +252,6 @@ def test_window_rotation_properties():
         "dedup_index_probe_portable", "dedup_index_build_portable",
         "stream_price_alerts_portable", "tpch_q7_nation_volume",
         "tpch_q10_returned_items", "tpch_q17_small_quantity_revenue",
-        "tpch_q18_large_orders",
+        "tpch_q18_large_orders", "tpch_q19_discounted_revenue",
     ):
         assert n in cat and n in o and n not in _R11_WINDOW
