@@ -35,6 +35,8 @@ Usage::
     lk.sql("SELECT * FROM CHANGES(orders, 2, 5)")  # change data feed
     #   ^ Delta's table_changes TVF shape; bounds are versions or
     #     quoted timestamps, `to` defaults to current
+    lk.sql("CREATE TABLE fork CLONE orders VERSION AS OF 3 "
+           "LOCATION '/data/fork'")  # zero-copy (SHALLOW) or DEEP
     lk.sql("RESTORE TABLE orders TO VERSION AS OF 2")
     lk.sql("DESCRIBE HISTORY orders")
     lk.sql("DESCRIBE DETAIL orders")   # one-row storage summary
@@ -1031,11 +1033,13 @@ class LakeSQL:
     def _create(self, q: str) -> DataFrame:
         """``CREATE TABLE name LOCATION 'path' AS SELECT ...`` — CTAS
         onto a new versioned table, registered under ``name`` for the
-        rest of the session — or ``CREATE MATERIALIZED VIEW name
-        LOCATION 'path' AS SELECT <keys and aggs> FROM <table> GROUP BY
-        <keys>``, which parses the aggregate list onto
-        ``io/matview.create_aggregate_view`` so the view refreshes
-        incrementally forever after."""
+        rest of the session — or ``CREATE TABLE name [SHALLOW|DEEP]
+        CLONE src [VERSION|TIMESTAMP AS OF ...] LOCATION 'path'``
+        (Delta's zero-copy clone, onto ``io/versioned.clone_table``) —
+        or ``CREATE MATERIALIZED VIEW name LOCATION 'path' AS SELECT
+        <keys and aggs> FROM <table> GROUP BY <keys>``, which parses
+        the aggregate list onto ``io/matview.create_aggregate_view`` so
+        the view refreshes incrementally forever after."""
         mv = re.match(
             rf"CREATE{_WS}MATERIALIZED{_WS}VIEW{_WS}({_ID})"
             rf"{_WS}LOCATION{_WS}'([^']+)'{_WS}AS{_WS}(.*)$",
@@ -1061,6 +1065,51 @@ class LakeSQL:
             return self._result(
                 {"branch": bname, "of": tname, "location": loc,
                  "base_version": base_v}
+            )
+        cl = re.match(
+            rf"CREATE{_WS}TABLE{_WS}({_ID}){_WS}(?:(SHALLOW|DEEP){_WS})?"
+            rf"CLONE{_WS}({_ID})"
+            rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+)"
+            rf"|{_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}'([^']+)')?"
+            rf"{_WS}LOCATION{_WS}'([^']+)'$",
+            q, re.I,
+        )
+        if cl:
+            # Delta's CLONE verb on io/versioned.clone_table: SHALLOW
+            # (default) commits a manifest referencing the source
+            # version's files — zero data copied; DEEP rewrites into
+            # the clone's own data pool. VERSION/TIMESTAMP AS OF pins
+            # the source version (same resolution rule as time-travel
+            # SELECT); omitted → current.
+            name, mode, src, ver, ts, loc = cl.groups()
+            if src not in self.tables:
+                raise SQLParseError(
+                    f"CLONE: {src!r} is not a registered table"
+                )
+            if src in self.views:
+                raise SQLParseError(
+                    "CLONE copies tables, not materialized views — "
+                    "clone the view's state table and re-declare the "
+                    "view instead"
+                )
+            spath = self.tables[src]
+            if ts is not None:
+                epoch = _dt.datetime.fromisoformat(ts).timestamp()
+                src_v = V.version_at(spath, epoch)
+            elif ver is not None:
+                src_v = int(ver)
+            else:
+                src_v = V.current_version(spath)
+            deep = (mode or "SHALLOW").upper() == "DEEP"
+            V.clone_table(
+                self.spark, spath, loc, version=src_v, deep=deep
+            )
+            self.register(name, loc)
+            return self._result(
+                {"table": name, "cloned_from": src,
+                 "source_version": src_v,
+                 "mode": "deep" if deep else "shallow",
+                 "location": loc}
             )
         m = re.match(
             rf"CREATE{_WS}TABLE{_WS}({_ID}){_WS}LOCATION{_WS}'([^']+)'"

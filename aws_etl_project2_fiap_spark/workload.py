@@ -8039,6 +8039,12 @@ def k_wap_merge_publish_readback(
     SELECT 'cdf:deleted' AS o_orderpriority,
            CAST(count(*) AS BIGINT) AS n, round(sum(p), 2) AS total
     FROM upd WHERE p > 400000
+    UNION ALL
+    -- the CLONE leg: the shallow clone pinned at the post-DELETE
+    -- version reads back exactly that state
+    SELECT 'clone:v4' AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n, round(sum(p), 2) AS total
+    FROM final
     """,
 )
 def k_lakesql_verbs_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8047,7 +8053,8 @@ def k_lakesql_verbs_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a DELETE — written as SQL TEXT, parsed onto the versioned-table
     verbs, read back and aggregated — plus (round 11) the script
     reading its own change feed via the CHANGES(t, from, to) TVF and
-    reconciling net deletes. The oracle reproduces the final state
+    reconciling net deletes, and a version-pinned zero-copy CLONE read
+    back as its own leg. The oracle reproduces the final state
     relationally, so the hash gate proves the PARSER's clause wiring
     (conditions, alias normalization, insert toggle, the CDF bounds),
     not just the underlying verbs the other k_* entries already prove.
@@ -8143,7 +8150,30 @@ def k_lakesql_verbs_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("cdf:deleted").alias("o_orderpriority"), "n", "total"
     )
-    return base.unionByName(view_leg).unionByName(cdf_leg)
+    # the CLONE verb (round 11): a zero-copy shallow clone pinned to
+    # the post-DELETE version (v4, pre-rename schema) must read back
+    # exactly the state the mutations left — the clone's manifest
+    # references v4's files AND their deletion-vector entries, so the
+    # leg also proves DV state travels with a clone
+    lk.sql(
+        f"CREATE TABLE snap CLONE tgt VERSION AS OF 4 "
+        f"LOCATION '{work}/snap'"
+    )
+    clone_leg = (
+        lk.sql("SELECT * FROM snap")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.lit("clone:v4").alias("o_orderpriority"), "n", "total"
+        )
+    )
+    return (
+        base.unionByName(view_leg)
+        .unionByName(cdf_leg)
+        .unionByName(clone_leg)
+    )
 
 
 @defquery(

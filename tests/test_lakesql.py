@@ -1629,3 +1629,66 @@ def test_describe_detail(spark, tmp_path):
     assert dm["source"] == tbl
     with pytest.raises(SQLParseError, match="DESCRIBE"):
         lk.sql("DESCRIBE DETAIL tt extra")
+
+
+def test_clone_sql_shallow_and_deep(spark, tmp_path):
+    tbl, _ = _fixture(spark, tmp_path, "base")
+    lk = LakeSQL(spark, {"base": tbl})
+    # advance the source so VERSION AS OF has something to pin
+    lk.sql("UPDATE base SET tag = 'v2' WHERE k < 10")
+    before = _rows(spark, tbl)
+
+    # shallow clone of the CURRENT version: zero data files copied
+    fork = str(tmp_path / "fork")
+    res = lk.sql(
+        f"CREATE TABLE fork CLONE base LOCATION '{fork}'"
+    ).collect()[0].asDict()
+    assert res["mode"] == "shallow" and int(res["source_version"]) == 2
+    assert _rows(spark, fork) == before
+    assert not list((tmp_path / "fork").glob("_data/b_*/*.parquet"))
+    # the clone is independently writable; the source is untouched
+    lk.sql("DELETE FROM fork WHERE k >= 50")
+    assert len(_rows(spark, fork)) == 50
+    assert _rows(spark, tbl) == before
+
+    # deep clone pinned to v1: pre-update rows, own data pool
+    fork1 = str(tmp_path / "fork1")
+    res1 = lk.sql(
+        f"CREATE TABLE fork1 DEEP CLONE base VERSION AS OF 1 "
+        f"LOCATION '{fork1}'"
+    ).collect()[0].asDict()
+    assert res1["mode"] == "deep" and int(res1["source_version"]) == 1
+    assert _rows(spark, fork1) == sorted(
+        tuple(r)
+        for r in V.read_table(spark, tbl, version=1).collect()
+    )
+    assert list((tmp_path / "fork1").glob("_data/b_*/*.parquet"))
+
+    # the clone reads through SELECT like any registered table
+    n = lk.sql("SELECT count(*) AS n FROM fork1").collect()[0]["n"]
+    assert n == 100
+
+
+def test_clone_sql_errors_are_loud(spark, tmp_path):
+    tbl, _ = _fixture(spark, tmp_path, "base")
+    lk = LakeSQL(spark, {"base": tbl})
+    dst = str(tmp_path / "dst")
+    with pytest.raises(SQLParseError, match="not a registered table"):
+        lk.sql(f"CREATE TABLE c CLONE ghost LOCATION '{dst}'")
+    mv = str(tmp_path / "mv")
+    lk.sql(
+        f"CREATE MATERIALIZED VIEW m LOCATION '{mv}' AS "
+        "SELECT tag, count(*) AS n FROM base GROUP BY tag"
+    )
+    with pytest.raises(SQLParseError, match="materialized views"):
+        lk.sql(f"CREATE TABLE c CLONE m LOCATION '{dst}'")
+    # colliding destination fails loud (no silent overwrite)
+    lk.sql(f"CREATE TABLE c CLONE base LOCATION '{dst}'")
+    with pytest.raises(FileExistsError):
+        lk.sql(f"CREATE TABLE c2 CLONE base LOCATION '{dst}'")
+    # out-of-range version fails inside the versioned layer
+    with pytest.raises(FileNotFoundError):
+        lk.sql(
+            f"CREATE TABLE c3 CLONE base VERSION AS OF 99 "
+            f"LOCATION '{tmp_path / 'dst99'}'"
+        )
