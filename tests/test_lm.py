@@ -29,10 +29,10 @@ def test_tiny_corpus_hand_computed(spark):
         [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
     )
     cb, cu, v, _ = L.bigram_lm_train(df, sample_limit=10)
-    counts = {r["g"]: r["cb"] for r in cb.collect()}
+    counts = {(r["a"], r["b"]): r["cb"] for r in cb.collect()}
     ctx = {r["a"]: r["cu"] for r in cu.collect()}
     # bigrams: doc1 → ab, ba, ab; doc2 → ab, bc
-    assert counts == {"a b": 3, "b a": 1, "b c": 1}
+    assert counts == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
     assert ctx == {"a": 3, "b": 2}
     assert v == 3.0  # {a, b, c}
     scored = {
