@@ -3269,13 +3269,18 @@ def clone_table(
       retention is not under your control.
     - **deep**: rewrites the data into the clone's own ``_data`` pool —
       one scan+write, fully independent.
+
+    Either way the source's CHECK constraints travel with the clone
+    (Delta CLONE carries table metadata; a fork whose writes dodge the
+    source's audits would be a silent gap — review r11).
     """
     if os.path.exists(_pointer(dst)):
         raise FileExistsError(f"clone target already exists at {dst}")
     v = current_version(src) if version is None else version
+    cons = table_constraints(src)
     if deep:
         src_spec = _read_manifest(src, v).get("cluster_spec")
-        return create_table(
+        ver = create_table(
             read_table(spark, src, version=v), dst,
             # the deep clone keeps the source's clustering intent (its
             # spec history restarts at 1 — it's an independent table)
@@ -3284,9 +3289,12 @@ def clone_table(
                 if src_spec and src_spec.get("cols") else None
             ),
         )
+        if cons:
+            _save_constraints(dst, cons)
+        return ver
     m = _read_manifest(src, v)
     os.makedirs(dst, exist_ok=True)
-    return _commit(
+    ver = _commit(
         dst,
         m["files"],
         extra={
@@ -3302,6 +3310,9 @@ def clone_table(
         },
         operation="CLONE",
     )
+    if cons:
+        _save_constraints(dst, cons)
+    return ver
 
 
 def consume_changes(

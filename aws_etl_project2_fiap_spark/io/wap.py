@@ -73,11 +73,10 @@ def begin_stage(spark: SparkSession, table: str, stage: str) -> int:
     writes would. The base version is recorded in the clone's first
     manifest (``cloned_from`` / ``clone_version``) and checked at
     publish."""
-    v = V.clone_table(spark, table, stage, deep=False)
-    cons = V.table_constraints(table)
-    if cons:
-        V._save_constraints(stage, cons)
-    return v
+    # clone_table copies the CHECK constraints with the manifest (since
+    # r11 all clones do), so staged writes fail the same audits direct
+    # writes would
+    return V.clone_table(spark, table, stage, deep=False)
 
 
 def abandon_stage(stage: str) -> None:

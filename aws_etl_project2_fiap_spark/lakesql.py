@@ -1120,7 +1120,9 @@ class LakeSQL:
         if not m:
             raise SQLParseError(
                 f"only CREATE TABLE|MATERIALIZED VIEW|BRANCH <name> "
-                f"LOCATION '<path>' [CLUSTERED BY (spec)] AS <select> "
+                f"LOCATION '<path>' [CLUSTERED BY (spec)] AS <select>, "
+                f"or CREATE TABLE <name> [SHALLOW|DEEP] CLONE <src> "
+                f"[VERSION|TIMESTAMP AS OF ...] LOCATION '<path>', "
                 f"is supported: {q!r}"
             )
         name, path, clustered, select = m.groups()

@@ -23,8 +23,9 @@ Design for 100 TB:
   keeps empty documents in the same pass (no second corpus join to
   re-attach them).
 - Bucketing is a pure projection against two scalar thresholds computed
-  from the SAMPLE's score distribution (re-scoring 64 documents), not an
-  ``ntile`` over the corpus — no global sort anywhere.
+  from a HELD-OUT calibration slice's score distribution (re-scoring 128
+  documents), not an ``ntile`` over the corpus — no global sort
+  anywhere.
 
 Cross-engine determinism (the oracle contract): md5 sample ordering,
 explicit ASCII tokenizer ``[a-z0-9_]+`` (Python ``\\w`` is unicode,
@@ -127,11 +128,11 @@ def bigram_lm_train(
     text_col: str = "text",
     id_col: str = "doc_id",
     sample_limit: int = 64,
-) -> tuple[DataFrame, DataFrame, float, DataFrame]:
+) -> tuple[DataFrame, DataFrame, float]:
     """Train the add-one-smoothed bigram LM on the md5-ordered sample.
 
-    Returns ``(bigram_counts, context_counts, vocab_size, sample_ids)``:
-    ``bigram_counts`` is ``(g, cb)`` keyed by the space-joined bigram,
+    Returns ``(bigram_counts, context_counts, vocab_size)``:
+    ``bigram_counts`` is ``(a, b, cb)`` keyed by the token pair,
     ``context_counts`` is ``(a, cu)`` keyed by the context token (count
     of ``a`` as a bigram left-hand side, the conditional's denominator),
     ``vocab_size`` the distinct-token count of the sample (the smoothing
@@ -139,11 +140,7 @@ def bigram_lm_train(
     ``_train_on_ids``) so broadcasting them is a local-relation ship,
     not a recompute."""
     ids = [r[0] for r in lm_sample_ids(df, id_col, sample_limit).collect()]
-    cb, cu, v = _train_on_ids(df, ids, text_col, id_col)
-    sample_ids = df.sparkSession.createDataFrame(
-        [(i,) for i in ids], df.select(id_col).schema
-    )
-    return cb, cu, v, sample_ids
+    return _train_on_ids(df, ids, text_col, id_col)
 
 
 def lm_score(
@@ -199,12 +196,12 @@ def lm_score(
 def lm_tertile_thresholds(
     sample_scored: DataFrame, id_col: str = "doc_id"
 ) -> tuple[float | None, float | None]:
-    """Head/middle cut points from the SAMPLE's score distribution.
+    """Head/middle cut points from the given sample's scores.
 
     Ascending ``(xent, id)`` order; thresholds sit at positions
     ``ceil(n/3)`` and ``ceil(2n/3)`` (1-based) — the values the oracle's
     row_number subselects pick. The collect is sample-bounded (≤ the
-    training sample size). An all-unscored sample yields ``(None,
+    calibration slice size). An all-unscored sample yields ``(None,
     None)`` → every scored document buckets 'tail' (NULL comparison
     semantics, identical on both engines)."""
     rows = (

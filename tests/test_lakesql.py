@@ -1668,6 +1668,16 @@ def test_clone_sql_shallow_and_deep(spark, tmp_path):
     n = lk.sql("SELECT count(*) AS n FROM fork1").collect()[0]["n"]
     assert n == 100
 
+    # CHECK constraints travel with clones (both modes) — a fork whose
+    # writes dodge the source's audits would be a silent gap
+    lk.sql("ALTER TABLE base ADD CONSTRAINT nonneg CHECK (v >= 0)")
+    for mode, loc in (("", "forkc"), ("DEEP ", "forkcd")):
+        p = str(tmp_path / loc)
+        lk.sql(f"CREATE TABLE {loc} {mode}CLONE base LOCATION '{p}'")
+        assert V.table_constraints(p) == {"nonneg": "v >= 0"}
+        with pytest.raises(V.ConstraintViolation):
+            lk.sql(f"INSERT INTO {loc} VALUES (999, -5.0, 'bad')")
+
 
 def test_clone_sql_errors_are_loud(spark, tmp_path):
     tbl, _ = _fixture(spark, tmp_path, "base")

@@ -28,7 +28,7 @@ def test_tiny_corpus_hand_computed(spark):
     df = spark.createDataFrame(
         [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
     )
-    cb, cu, v, _ = L.bigram_lm_train(df, sample_limit=10)
+    cb, cu, v = L.bigram_lm_train(df, sample_limit=10)
     counts = {(r["a"], r["b"]): r["cb"] for r in cb.collect()}
     ctx = {r["a"]: r["cu"] for r in cu.collect()}
     # bigrams: doc1 → ab, ba, ab; doc2 → ab, bc
@@ -55,7 +55,7 @@ def test_oov_and_edge_documents(spark):
     )
     # train on doc 1 only: vocabulary {a, b}, one bigram
     train = df.filter(F.col("doc_id") == 1)
-    cb, cu, v, _ = L.bigram_lm_train(train, sample_limit=10)
+    cb, cu, v = L.bigram_lm_train(train, sample_limit=10)
     scored = {r["doc_id"]: r for r in L.lm_score(df, cb, cu, v).collect()}
     # fully-OOV bigram: (0+1)/(0+2)
     assert scored[2]["xent"] == round(-math.log(1 / 2), 6)
@@ -73,7 +73,11 @@ def test_oov_and_edge_documents(spark):
 
 
 def test_pipeline_buckets_split_corpus(spark):
-    out = L.lm_perplexity_pipeline(_docs(spark).limit(400))
+    # deterministic subset: the pipeline runs several independent jobs
+    # over df, and a bare limit() can hand each a different row subset
+    out = L.lm_perplexity_pipeline(
+        _docs(spark).filter(F.col("doc_id") < 400)
+    )
     counts = {
         r["bucket"]: r["n"]
         for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
@@ -88,7 +92,7 @@ def test_pipeline_buckets_split_corpus(spark):
 
 
 def test_deterministic_under_repartition(spark):
-    d = _docs(spark).limit(300)
+    d = _docs(spark).filter(F.col("doc_id") < 300)
     a = sorted(
         L.lm_perplexity_pipeline(d).collect(), key=lambda r: r["doc_id"]
     )
@@ -101,7 +105,7 @@ def test_deterministic_under_repartition(spark):
 
 def test_scoring_plan_quality(spark):
     d = _docs(spark)
-    cb, cu, v, _ = L.bigram_lm_train(d, sample_limit=64)
+    cb, cu, v = L.bigram_lm_train(d, sample_limit=64)
     plan = (
         L.lm_score(d, cb, cu, v)
         ._jdf.queryExecution()
@@ -109,8 +113,8 @@ def test_scoring_plan_quality(spark):
         .toString()
     )
     # both count lookups broadcast: the corpus side shuffles exactly
-    # once, for the per-doc reduction (the g/a exchanges inside the
-    # broadcast subtrees aggregate the 64-doc SAMPLE, not the corpus)
+    # once, for the per-doc reduction (the broadcast inputs are
+    # driver-local relations, so no sample-side exchange exists)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     doc_exchanges = [
