@@ -168,6 +168,12 @@ SF1_BASELINE = {
     # broadcast-probe design's whole claim)
     "dedup_index_build": 7.015,
     "dedup_index_probe": 0.901,
+    # first-appearance recording, round 11 (idle machine, sentinels
+    # 0.061-0.147, fingerprint efdc6ed1a7912f80, in-bench context):
+    # LM perplexity train+calibrate+score — 1.63 s sf0.1 -> 3.09 s
+    # sf1, 1.9x at 10x docs (training/calibration are fixed-size;
+    # only the corpus scoring pass scales)
+    "text_lm_perplexity": 3.086,
 }
 
 
