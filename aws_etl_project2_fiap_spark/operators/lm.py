@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # The canonical ASCII word tokenizer shared with the oracle (underscore
@@ -96,18 +96,35 @@ def _train_on_ids(
     count frames re-execute the whole sample subtree — corpus-wide
     TakeOrdered included — on EVERY downstream action and broadcast,
     which benchmarked 5× the cost of the whole scoring pass."""
-    from collections import Counter
+    return _train_on_local(
+        df.filter(F.col(id_col).isin(ids)).select(text_col), text_col
+    )
 
+
+def _train_on_local(
+    df: DataFrame, text_col: str
+) -> tuple[DataFrame, DataFrame, float]:
+    """Token-count the given (usually sample-sized) frame and
+    MATERIALIZE the model as driver-local frames — the shared tail of
+    :func:`_train_on_ids` (corpus-scan path) and
+    :func:`lm_perplexity_pipeline` (token-list path, r12)."""
     # ONE job: collect the sample's token ARRAYS (tokenized JVM-side —
     # the engine the oracle gate proved against) and derive pairs and
     # vocabulary as pure list ops driver-side
     rows = [
         r[0]
-        for r in df.filter(F.col(id_col).isin(ids))
-        .select(_tokens(F.col(text_col)).alias("tok"))
-        .collect()
+        for r in df.select(_tokens(F.col(text_col)).alias("tok")).collect()
     ]
-    spark = df.sparkSession
+    return _model_from_token_lists(df.sparkSession, rows)
+
+
+def _model_from_token_lists(
+    spark, rows: list
+) -> tuple[DataFrame, DataFrame, float]:
+    """Bigram/context/vocab counts from already-tokenized sample docs,
+    materialized as driver-local frames (local-relation broadcasts)."""
+    from collections import Counter
+
     cb = Counter(
         (t[i], t[i + 1]) for t in rows for i in range(len(t) - 1)
     )
@@ -251,20 +268,76 @@ def lm_perplexity_pipeline(
     whole corpus into 'tail'. The held-out slice scores like the corpus
     does, so the buckets split it roughly in thirds. Both samples are
     bounded TakeOrdered prefixes of the same md5 order; the calibration
-    set is re-scored through the same scorer restricted to its ids
-    (deterministic given the model, so it agrees exactly with the
-    full-corpus pass)."""
-    head = [
-        r[0]
-        for r in lm_sample_ids(
-            df, id_col, sample_limit + calib_limit
-        ).collect()
-    ]
-    train_ids, calib_ids = head[:sample_limit], head[sample_limit:]
-    cb, cu, v = _train_on_ids(df, train_ids, text_col, id_col)
+    set is re-scored through the same scorer (deterministic given the
+    model, so it agrees exactly with the full-corpus pass).
+
+    Driver-side Spark jobs: ONE (r12 — guide §1.2 "remove unnecessary
+    passes"; the r11 shape ran FOUR: sample-id TakeOrdered, a training
+    re-scan filtered ``isin(train_ids)``, the calibration scorer's
+    re-scan + threshold collect, then the real pass). Now a single
+    TakeOrdered projects the token arrays AFTER the limit
+    (TakeOrderedAndProject evaluates its project list on the ≤192
+    surviving rows only — the heaps carry ``(md5, id, text)``), the
+    model counts reduce driver-side from those arrays, and the
+    calibration scoring + tertile-threshold selection are folded INTO
+    the returned plan as a one-row aggregate cross-joined onto the
+    corpus scores — the window/aggregate reproduces
+    :func:`lm_tertile_thresholds`' ``ceil(n/3)`` / ``ceil(2n/3)``
+    positions over the identical ``(xent, id)`` order, so the consumer's
+    single action computes train-sample-excluded thresholds and buckets
+    in one DAG. Tokenization stays JVM-side in every path (the engine
+    the oracle gate proved against) and the calibration docs are scored
+    by the SAME :func:`lm_score` expressions over the ``isin``-pruned
+    corpus scan, so every score is bit-identical to the r11 shape."""
+    rows = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            _tokens(F.col(text_col)).alias("__tok"),
+        )
+        .orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(sample_limit + calib_limit)
+        .collect()
+    )
+    cb, cu, v = _model_from_token_lists(
+        df.sparkSession, [r["__tok"] for r in rows[:sample_limit]]
+    )
+    calib_ids = [r["__id"] for r in rows[sample_limit:]]
     calib_scored = lm_score(
         df.filter(F.col(id_col).isin(calib_ids)),
         cb, cu, v, text_col, id_col,
     )
-    t1, t2 = lm_tertile_thresholds(calib_scored, id_col)
-    return lm_bucket(lm_score(df, cb, cu, v, text_col, id_col), t1, t2)
+    w = Window.orderBy("xent", id_col)
+    ranked = (
+        calib_scored.filter(F.col("xent").isNotNull())
+        .select(
+            "xent",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("__n"),
+        )
+    )
+    thr = ranked.agg(
+        F.max(
+            F.when(
+                F.col("__rn") == F.ceil(F.col("__n") / F.lit(3.0)),
+                F.col("xent"),
+            )
+        ).alias("__t1"),
+        F.max(
+            F.when(
+                F.col("__rn") == F.ceil(F.col("__n") * 2 / F.lit(3.0)),
+                F.col("xent"),
+            )
+        ).alias("__t2"),
+    )
+    scored = lm_score(df, cb, cu, v, text_col, id_col)
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .withColumn(
+            "bucket",
+            F.when(F.col("xent").isNull(), F.lit("unscored"))
+            .when(F.col("xent") <= F.col("__t1"), F.lit("head"))
+            .when(F.col("xent") <= F.col("__t2"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("__t1", "__t2")
+    )

@@ -275,14 +275,24 @@ def near_dup_pairs_bucketed(
                 }
             )
         sims = mat @ mat.T
-        iu, ju = np.triu_indices(n, k=1)
-        keep = np.round(sims[iu, ju], 6) >= threshold
-        i1, i2 = ids[iu[keep]], ids[ju[keep]]
+        # r12 (guide §1.2 per-task work): prefilter the gram with a safe
+        # margin BEFORE rounding — round(x, 6) >= t can only hold when
+        # x >= t - 5e-7 — then round-compare only the few candidates.
+        # The r11 form allocated two n²/2 int64 index arrays
+        # (triu_indices) and fancy-gathered the full upper triangle
+        # TWICE (once for the mask, once for the output); this is
+        # arithmetic-identical (same normalize, same gram, same
+        # round-then-compare) and ~40% cheaper per bucket.
+        cand = np.triu(sims >= threshold - 1e-6, k=1)
+        ci, cj = np.nonzero(cand)
+        vals = np.round(sims[ci, cj], 6)
+        keep = vals >= threshold
+        i1, i2 = ids[ci[keep]], ids[cj[keep]]
         return pd.DataFrame(
             {
                 "id1": np.minimum(i1, i2),
                 "id2": np.maximum(i1, i2),
-                "sim": np.round(sims[iu, ju][keep], 6),
+                "sim": vals[keep],
             }
         )
 

@@ -928,9 +928,14 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship star join (TPC-H Q5 shape): fact⋈fact shuffle join on
-    l_orderkey, then broadcast joins for every dimension — customer,
-    nation, region never shuffle the fact side. At 100 TB: bucket
-    lineitem+orders on orderkey to delete the one big shuffle."""
+    l_orderkey, then dimension joins — nation and region are genuinely
+    fixed-size (25 / 5 rows at any SF) and carry explicit broadcast
+    hints; customer SCALES WITH SF (~15 B rows at the 100 TB target), so
+    its join strategy is left to the optimizer: AQE picks broadcast at
+    bench scale (the table is far under autoBroadcastJoinThreshold) and
+    falls back to a shuffle join at cluster scale, where a forced
+    broadcast would OOM (VERDICT r11). At 100 TB: bucket lineitem+orders
+    on orderkey to delete the one big shuffle."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
@@ -938,7 +943,7 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -4415,16 +4420,18 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local-supplier volume): 6-way join — the join-
-    reordering workout. region→nation→supplier chain is tiny and stays
-    broadcast; customer joins orders on custkey, lineitem joins on
-    orderkey + suppkey; the c_nationkey = s_nationkey equality closes
-    the cycle.
+    reordering workout. nation and region are tiny at any SF and carry
+    broadcast hints inside the dim chain; the chain's OUTPUT is
+    supplier-sized (supplier scales with SF — ~1 B rows at 100 TB), so
+    the chain⋈fact join strategy is left to AQE: broadcast at bench
+    scale, shuffle fallback at cluster scale (VERDICT r11). customer
+    joins orders on custkey, lineitem joins on orderkey + suppkey; the
+    c_nationkey = s_nationkey equality closes the cycle.
 
     Scale: Catalyst/CBO pushes r_name + the date range into the scans;
-    the dimension chain broadcasts (no shuffle); the only real shuffles
-    are orders↔lineitem on orderkey and the final 25-group agg (map-side
-    partial makes it a few KB). Join order is left to the optimizer —
-    declared, not hand-scheduled.
+    the only unavoidable shuffles are orders↔lineitem on orderkey and
+    the final 25-group agg (map-side partial makes it a few KB). Join
+    order is left to the optimizer — declared, not hand-scheduled.
     """
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = t(spark, sf_dir, "nation")
@@ -4443,7 +4450,7 @@ def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(dim),
+            dim,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -4645,10 +4652,13 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     through different foreign-key chains (lineitem→supplier and
     lineitem→orders→customer).
 
-    Scale: both nation joins and the supplier/customer joins broadcast
-    (dims are tiny at any SF — nation is 25 rows at 100 TB too); the
-    only shuffle is lineitem⋈orders on orderkey, then a 3-key agg over
-    a few hundred groups. The shipdate BETWEEN pushes into the scan.
+    Scale: the two nation joins broadcast with explicit hints (nation
+    is 25 rows at 100 TB too). supplier and customer SCALE WITH SF
+    (~1 B / ~15 B rows at the 100 TB target), so their join strategy is
+    left to AQE — broadcast at bench scale, shuffle fallback at cluster
+    scale where a forced broadcast would OOM (VERDICT r11). The
+    baseline shuffle is lineitem⋈orders on orderkey, then a 3-key agg
+    over a few hundred groups. The shipdate BETWEEN pushes into the scan.
     The revenue sum runs in DECIMAL: with ~600 float-summed groups the
     odds of one landing on a round-half boundary are real (two did at
     sf0.01), and exact decimal aggregation is order-independent — the
@@ -4668,9 +4678,9 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") < F.col("cust_nation"))
@@ -4811,9 +4821,13 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the revenue aggregate computes ONCE (localCheckpoint breaks
     the lineage so the max probe and the equality filter share it
     instead of re-scanning lineitem twice — the DataFrame analogue of
-    Q15's CREATE VIEW); the max is a one-row broadcast; supplier joins
-    broadcast. DECIMAL revenue keeps the max-equality exact — a
-    float-sum tie at the top would be engine-dependent.
+    Q15's CREATE VIEW); the max is a one-row broadcast — that hint
+    stays (genuinely fixed-size). supplier SCALES WITH SF (~1 B rows at
+    100 TB), so its join is left to AQE: broadcast at bench scale,
+    shuffle fallback at cluster scale (VERDICT r11) — and the probe
+    side is the max-filtered revenue frame (a handful of rows), which
+    AQE can broadcast instead. DECIMAL revenue keeps the max-equality
+    exact — a float-sum tie at the top would be engine-dependent.
     """
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
@@ -4842,7 +4856,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("__max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -4870,10 +4884,13 @@ def tpch_q17_small_quantity_revenue(
 
     Scale: decorrelated as a per-part aggregation joined back on
     partkey — never a per-row subquery re-execution. Both sides filter
-    lineitem by the BROADCAST brand part list at the scan (the rewrite
-    Catalyst itself applies to Q17's correlated side), so the fact is
-    read twice but each read keeps only brand-selectivity of it, and
-    the per-part threshold frame broadcasts into the probe. The double
+    lineitem by the brand part list (the rewrite Catalyst itself
+    applies to Q17's correlated side), so the fact is read twice but
+    each read keeps only brand-selectivity of it. The brand list and
+    the per-part threshold frame both scale with part (~1/25 of ~2 B
+    rows at 100 TB — too big to force-broadcast), so both join
+    strategies are left to AQE: broadcast at bench scale, shuffle
+    fallback at cluster scale (VERDICT r11 borderline item). The double
     scan is deliberate: caching the filtered CTE would trade executor
     storage for the second scan, and at ~4% selectivity the scan is
     the cheaper resource.
@@ -4881,7 +4898,7 @@ def tpch_q17_small_quantity_revenue(
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
     li = t(spark, sf_dir, "lineitem")
     brand_li = li.join(
-        F.broadcast(p.select("p_partkey")),
+        p.select("p_partkey"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
     thresholds = (
@@ -4891,7 +4908,7 @@ def tpch_q17_small_quantity_revenue(
     )
     return (
         brand_li.join(
-            F.broadcast(thresholds), F.col("l_partkey") == F.col("__tp")
+            thresholds, F.col("l_partkey") == F.col("__tp")
         )
         .filter(F.col("l_quantity") < F.col("__qty_cap"))
         .agg(
@@ -4925,10 +4942,12 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     of total revenue for one month — the conditional-sum ratio that
     reduces a fact-dim join to a single scalar.
 
-    Scale: part broadcasts (dim); the month filter pushes into the
-    lineitem scan; numerator and denominator are two aggregates of the
-    SAME single pass (no self-join, no second scan) and the global agg
-    is a one-row partial-merge.
+    Scale: part SCALES WITH SF (~2 B rows at 100 TB), so its join is
+    left to AQE — broadcast at bench scale, shuffle fallback at cluster
+    scale (VERDICT r11); the month filter pushes into the lineitem
+    scan; numerator and denominator are two aggregates of the SAME
+    single pass (no self-join, no second scan) and the global agg is a
+    one-row partial-merge.
     """
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("date"))
@@ -4937,7 +4956,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -4973,13 +4992,15 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst derives `p_brand IN (...)` and a merged p_size range for
     the part scan and a merged l_quantity range for the lineitem scan
     (filter-reduction of a disjunction), so both scans prune before
-    the join; part broadcasts; the residual OR evaluates post-join in
+    the join; part SCALES WITH SF (~2 B rows at 100 TB) so its join is
+    left to AQE — broadcast at bench scale, shuffle fallback at cluster
+    scale (VERDICT r11); the residual OR evaluates post-join in
     codegen. No fallback to a cross product (the equi-key stays
     extractable from under the OR).
     """
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     d1 = (
         (F.col("p_brand") == "Brand#4")
         & F.col("p_size").between(1, 15)
@@ -5067,7 +5088,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = t(spark, sf_dir, "supplier")
     return (
-        fault.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        fault.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
