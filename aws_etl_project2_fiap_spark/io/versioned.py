@@ -2016,18 +2016,18 @@ def add_column(
     if not _re.fullmatch(r"[A-Za-z0-9_<>(),.: ]+", dtype):
         raise ValueError(f"suspicious type string {dtype!r}")
     try:
-        from pyspark.sql.types import StructType, _parse_datatype_string
+        # parse through the PUBLIC DDL surface (ADVICE r11: the private
+        # _parse_datatype_string binding), as a single wrapped field —
+        # "__c <dtype>" must yield exactly ONE field, which rejects
+        # bare DDL schema lists ("a int, b string") structurally
+        # instead of via the r11 startswith("struct") special case,
+        # and struct<...> columns come through as that field's type
+        from pyspark.sql.types import StructType
 
-        parsed = _parse_datatype_string(dtype)
-        # _parse_datatype_string ALSO accepts bare DDL schema lists
-        # ("a int, b string" → struct) via its fallback — reject that
-        # widening: a struct column must be asked for as struct<...>,
-        # anything else that lands on StructType was not a datatype
-        # (review r11)
-        if isinstance(parsed, StructType) and not dtype.strip().lower(
-        ).startswith("struct"):
+        parsed = StructType.fromDDL(f"__c {dtype}")
+        if not isinstance(parsed, StructType) or len(parsed.fields) != 1:
             raise ValueError("a DDL schema list, not a single datatype")
-        normalized = parsed.simpleString()
+        normalized = parsed.fields[0].dataType.simpleString()
     except Exception as exc:
         raise ValueError(
             f"cannot parse column type {dtype!r}: {exc}"
@@ -3272,7 +3272,15 @@ def clone_table(
 
     Either way the source's CHECK constraints travel with the clone
     (Delta CLONE carries table metadata; a fork whose writes dodge the
-    source's audits would be a silent gap — review r11).
+    source's audits would be a silent gap — review r11). Note the
+    version-pinning asymmetry (ADVICE r11): constraints are
+    UNVERSIONED table-level state here, so a clone pinned to an older
+    ``version`` still inherits the source's CURRENT constraints — a
+    constraint added after the pinned version travels back onto the
+    old-state fork and can reject writes that were valid for that
+    era's data. Delta, by contrast, clones metadata as of the pinned
+    version. Drop or edit constraints on the clone after cloning if
+    the fork must accept era-valid writes.
     """
     if os.path.exists(_pointer(dst)):
         raise FileExistsError(f"clone target already exists at {dst}")

@@ -95,6 +95,52 @@ _WS = r"\s+"
 _ID = r"[A-Za-z_][\w]*"
 
 
+def _mask_comments(q: str) -> str:
+    """Blank SQL comments (``-- …\\n`` and ``/* … */``) with spaces,
+    LEAVING string literals intact (a ``--`` inside '...' is data, and
+    an apostrophe inside a comment must not flip the raw-text passes'
+    quote parity — ADVICE r11 / VERDICT r11 #6). Length-preserving so
+    match offsets stay valid; the blanked text is what both the rewrite
+    passes AND Spark ultimately see, which is semantically identical
+    (comments carry no meaning). Block comments do not nest (ANSI); an
+    unterminated block comment blanks to end-of-string, matching how
+    Spark's own lexer would reject the tail anyway."""
+    out = list(q)
+    i, n = 0, len(q)
+    in_lit = False
+    while i < n:
+        c = q[i]
+        if in_lit:
+            if c == "'":
+                # '' escape: consume both, stay in the literal
+                if i + 1 < n and q[i + 1] == "'":
+                    i += 2
+                    continue
+                in_lit = False
+            i += 1
+            continue
+        if c == "'":
+            in_lit = True
+            i += 1
+            continue
+        if c == "-" and i + 1 < n and q[i + 1] == "-":
+            j = q.find("\n", i)
+            j = n if j == -1 else j  # keep the newline itself
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+            continue
+        if c == "/" and i + 1 < n and q[i + 1] == "*":
+            j = q.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            for k in range(i, j):
+                out[k] = " " if q[k] != "\n" else "\n"
+            i = j
+            continue
+        i += 1
+    return "".join(out)
+
+
 class SQLParseError(ValueError):
     """The statement doesn't fit the supported lakehouse grammar."""
 
@@ -323,7 +369,15 @@ class LakeSQL:
         rewritten text). Table references after FROM / JOIN and in
         comma-separated FROM lists are resolved; only text OUTSIDE
         string literals is rewritten (a literal containing
-        'FROM orders' stays intact)."""
+        'FROM orders' stays intact). Comments are blanked up front
+        (``_mask_comments``) so a CHANGES(...) or table name inside
+        ``--``/``/* */`` is never rewritten and a comment's apostrophe
+        can't flip the literal-parity guard; backtick-quoted references
+        to REGISTERED names are rejected loudly (this dialect resolves
+        bare identifiers only — a silently-unrewritten quoted name
+        would surface as a confusing Spark TABLE_OR_VIEW_NOT_FOUND)."""
+        q = _mask_comments(q)
+
         def _resolve_branch(base: str, branch: str) -> str:
             """``FROM base@branch`` / ``FROM base BRANCH branch`` —
             audit-read a WAP stage THROUGH its base table's name: the
@@ -522,6 +576,19 @@ class LakeSQL:
             return f"{kw}{_resolve(name, ver, None)}"
 
         segments = re.split(r"('(?:[^']|'')*')", q)
+        bt_pat = re.compile(
+            rf"\b(?:FROM|JOIN){_WS}`({_ID})`", re.I
+        )
+        for i, seg in enumerate(segments):
+            if i % 2:
+                continue
+            bt = bt_pat.search(seg)
+            if bt and bt.group(1) in self.tables:
+                raise SQLParseError(
+                    f"quoted table reference `{bt.group(1)}` is not "
+                    f"resolved by this dialect — registered lakehouse "
+                    f"tables must be referenced by their bare name"
+                )
         return "".join(
             seg if i % 2 else pat.sub(sub, seg)
             for i, seg in enumerate(segments)

@@ -1702,3 +1702,75 @@ def test_clone_sql_errors_are_loud(spark, tmp_path):
             f"CREATE TABLE c3 CLONE base VERSION AS OF 99 "
             f"LOCATION '{tmp_path / 'dst99'}'"
         )
+
+
+# -- r12 hardening: comments and quoted identifiers (VERDICT r11 #6) --
+
+
+def test_comment_mentions_are_never_rewritten(spark, tmp_path):
+    """A table name or CHANGES(...) inside -- or /* */ comments is
+    comment text, not a reference: no temp-view side effect, no
+    SQLParseError from the CHANGES validator, and the statement runs."""
+    tbl = str(tmp_path / "t")
+    V.create_table(spark.range(3).select(F.col("id").alias("k")), tbl)
+    lk = LakeSQL(spark, {"tt": tbl})
+    pre = {v.name for v in spark.catalog.listTables() if "__ch_" in v.name}
+    n = lk.sql(
+        "SELECT count(*) AS n -- CHANGES(tt, 99, 100) FROM tt\n"
+        "FROM tt /* also FROM tt VERSION AS OF 77 */"
+    ).collect()[0]["n"]
+    assert n == 3
+    # the commented CHANGES bounds (99..100) would have raised if the
+    # TVF pass had seen them; and no NEW __ch_ view may have been
+    # minted by this statement (other tests in the shared session may
+    # legitimately have their own)
+    post = {v.name for v in spark.catalog.listTables() if "__ch_" in v.name}
+    assert post == pre
+
+
+def test_comment_apostrophe_does_not_flip_literal_parity(spark, tmp_path):
+    """An apostrophe inside a comment must not invert the quote-parity
+    guard: the real table reference AFTER the comment still resolves
+    (r11's raw-text passes counted that apostrophe and skipped it)."""
+    tbl = str(tmp_path / "t")
+    V.create_table(spark.range(4).select(F.col("id").alias("k")), tbl)
+    lk = LakeSQL(spark, {"tt": tbl})
+    n = lk.sql(
+        "SELECT count(*) AS n -- don't trip the guard\n"
+        "FROM tt VERSION AS OF 1"
+    ).collect()[0]["n"]
+    assert n == 4
+
+
+def test_literal_containing_comment_markers_stays_data(spark, tmp_path):
+    """-- and /* inside a string literal are data: the literal must
+    survive masking byte-for-byte."""
+    tbl = str(tmp_path / "t")
+    V.create_table(
+        spark.range(3).select(
+            F.col("id").alias("k"), F.lit("a -- /* b").alias("c")
+        ),
+        tbl,
+    )
+    lk = LakeSQL(spark, {"tt": tbl})
+    n = lk.sql(
+        "SELECT count(*) AS n FROM tt WHERE c = 'a -- /* b'"
+    ).collect()[0]["n"]
+    assert n == 3
+
+
+def test_backtick_quoted_registered_name_rejected_loudly(spark, tmp_path):
+    """This dialect resolves bare identifiers only: a backtick-quoted
+    REGISTERED table name raises a clear SQLParseError instead of
+    falling through to Spark's TABLE_OR_VIEW_NOT_FOUND."""
+    tbl = str(tmp_path / "t")
+    V.create_table(spark.range(3).select(F.col("id").alias("k")), tbl)
+    lk = LakeSQL(spark, {"tt": tbl})
+    with pytest.raises(SQLParseError, match="bare name"):
+        lk.sql("SELECT count(*) FROM `tt`")
+    # an UNregistered backticked name is not ours — Spark's own error
+    # (or resolution, for real catalog tables) applies unchanged
+    spark.range(2).createOrReplaceTempView("native_v")
+    assert lk.sql(
+        "SELECT count(*) AS n FROM `native_v`"
+    ).collect()[0]["n"] == 2
