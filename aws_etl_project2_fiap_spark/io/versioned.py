@@ -2027,6 +2027,16 @@ def add_column(
         parsed = StructType.fromDDL(f"__c {dtype}")
         if not isinstance(parsed, StructType) or len(parsed.fields) != 1:
             raise ValueError("a DDL schema list, not a single datatype")
+        # fromDDL accepts a field-level "NOT NULL" suffix the old
+        # parser rejected; silently recording the column as nullable
+        # would drop the user's constraint (review r12) — refuse it
+        # (added columns are typed-NULL projections until data exists,
+        # so NOT NULL cannot be honored here anyway)
+        if not parsed.fields[0].nullable:
+            raise ValueError(
+                "NOT NULL is not supported for added columns (they "
+                "read as typed NULLs until data is written)"
+            )
         normalized = parsed.fields[0].dataType.simpleString()
     except Exception as exc:
         raise ValueError(

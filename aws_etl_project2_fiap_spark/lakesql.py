@@ -102,25 +102,35 @@ def _mask_comments(q: str) -> str:
     quote parity — ADVICE r11 / VERDICT r11 #6). Length-preserving so
     match offsets stay valid; the blanked text is what both the rewrite
     passes AND Spark ultimately see, which is semantically identical
-    (comments carry no meaning). Block comments do not nest (ANSI); an
-    unterminated block comment blanks to end-of-string, matching how
-    Spark's own lexer would reject the tail anyway."""
+    (comments carry no meaning).
+
+    Literal tracking mirrors Spark's default lexer (review r12): BOTH
+    quote kinds are literals (``"…"`` is a string under the default
+    ``doubleQuotedIdentifiers=false``), backslash escapes are honored
+    inside either (``'it\\'s--not a comment'``), doubled quotes escape
+    themselves, and bracketed comments NEST (SPARK-28880:
+    ``/* a /* b */ c */`` is one comment). An unterminated block
+    comment blanks to end-of-string, matching how Spark's own lexer
+    treats the tail."""
     out = list(q)
     i, n = 0, len(q)
-    in_lit = False
+    lit: str | None = None  # the quote char when inside a literal
     while i < n:
         c = q[i]
-        if in_lit:
-            if c == "'":
-                # '' escape: consume both, stay in the literal
-                if i + 1 < n and q[i + 1] == "'":
+        if lit is not None:
+            if c == "\\" and i + 1 < n:
+                i += 2  # backslash escape: next char is literal data
+                continue
+            if c == lit:
+                # doubled-quote escape: consume both, stay inside
+                if i + 1 < n and q[i + 1] == lit:
                     i += 2
                     continue
-                in_lit = False
+                lit = None
             i += 1
             continue
-        if c == "'":
-            in_lit = True
+        if c in ("'", '"'):
+            lit = c
             i += 1
             continue
         if c == "-" and i + 1 < n and q[i + 1] == "-":
@@ -131,8 +141,16 @@ def _mask_comments(q: str) -> str:
             i = j
             continue
         if c == "/" and i + 1 < n and q[i + 1] == "*":
-            j = q.find("*/", i + 2)
-            j = n if j == -1 else j + 2
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if q[j] == "/" and j + 1 < n and q[j + 1] == "*":
+                    depth += 1
+                    j += 2
+                elif q[j] == "*" and j + 1 < n and q[j + 1] == "/":
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
             for k in range(i, j):
                 out[k] = " " if q[k] != "\n" else "\n"
             i = j
@@ -296,7 +314,12 @@ class LakeSQL:
     # -- dispatch ------------------------------------------------------
 
     def sql(self, text: str) -> DataFrame:
-        q = text.strip().rstrip(";").strip()
+        # comments are blanked BEFORE dispatch (review r12): a leading
+        # "-- header" must not become the statement head-word, and every
+        # raw-text statement parser below sees comment-free text (the
+        # masking is idempotent, so _rewrite_select's own defensive call
+        # costs nothing)
+        q = _mask_comments(text).strip().rstrip(";").strip()
         head = q.split(None, 1)[0].upper() if q else ""
         if head == "MERGE":
             return self._merge(q)
@@ -337,10 +360,12 @@ class LakeSQL:
         top-level ``;`` — semicolons inside string literals and parens
         don't split), sequentially, returning the LAST statement's
         result. The shape a SQL-first user pastes: stage, mutate,
-        publish, select."""
+        publish, select. Comments are blanked before the split (review
+        r12) so a ``;`` inside ``--``/``/* */`` never splits a
+        statement."""
         results = [
             self.sql(stmt)
-            for stmt in _split_top(text, r";")
+            for stmt in _split_top(_mask_comments(text), r";")
             if stmt.strip()
         ]
         if not results:
@@ -576,19 +601,22 @@ class LakeSQL:
             return f"{kw}{_resolve(name, ver, None)}"
 
         segments = re.split(r"('(?:[^']|'')*')", q)
+        # same reference forms the resolver accepts (FROM/JOIN AND
+        # comma lists), EVERY match checked — a search() would stop at
+        # the first (possibly unregistered) backticked name (review r12)
         bt_pat = re.compile(
-            rf"\b(?:FROM|JOIN){_WS}`({_ID})`", re.I
+            rf"(?:\b(?:FROM|JOIN){_WS}|,\s*)`({_ID})`", re.I
         )
         for i, seg in enumerate(segments):
             if i % 2:
                 continue
-            bt = bt_pat.search(seg)
-            if bt and bt.group(1) in self.tables:
-                raise SQLParseError(
-                    f"quoted table reference `{bt.group(1)}` is not "
-                    f"resolved by this dialect — registered lakehouse "
-                    f"tables must be referenced by their bare name"
-                )
+            for bt in bt_pat.finditer(seg):
+                if bt.group(1) in self.tables:
+                    raise SQLParseError(
+                        f"quoted table reference `{bt.group(1)}` is not "
+                        f"resolved by this dialect — registered lakehouse "
+                        f"tables must be referenced by their bare name"
+                    )
         return "".join(
             seg if i % 2 else pat.sub(sub, seg)
             for i, seg in enumerate(segments)

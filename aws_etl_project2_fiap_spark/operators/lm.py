@@ -288,7 +288,18 @@ def lm_perplexity_pipeline(
     in one DAG. Tokenization stays JVM-side in every path (the engine
     the oracle gate proved against) and the calibration docs are scored
     by the SAME :func:`lm_score` expressions over the ``isin``-pruned
-    corpus scan, so every score is bit-identical to the r11 shape."""
+    corpus scan, so every score is bit-identical to the r11 shape.
+
+    Laziness note (review r12): the calibration/threshold branch lives
+    INSIDE the returned plan, so a consumer running several actions
+    re-executes it each time — alongside the full corpus re-score that
+    any second action on a lazy frame pays anyway. Unlike the r11
+    model-frame hazard (_train_on_ids' docstring: a corpus-wide
+    TakeOrdered re-ran per action), this branch is bounded — an
+    ``isin``-pruned scan of ``calib_limit`` documents — so it rides the
+    dominant corpus term instead of multiplying it; callers that need
+    many actions over the result should checkpoint/persist the RESULT,
+    which no threshold-collect variant would save them from."""
     rows = (
         df.select(
             F.col(id_col).alias("__id"),
@@ -306,6 +317,11 @@ def lm_perplexity_pipeline(
         df.filter(F.col(id_col).isin(calib_ids)),
         cb, cu, v, text_col, id_col,
     )
+    # The window/aggregate below MUST keep reproducing
+    # lm_tertile_thresholds' contract — positions ceil(n/3) and
+    # ceil(2n/3), 1-based, over ascending (xent, id), non-null xent
+    # only; tests/test_lm.py::test_inplan_thresholds_match_helper pins
+    # the two implementations together (review r12).
     w = Window.orderBy("xent", id_col)
     ranked = (
         calib_scored.filter(F.col("xent").isNotNull())

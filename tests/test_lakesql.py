@@ -1774,3 +1774,71 @@ def test_backtick_quoted_registered_name_rejected_loudly(spark, tmp_path):
     assert lk.sql(
         "SELECT count(*) AS n FROM `native_v`"
     ).collect()[0]["n"] == 2
+
+
+def test_mask_comments_edge_cases_unit():
+    """Pure-function pins for the review-r12 masker fixes: double-
+    quoted literals, backslash escapes, nested bracketed comments
+    (SPARK-28880), and length preservation."""
+    from aws_etl_project2_fiap_spark.lakesql import _mask_comments as M
+
+    # double-quoted literal containing -- survives byte-for-byte
+    q = 'SELECT * FROM t WHERE c = "a -- b"'
+    assert M(q) == q
+    # backslash-escaped quote does not end the literal
+    q = r"SELECT 'it\'s--data' AS x"
+    assert M(q) == q
+    # doubled-quote escape inside a literal
+    q = "SELECT 'a''--b' AS x"
+    assert M(q) == q
+    # nested bracketed comment blanks as ONE comment, nothing leaks
+    q = "SELECT 1 /* o /* i */ tail */ FROM t"
+    assert M(q) == q.replace("/* o /* i */ tail */", " " * 20)
+    assert "tail" not in M(q) and "*/" not in M(q)
+    # line comment blanks to (not including) the newline
+    assert M("SELECT 1 -- c'x\nFROM t") == "SELECT 1       \nFROM t"
+    # length always preserved
+    for s in ("a /* unterminated", "-- only", "'lit -- /*'", 'x "y--z"'):
+        assert len(M(s)) == len(s)
+
+
+def test_leading_comment_and_script_semicolon_in_comment(spark, tmp_path):
+    """A leading comment must not become the dispatcher's head word,
+    and a ';' inside a comment must not split a script statement."""
+    tbl = str(tmp_path / "t")
+    V.create_table(spark.range(3).select(F.col("id").alias("k")), tbl)
+    lk = LakeSQL(spark, {"tt": tbl})
+    assert lk.sql(
+        "-- header comment\nSELECT count(*) AS n FROM tt"
+    ).collect()[0]["n"] == 3
+    assert lk.sql_script(
+        "SELECT 1 AS n; -- note; not a split\nSELECT count(*) AS n FROM tt"
+    ).collect()[0]["n"] == 3
+
+
+def test_backtick_guard_checks_every_reference_and_comma_lists(
+    spark, tmp_path
+):
+    """review r12: the loud rejection must catch a registered backticked
+    name even when an UNREGISTERED one precedes it, and in comma lists."""
+    tbl = str(tmp_path / "t")
+    V.create_table(spark.range(3).select(F.col("id").alias("k")), tbl)
+    lk = LakeSQL(spark, {"tt": tbl})
+    spark.range(2).createOrReplaceTempView("native_w")
+    with pytest.raises(SQLParseError, match="bare name"):
+        lk.sql("SELECT * FROM `native_w` JOIN `tt` ON 1=1")
+    with pytest.raises(SQLParseError, match="bare name"):
+        lk.sql("SELECT * FROM native_w, `tt`")
+
+
+def test_add_column_not_null_rejected(spark, tmp_path):
+    """review r12: fromDDL would silently DROP a NOT NULL suffix; the
+    add_column surface must refuse it instead (added columns read as
+    typed NULLs until data exists)."""
+    tbl = str(tmp_path / "t")
+    V.create_table(spark.range(3).select(F.col("id").alias("k")), tbl)
+    with pytest.raises(ValueError, match="NOT NULL"):
+        V.add_column(spark, tbl, "c2", "bigint NOT NULL")
+    # the plain type still works and normalizes
+    V.add_column(spark, tbl, "c2", "decimal(12, 2)")
+    assert dict(V.read_table(spark, tbl).dtypes)["c2"] == "decimal(12,2)"

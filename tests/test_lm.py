@@ -132,3 +132,40 @@ def test_scoring_plan_quality(spark):
     )
     assert out_plan.count("Exchange hashpartitioning(doc_id") == 1
     assert "Sort [" not in out_plan
+
+
+def test_inplan_thresholds_match_helper(spark):
+    """The pipeline's in-plan window/aggregate thresholds (r12) must
+    reproduce lm_tertile_thresholds' driver-side positions —
+    ceil(n/3)/ceil(2n/3), 1-based, ascending (xent, id), nulls
+    excluded — including on a calibration slice with tied xents and
+    unscored (single-token) docs."""
+    d = _docs(spark).limit(300)
+    cb, cu, v = L.bigram_lm_train(d, sample_limit=24)
+    # score a deterministic slice the way the pipeline's calib branch
+    # does, then compare the helper's collected thresholds against the
+    # buckets the full pipeline actually assigned at the SAME split
+    scored = L.lm_score(d, cb, cu, v)
+    out = {
+        r["doc_id"]: r
+        for r in L.lm_perplexity_pipeline(
+            d, sample_limit=24, calib_limit=48
+        ).collect()
+    }
+    head = [
+        r["__id"]
+        for r in d.select(
+            F.col("doc_id").alias("__id")
+        ).orderBy(
+            F.md5(F.col("__id").cast("string")), F.col("__id")
+        ).limit(24 + 48).collect()
+    ]
+    calib_scored = L.lm_score(
+        d.filter(F.col("doc_id").isin(head[24:])), cb, cu, v
+    )
+    t1, t2 = L.lm_tertile_thresholds(calib_scored)
+    expect = {
+        r["doc_id"]: r["bucket"]
+        for r in L.lm_bucket(scored, t1, t2).collect()
+    }
+    assert {k: r["bucket"] for k, r in out.items()} == expect
