@@ -109,16 +109,57 @@ _R11_WINDOW = [
     "p_projection_suite", "suite_subquery", "suite_asof", "suite_text",
 ]
 
-# every oracle-backed catalog name at the moment the r11 window was
-# rotated (96 entries — includes text_quality_model_portable, which
-# landed BEFORE this rotation and is asserted in-window explicitly
-# below; entries oracle-backed after this rotation must NOT be added
-# to this frozenset, or the set-diff would stop enforcing their
-# window membership). The birth-entry policy below is a set-diff
-# against this snapshot, so it covers ANY entry oracle-backed after
-# the rotation regardless of registration order — no per-round
-# hardcoded "new entries" list to forget updating.
-_ORACLE_BACKED_AT_R11_ROTATION = frozenset([
+# the round-12 window: an OPTIMIZATION round — no new oracle-backed
+# entries, so the slots go to continuity: all 14 r11 evictions rotate
+# back (incl. the three portables last driver-checked r10), the
+# longest-unchecked r06 suite family returns (last driver-checked r6),
+# the r11 births stay for a second round, and every query the r12
+# optimization touched (the eight hint-drop sites + the LM rewrite)
+# sits in-window so the round's own changes take driver-grade hash
+# checks. Evicted to the tail: the five r10 births (green twice), the
+# eleven r11 rotate-backs that just re-passed, and eleven lakehouse
+# k_* readbacks green r8-r11 (family represented by k_lakesql_verbs /
+# k6_update / k_matview_dim_evolution). Pinned so appending catalog
+# entries can never reorder-and-evict a row mid-round.
+_R12_WINDOW = [
+    "a1_top5_7day_sum", "text_quality_model_portable",
+    "text_bpe_tokens_portable", "text_lm_perplexity",
+    "tpch_q4_order_priority", "tpch_q12_priority_class",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q22_global_sales",
+    "dedup_index_probe_portable", "dedup_index_build_portable",
+    "stream_price_alerts_portable", "tpch_q7_nation_volume",
+    "tpch_q10_returned_items", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders", "tpch_q19_discounted_revenue",
+    "suite_proj_orders", "suite_proj_customer", "suite_proj_events",
+    "suite_setops", "suite_agg_grouping", "suite_window_frames",
+    "suite_window_rank", "suite_join_outer", "suite_corpus_ops",
+    "o1_topk", "o2_ordered_scan", "p6_arith_projection",
+    "join_star_revenue", "tpch_q5_regional_revenue",
+    "tpch_q21_waiting_supplier", "a2_count",
+    "k_matview_dim_evolution_readback", "k_lakesql_verbs_readback",
+    "k6_update_readback", "window_keep_latest", "sessionize_30m",
+    "dedup_exact", "multimodal_meta", "dedup_embedding_cosine",
+    "dedup_span_exact", "dedup_minhash_lsh_portable",
+    "dedup_cluster_lsh", "stream_neardup_ingest",
+    "p_projection_suite", "suite_subquery", "suite_asof", "suite_text",
+]
+
+# every oracle-backed catalog name at the moment the r12 window was
+# rotated (98 entries = the r11 snapshot + the two entries
+# oracle-backed after the r11 rotation: text_bpe_tokens_portable and
+# text_lm_perplexity; round 12 added no new oracle-backed entries).
+# Entries oracle-backed after THIS rotation must NOT be added here, or
+# the set-diff would stop enforcing their window membership. The
+# birth-entry policy below is a set-diff against this snapshot, so it
+# covers ANY entry oracle-backed after the rotation regardless of
+# registration order — no per-round hardcoded "new entries" list to
+# forget updating.
+_ORACLE_BACKED_AT_R12_ROTATION = frozenset(
+    [
+        "text_bpe_tokens_portable", "text_lm_perplexity",
+    ]
+) | frozenset([
     "a1_top5_7day_sum", "a2_count", "agg_approx_distinct_portable",
     "agg_count_distinct", "agg_having", "agg_percentiles",
     "agg_pivot", "agg_pricing_summary", "corpus_select",
@@ -184,16 +225,16 @@ _R3_GREEN_WINDOW = [
 
 
 def test_driver_window_order_is_pinned():
-    """Positions 1-50 of queries() must stay EXACTLY the pinned r11
+    """Positions 1-50 of queries() must stay EXACTLY the pinned r12
     window, in order: the driver hash-compares by position, so any
     reorder (e.g. registering a new oracle-backed query before the
     suites) silently evicts a row mid-round."""
-    assert list(ordered_catalog())[:50] == _R11_WINDOW
+    assert list(ordered_catalog())[:50] == _R12_WINDOW
 
 
 def test_new_oracle_backed_entries_enter_window_at_birth():
     """Birth-entry policy, generalized (VERDICT r8 #7): every entry
-    that becomes oracle-backed AFTER the r11 rotation snapshot must be
+    that becomes oracle-backed AFTER the r12 rotation snapshot must be
     rotated into the driver window in the same round it lands —
     otherwise it would ship without ever taking a driver-grade hash
     check. Registration order is irrelevant: this is a set-diff
@@ -201,51 +242,30 @@ def test_new_oracle_backed_entries_enter_window_at_birth():
     forgetting to update a hardcoded 'new this round' list."""
     current = set(oracle_sql())
     window = set(list(ordered_catalog())[:50])
-    born_after_rotation = current - _ORACLE_BACKED_AT_R11_ROTATION
+    born_after_rotation = current - _ORACLE_BACKED_AT_R12_ROTATION
     assert born_after_rotation <= window, sorted(
         born_after_rotation - window
     )
     # the snapshot itself can only shrink if an oracle was genuinely
     # removed — flag silent demotions to rows-only
-    demoted = _ORACLE_BACKED_AT_R11_ROTATION - current
+    demoted = _ORACLE_BACKED_AT_R12_ROTATION - current
     assert not demoted, sorted(demoted)
 
 
 def test_window_rotation_properties():
-    """Rotation hygiene: the r11 window re-checks every entry the r10
-    rotation evicted (continuity), carries the r11 birth entry (and
-    the r10 births for a second round), and everything ever evicted
+    """Rotation hygiene (r12): every r11 eviction rotates back for its
+    continuity re-check, the longest-unchecked r06 suite family
+    returns, the r11 births stay for a second round, every query the
+    r12 optimization touched is in-window, and everything ever evicted
     stays oracle-backed in the tail."""
-    # the r11 birth (landed before the rotation, so the snapshot
-    # set-diff doesn't cover it — assert membership explicitly)
-    assert "text_quality_model_portable" in _R11_WINDOW
-    # the five r10 oracle conversions, kept for a second round
-    assert "similarity_pairs_lsh_portable" in _R11_WINDOW
-    assert "similarity_ivf_knn_portable" in _R11_WINDOW
-    assert "dedup_semantic_portable" in _R11_WINDOW
-    assert "similarity_ivfpq_knn_portable" in _R11_WINDOW
-    assert "agg_approx_distinct_portable" in _R11_WINDOW
-    # ALL 11 r10 evictions rotated back for their continuity re-check
-    rotated_back = {
-        "tpch_q3_shipping_priority", "tpch_q5_regional_revenue",
-        "dedup_ngram_jaccard", "event_time_tumbling_1h",
-        "similarity_knn", "text_langid", "dedup_simhash_pairs",
-        "sample_stratified", "k_bloom_readback",
-        "similarity_knn_quantized", "dedup_minhash_lsh_portable",
-    }
-    assert rotated_back <= set(_R11_WINDOW)
-    fresh = [n for n in _R11_WINDOW if n not in _R3_GREEN_WINDOW]
-    assert len(fresh) >= 25, fresh
-    evicted = [n for n in _R3_GREEN_WINDOW if n not in _R11_WINDOW]
-    cat, o = list(ordered_catalog()), oracle_sql()
-    for n in evicted:
-        assert n in cat and n in o
-    # the r11 evictions stay oracle-backed in the tail
-    # (tpch_q18_large_orders made room for the late-landing birth
-    # text_bpe_tokens_portable, and tpch_q19_discounted_revenue for
-    # text_lm_perplexity — both births' window membership the snapshot
-    # set-diff enforces)
+    # the r11 births, kept for their second driver-green round
     for n in (
+        "text_quality_model_portable", "text_bpe_tokens_portable",
+        "text_lm_perplexity",
+    ):
+        assert n in _R12_WINDOW
+    # ALL 14 r11 evictions rotated back for their continuity re-check
+    r11_evictions = {
         "tpch_q4_order_priority", "tpch_q12_priority_class",
         "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
         "tpch_q15_top_supplier", "tpch_q22_global_sales",
@@ -253,5 +273,46 @@ def test_window_rotation_properties():
         "stream_price_alerts_portable", "tpch_q7_nation_volume",
         "tpch_q10_returned_items", "tpch_q17_small_quantity_revenue",
         "tpch_q18_large_orders", "tpch_q19_discounted_revenue",
-    ):
-        assert n in cat and n in o and n not in _R11_WINDOW
+    }
+    assert r11_evictions == {
+        n for n in _R11_WINDOW_EVICTIONS
+    }  # the set the r11 test pinned as evicted
+    assert r11_evictions <= set(_R12_WINDOW)
+    # the r06 suite family returns (last driver-checked r6/r7)
+    assert {
+        "suite_proj_orders", "suite_proj_customer", "suite_proj_events",
+        "suite_setops", "suite_agg_grouping", "suite_window_frames",
+        "suite_window_rank", "suite_join_outer", "suite_corpus_ops",
+        "o1_topk", "o2_ordered_scan", "p6_arith_projection",
+    } <= set(_R12_WINDOW)
+    # every query the r12 optimization touched takes a driver check
+    assert {
+        "join_star_revenue", "tpch_q5_regional_revenue",
+        "tpch_q7_nation_volume", "tpch_q14_promo_revenue",
+        "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+        "tpch_q19_discounted_revenue", "tpch_q21_waiting_supplier",
+        "text_lm_perplexity",
+    } <= set(_R12_WINDOW)
+    # the window actually rotated, and every r12 eviction stays
+    # oracle-backed in the tail
+    cat, o = list(ordered_catalog()), oracle_sql()
+    evicted_r12 = [n for n in _R11_WINDOW if n not in _R12_WINDOW]
+    assert len(evicted_r12) >= 20, evicted_r12
+    for n in evicted_r12:
+        assert n in cat and n in o, n
+    for n in [n for n in _R3_GREEN_WINDOW if n not in _R12_WINDOW]:
+        assert n in cat and n in o, n
+
+
+# the r11 evictions as pinned by the r11 rotation test — kept as data
+# so the r12 continuity assertion above can't drift from what was
+# actually evicted
+_R11_WINDOW_EVICTIONS = [
+    "tpch_q4_order_priority", "tpch_q12_priority_class",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q22_global_sales",
+    "dedup_index_probe_portable", "dedup_index_build_portable",
+    "stream_price_alerts_portable", "tpch_q7_nation_volume",
+    "tpch_q10_returned_items", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders", "tpch_q19_discounted_revenue",
+]
