@@ -111,14 +111,22 @@ def _mask_comments(q: str) -> str:
     themselves, and bracketed comments NEST (SPARK-28880:
     ``/* a /* b */ c */`` is one comment). An unterminated block
     comment blanks to end-of-string, matching how Spark's own lexer
-    treats the tail."""
+    treats the tail.
+
+    Two carve-outs (ADVICE r12): backtick-quoted identifiers are a
+    third quoting context (no backslash escapes — `` `` `` doubles),
+    so ``--``/``/*`` inside a legal quoted identifier stays data; and
+    bracketed comments whose body starts with ``+`` are Spark QUERY
+    HINTS (``/*+ BROADCAST(t) */``) — semantically meaningful, so
+    they pass through unmasked (hint bodies are bare identifiers and
+    numbers; a quote inside one is not valid hint syntax)."""
     out = list(q)
     i, n = 0, len(q)
     lit: str | None = None  # the quote char when inside a literal
     while i < n:
         c = q[i]
         if lit is not None:
-            if c == "\\" and i + 1 < n:
+            if c == "\\" and i + 1 < n and lit != "`":
                 i += 2  # backslash escape: next char is literal data
                 continue
             if c == lit:
@@ -129,7 +137,7 @@ def _mask_comments(q: str) -> str:
                 lit = None
             i += 1
             continue
-        if c in ("'", '"'):
+        if c in ("'", '"', "`"):
             lit = c
             i += 1
             continue
@@ -139,6 +147,11 @@ def _mask_comments(q: str) -> str:
             for k in range(i, j):
                 out[k] = " "
             i = j
+            continue
+        if c == "/" and i + 2 < n and q[i + 1] == "*" and q[i + 2] == "+":
+            # query hint: skip the span intact (hints don't nest)
+            j = q.find("*/", i + 3)
+            i = n if j == -1 else j + 2
             continue
         if c == "/" and i + 1 < n and q[i + 1] == "*":
             depth, j = 1, i + 2
@@ -601,11 +614,17 @@ class LakeSQL:
             return f"{kw}{_resolve(name, ver, None)}"
 
         segments = re.split(r"('(?:[^']|'')*')", q)
-        # same reference forms the resolver accepts (FROM/JOIN AND
-        # comma lists), EVERY match checked — a search() would stop at
-        # the first (possibly unregistered) backticked name (review r12)
+        # FROM/JOIN positions only, EVERY match checked — a search()
+        # would stop at the first (possibly unregistered) backticked
+        # name (review r12). The comma form is deliberately NOT
+        # guarded (ADVICE r12): a `,\s*` alternative also matches
+        # SELECT-list commas, rejecting a backtick-quoted COLUMN that
+        # shares a registered table's name — the exact escape hatch
+        # backtick quoting exists for. A backticked registered name in
+        # a comma FROM list falls through to Spark's own
+        # TABLE_OR_VIEW_NOT_FOUND (loud, just less specific).
         bt_pat = re.compile(
-            rf"(?:\b(?:FROM|JOIN){_WS}|,\s*)`({_ID})`", re.I
+            rf"\b(?:FROM|JOIN){_WS}`({_ID})`", re.I
         )
         for i, seg in enumerate(segments):
             if i % 2:

@@ -72,6 +72,28 @@ def build_session(
         # handling; flip back per-job via extra_conf if a workload's
         # stats are known-bad.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # AQE's runtime SMJ→SHJ rewrite is OFF until this is set (guide
+        # §3.1: "default 0, i.e. off until you set it"). The static SHJ
+        # gate above needs trustworthy plan-time stats, which joins and
+        # aggregates rarely have (q18's semi join over a HAVING
+        # aggregate stays SMJ at every SF without this); the AQE
+        # rewrite instead uses OBSERVED post-shuffle sizes and fires
+        # only when EVERY build partition is under this cap — 64m
+        # matches the advisory partition size, so a healthily-coalesced
+        # partition qualifies while a skewed one (>64m) keeps
+        # spill-safe SMJ. Worst-case residency: cores × 64 MB of
+        # concurrent build maps, bounded and sized to the heap.
+        # Measured r13 at tiled sf1 (same-session conf A/B, best-of-3):
+        # q18 1.852→1.734 s (+6.4%), q5 1.206→1.083 s (+10.2%); queries
+        # whose final plan carries no SMJ are byte-identical plans
+        # under 0 vs 64m (verified on q7), so their draw deltas are
+        # noise. plans/r13/tpch_q18_large_orders_aqe_final_sf1_
+        # {before,after}.txt show the lineitem⋈orders SMJ → SHJ
+        # conversion, isFinalPlan=true.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m",
+        )
         # --- columnar interop ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- deterministic event-time semantics ---

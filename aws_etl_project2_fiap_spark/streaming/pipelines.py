@@ -313,7 +313,10 @@ def stateful_price_alerts(
             pdf = pdf.sort_values(ts_col)
             rows, _ = ratchet(
                 pdf[value_col].astype(float).to_numpy(),
-                list(pdf[ts_col]),
+                # numpy datetime64 view, NOT list(): the ratchet only
+                # reads ts[i] on EMITS, so only emitted rows ever
+                # materialize a timestamp object (guide §4 — r13)
+                pdf[ts_col].to_numpy(),
                 float("nan"),
                 pct,
             )
@@ -361,7 +364,8 @@ def stateful_price_alerts(
             if len(pdf):
                 out, anchor = ratchet(
                     pdf[value_col].astype(float).to_numpy(),
-                    list(pdf[ts_col]),
+                    # same lazy datetime64 handoff as the batch path
+                    pdf[ts_col].to_numpy(),
                     anchor,
                     pct,
                 )

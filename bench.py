@@ -522,8 +522,12 @@ def _sentinel(spark) -> float:
 def _emit(payload: dict) -> None:
     """Print the payload line AND persist it to /tmp/bench_out.json:
     the driver's fixed-size output capture truncated the final line in
-    two past rounds — the file survives any capture window."""
-    line = json.dumps(payload)
+    two past rounds — the file survives any capture window. Compact
+    separators (r13, VERDICT r12 #6): every byte of the line competes
+    for the capture's tail window, and the separators alone were ~12%
+    of it. The full payload (r13 final line ≈3.1 KB) stays well under
+    the 8 KB bound."""
+    line = json.dumps(payload, separators=(",", ":"))
     print(line, flush=True)
     try:
         with open("/tmp/bench_out.json", "w") as fh:
@@ -606,7 +610,12 @@ def main() -> None:
             if name in LAKEHOUSE_BASELINE
             and lake[name] > max(3.0 * LAKEHOUSE_BASELINE[name], 0.5)
         }
-        _emit(payload)
+        # no emit here (r13): the early emit above already guarantees
+        # one parseable line in any truncated capture, and every extra
+        # line pushes the FINAL line's head out of a tail-limited
+        # window — the exact failure mode that voided the r11→r12
+        # comparison. A crash between here and the final emit loses
+        # only the lakehouse column, which /tmp/bench_out.json retains.
 
     # sf1 scale column (VERDICT r2 #5, made un-skippable r9): the
     # per-query 2x gate is pinned at THIS scale, so a default run must

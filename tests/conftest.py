@@ -19,6 +19,13 @@ def spark():
 
     spark = build_session(
         app_name="tests",
+        # local[4], pinned (r13, VERDICT r12 #1): the suite is thousands
+        # of tiny-data jobs, and 32 scheduler threads spend more time
+        # launching 32-task stages than 4 threads spend computing them —
+        # measured −28% wall on the versioned-IO-heavy files, nothing
+        # slower. Pinning (instead of inheriting $SPARK_GRAFT_CPUS) also
+        # makes file-layout-sensitive assertions machine-independent.
+        master="local[4]",
         shuffle_partitions=8,
         extra_conf={
             "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-warehouse-")

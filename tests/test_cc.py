@@ -65,6 +65,7 @@ def test_cc_converges_from_reversed_ids(spark):
     _check(spark, [(i + 1, i) for i in range(50, 0, -1)])
 
 
+@pytest.mark.slow  # exact-edges differential replay; oracle gate covers dedup_cluster_lsh (r13)
 def test_cluster_lsh_matches_exact_edges(spark):
     """The LSH-edge clustering (scale path) must produce the same
     component labels as the exact-Jaccard-edge clustering at test SF —

@@ -20,12 +20,10 @@ even when the engine's values are correct — the r2 failure mode):
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 
 from pyspark.sql import types as T
 
-from aws_etl_project2_fiap_spark.io.parquet import STAR_TABLES
 from aws_etl_project2_fiap_spark.workload import COMPONENTS, ordered_catalog
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -63,40 +61,11 @@ def test_component_schema_is_atomic(spark, name):
     assert not nested, f"{name}: non-atomic component columns {nested}"
 
 
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb.connect()
-    for t_name in STAR_TABLES:
-        con.execute(
-            f"CREATE VIEW {t_name} AS SELECT * FROM '{SF_DIR}/{t_name}.parquet'"
-        )
-    yield con
-    con.close()
-
-
-@pytest.mark.parametrize(
-    "name",
-    sorted(n for n, qd in DRIVER_FACING.items() if qd.oracle is not None),
-)
-def test_oracle_dtype_kind_parity(spark, duck, name):
-    """Contract 2: both pandas paths must agree on numeric KIND
-    (int vs float) per column — the exact asymmetry behind the
-    two-round HUGEINT red. NULL-promotion (int64→float64 when a column
-    holds NULLs) affects both sides identically, so kinds still match
-    on value-identical results; an uncast integer SUM does not."""
-    qd = DRIVER_FACING[name]
-    spark_pdf = qd.spark(spark, SF_DIR).toPandas()
-    duck_pdf = duck.sql(qd.oracle).df()
-
-    s_kinds = {c.lower(): d.kind for c, d in spark_pdf.dtypes.items()}
-    d_kinds = {c.lower(): d.kind for c, d in duck_pdf.dtypes.items()}
-    assert set(s_kinds) == set(d_kinds), f"{name}: column sets differ"
-    mismatched = {
-        c: (s_kinds[c], d_kinds[c])
-        for c in s_kinds
-        if {s_kinds[c], d_kinds[c]} == {"i", "f"}
-    }
-    assert not mismatched, (
-        f"{name}: int-vs-float dtype mismatch {mismatched} — if the oracle "
-        f"sums an INTEGER column, CAST(SUM(...) AS BIGINT)"
-    )
+# Contract 2 — dtype-KIND parity between the two pandas paths (the
+# two-round HUGEINT red) — is asserted inside
+# tests/test_oracle_parity.py::compare_via_pandas (r13): the parity
+# matrix already executes every oracle query and holds both frames, so
+# the kind check rides along instead of re-running the full matrix a
+# second time (~4 min of suite wall-time, VERDICT r12 #1). Coverage is
+# a superset: ORACLE_QUERIES spans CATALOG + COMPONENTS, while this
+# file's matrix spanned ordered_catalog() only.

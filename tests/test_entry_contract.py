@@ -145,6 +145,44 @@ _R12_WINDOW = [
     "p_projection_suite", "suite_subquery", "suite_asof", "suite_text",
 ]
 
+# the round-13 window: an OPTIMIZATION round — no new oracle-backed
+# entries, so the slots go to: all 26 r12 evictions rotate back for
+# continuity re-checks (incl. similarity_pairs_lsh_portable — the
+# VERDICT r12 #3/#4 must-in, whose scoring kernel was rewritten r12
+# and restructured r13 without yet taking a driver hash check), plus
+# every r13-touched/affected oracle-backed query (the LSH kernel's
+# consumers, the ratchet portable, the lakesql verbs readback, five
+# TPC-H join shapes covering the AQE SMJ→SHJ conf), plus the family
+# sentinels. Evicted: the r11 births (green 2-3 rounds), the eleven
+# r11 rotate-backs that re-passed r12, the r06 suite family that just
+# re-checked. Pinned so appending catalog entries can never
+# reorder-and-evict a row mid-round.
+_R13_WINDOW = [
+    "a1_top5_7day_sum",
+    "similarity_pairs_lsh_portable", "similarity_ivf_knn_portable",
+    "dedup_semantic_portable", "similarity_ivfpq_knn_portable",
+    "agg_approx_distinct_portable", "tpch_q3_shipping_priority",
+    "dedup_ngram_jaccard", "event_time_tumbling_1h",
+    "similarity_knn", "text_langid", "dedup_simhash_pairs",
+    "sample_stratified", "k_bloom_readback", "similarity_knn_quantized",
+    "k_zorder_readback", "k_dv_delete_readback",
+    "k_partition_overwrite_readback", "k_cluster_evolution_readback",
+    "k_matview_incremental_readback", "k_matview_star_readback",
+    "k_wap_publish_readback", "k_table_source_readback",
+    "k_merge_clauses_readback", "k_merge_sync_readback",
+    "k_replicate_readback", "k_wap_merge_publish_readback",
+    "dedup_embedding_cosine", "stream_price_alerts_portable",
+    "k_lakesql_verbs_readback", "join_star_revenue",
+    "tpch_q5_regional_revenue", "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier", "tpch_q10_returned_items",
+    "dedup_cluster_lsh", "stream_neardup_ingest",
+    "a2_count", "k_matview_dim_evolution_readback",
+    "k6_update_readback", "window_keep_latest", "sessionize_30m",
+    "dedup_exact", "multimodal_meta", "dedup_span_exact",
+    "dedup_minhash_lsh_portable",
+    "p_projection_suite", "suite_subquery", "suite_asof", "suite_text",
+]
+
 # every oracle-backed catalog name at the moment the r12 window was
 # rotated (98 entries = the r11 snapshot + the two entries
 # oracle-backed after the r11 rotation: text_bpe_tokens_portable and
@@ -225,11 +263,11 @@ _R3_GREEN_WINDOW = [
 
 
 def test_driver_window_order_is_pinned():
-    """Positions 1-50 of queries() must stay EXACTLY the pinned r12
+    """Positions 1-50 of queries() must stay EXACTLY the pinned r13
     window, in order: the driver hash-compares by position, so any
     reorder (e.g. registering a new oracle-backed query before the
     suites) silently evicts a row mid-round."""
-    assert list(ordered_catalog())[:50] == _R12_WINDOW
+    assert list(ordered_catalog())[:50] == _R13_WINDOW
 
 
 def test_new_oracle_backed_entries_enter_window_at_birth():
@@ -253,54 +291,40 @@ def test_new_oracle_backed_entries_enter_window_at_birth():
 
 
 def test_window_rotation_properties():
-    """Rotation hygiene (r12): every r11 eviction rotates back for its
-    continuity re-check, the longest-unchecked r06 suite family
-    returns, the r11 births stay for a second round, every query the
-    r12 optimization touched is in-window, and everything ever evicted
-    stays oracle-backed in the tail."""
-    # the r11 births, kept for their second driver-green round
-    for n in (
-        "text_quality_model_portable", "text_bpe_tokens_portable",
-        "text_lm_perplexity",
-    ):
-        assert n in _R12_WINDOW
-    # ALL 14 r11 evictions rotated back for their continuity re-check
-    r11_evictions = {
-        "tpch_q4_order_priority", "tpch_q12_priority_class",
-        "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-        "tpch_q15_top_supplier", "tpch_q22_global_sales",
-        "dedup_index_probe_portable", "dedup_index_build_portable",
-        "stream_price_alerts_portable", "tpch_q7_nation_volume",
-        "tpch_q10_returned_items", "tpch_q17_small_quantity_revenue",
-        "tpch_q18_large_orders", "tpch_q19_discounted_revenue",
-    }
-    assert r11_evictions == {
-        n for n in _R11_WINDOW_EVICTIONS
-    }  # the set the r11 test pinned as evicted
-    assert r11_evictions <= set(_R12_WINDOW)
-    # the r06 suite family returns (last driver-checked r6/r7)
+    """Rotation hygiene (r13): every r12 eviction rotates back for its
+    continuity re-check (similarity_pairs_lsh_portable among them —
+    VERDICT r12 #3/#4), every query the r13 optimization touched or
+    affected is in-window, and everything ever evicted stays
+    oracle-backed in the tail."""
+    # ALL 26 r12 evictions rotated back for their continuity re-check
+    r12_evictions = {n for n in _R11_WINDOW if n not in _R12_WINDOW}
+    assert len(r12_evictions) == 26, sorted(r12_evictions)
+    assert r12_evictions <= set(_R13_WINDOW), sorted(
+        r12_evictions - set(_R13_WINDOW)
+    )
+    # the VERDICT r12 #4 must-ins
     assert {
-        "suite_proj_orders", "suite_proj_customer", "suite_proj_events",
-        "suite_setops", "suite_agg_grouping", "suite_window_frames",
-        "suite_window_rank", "suite_join_outer", "suite_corpus_ops",
-        "o1_topk", "o2_ordered_scan", "p6_arith_projection",
-    } <= set(_R12_WINDOW)
-    # every query the r12 optimization touched takes a driver check
+        "similarity_pairs_lsh_portable", "dedup_embedding_cosine",
+    } <= set(_R13_WINDOW)
+    # every query the r13 optimization touched/affected takes a check:
+    # LSH-kernel consumers, the ratchet portable, the lakesql verbs
+    # readback, the SMJ→SHJ-conf TPC-H joins
     assert {
-        "join_star_revenue", "tpch_q5_regional_revenue",
-        "tpch_q7_nation_volume", "tpch_q14_promo_revenue",
-        "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-        "tpch_q19_discounted_revenue", "tpch_q21_waiting_supplier",
-        "text_lm_perplexity",
-    } <= set(_R12_WINDOW)
-    # the window actually rotated, and every r12 eviction stays
+        "dedup_embedding_cosine", "stream_price_alerts_portable",
+        "k_lakesql_verbs_readback", "join_star_revenue",
+        "tpch_q5_regional_revenue", "tpch_q18_large_orders",
+        "tpch_q21_waiting_supplier", "tpch_q10_returned_items",
+    } <= set(_R13_WINDOW)
+    # the window actually rotated, and every r13 eviction stays
     # oracle-backed in the tail
     cat, o = list(ordered_catalog()), oracle_sql()
-    evicted_r12 = [n for n in _R11_WINDOW if n not in _R12_WINDOW]
-    assert len(evicted_r12) >= 20, evicted_r12
-    for n in evicted_r12:
+    evicted_r13 = [n for n in _R12_WINDOW if n not in _R13_WINDOW]
+    assert len(evicted_r13) >= 20, evicted_r13
+    for n in evicted_r13:
         assert n in cat and n in o, n
-    for n in [n for n in _R3_GREEN_WINDOW if n not in _R12_WINDOW]:
+    for n in [n for n in _R3_GREEN_WINDOW if n not in _R13_WINDOW]:
+        assert n in cat and n in o, n
+    for n in [n for n in _R11_WINDOW if n not in _R13_WINDOW]:
         assert n in cat and n in o, n
 
 

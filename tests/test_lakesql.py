@@ -1066,6 +1066,11 @@ def test_explain_select_and_merge(spark, tmp_path):
         ).repartition(16),
         tbl,
         cluster_by=["bucket(16,k)"],
+        # pin the file count: the default derives from the session's
+        # parallelism, and the files_matched < files_total assertion
+        # below needs more files than matching buckets on ANY core
+        # count (r13 — the test session dropped to local[4])
+        num_files=16,
     )
     srcp = str(tmp_path / "delta")
     V.create_table(
@@ -1499,8 +1504,14 @@ def test_changes_tvf(spark, tmp_path):
     import time
 
     tbl = str(tmp_path / "t")
+    # one row per file (range-clustered on k, num_files pinned): the
+    # CHANGES feed derives deletes from rewritten files, so the counts
+    # below are only layout-independent when no file mixes deleted and
+    # surviving rows (r13 — round-robin repartition is NOT even under
+    # few cores, so the session's core count must not decide this)
     V.create_table(
-        spark.range(10).select(F.col("id").alias("k")), tbl
+        spark.range(10).select(F.col("id").alias("k")), tbl,
+        cluster_by=["k"], num_files=10,
     )  # v1
     V.append_table(
         spark.range(10, 15).select(F.col("id").alias("k")), tbl
@@ -1816,19 +1827,77 @@ def test_leading_comment_and_script_semicolon_in_comment(spark, tmp_path):
     ).collect()[0]["n"] == 3
 
 
-def test_backtick_guard_checks_every_reference_and_comma_lists(
+def test_backtick_guard_checks_every_reference_from_join_only(
     spark, tmp_path
 ):
-    """review r12: the loud rejection must catch a registered backticked
-    name even when an UNREGISTERED one precedes it, and in comma lists."""
+    """review r12 + ADVICE r12: the loud rejection must catch a
+    registered backticked name even when an UNREGISTERED one precedes
+    it — but ONLY in FROM/JOIN position. A backtick-quoted COLUMN whose
+    name collides with a registered table (the `,\\s*` alternative the
+    r12 guard matched) is the escape hatch backtick quoting exists for
+    and must keep working."""
     tbl = str(tmp_path / "t")
     V.create_table(spark.range(3).select(F.col("id").alias("k")), tbl)
     lk = LakeSQL(spark, {"tt": tbl})
     spark.range(2).createOrReplaceTempView("native_w")
     with pytest.raises(SQLParseError, match="bare name"):
         lk.sql("SELECT * FROM `native_w` JOIN `tt` ON 1=1")
-    with pytest.raises(SQLParseError, match="bare name"):
+    # escape hatch: a COLUMN named like the registered table, backtick-
+    # quoted after a SELECT-list comma, resolves as a column
+    spark.range(2).select(
+        F.col("id").alias("a"), (F.col("id") * 10).alias("tt")
+    ).createOrReplaceTempView("native_x")
+    got = lk.sql("SELECT a, `tt` FROM native_x").collect()
+    assert sorted(r["tt"] for r in got) == [0, 10]
+    # a backticked registered name in a comma FROM list is no longer
+    # guarded: it falls through to Spark's own loud resolution error
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
         lk.sql("SELECT * FROM native_w, `tt`")
+
+
+def test_query_hints_survive_masking_and_reach_spark(spark, tmp_path):
+    """ADVICE r12 (medium): /*+ ... */ is a HINT, not a comment — the
+    masker must pass it through so spark.sql sees it. Pinned both as a
+    pure-function property and end-to-end (REPARTITION(7) observably
+    changes the plan's output partitioning)."""
+    from aws_etl_project2_fiap_spark.lakesql import _mask_comments as M
+
+    q = "SELECT /*+ BROADCAST(tt) */ * FROM tt"
+    assert M(q) == q
+    # plain comment adjacent to a hint still blanks; the hint survives
+    q2 = "SELECT /*+ REPARTITION(4) */ 1 /* note */ AS x"
+    assert M(q2) == q2.replace("/* note */", " " * 10)
+    tbl = str(tmp_path / "t")
+    V.create_table(spark.range(64).select(F.col("id").alias("k")), tbl)
+    lk = LakeSQL(spark, {"tt": tbl})
+    df = lk.sql("SELECT /*+ REPARTITION(7) */ k FROM tt")
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 64
+
+
+def test_backtick_identifier_with_comment_markers_stays_data(spark):
+    """ADVICE r12 (low): -- or /* inside a legal backtick-quoted
+    identifier is identifier data, not a comment start — the masker
+    must not blank real query text to end-of-line."""
+    from aws_etl_project2_fiap_spark.lakesql import _mask_comments as M
+
+    q = "SELECT `a--b` FROM t"
+    assert M(q) == q
+    q = "SELECT `a/*b` FROM t"
+    assert M(q) == q
+    # doubled backtick stays inside the identifier
+    q = "SELECT `a``--c` FROM t"
+    assert M(q) == q
+    # end-to-end: a column literally named a--b survives the dialect
+    spark.range(3).select(F.col("id").alias("a--b")).createOrReplaceTempView(
+        "native_bt"
+    )
+    lk = LakeSQL(spark, {})
+    assert lk.sql(
+        "SELECT `a--b` FROM native_bt WHERE `a--b` > 0"
+    ).count() == 2
 
 
 def test_add_column_not_null_rejected(spark, tmp_path):

@@ -234,6 +234,7 @@ def test_bad_specs_raise(spark, tmp_path):
         MV.create_aggregate_view(spark, src, dst, [], {"s": ("sum", "x")})
 
 
+@pytest.mark.slow  # randomized replay: full depth in the slow lane (r13)
 @settings(
     max_examples=6, deadline=None,
     suppress_health_check=[

@@ -87,7 +87,16 @@ ROWS_ONLY_QUERIES = sorted(n for n, qd in DEFS.items() if qd.oracle is None)
 
 def compare_via_pandas(spark, con, qd, sf_dir: str, name: str, expect_rows=None):
     """The driver's compare, reproduced: Spark toPandas vs DuckDB .df(),
-    schema by sorted column names, values via canon_pdf."""
+    schema by sorted column names, values via canon_pdf.
+
+    Also asserts the dtype-KIND parity contract here (r13): both pandas
+    paths must agree on numeric kind (int vs float) per column — the
+    two-round HUGEINT red (an uncast integer SUM renders ``4.0`` vs
+    ``4``). This lived as its own full matrix in
+    tests/test_driver_contract.py, which re-executed every oracle query
+    a second time (~4 min of the suite's wall-time, the exact budget
+    overrun VERDICT r12 #1 flagged); the frames are already in hand
+    here, so the assertion is free."""
     sdf = qd.spark(spark, sf_dir)
     spark_pdf = sdf.toPandas()
     duck_pdf = con.sql(qd.oracle).df()
@@ -96,6 +105,17 @@ def compare_via_pandas(spark, con, qd, sf_dir: str, name: str, expect_rows=None)
     duck_cols = sorted(c.lower() for c in duck_pdf.columns)
     assert spark_cols == duck_cols, (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    s_kinds = {c.lower(): d.kind for c, d in spark_pdf.dtypes.items()}
+    d_kinds = {c.lower(): d.kind for c, d in duck_pdf.dtypes.items()}
+    kind_mismatch = {
+        c: (s_kinds[c], d_kinds[c])
+        for c in s_kinds
+        if {s_kinds[c], d_kinds[c]} == {"i", "f"}
+    }
+    assert not kind_mismatch, (
+        f"{name}: int-vs-float dtype mismatch {kind_mismatch} — if the "
+        f"oracle sums an INTEGER column, CAST(SUM(...) AS BIGINT)"
     )
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"

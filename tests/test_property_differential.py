@@ -396,6 +396,7 @@ def duck_star():
     con.close()
 
 
+@pytest.mark.slow  # randomized replay: full depth in the slow lane (r13)
 @settings(max_examples=50, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(n=st.integers(min_value=0, max_value=10**15))
@@ -418,6 +419,7 @@ def test_ptbr_parse_roundtrip(spark, n):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # randomized replay: full depth in the slow lane (r13)
 @settings(
     max_examples=12,
     deadline=None,
@@ -481,6 +483,7 @@ def test_grouped_rank_matches_native_window(spark, pk, bins, tiles):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # randomized replay: full depth in the slow lane (r13)
 @settings(
     max_examples=20,
     deadline=None,
@@ -544,6 +547,7 @@ def test_random_asof_matches_duckdb(spark, probes, quotes, direction):
 # ---------------------------------------------------------------------
 
 
+@pytest.mark.slow  # randomized replay: full depth in the slow lane (r13)
 @settings(
     max_examples=8,
     deadline=None,

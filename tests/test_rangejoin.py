@@ -3,6 +3,8 @@ the plan stays an equi-join (no nested-loop explosion)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from aws_etl_project2_fiap_spark.operators.rangejoin import range_join
@@ -19,6 +21,7 @@ def _data(spark):
     return points, intervals
 
 
+@pytest.mark.slow  # quadratic-reference differential replay (r13)
 def test_range_join_matches_naive(spark):
     points, intervals = _data(spark)
     naive = sorted(

@@ -269,6 +269,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 
+@pytest.mark.slow  # randomized replay: full depth in the slow lane (r13)
 @settings(
     max_examples=5, deadline=None,
     suppress_health_check=[

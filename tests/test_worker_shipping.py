@@ -19,6 +19,8 @@ module-level helpers; both now use factory-built by-value closures).
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
@@ -69,6 +71,7 @@ sys.exit(1 if failures else 0)
 """
 
 
+@pytest.mark.slow  # widest replay of the shipping gate; the narrow table_source variant stays default (r13)
 def test_catalog_python_stages_run_without_repo_on_worker_path(tmp_path):
     env = dict(os.environ)
     # strip the repo from every import channel the workers could inherit
